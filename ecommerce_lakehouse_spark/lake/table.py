@@ -1,0 +1,180 @@
+"""LakeTable — a minimal lakehouse table format on plain parquet.
+
+Re-expresses the reference's Delta usage (SURVEY §2.2 K1-K7) without
+delta-spark (not installed here): versioned copy-on-write commits with an
+atomic manifest pointer, partitioned writes, append/overwrite/merge, and
+time-travel reads by version.
+
+Layout:
+    <root>/
+      _manifest/ v00000001.json ...   (one JSON per committed version)
+      _manifest/_LATEST               (atomic pointer: rename-swapped)
+      data/v00000001/ ... parquet (optionally partitioned subdirs)
+
+Each commit writes a fresh data directory then atomically swaps _LATEST —
+readers never see partial writes (same spirit as Delta's log, single-writer
+only; a real deployment swaps this class for Delta/Iceberg which provide
+multi-writer transaction logs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.lake.merge import merge_upsert
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._manifest_dir = os.path.join(root, "_manifest")
+
+    # ---------------- manifest plumbing ----------------
+
+    def _latest_path(self) -> str:
+        return os.path.join(self._manifest_dir, "_LATEST")
+
+    def exists(self) -> bool:
+        """K6 create-if-absent check (cleaner than the reference's exception
+        sniffing at src/glue_etl.py:465-467)."""
+        return os.path.exists(self._latest_path())
+
+    def current_version(self) -> int:
+        with open(self._latest_path()) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._manifest_dir, f"v{version:08d}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self._manifest_dir)):
+            if name.endswith(".json"):
+                out.append(self._manifest(int(name[1:-5])))
+        return out
+
+    def _commit(self, data_dirs: list[str], operation: str, partition_by: list[str]) -> int:
+        version = (self.current_version() + 1) if self.exists() else 1
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        manifest = {
+            "version": version,
+            "operation": operation,
+            "data_dirs": data_dirs,
+            "partition_by": partition_by,
+            "committed_at": time.time(),
+        }
+        with open(os.path.join(self._manifest_dir, f"v{version:08d}.json"), "w") as f:
+            json.dump(manifest, f)
+        # atomic pointer swap: write temp file then rename
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._latest_path())
+        return version
+
+    def _new_data_dir(self) -> str:
+        n = self.current_version() + 1 if self.exists() else 1
+        return os.path.join(self.root, "data", f"v{n:08d}")
+
+    # ---------------- writers (K1-K6) ----------------
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """K1/K4: full overwrite (schema evolution implicit — the new
+        version's parquet schema wins)."""
+        partition_by = partition_by or []
+        d = self._new_data_dir()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(d)
+        return self._commit([d], "overwrite", partition_by)
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """K2/K3: append — new version references prior data dirs plus the
+        new one (no rewrite of existing files)."""
+        if not self.exists():
+            return self.overwrite(df, partition_by)
+        prior = self._manifest(self.current_version())
+        partition_by = partition_by or prior["partition_by"]
+        d = self._new_data_dir()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(d)
+        return self._commit(prior["data_dirs"] + [d], "append", partition_by)
+
+    def merge(self, updates: DataFrame, keys: list[str]) -> int:
+        """K5/K6: MERGE upsert with create-if-absent fallback (reference
+        src/glue_etl.py:439-497). Copy-on-write: reads current snapshot,
+        applies the logical merge, writes a new version."""
+        if not self.exists():
+            return self.overwrite(updates)
+        prior = self._manifest(self.current_version())
+        merged = merge_upsert(self.read(), updates, keys)
+        d = self._new_data_dir()
+        w = merged.write.mode("overwrite")
+        if prior["partition_by"]:
+            w = w.partitionBy(*prior["partition_by"])
+        w.parquet(d)
+        return self._commit([d], "merge", prior["partition_by"])
+
+    # ---------------- readers (S4 + time travel) ----------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version()
+        dirs = self._manifest(v)["data_dirs"]
+        # one read per commit dir, unioned: multiple partitioned roots can't
+        # share a single scan (CONFLICTING_DIRECTORY_STRUCTURES) and schema
+        # evolution across commits needs unionByName anyway
+        dfs = [self.spark.read.option("mergeSchema", "true").parquet(d) for d in dirs]
+        out = dfs[0]
+        for other in dfs[1:]:
+            out = out.unionByName(other, allowMissingColumns=True)
+        return out
+
+    def register(self, name: str, version: int | None = None) -> None:
+        """K7 catalog registration (CREATE TABLE ... USING ... LOCATION)."""
+        self.read(version).createOrReplaceTempView(name)
+
+    # ---------------- maintenance (§4: OPTIMIZE / VACUUM analogues) -------
+
+    def compact(self, target_partitions: int | None = None) -> int:
+        """OPTIMIZE analogue: rewrite current snapshot into right-sized
+        files (reference docs/data_model.md:302-308's 128-512 MB targets;
+        here AQE coalescing + optional repartition pick the file count)."""
+        prior = self._manifest(self.current_version())
+        df = self.read()
+        if target_partitions:
+            df = df.repartition(target_partitions, *(prior["partition_by"] or []))
+        d = self._new_data_dir()
+        w = df.write.mode("overwrite")
+        if prior["partition_by"]:
+            w = w.partitionBy(*prior["partition_by"])
+        w.parquet(d)
+        return self._commit([d], "compact", prior["partition_by"])
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """VACUUM analogue (reference docs/data_model.md:310-316): delete
+        data dirs unreferenced by the last ``keep_last`` versions."""
+        import shutil
+
+        live: set[str] = set()
+        cur = self.current_version()
+        versions = [m["version"] for m in self.history()]
+        for v in versions[-keep_last:] if keep_last else [cur]:
+            live.update(self._manifest(v)["data_dirs"])
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        for name in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, name)
+            if d not in live:
+                shutil.rmtree(d)
+                removed.append(d)
+        return removed

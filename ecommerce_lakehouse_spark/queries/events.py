@@ -1,0 +1,148 @@
+"""Event-stream operators on the events table (SURVEY §2.10).
+
+The reference is batch-only; its "near real-time" requirement
+(docs/requirements.md:19-23) maps to windowed/session/as-of semantics.
+These queries run the SAME expressions batch-side (window(), session_window()
+work in batch); streaming/jobs.py wires identical logic into Structured
+Streaming with watermarks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.money import money_sum
+from ecommerce_lakehouse_spark.operators.relational import asof_join, dedup_by_key
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation — the streaming workhorse, run
+    batch-side. Epoch-aligned buckets match DuckDB time_bucket."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS h, value FROM events),
+     ex AS (SELECT h AS ws, value FROM b
+            UNION ALL
+            SELECT h - INTERVAL '1 hour' AS ws, value FROM b)
+SELECT ws AS window_start, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM ex GROUP BY 1
+""",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): each event lands in two
+    windows. The oracle expands the two memberships explicitly."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess_id
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap (Structured Streaming's
+    session_window run batch-side). Spark merges events whose windows
+    overlap (gap strictly less than 30 min ⇒ same session); the
+    gaps-and-islands oracle uses >= for the new-session test to match."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "asof_join_enrich",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       r.o_orderkey AS last_orderkey,
+       r.o_totalprice AS last_order_total
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+""",
+)
+def asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.4: absent in the reference, flagged in §7 as
+    the events-table extension): each event is enriched with the user's
+    most recent order at event time. Merge-based implementation
+    (operators/relational.py) — one shuffle, no theta join. The right side
+    is pre-deduped per (key, time) with a deterministic survivor."""
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = dedup_by_key(
+        load(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderdate"],
+        [F.desc("o_orderkey")],
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    out = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_order_total"),
+    )

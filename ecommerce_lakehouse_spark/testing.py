@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: run a query's Spark plan
+and its DuckDB oracle on the same parquet tables, canonicalize both frames,
+and diff (column set + row multiset of canonicalized values).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from ecommerce_lakehouse_spark.tables import TABLES
+
+NULL_TOKEN = "∅"
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).df()
+
+
+def _canon_cell(x) -> str:
+    if x is None:
+        return NULL_TOKEN
+    if isinstance(x, float):
+        if math.isnan(x):
+            return NULL_TOKEN
+        if x == int(x) and abs(x) < 1e15:
+            return str(int(x))  # 5.0 vs 5 (int col in one engine, double in other)
+        return repr(x)
+    if isinstance(x, (pd.Timestamp, datetime.datetime)):
+        if pd.isna(x):
+            return NULL_TOKEN
+        return pd.Timestamp(x).isoformat()
+    if isinstance(x, datetime.date):
+        return pd.Timestamp(x).isoformat()
+    if isinstance(x, (int, bool, str)):
+        return str(x)
+    if pd.isna(x):
+        return NULL_TOKEN
+    return str(x)
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return sorted(rows)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    sc, oc = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if sc != oc:
+        return False, f"column mismatch: spark={sc} oracle={oc}"
+    if len(spark_pdf) != len(oracle_pdf):
+        return False, f"row count mismatch: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    srows, orows = canonical_rows(spark_pdf), canonical_rows(oracle_pdf)
+    for i, (a, b) in enumerate(zip(srows, orows)):
+        if a != b:
+            return False, f"first differing row (sorted) #{i} cols={sc}:\n  spark : {a}\n  oracle: {b}"
+    return True, f"OK ({len(srows)} rows)"
+
+
+def check_query(spark, name: str, fn, sql: str | None, sf_dir: str) -> tuple[bool, str]:
+    sdf = fn(spark, sf_dir)
+    spdf = sdf.toPandas()
+    if sql is None:
+        ok = len(spdf) >= 0
+        return ok, f"rows-only ({len(spdf)} rows, no oracle)"
+    opdf = run_oracle(sql, sf_dir)
+    return compare_frames(spdf, opdf)

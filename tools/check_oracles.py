@@ -1,0 +1,45 @@
+"""Run every registered query against its DuckDB oracle and report.
+
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ecommerce_lakehouse_spark import get_spark
+from ecommerce_lakehouse_spark.queries import ORACLES, REGISTRY
+from ecommerce_lakehouse_spark.testing import check_query
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    spark = get_spark("oracle-check")
+    failures = []
+    for name, fn in REGISTRY.items():
+        if names and name not in names:
+            continue
+        t0 = time.time()
+        try:
+            ok, msg = check_query(spark, name, fn, ORACLES.get(name), sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        dt = time.time() - t0
+        status = "PASS" if ok else "FAIL"
+        print(f"[{status}] {name:32s} {dt:6.2f}s  {msg}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} passed")
+    if failures:
+        print("failed:", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
