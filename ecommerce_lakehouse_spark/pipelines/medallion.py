@@ -1,0 +1,134 @@
+"""Medallion (bronze→silver→gold) pipeline (reference src/glue_etl.py:525-689
+``main()`` + docs/etl_processes.md bronze/silver/gold ETLs), re-hosted on the
+driver's star schema with LakeTable storage.
+
+Per-dataset flow (reference process_dataset G:286-431): scan → metadata
+columns → cast → validate → split valid/rejected → quarantine append →
+dedup by pk → MERGE into silver. Gold marts recompute from silver.
+
+Scale notes: row counts come from Observation (df.observe) piggybacked on
+the write action — the reference's cache()+count() materialization
+anti-pattern (G:291-292 etc.) costs an extra job per dataset at 100 TB
+(SURVEY §7.5 mandates observe()). Validation is one expression pass; RI
+joins broadcast their pruned key sets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+from ecommerce_lakehouse_spark.lake import LakeTable
+from ecommerce_lakehouse_spark.operators import dedup_by_key
+from ecommerce_lakehouse_spark.quality import (
+    NotNull,
+    Range,
+    RefIntegrity,
+    split_valid_rejected,
+    validate,
+)
+from ecommerce_lakehouse_spark.tables import load
+
+
+def _bronze(df: DataFrame, source: str) -> DataFrame:
+    """Bronze metadata columns (E:84-86: source_file + ingestion ts)."""
+    return df.withColumn("source_file", F.lit(source)).withColumn(
+        "ingestion_timestamp", F.current_timestamp()
+    )
+
+
+def run_medallion(spark: SparkSession, sf_dir: str, root: str) -> dict:
+    """Run the full pipeline; returns {layer.table: LakeTable} plus
+    observed row metrics under key "metrics"."""
+    tables: dict = {}
+    metrics: dict[str, dict] = {}
+
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    datasets = {
+        # (df, pk, rules, partition_by)
+        "part": (
+            part,
+            ["p_partkey"],
+            [NotNull("p_partkey"), Range("p_retailprice", min=0)],
+            [],
+        ),
+        "orders": (
+            orders,
+            ["o_orderkey"],
+            [
+                NotNull("o_orderkey"),
+                NotNull("o_custkey"),
+                Range("o_totalprice", min=0),
+            ],
+            [],
+        ),
+        "lineitem": (
+            lineitem,
+            ["l_orderkey", "l_linenumber"],
+            [
+                NotNull("l_orderkey"),
+                Range("l_quantity", min=0),
+                Range("l_discount", min=0, max=1),
+                RefIntegrity("l_orderkey", orders, "o_orderkey", broadcast=False),
+                RefIntegrity("l_partkey", part, "p_partkey"),
+            ],
+            [],
+        ),
+    }
+
+    for name, (df, pk, rules, part_by) in datasets.items():
+        src = os.path.join(sf_dir, f"{name}.parquet")
+
+        # ---- bronze (K3 append semantics; overwrite for idempotent runs)
+        bt = LakeTable(spark, os.path.join(root, "bronze", name))
+        bt.overwrite(_bronze(df, src), partition_by=part_by)
+        tables[f"bronze.{name}"] = bt
+
+        # ---- silver: validate → split → quarantine → dedup → merge (K5)
+        obs = Observation(f"{name}_valid")
+        validated = validate(bt.read().drop("source_file", "ingestion_timestamp"), rules)
+        valid, rejected = split_valid_rejected(validated, source=src, job_name="medallion")
+
+        qt = LakeTable(spark, os.path.join(root, "rejected", name))
+        qt.append(rejected)
+        tables[f"rejected.{name}"] = qt
+
+        if name == "orders":
+            # silver derived columns (E:307-309: day_of_week / hour_of_day)
+            valid = valid.withColumn("day_of_week", F.dayofweek("o_orderdate")).withColumn(
+                "hour_of_day", F.hour("o_orderdate")
+            )
+        deduped = dedup_by_key(valid, pk, [F.asc(c) for c in pk]).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
+        st = LakeTable(spark, os.path.join(root, "silver", name))
+        st.merge(deduped, keys=pk)
+        tables[f"silver.{name}"] = st
+        metrics[name] = {"silver_rows": obs.get["rows"]}
+
+    # ---- gold marts from silver (E:420-450 daily_sales shape)
+    so = tables["silver.orders"].read()
+    sl = tables["silver.lineitem"].read()
+    daily = (
+        sl.join(so.select("o_orderkey", "o_orderdate"), sl.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("order_count"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_sales"),
+            F.sum("l_quantity").alias("total_items"),
+        )
+        .withColumn("last_updated", F.current_timestamp())
+    )
+    gt = LakeTable(spark, os.path.join(root, "gold", "daily_sales"))
+    gt.overwrite(daily)
+    tables["gold.daily_sales"] = gt
+
+    tables["metrics"] = metrics
+    return tables
