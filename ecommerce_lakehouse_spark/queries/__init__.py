@@ -39,6 +39,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     gold,
     lakehouse,
     llm,
+    llm2,
     quality,
     relational,
     tpch,

@@ -1,0 +1,119 @@
+"""Structured Streaming jobs (SURVEY §2.10).
+
+The reference is batch-only; its event-driven ingest architecture
+(docs/architecture.md:103-141: S3 event → Lambda → pipeline) and
+"near real-time" requirement (docs/requirements.md:19-23) map to
+Structured Streaming: file-source readStream → watermarked windowed/
+sessionized aggregation → sink, and foreachBatch → LakeTable.merge for the
+reference's Delta-MERGE incremental load (K5 semantics, G:442-458).
+
+The transformations are THE SAME expressions as the batch queries in
+queries/events.py — one definition of windowing semantics, two execution
+modes (the Spark streaming/batch unification). Tests drive these with
+trigger(availableNow=True) against the events parquet and assert equality
+with the batch results.
+
+Scale notes: watermarks bound state; session windows use the built-in
+state store (RocksDB-backed on a real cluster); foreachBatch merge gives
+exactly-once upsert when paired with checkpointing + idempotent MERGE keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.lake import LakeTable
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one-file-per-trigger
+    simulates micro-batch arrival; schema pinned from the batch reader).
+
+    The nanosecond-timestamp workaround matches tables.load()."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file-stream source ingests directories (files "arrive" in them).
+    # The testdata table is a single file — expose it through a spool dir
+    # (symlink, no copy); in production this is the landing directory that
+    # upstream ingest appends files into. The spool path is DETERMINISTIC
+    # per source: checkpoints pin the source path, so a restarted query
+    # must see the same directory to resume exactly-once.
+    import hashlib
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+    spool = os.path.join(tempfile.gettempdir(), f"events_spool_{digest}")
+    os.makedirs(spool, exist_ok=True)
+    link = os.path.join(spool, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(spool)
+    )
+    return raw.withColumn(
+        "ts", F.expr("to_utc_timestamp(timestamp_micros(ts DIV 1000), current_timezone())")
+    )
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h windowed agg with late-data watermark — the streaming
+    twin of queries/events.py::tumbling_window_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows in streaming mode (stateful; watermark closes
+    sessions) — twin of queries/events.py::session_window_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_merge_into(
+    events: DataFrame,
+    table: LakeTable,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """foreachBatch → MERGE upsert: reproduces the reference's incremental
+    Delta MERGE load (K5) in streaming form. Each micro-batch is deduped
+    on the merge keys (Delta's uniqueness precondition, SURVEY §7.5) then
+    upserted; replays are idempotent."""
+    from ecommerce_lakehouse_spark.operators import dedup_by_key
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        deduped = dedup_by_key(batch_df, keys, [F.asc(c) for c in keys])
+        table.merge(deduped, keys=keys)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -6,6 +6,7 @@ and diff (column set + row multiset of canonicalized values).
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 import os
 
@@ -29,6 +30,8 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 def _canon_cell(x) -> str:
     if x is None:
         return NULL_TOKEN
+    if isinstance(x, decimal.Decimal):
+        x = float(x)
     if isinstance(x, float):
         if math.isnan(x):
             return NULL_TOKEN
