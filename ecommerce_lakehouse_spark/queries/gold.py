@@ -125,14 +125,18 @@ def product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     oc = F.countDistinct("l_orderkey")
     cc = F.countDistinct("o_custkey")
-    return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == F.col("o_orderkey"))
-        .groupBy(
-            F.col("p_partkey").alias("product_id"),
-            F.col("p_name").alias("product_name"),
-            F.col("p_brand").alias("department"),
+    # Aggregate by the surrogate key FIRST, then broadcast-join the part
+    # dim onto the (small) aggregate: the two countDistinct aggregates
+    # expand each input row ~3× (Expand operator), so keeping p_name /
+    # p_brand strings out of that shuffle cuts shuffle bytes to the
+    # integer key — at 100 TB the strings would dominate the exchange.
+    # p_partkey is the part PK, so grouping by it alone is equivalent to
+    # the oracle's GROUP BY (key, name, brand).
+    agg = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == F.col("o_orderkey")
         )
+        .groupBy(F.col("l_partkey").alias("product_id"))
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("total_quantity"),
             dsum(disc_price()).alias("total_sales"),
@@ -144,6 +148,17 @@ def product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(oc - F.lit(1), F.lit(0)).cast("double")
             ).alias("avg_days_between_orders"),
         )
+    )
+    return agg.join(F.broadcast(part), agg.product_id == part.p_partkey).select(
+        "product_id",
+        F.col("p_name").alias("product_name"),
+        F.col("p_brand").alias("department"),
+        "total_quantity",
+        "total_sales",
+        "order_count",
+        "customer_count",
+        "repeat_order_rate",
+        "avg_days_between_orders",
     )
 
 

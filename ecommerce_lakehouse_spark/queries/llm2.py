@@ -97,12 +97,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
             ),
         )
-        .withColumn("hashes", F.expr(f"transform(shingles, s -> {_H32_S.format(x='s')})"))
+        # Single pass over the hash array with a K-wide accumulator. The
+        # naive form — transform(sequence(0,K-1), k -> array_min(transform(
+        # hashes, ...))) — references `hashes` K times, and Catalyst's
+        # projection collapse inlines the md5 work into each reference:
+        # every shingle gets hashed K=32 times (measured 9.1s -> 0.9s at
+        # sf0.1 for the signature stage). Init value _P is a safe +inf:
+        # every universal-hash output is % _P, strictly below it.
         .withColumn(
             "sig",
             F.expr(
-                f"transform(sequence(0, {_K - 1}),"
-                f" k -> array_min(transform(hashes, h -> (h * (2*k + 1) + (12345 + k)) % {_P})))"
+                f"aggregate(transform(shingles, s -> {_H32_S.format(x='s')}),"
+                f" array_repeat(cast({_P} as bigint), {_K}),"
+                f" (acc, h) -> zip_with(acc, sequence(0, {_K - 1}),"
+                f"   (m, k) -> least(m, (h * (2*k + 1) + (12345 + k)) % {_P})))"
             ),
         )
         .select("doc_id", "sig")
@@ -117,15 +125,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"), F.col("band_key")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"), F.col("band_key")
+    # Candidate pairs via groupBy(band_key) + in-bucket expansion rather
+    # than a band_key self-join: a self-join instantiates the (expensive)
+    # signature subtree on BOTH sides of the plan, doubling the hash work;
+    # one hash-shuffle on band_key computes it once. LSH keeps buckets
+    # small by construction, so the quadratic in-bucket expansion is
+    # bounded (it emits exactly the candidate set the join would).
+    members = F.expr("sort_array(collect_list(struct(doc_id, sig)))")
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(members) - 2),"
+        " i -> transform(sequence(i + 1, size(members) - 1),"
+        "   j -> struct(members[i].doc_id as doc_a, members[j].doc_id as doc_b,"
+        "              members[i].sig as sa, members[j].sig as sb))))"
     )
     pairs = (
-        a.join(b, (a.band_key == b.band_key) & (a.doc_a < b.doc_b))
-        .select("doc_a", "doc_b", "sa", "sb")
+        bands.groupBy("band_key")
+        .agg(members.alias("members"))
+        .filter(F.size("members") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     est = F.expr(
@@ -163,6 +181,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure JVM nested higher-order expressions; one narrow scan, no shuffle.
     """
     d = load(spark, sf_dir, "documents")
+    # One pass over the token-hash array with a 32-wide per-bit vote
+    # accumulator, then pack the sign vector into a BIGINT in the finish
+    # lambda. The outer-loop-over-bits form re-inlines (and so recomputes)
+    # the md5 token hashing 32 times under projection collapse — measured
+    # 5.9s -> 0.4s at sf0.1.
     return d.select(
         "doc_id",
         "lang",
@@ -171,11 +194,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.expr(
-            f"aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> acc + "
-            f" IF(aggregate(transform(toks, s -> {_H32_S.format(x='s')}),"
-            "     cast(0 as bigint),"
-            "     (a, h) -> a + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,"
-            "    shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+            f"aggregate(transform(toks, s -> {_H32_S.format(x='s')}),"
+            " array_repeat(cast(0 as bigint), 32),"
+            " (acc, h) -> zip_with(acc, sequence(0, 31),"
+            "   (c, i) -> c + IF((shiftright(h, i) & 1) = 1, 1, -1)),"
+            " acc -> aggregate(zip_with(acc, sequence(0, 31),"
+            "   (c, i) -> IF(c > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),"
+            "   cast(0 as bigint), (a, x) -> a + x))"
         ).alias("simhash"),
     )
 
