@@ -40,6 +40,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     lakehouse,
     llm,
     llm2,
+    llm3,
     quality,
     relational,
     tpch,

@@ -1,0 +1,313 @@
+"""LLM training-data pipeline, phase 3: embedding-cosine near-dup
+detection (banded hyperplane LSH), IVF-style coarse-quantized ANN, and a
+BPE-ish regex token estimator (north star; SURVEY §7.3 v6).
+
+Same oracle discipline as llm2.py: every random constant (hyperplanes)
+is a deterministic md5-derived literal embedded in BOTH the Spark plan and
+the DuckDB SQL, so LSH buckets and IVF cells are engine-independent and
+fully value-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+_DIM = 64
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs via banded hyperplane LSH
+# ---------------------------------------------------------------------------
+
+# 4 bands × 3 planes: a pair collides if it lands in the same bucket in ANY
+# band (OR-amplification). For cosine 0.4 the per-band collision odds are
+# (1 - acos(0.4)/pi)^3 ≈ 0.25, so 4 bands recover ≈ 0.68 of true pairs —
+# tune bands/planes for recall vs candidate volume at scale.
+_CD_BANDS, _CD_PLANES = 4, 3
+_CD_THRESHOLD = 0.4
+_PLANES_CD = [
+    [(_h32(f"cd{p}_{j}") % 2001 - 1000) / 1000.0 for j in range(_DIM)]
+    for p in range(_CD_BANDS * _CD_PLANES)
+]
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join(repr(x) for x in _PLANES_CD[p]) + "]::DOUBLE[]"
+
+
+def _band_bucket_sql(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {_DIM} + 1),"
+        f" j -> emb[j] * ({_plane_sql(_CD_PLANES * b + i)})[j])) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(_CD_PLANES)
+    )
+
+
+_CD_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, emb, nrm, {b} AS band, ({_band_bucket_sql(b)}) AS bucket FROM v"
+    for b in range(_CD_BANDS)
+)
+
+
+@query(
+    "embedding_cosine_dups",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS nrm
+  FROM embeddings
+), bands AS (
+  {_CD_BANDS_SQL}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.emb AS ea, b.emb AS eb, a.nrm AS na, b.nrm AS nb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 5) AS cosine_sim
+FROM (SELECT vec_a, vec_b,
+             list_aggregate(list_transform(range(1, {_DIM} + 1),
+                 i -> ea[i] * eb[i]), 'sum') / (na * nb) AS cos
+      FROM pairs)
+WHERE cos >= {_CD_THRESHOLD}
+""",
+)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north star dedup): banded
+    random-hyperplane LSH generates candidates, exact cosine confirms.
+
+    Scale: candidates come from one shuffle on (band, bucket) with
+    in-bucket expansion (signature subtree computed once — see
+    minhash_lsh_pairs for why not a self-join); exact cosine runs only on
+    candidates, never O(n²). Recall tunes via band count; bucket width via
+    planes-per-band.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sq = F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    v = e.withColumn("nrm", F.sqrt(sq))
+
+    def band_bucket(b: int):
+        bucket = None
+        for i in range(_CD_PLANES):
+            plane = F.array(*[F.lit(x) for x in _PLANES_CD[_CD_PLANES * b + i]])
+            dot = F.aggregate(
+                F.zip_with("emb", plane, lambda a, x: a * x), F.lit(0.0), lambda a, x: a + x
+            )
+            term = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        return bucket
+
+    bands = None
+    for b in range(_CD_BANDS):
+        part = v.select(
+            "vec_id", "emb", "nrm", F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    # Expand SLIM (vec_a, vec_b) id pairs only, dedup, then join the
+    # vectors back for the exact-cosine confirmation: candidate volume is
+    # O(n²/buckets), so shipping two 64-dim arrays per candidate through
+    # the dedup shuffle dominates (measured 13.5s -> the whole query in
+    # ~4s at sf0.1 when the shuffle carries 16-byte id pairs instead).
+    # The join back is broadcast here; at 100 TB it becomes two linear
+    # shuffle joins on vec_id — still no O(n²) anywhere.
+    members = F.expr("sort_array(collect_list(vec_id))")
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(members) - 2),"
+        " i -> transform(sequence(i + 1, size(members) - 1),"
+        "   j -> struct(members[i] as vec_a, members[j] as vec_b))))"
+    )
+    pairs = (
+        bands.groupBy("band", "bucket")
+        .agg(members.alias("members"))
+        .filter(F.size("members") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = F.broadcast(
+        v.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na"))
+    )
+    vb = F.broadcast(
+        v.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb"))
+    )
+    cos = (
+        F.aggregate(F.zip_with("ea", "eb", lambda a, x: a * x), F.lit(0.0), lambda a, x: a + x)
+        / (F.col("na") * F.col("nb"))
+    )
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= _CD_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 5).alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer cells, search only the query's cell
+# ---------------------------------------------------------------------------
+
+_IVF_K = 16  # coarse codebook size: vectors with vec_id < 16
+_IVF_TOPK = 3
+
+
+@query(
+    "embedding_ivf_ann",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, emb AS cemb, nrm AS cnrm FROM v WHERE vec_id < {_IVF_K}
+), scored AS (
+  SELECT v.vec_id, v.emb, v.nrm, c.cid,
+         list_aggregate(list_transform(range(1, {_DIM} + 1),
+             i -> v.emb[i] * c.cemb[i]), 'sum') / (v.nrm * c.cnrm) AS ccos
+  FROM v CROSS JOIN cent c
+), asg AS (
+  SELECT vec_id, emb, nrm, cid AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cid ASC) AS rn FROM scored)
+  WHERE rn = 1
+), q AS (SELECT * FROM asg WHERE vec_id < 10),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         list_aggregate(list_transform(range(1, {_DIM} + 1),
+             i -> q.emb[i] * c.emb[i]), 'sum') / (q.nrm * c.nrm) AS sim
+  FROM q JOIN asg c ON q.cell = c.cell AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, round(sim, 5) AS cosine_sim, cell, rn AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM cand)
+WHERE rn <= {_IVF_TOPK}
+""",
+)
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (north star similarity-search scale path, complement
+    to the hyperplane-LSH variant): a 16-entry coarse codebook (here: the
+    first 16 vectors standing in for k-means centroids) partitions the
+    corpus into cells; each query searches only its own cell.
+
+    Scale: assignment is a broadcast of K centroids against the corpus —
+    map-side only, one row out per vector (the row_number window here
+    is per-vec_id over K=16 rows; at 100 TB use max_by to keep it a pure
+    map-side agg). The search join shuffles on the cell id, and cells are
+    ~n/K — multi-probe (top-p cells) trades recall for fan-out.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sq = F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    v = e.withColumn("nrm", F.sqrt(sq))
+    cent = v.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"), F.col("nrm").alias("cnrm")
+    )
+    ccos = (
+        F.aggregate(F.zip_with("emb", "cemb", lambda a, x: a * x), F.lit(0.0), lambda a, x: a + x)
+        / (F.col("nrm") * F.col("cnrm"))
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    asg = (
+        v.join(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "nrm", F.col("cid").alias("cell"))
+    )
+    q = asg.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+    )
+    sim = (
+        F.aggregate(
+            F.zip_with("q_emb", "emb", lambda a, x: a * x), F.lit(0.0), lambda a, x: a + x
+        )
+        / (F.col("q_nrm") * F.col("nrm"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        asg.join(
+            F.broadcast(q),
+            (F.col("q_cell") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim", 5).alias("cosine_sim"),
+            "cell",
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token estimator
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenization, simplified: letter runs, single digits,
+# single punctuation marks. Subword estimate: ceil(len/4) pieces per run
+# (the ~4-chars-per-token rule of thumb applied per pre-token).
+_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "bpe_token_estimate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{_BPE_PAT}') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       len(pieces) AS n_pieces,
+       list_aggregate(list_transform(pieces, x -> (length(x) + 3) // 4), 'sum')
+         AS est_bpe_tokens,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       length(text) / CAST(list_aggregate(list_transform(pieces,
+            x -> (length(x) + 3) // 4), 'sum') AS DOUBLE) AS chars_per_token
+FROM t
+""",
+)
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (north star text analysis): regex
+    pre-tokenization (letter runs / digits / punctuation) plus a
+    ceil(len/4) subword estimate per piece — the budget metric used to
+    size training corpora without running a real tokenizer. Entirely
+    JVM-side: regexp_extract_all + higher-order array sums."""
+    d = load(spark, sf_dir, "documents")
+    # Spark SQL string literals eat single backslashes ('\s' -> 's'), so
+    # the pattern needs re-escaping on this side; DuckDB keeps '\s' as-is.
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_PAT.replace(chr(92), chr(92) * 2)}', 0)")
+    est = F.aggregate(
+        F.transform(pieces, lambda x: (F.length(x) + F.lit(3)).cast("long") / F.lit(4)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + F.floor(x).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        est.alias("est_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        (F.length("text") / est.cast("double")).alias("chars_per_token"),
+    )

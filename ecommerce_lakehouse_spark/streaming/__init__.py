@@ -1,5 +1,6 @@
 from ecommerce_lakehouse_spark.streaming.jobs import (  # noqa: F401
     read_events_stream,
+    running_user_profile,
     sessionized_stream,
     stream_merge_into,
     windowed_event_counts,

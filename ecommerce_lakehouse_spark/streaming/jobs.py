@@ -117,3 +117,51 @@ def stream_merge_into(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def running_user_profile(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (north star:
+    the escape hatch for operators Spark's built-in streaming aggs can't
+    express — per-key running profiles, custom eviction, model state).
+
+    Maintains per-user state across micro-batches: cumulative event count,
+    exact decimal-free running value total, and the number of batches that
+    touched the user. Emits the updated profile each time a batch contains
+    the user (update semantics).
+
+    Scale: state lives in the state store (RocksDB-backed on a cluster),
+    partitioned by the group key — no driver involvement; Arrow batches
+    keep the Python boundary vectorized. Pair with a watermark + timeout
+    (GroupStateTimeout) to bound state for keys that go quiet."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double, n_batches int"
+    state_schema = "n bigint, total double, batches int"
+
+    def update_profile(key, pdf_iter, state: GroupState):
+        n, total, batches = state.get if state.exists else (0, 0.0, 0)
+        seen = 0
+        for pdf in pdf_iter:
+            seen += len(pdf)
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        if seen:
+            batches += 1
+        state.update((n, total, batches))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "n_batches": [batches],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_profile,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

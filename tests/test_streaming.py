@@ -60,3 +60,53 @@ def test_stream_merge_into_laketable(spark, sf_dir, tmp_path):
     # merge is keyed: no duplicate event_ids
     assert table.read().select("event_id").distinct().count() == batch_count
     assert table.history()[-1]["operation"] in ("merge", "overwrite")
+
+
+def test_running_user_profile_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    3 spool files x maxFilesPerTrigger=1 = 3 batches; the last emitted row
+    per user must equal the batch-mode groupBy, and multi-batch users must
+    show n_batches > 1 (proof state actually crossed batch boundaries)."""
+    from ecommerce_lakehouse_spark.streaming import running_user_profile
+    from ecommerce_lakehouse_spark.tables import load
+
+    src = load(spark, sf_dir, "events")
+    spool = str(tmp_path / "spool")
+    for i in range(3):
+        src.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(spool)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+    emitted = []
+
+    def collect_batch(batch_df, batch_id):
+        emitted.append((batch_id, batch_df.collect()))
+
+    q = (
+        running_user_profile(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "cp_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for batch_id, rows in sorted(emitted):
+        for r in rows:
+            final[r["user_id"]] = r
+    expect = {
+        r["user_id"]: r
+        for r in src.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for uid, r in final.items():
+        assert r["n_events"] == expect[uid]["n_events"]
+        assert abs(r["total_value"] - expect[uid]["total_value"]) < 1e-6
+    assert max(r["n_batches"] for r in final.values()) > 1
