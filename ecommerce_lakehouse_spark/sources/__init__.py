@@ -1,0 +1,6 @@
+from ecommerce_lakehouse_spark.sources.readers import (  # noqa: F401
+    cast_to_schema,
+    read_csv,
+    read_json,
+    read_table,
+)

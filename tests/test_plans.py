@@ -1,0 +1,63 @@
+"""Physical-plan guardrails (the 100 TB design checks, SURVEY §4):
+no accidental cartesian products anywhere in the registry, filters reach
+the parquet scans, dim joins broadcast, projections prune the read schema.
+These are executed-plan assertions — regressions in join strategy or
+pushdown fail CI, not just the benchmark."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from explain_audit import audit, plan_text  # noqa: E402
+
+from ecommerce_lakehouse_spark.queries import REGISTRY
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product(spark, sf_dir, name):
+    """A CartesianProduct in any plan is a scale bug: O(n*m) rows with no
+    key. (BroadcastNestedLoopJoin is allowed where one side is a bounded
+    broadcast query set, e.g. brute-force kNN's != condition.)"""
+    info = audit(REGISTRY[name](spark, sf_dir))
+    assert not info["cartesian"], f"{name}: cartesian product in plan: {info['joins']}"
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q6_forecast_revenue", "between_dates_filter", "tpch_q1_pricing_summary"]
+)
+def test_filters_push_to_scan(spark, sf_dir, name):
+    info = audit(REGISTRY[name](spark, sf_dir))
+    assert info["pushed_filters"], f"{name}: no PushedFilters on any scan"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q5_local_supplier_volume",
+        "tpch_q10_returned_items",
+        "tpch_q14_promo_revenue",
+        "tpch_q19_disjunctive_revenue",
+        "product_performance",
+    ],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    info = audit(REGISTRY[name](spark, sf_dir))
+    assert "BroadcastHashJoin" in info["joins"], f"{name}: dim join not broadcast: {info['joins']}"
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    """The q6 scan must read only the 4 referenced lineitem columns (of
+    11) — column pruning reaching the reader is what keeps a 2-column
+    projection from dragging 100 TB through I/O."""
+    info = audit(REGISTRY["tpch_q6_forecast_revenue"](spark, sf_dir))
+    assert info["read_widths"] and max(info["read_widths"]) <= 4, info["read_widths"]
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    """The scan→filter→partial-agg pipeline of q1 must be inside one
+    WholeStageCodegen span (JVM-compiled, no interpreted gaps)."""
+    text = plan_text(REGISTRY["tpch_q1_pricing_summary"](spark, sf_dir), mode="codegen")
+    assert "WholeStageCodegen" in text
