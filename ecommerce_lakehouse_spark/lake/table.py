@@ -160,6 +160,60 @@ class LakeTable:
         w.parquet(d)
         return self._commit([d], "compact", prior["partition_by"])
 
+    def optimize(self, zorder_by: list[str], target_partitions: int = 8, bits: int = 8) -> int:
+        """OPTIMIZE ZORDER analogue (reference docs/etl_processes.md:381-386,
+        docs/data_model.md:289,296: `OPTIMIZE ... ZORDER BY (...)`).
+
+        Each key column is binned into 2**bits buckets between its min/max
+        (one cheap agg pass — no global sort, no collect of data rows),
+        the per-column bucket indices are bit-interleaved into a Morton
+        z-value, and the snapshot is range-repartitioned + sorted on it.
+        Result: every output file covers a compact hyper-rectangle in ALL
+        zorder columns, so min/max footer stats skip files for predicates
+        on any of them — unlike a lexicographic sort, which only helps the
+        leading column. Columnar min/max skipping is the reader's job
+        (Spark's parquet filter pushdown uses the same footers Delta's
+        data skipping reads).
+        """
+        from pyspark.sql import functions as F
+
+        prior = self._manifest(self.current_version())
+        df = self.read()
+        n_bins = 1 << bits
+        bounds = df.agg(
+            *[F.min(c).alias(f"{c}_min") for c in zorder_by],
+            *[F.max(c).alias(f"{c}_max") for c in zorder_by],
+        ).first()
+        zval = F.lit(0).cast("long")
+        k = len(zorder_by)
+        for ci, c in enumerate(zorder_by):
+            lo, hi = bounds[f"{c}_min"], bounds[f"{c}_max"]
+            if lo is None or hi == lo:
+                continue
+            bucket = F.least(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit((float(hi) - float(lo)) / n_bins)
+                ).cast("long"),
+                F.lit(n_bins - 1),
+            )
+            for bit in range(bits):
+                zval = zval + (F.shiftright(bucket, bit).bitwiseAND(F.lit(1))).cast(
+                    "long"
+                ) * F.lit(1 << (bit * k + ci))
+        clustered = (
+            df.withColumn("__z", zval)
+            .repartitionByRange(target_partitions, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        d = self._new_data_dir()
+        w = clustered.write.mode("overwrite")
+        if prior["partition_by"]:
+            w = w.partitionBy(*prior["partition_by"])
+        w.parquet(d)
+        return self._commit([d], "optimize-zorder", prior["partition_by"])
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """VACUUM analogue (reference docs/data_model.md:310-316): delete
         data dirs unreferenced by the last ``keep_last`` versions."""

@@ -77,3 +77,35 @@ def test_merge_requires_unique_update_keys(spark, tbl):
     dups = _df(spark, [(1, "new", "x"), (1, "newer", "x")])
     deduped = dedup_by_key(dups, ["k"], [F.desc("v")])
     assert deduped.count() == 1
+
+
+def test_optimize_zorder_clusters_all_dims(spark, tmp_path):
+    """Z-order vs lexicographic sort: after optimize(zorder_by=[x, y]),
+    every file must cover a NARROW y-span too (so min/max footers can skip
+    files for y-only predicates). A plain x-sort leaves each file spanning
+    the full y range."""
+    import glob
+    import random
+
+    random.seed(7)
+    rows = [(random.randint(0, 9999), random.randint(0, 9999)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    t = LakeTable(spark, str(tmp_path / "zt"))
+    t.overwrite(df)
+    t.optimize(zorder_by=["x", "y"], target_partitions=16)
+    assert t.history()[-1]["operation"] == "optimize-zorder"
+    assert t.read().count() == 20000
+
+    data_dir = t._manifest(t.current_version())["data_dirs"][0]
+    files = glob.glob(f"{data_dir}/*.parquet")
+    assert len(files) >= 8
+    spans = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("y").alias("lo"), F.max("y").alias("hi")
+        ).first()
+        spans.append(r["hi"] - r["lo"])
+    avg_span = sum(spans) / len(spans)
+    # x-sorted layout would give ~10000 per file; z-order must be well under
+    assert avg_span < 6000, f"avg y-span {avg_span} — not clustered in y"

@@ -100,3 +100,14 @@ def test_explicit_schema_skips_inference(spark, tmp_path):
     assert dict(df.dtypes)["order_id"] == "int"
     # malformed id row: CSV reader's PERMISSIVE mode nulls the bad cell
     assert df.filter(F.col("order_id").isNull()).count() == 1
+
+
+def test_empty_relation_short_circuit(spark):
+    """Reference S6 (empty-relation source, etl_utils.py:121-128): an empty
+    typed frame flows through cast -> validate -> split with schemas intact
+    and zero rows on both branches."""
+    empty = spark.createDataFrame([], schema=SCHEMA)
+    validated = validate(cast_to_schema(empty, SCHEMA), [NotNull("order_id")])
+    valid, rejected = split_valid_rejected(validated, source="s6", job_name="t")
+    assert valid.count() == 0 and rejected.count() == 0
+    assert "order_id" in valid.columns and "validation_errors" in rejected.columns
