@@ -1,4 +1,5 @@
 from ecommerce_lakehouse_spark.streaming.jobs import (  # noqa: F401
+    deduped_stream,
     read_events_stream,
     running_user_profile,
     sessionized_stream,

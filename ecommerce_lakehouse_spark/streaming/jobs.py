@@ -165,3 +165,13 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def deduped_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps per-key
+    state only inside the watermark horizon, so state is bounded no matter
+    how long the stream runs — the streaming twin of the batch
+    dedup-by-pk (A8) / exact_dedup operators, and the first stage of a
+    streaming training-data ingest (dedup at the door, then MERGE)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

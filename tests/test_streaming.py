@@ -14,11 +14,11 @@ from ecommerce_lakehouse_spark.streaming import (
 )
 
 
-def _run_to_memory(stream_df, spark, name, checkpoint):
+def _run_to_memory(stream_df, spark, name, checkpoint, output_mode="complete"):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -110,3 +110,29 @@ def test_running_user_profile_stateful(spark, sf_dir, tmp_path):
         assert r["n_events"] == expect[uid]["n_events"]
         assert abs(r["total_value"] - expect[uid]["total_value"]) < 1e-6
     assert max(r["n_batches"] for r in final.values()) > 1
+
+
+def test_deduped_stream_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """The same events file lands twice (two spool files, two micro-batches)
+    — dropDuplicatesWithinWatermark must emit each event_id exactly once."""
+    from ecommerce_lakehouse_spark.streaming import deduped_stream
+    from ecommerce_lakehouse_spark.tables import load
+
+    src = load(spark, sf_dir, "events")
+    spool = str(tmp_path / "dup_spool")
+    for _ in range(2):
+        src.coalesce(1).write.mode("append").parquet(spool)
+
+    stream = (
+        spark.readStream.schema(src.schema).option("maxFilesPerTrigger", 1).parquet(spool)
+    )
+    got = _run_to_memory(
+        deduped_stream(stream).select("event_id"),
+        spark,
+        "dedup_stream",
+        str(tmp_path / "cp_dedup"),
+        output_mode="append",
+    )
+    n_distinct = src.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
