@@ -311,3 +311,84 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
         (F.length("text") / est.cast("double")).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over MinHash-LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+from ecommerce_lakehouse_spark.queries import ORACLES as _ORACLES  # noqa: E402
+from ecommerce_lakehouse_spark.queries.llm2 import minhash_lsh_pairs as _mh_pairs  # noqa: E402
+
+
+@query(
+    "neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE mp AS (
+  SELECT doc_a, doc_b FROM ({{pairs_sql}}) q
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mp
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM mp
+), reach(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id, src = min(dst) AS is_canonical
+FROM reach GROUP BY src
+""".format(pairs_sql="{PAIRS}"),
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (north star dedup, final stage): connected
+    components over the MinHash-LSH candidate-pair graph via iterative
+    min-label propagation; cluster_id = min doc_id in the component, the
+    canonical survivor every dedup policy keys on. Singletons cluster to
+    themselves, so the output is a total doc_id -> cluster_id map.
+
+    Scale: each iteration is one join + partial-min agg on the edge list
+    (no collect); lineage is truncated per iteration (localCheckpoint —
+    reliable checkpoint dir on a cluster); iterations = graph diameter in
+    hops, and min-label halves distances, so even 100-doc chains converge
+    in ~7 rounds. The oracle is the same closure as a recursive CTE.
+    """
+    pairs = _mh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint()  # pair generation runs once, not per iter
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(15):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("n_doc"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.n_doc, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+
+
+# splice the (already-registered) minhash pair SQL into the recursive oracle
+_ORACLES["neardup_clusters"] = _ORACLES["neardup_clusters"].replace(
+    "{PAIRS}", _ORACLES["minhash_lsh_pairs"]
+)

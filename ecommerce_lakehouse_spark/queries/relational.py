@@ -520,3 +520,39 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "pivot_returnflag_revenue",
+    oracle="""
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+       CAST(round(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS rf_A,
+       CAST(round(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS rf_N,
+       CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS rf_R
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def pivot_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): monthly revenue with return flags as
+    columns. The pivot values are DECLARED (['A','N','R']) — without the
+    list Spark runs an extra distinct-collect job to discover them, a
+    hidden scan at 100 TB. A declared pivot compiles to one hash agg with
+    conditional sums (same plan as the oracle's CASE form)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+    )
+    out = (
+        li.groupBy(F.to_date(F.date_trunc("month", "l_shipdate")).alias("ship_month"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(dec2("l_extendedprice")), 2).cast("double"))
+    )
+    return out.select(
+        "ship_month",
+        F.coalesce(F.col("A"), F.lit(0.0)).alias("rf_A"),
+        F.coalesce(F.col("N"), F.lit(0.0)).alias("rf_N"),
+        F.coalesce(F.col("R"), F.lit(0.0)).alias("rf_R"),
+    )

@@ -61,3 +61,41 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
     WholeStageCodegen span (JVM-compiled, no interpreted gaps)."""
     text = plan_text(REGISTRY["tpch_q1_pricing_summary"](spark, sf_dir), mode="codegen")
     assert "WholeStageCodegen" in text
+
+
+def test_partition_pruning_on_lake_table(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter on
+    the scan (directory-level pruning — at 100 TB this is the difference
+    between reading one day and reading the lake)."""
+    import pyspark.sql.functions as F
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    t = LakeTable(spark, str(tmp_path / "orders_part"))
+    t.overwrite(orders, partition_by=["order_year"])
+    df = t.read().filter(F.col("order_year") == 1996)
+    text = plan_text(df)
+    assert "PartitionFilters" in text
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "order_year" in m.group(1), text[:800]
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """approx_count_distinct is the sanctioned 100 TB substitute for exact
+    countDistinct in profiling paths (SURVEY §2.5 note): HLL++ sketch,
+    map-side mergeable, no Expand. Error must stay inside the configured
+    rsd at our scales."""
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
