@@ -1,2 +1,6 @@
-from ecommerce_lakehouse_spark.lake.merge import merge_upsert  # noqa: F401
+from ecommerce_lakehouse_spark.lake.merge import (  # noqa: F401
+    merge_aggregate,
+    merge_upsert,
+    table_diff,
+)
 from ecommerce_lakehouse_spark.lake.table import LakeTable  # noqa: F401

@@ -556,3 +556,53 @@ def pivot_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("N"), F.lit(0.0)).alias("rf_N"),
         F.coalesce(F.col("R"), F.lit(0.0)).alias("rf_R"),
     )
+
+
+_PRICE_BANDS = [
+    ("budget", 0.0, 930.0),
+    ("mid", 930.0, 960.0),
+    ("premium", 960.0, 985.0),
+    ("luxury", 985.0, 10000.0),
+]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _PRICE_BANDS)
+
+
+@query(
+    "range_band_join",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+SELECT b.band,
+       count(*) AS n_parts,
+       CAST(round(sum(CAST(p.p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+       min(p.p_size) AS min_size,
+       max(p.p_size) AS max_size
+FROM part p
+JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY 1
+""",
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — the non-equi join family the reference
+    lacks (SURVEY §2.4 'not present'): each row lands in the band whose
+    [lo, hi) interval contains it.
+
+    Scale: the interval side is small by nature (bands/tiers/SLAs) →
+    broadcast nested-loop with a range predicate, O(n·k) with tiny k and
+    zero shuffle of the fact side. For big-big interval joins, bin both
+    sides to overlapping buckets first (same bucketing discipline as the
+    LSH operators) so the join becomes equi-on-bucket + residual range."""
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_PRICE_BANDS, ["band", "lo", "hi"])
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= F.col("lo")) & (part.p_retailprice < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            money_sum("p_retailprice").alias("total_price"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )

@@ -109,3 +109,49 @@ def test_optimize_zorder_clusters_all_dims(spark, tmp_path):
     avg_span = sum(spans) / len(spans)
     # x-sorted layout would give ~10000 per file; z-order must be well under
     assert avg_span < 6000, f"avg y-span {avg_span} — not clustered in y"
+
+
+def test_merge_aggregate_incremental_rollup(spark, tmp_path):
+    """Hypertable-style continuous aggregate: day-2 events touch only their
+    buckets; totals equal a full recompute."""
+    from ecommerce_lakehouse_spark.lake import merge_aggregate
+
+    day1 = spark.createDataFrame(
+        [("2025-01-01", "click", 10, 100.0), ("2025-01-01", "view", 5, 50.0)],
+        ["bucket", "event_type", "n", "total"],
+    )
+    t = LakeTable(spark, str(tmp_path / "rollup"))
+    t.overwrite(day1)
+
+    day2_delta = spark.createDataFrame(
+        [("2025-01-01", "click", 3, 30.0), ("2025-01-02", "click", 7, 70.0)],
+        ["bucket", "event_type", "n", "total"],
+    )
+    refreshed = merge_aggregate(
+        t.read(), day2_delta, keys=["bucket", "event_type"], sum_cols=["n", "total"]
+    )
+    t.overwrite(refreshed)
+
+    got = {(r["bucket"], r["event_type"]): (r["n"], r["total"]) for r in t.read().collect()}
+    assert got == {
+        ("2025-01-01", "click"): (13, 130.0),
+        ("2025-01-01", "view"): (5, 50.0),
+        ("2025-01-02", "click"): (7, 70.0),
+    }
+
+
+def test_table_diff_between_versions(spark, tmp_path):
+    """CDC-style change feed from time travel: diff(v1, v2) classifies
+    inserts, deletes, and updates."""
+    from ecommerce_lakehouse_spark.lake import table_diff
+
+    t = LakeTable(spark, str(tmp_path / "cdc"))
+    v1 = t.overwrite(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "s", "v"])
+    )
+    v2 = t.overwrite(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 99), (4, "d", 40)], ["id", "s", "v"])
+    )
+    diff = table_diff(t.read(v1), t.read(v2), keys=["id"])
+    got = {r["id"]: r["change_type"] for r in diff.collect()}
+    assert got == {2: "update", 3: "delete", 4: "insert"}
