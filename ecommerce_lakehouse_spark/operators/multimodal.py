@@ -63,3 +63,49 @@ def featurize_binary(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, n_bytes int"
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int"
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Decode→resize plumbing (stubbed decode): emits the target geometry
+    plus payload size per document. With media libs installed, the loop
+    body becomes decode_image(payload).resize((width, height)) — the
+    mapInPandas signature, output schema, and per-partition parallelism
+    are exactly what the production operator keeps."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, frame_size: int = 64) -> DataFrame:
+    """Frame-sampling plumbing (stubbed decode): chunks the payload into
+    fixed-size pseudo-frames and emits every n-th — the 1→many fan-out
+    shape (one output row per sampled frame) a real video sampler
+    produces. Row explosion happens inside the Arrow batch, not via a
+    join; output partitioning follows the input."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
+                for idx in range(0, len(frames), every_n):
+                    out["doc_id"].append(doc)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frames[idx]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -146,3 +146,34 @@ def asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_totalprice").alias("last_order_total"),
     )
+
+
+@query(
+    "json_props_agg",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END) AS n_high
+FROM events
+GROUP BY 1
+""",
+)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column processing (function family absent from
+    the reference; first-class in any event pipeline): extract typed values
+    from the props JSON string and aggregate. get_json_object is JVM-side
+    (Jackson); at scale prefer from_json with an explicit schema once per
+    pipeline so the parse happens exactly once and columns prune."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high"),
+    )

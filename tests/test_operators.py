@@ -50,3 +50,39 @@ def test_dedup_by_key_deterministic(spark):
     out = dedup_by_key(df, ["k"], [F.asc("s")]).collect()
     got = {(r.k, r.s) for r in out}
     assert got == {(1, "a"), (2, "z")}
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from ecommerce_lakehouse_spark.operators.multimodal import resize_images, with_binary_payload
+    from ecommerce_lakehouse_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    out = resize_images(with_binary_payload(docs), 224, 224)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_sample_frames_fanout(spark, sf_dir):
+    from ecommerce_lakehouse_spark.operators.multimodal import sample_frames, with_binary_payload
+    from ecommerce_lakehouse_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(10)
+    out = sample_frames(with_binary_payload(docs), every_n=3, frame_size=50)
+    pdf = out.toPandas()
+    assert set(pdf["doc_id"].unique()) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # every_n sampling: frame indices are multiples of 3
+    assert (pdf["frame_idx"] % 3 == 0).all()
+    assert (pdf["frame_bytes"] > 0).all()
+
+
+def test_decode_stubs_raise(spark):
+    import pytest as _pytest
+
+    from ecommerce_lakehouse_spark.operators.multimodal import decode_audio, decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"xx")
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"xx")
