@@ -392,3 +392,87 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["neardup_clusters"] = _ORACLES["neardup_clusters"].replace(
     "{PAIRS}", _ORACLES["minhash_lsh_pairs"]
 )
+
+
+# ---------------------------------------------------------------------------
+# winnowing document fingerprints (rolling-hash family)
+# ---------------------------------------------------------------------------
+
+_WIN_GRAM = 5  # token k-gram size
+_WIN_W = 4  # winnowing window: one fingerprint per w consecutive hashes
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - {_WIN_GRAM - 2}),
+             i -> ('0x' || substr(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])), 1, 8))::BIGINT) AS hashes
+  FROM t WHERE len(toks) >= {_WIN_GRAM}
+), w AS (
+  SELECT doc_id, hashes,
+         list_distinct(list_transform(range(1, len(hashes) - {_WIN_W - 2}),
+             i -> list_min(hashes[i : i + {_WIN_W} - 1]))) AS fps
+  FROM g WHERE len(hashes) >= {_WIN_W}
+)
+SELECT doc_id,
+       len(hashes) AS n_grams,
+       len(fps) AS n_fingerprints,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+FROM w
+""",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. MOSS; the rolling-hash
+    fingerprint family of the north star): hash every token 5-gram, then
+    keep the minimum hash of each sliding window of 4 — guarantees any
+    sufficiently long match between documents shares a fingerprint, at
+    ~1/w the storage of full shingling.
+
+    All JVM higher-order array expressions (hash array computed once —
+    same projection-collapse discipline as minhash); at 100 TB the
+    fingerprint set explodes to (doc_id, fp) rows and groupBy(fp) yields
+    the same candidate-pair generation as MinHash bands.
+
+    DuckDB list slicing hashes[i : i+w-1] is inclusive-end; the Spark
+    twin uses slice(hashes, i, w). Both emit windows of exactly w.
+    """
+    d = load(spark, sf_dir, "documents")
+    h32 = "cast(conv(substr(md5({x}),1,8),16,10) as bigint)"
+    gram = "concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])"
+    # Two materialization barriers (localCheckpoint), NOT withColumn:
+    # Catalyst neither stops projection collapse at a named column nor
+    # CSE-dedupes higher-order-function expressions, so `toks[i]` inside
+    # the gram lambda re-runs split() per access and `slice(hashes, i, w)`
+    # re-runs the whole md5 transform per window — measured 12.7s at
+    # sf0.1; with real barriers the same plan is ~1.5s. At cluster scale
+    # use persist()/a reliable checkpoint dir — the shape (tokenize once,
+    # hash once, window over materialized arrays) is the point.
+    # size(toks) >= GRAM+W-1 ⟺ at least one full winnow window exists
+    # (equals the oracle's two-stage length guards).
+    toks_df = (
+        d.select("doc_id", F.expr(r"split(trim(text), '\\s+')").alias("toks"))
+        .filter(F.size("toks") >= _WIN_GRAM + _WIN_W - 1)
+        .localCheckpoint()
+    )
+    hashed = toks_df.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(toks) - {_WIN_GRAM}), i -> {h32.format(x=gram)})"
+        ).alias("hashes"),
+    ).localCheckpoint()
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(hashes) - {_WIN_W - 1}),"
+        f" i -> array_min(slice(hashes, i, {_WIN_W}))))"
+    )
+    return hashed.select(
+        "doc_id",
+        F.size("hashes").alias("n_grams"),
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )

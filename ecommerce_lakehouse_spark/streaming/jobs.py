@@ -175,3 +175,41 @@ def deduped_stream(events: DataFrame, keys: list[str] | None = None, watermark: 
     streaming training-data ingest (dedup at the door, then MERGE)."""
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (attribution shape: purchase joined to the
+    clicks that preceded it within ``max_delay`` for the same user).
+
+    Both sides carry watermarks AND the join has a time-range condition —
+    together they bound the join state Spark must buffer: a click older
+    than purchase_time - max_delay can never match again and is evicted.
+    Without both constraints a stream-stream join's state grows without
+    bound — the classic production OOM."""
+    l_ = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r_ = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l_.join(
+        r_,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+    )

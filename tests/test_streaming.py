@@ -136,3 +136,46 @@ def test_deduped_stream_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
     n_distinct = src.select("event_id").distinct().count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (click→purchase attribution)
+    must produce exactly the batch join's rows once the availableNow run
+    drains."""
+    from ecommerce_lakehouse_spark.streaming import stream_stream_join
+    from ecommerce_lakehouse_spark.tables import load
+
+    src = load(spark, sf_dir, "events")
+    spool = str(tmp_path / "ss_spool")
+    src.coalesce(1).write.mode("append").parquet(spool)
+
+    def typed_stream(t):
+        return (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+            .filter(F.col("event_type") == t)
+        )
+
+    joined = stream_stream_join(typed_stream("click"), typed_stream("purchase"))
+    got = _run_to_memory(
+        joined, spark, "ss_join", str(tmp_path / "cp_ss"), output_mode="append"
+    )
+
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    # batch twin: same join condition on static frames
+    l_ = clicks.select(
+        F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_event_id")
+    )
+    r_ = purchases.select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_event_id")
+    )
+    batch = l_.join(
+        r_,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+    )
+    assert got.count() == batch.count()
+    assert got.count() > 0
