@@ -476,3 +476,106 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus sampling + batch construction (training-data pipeline tail stages)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 80, "es": 40, "fr": 40, "de": 20}  # percent per lang
+_RATES_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in _SAMPLE_RATES.items()
+)
+
+
+@query(
+    "hash_sample_stratified",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+         CASE {_RATES_SQL} ELSE 10 END AS rate
+  FROM documents
+)
+SELECT doc_id, lang, bucket, rate,
+       100.0 / rate AS sample_weight
+FROM t WHERE bucket < rate
+""",
+)
+def hash_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-corpus mixing): each
+    language keeps a configured share, membership decided by a hash of the
+    stable key — NOT rand(). Hash-based sampling is reproducible across
+    runs, engines, and retries (the same doc always lands on the same side
+    of the cut), composes with incremental ingest, and ships an inverse-
+    probability weight for unbiased downstream statistics.
+
+    Scale: a pure map-side filter — no shuffle, no state; changing the mix
+    is a literal change, and upsampling a stratum later keeps every
+    previously sampled doc (bucket < old_rate ⊂ bucket < new_rate)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(100),
+    )
+    rate = F.lit(10)
+    for lang, pct in reversed(_SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .withColumn("sample_weight", F.lit(100.0) / F.col("rate"))
+    )
+
+
+_BATCH_TOKENS = 256  # target tokens per batch (demo scale)
+
+
+@query(
+    "length_bucketed_batches",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(floor(log2(len(string_split_regex(trim(text), '\\s+')))) AS INT) AS len_bucket
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens, len_bucket,
+         row_number() OVER (PARTITION BY len_bucket ORDER BY n_tokens, doc_id) AS rn,
+         sum(n_tokens) OVER (PARTITION BY len_bucket ORDER BY n_tokens, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, len_bucket, rn,
+       CAST((cum_tokens - 1) // {_BATCH_TOKENS} AS BIGINT) AS batch_id
+FROM o
+""",
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch construction (the packing stage before
+    training): docs are bucketed by log2 token length (similar lengths →
+    minimal padding waste), ordered deterministically inside each bucket,
+    and cut into batches by cumulative token budget.
+
+    Scale: one shuffle on len_bucket for the window; buckets are
+    independent so batching parallelizes across them. (Per-bucket running
+    sums are a frame-spec window — W+ beyond the reference's single rank
+    window.)"""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    t = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(F.log2(n_tokens)).cast("int").alias("len_bucket"),
+    )
+    w = Window.partitionBy("len_bucket").orderBy("n_tokens", "doc_id")
+    cum = Window.partitionBy("len_bucket").orderBy("n_tokens", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        "len_bucket",
+        F.row_number().over(w).alias("rn"),
+        F.floor((F.sum("n_tokens").over(cum) - 1) / _BATCH_TOKENS).cast("long").alias("batch_id"),
+    )
