@@ -44,4 +44,5 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     quality,
     relational,
     tpch,
+    tpch2,
 )

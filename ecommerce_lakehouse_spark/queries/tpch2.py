@@ -1,0 +1,607 @@
+"""TPC-H remainder: the subquery-heavy shapes (correlated scalar subqueries,
+EXISTS / NOT EXISTS, NOT IN, nested IN, outer-join counting).
+
+The reference's inventory stops at semi/anti joins (SURVEY §2.4); these
+queries close the classical decision-support surface on the same testdata.
+Where full TPC-H needs columns the testdata lacks (partsupp, commit/receipt
+dates, phone), the query is adapted — each docstring states the adaptation.
+
+Every correlated subquery is re-expressed as the scalable join/aggregate
+plan a 100 TB run wants (pre-aggregate then join; window-max instead of
+per-row scalar subqueries; anti-join instead of NOT IN), while the DuckDB
+oracle keeps the canonical subquery form — proving the rewrite preserves
+semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ecommerce_lakehouse_spark.money import (
+    SQL_DISC_PRICE,
+    dec2,
+    disc_price,
+    dsum,
+    sql_dsum,
+)
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+
+@query(
+    "tpch_q2_top_supplier_by_region",
+    oracle="""
+SELECT r.r_name AS region, s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE s.s_acctbal = (
+  SELECT max(s2.s_acctbal)
+  FROM supplier s2
+  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE r2.r_name = r.r_name)
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (adapted: no partsupp, so "min supplycost per part" becomes
+    "max account balance per region"): a correlated scalar-aggregate
+    subquery. Scale plan: NOT a per-row subquery — one window max over the
+    region partition, filter equality. Supplier/nation/region are dims, so
+    the whole plan is broadcast joins + one tiny window."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), "s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("region")
+    return (
+        j.withColumn("mx", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("mx"))
+        .drop("mx")
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations by year. The nation table is
+    joined twice (supplier side and customer side) — both arms pre-reduce
+    to (key, nation_name) broadcast maps so the fact-fact join
+    (lineitem⋈orders) is the only shuffle; the nation-pair filter prunes
+    after the cheap broadcast lookups."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    o = load(spark, sf_dir, "orders")
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    s2 = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .select(F.col("s_suppkey"), F.col("n1.n_name").alias("supp_nation"))
+    )
+    c2 = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .select(F.col("c_custkey"), F.col("n2.n_name").alias("cust_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s2), li.l_suppkey == F.col("s_suppkey"))
+        .join(c2, o.o_custkey == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(disc_price()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN {SQL_DISC_PRICE}
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum({SQL_DISC_PRICE}) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a customer region: 8-way join where
+    every non-fact side (part, supplier→nation, customer→nation→region) is
+    a broadcast; the conditional revenue share divides two exact decimal
+    sums as doubles (money.py policy — no rounding of quotients)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    c2 = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    s2 = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(F.col("s_suppkey"), F.col("n2.n_name").alias("supp_nation"))
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c2, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s2), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol).cast("double")
+                / F.sum(disc_price()).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(round(sum({SQL_DISC_PRICE}
+             - CAST(p.p_retailprice AS DECIMAL(12,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2))
+               * CAST(0.10 AS DECIMAL(3,2))), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = 'STANDARD'
+GROUP BY 1, 2
+""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (adapted: no partsupp, so
+    supply cost is proxied as 10% of p_retailprice — stated in the oracle
+    too, so both engines agree). All profit arithmetic stays in exact
+    decimal with bounded precision (12,2)×(12,2)×(3,2) = (29,6), safely
+    inside both engines' 38-digit ceiling; round-then-cast-double last."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * F.lit(0.10).cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(disc_price() - cost).alias("profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle=f"""
+WITH pv AS (
+  SELECT l.l_partkey, {sql_dsum(SQL_DISC_PRICE)} AS part_value,
+         sum({SQL_DISC_PRICE}) AS raw_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY 1)
+SELECT l_partkey, part_value
+FROM pv
+WHERE CAST(raw_value AS DOUBLE) >
+      (SELECT CAST(sum(raw_value) AS DOUBLE) FROM pv) / 500.0
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important parts (Q11 adapted: no partsupp, so "stock value" is
+    revenue through NATION_5's suppliers): HAVING against a global-scalar
+    subquery. Scale plan: aggregate once, take the total with a global
+    window over the small per-part result — one fact scan, no re-scan for
+    the scalar. Comparisons
+    happen on doubles cast from exact decimal sums (deterministic both
+    engines); only the reported column is rounded."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat5_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(nat5_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            dsum(disc_price()).alias("part_value"),
+            F.sum(disc_price()).alias("raw_value"),
+        )
+    )
+    # Global-window total over the (small, per-part) aggregate: one lineitem
+    # scan total, vs the scalar-subquery form's re-scan. The single-partition
+    # window only ever sees #parts rows.
+    total = F.sum("raw_value").over(Window.partitionBy())
+    return (
+        pv.withColumn("threshold", total.cast("double") / 500.0)
+        .filter(F.col("raw_value").cast("double") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "tpch_q12_shipping_delay",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30 THEN 'fast'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90 THEN 'medium'
+            ELSE 'slow' END AS delay_bucket,
+       count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay vs priority (Q12 adapted: no l_shipmode/commitdate;
+    the mode dimension becomes a computed ship-delay bucket). Conditional
+    counts — count(CASE ...) — are the pivot-style map-side aggregation;
+    one fact-fact shuffle on the order key."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+    )
+    o = load(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "fast").when(delay < 90, "medium").otherwise("slow")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY 1) t
+GROUP BY 1
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: left-outer join with an ON-clause
+    filter (NOT a WHERE — the filter must not drop order-less customers),
+    then a double aggregation. count(o_orderkey) over the null-extended
+    side yields 0 for no-order customers in both engines."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {sql_dsum(SQL_DISC_PRICE)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier for a quarter: a reused CTE compared against its own
+    max — the scalar subquery becomes a global window over the small
+    per-supplier aggregate, so lineitem is scanned once (vs the naive
+    twice). Equality on the rounded-decimal-→-double revenue is exact by
+    construction."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-04-01 00:00:00")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(disc_price()).alias("total_revenue"))
+    )
+    # Max via a global window over the per-supplier aggregate (one lineitem
+    # scan) rather than a scalar-subquery branch that re-aggregates.
+    mx = F.max("total_revenue").over(Window.partitionBy())
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.withColumn("mx", mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part group (Q16 adapted: lineitem stands in for
+    partsupp as the part↔supplier association; negative-balance suppliers
+    proxy the complaints exclusion). NOT IN over a non-null key = left-anti
+    join (the 100 TB-safe form); distinct-count per group after a broadcast
+    part filter."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue: the canonical correlated scalar
+    subquery (per-part average). Scale plan: pre-aggregate the per-part
+    averages once (narrow key+qty projection, map-side partials), broadcast
+    the small result back — never a per-row subquery execution. Quantities
+    are whole numbers, so the double avg is exact and the 0.2× threshold
+    compare is engine-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avgq = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ak"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(avgq), li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum(dec2("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q20_excess_volume_suppliers",
+    oracle="""
+SELECT s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50)
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-volume suppliers (Q20 adapted: availqty threshold becomes
+    shipped-quantity > 50 for SMALL-type parts in 1996): two nested IN
+    subqueries = two stacked semi-joins, with the aggregation BETWEEN them
+    (group on the composite supplier×part key, then project the supplier
+    side). All reductions happen before touching the supplier dim."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+    )
+    small = load(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select("p_partkey")
+    qualifying = (
+        li.join(F.broadcast(small), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_0'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting suppliers (Q21 adapted: "late" = shipped >60 days after the
+    order date, since the testdata has no commit/receipt dates): the
+    EXISTS + NOT-EXISTS pair over the same order collapses into ONE
+    per-order aggregate — count distinct suppliers and distinct late
+    suppliers — instead of two correlated scans. An order qualifies when it
+    has ≥2 suppliers but exactly 1 late one; that supplier's late lines all
+    count. One shuffle on the order key, then a 100-row supplier dim
+    broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp_cnt"),
+    )
+    qualifying = per_order.filter(
+        (F.col("supp_cnt") >= 2) & (F.col("late_supp_cnt") == 1)
+    ).select("l_orderkey")
+    late_lines = lo.filter(F.col("late")).join(
+        qualifying, "l_orderkey", "left_semi"
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
+    return (
+        late_lines.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT substr(c.c_name, -2, 2) AS code, count(*) AS numcust,
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (Q22 adapted: every customer has
+    orders in this testdata, so "no orders" becomes "no orders since
+    2000"; phone country codes become the last two digits of the customer
+    name). Shape: global-scalar subquery (above-average balance, computed
+    in exact decimal per money.py) + NOT EXISTS as a left-anti join against
+    the date-pruned orders scan."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec2("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("a"))
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01 00:00:00"
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring("c_name", -2, 2).alias("code"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(dec2("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+    )
