@@ -43,6 +43,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm3,
     quality,
     relational,
+    stats,
     tpch,
     tpch2,
 )

@@ -1,0 +1,216 @@
+"""Generator (explode/sequence) and exact-statistics operators.
+
+Two families the reference's inventory (SURVEY §2) doesn't touch but a
+100 TB analytics engine needs daily:
+
+- **Row generators**: explode over split text (UDTF-style lateral view)
+  and literal date-spine generation with gap fill — the standard shapes
+  for tokenization fan-out and time-series densification.
+- **Exact-moment statistics**: correlation/covariance computed from exact
+  decimal power sums, and percentile interpolation done manually — both
+  written so Spark and the DuckDB oracle execute bit-identical double
+  arithmetic (see money.py policy: exact decimal sums, double math only on
+  identical inputs in identical expression order).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ecommerce_lakehouse_spark.money import dec2
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+
+@query(
+    "token_frequencies",
+    oracle=r"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+), f AS (
+  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+), r AS (
+  SELECT lang, token, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rnk
+  FROM f
+)
+SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 5
+""",
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language: explode(split(...)) — the lateral-view /
+    UDTF generator shape — then a two-level reduction. Scale: the explode
+    fans out ~tokens-per-doc×docs rows, but the first groupBy immediately
+    collapses them with map-side partial aggregation; only (lang, token)
+    pairs shuffle. The top-k window partitions by lang (25 partitions),
+    never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    f = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        f.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "cnt", "rnk")
+    )
+
+
+@query(
+    "date_spine_fill",
+    oracle="""
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                INTERVAL 1 DAY))::DATE AS day),
+cnt AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS order_count
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s.day, coalesce(c.order_count, 0) AS order_count
+FROM spine s LEFT JOIN cnt c ON c.day = s.day
+""",
+)
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: generate a contiguous date spine with
+    sequence()+explode, left-join the real daily counts, fill gaps with 0.
+    Scale: the spine is tiny (days, not rows) and broadcast; the orders
+    side is pre-aggregated before the join, so the outer join sees one row
+    per day from each side."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"), F.lit("1995-03-31").cast("date")
+            )
+        ).alias("day")
+    )
+    cnt = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1995-04-01 00:00:00")
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("order_count"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(cnt, "day", "left_outer")
+        .select("day", F.coalesce("order_count", F.lit(0)).alias("order_count"))
+    )
+
+
+@query(
+    "exact_moment_corr",
+    oracle="""
+WITH m AS (
+  SELECT count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sx,
+         CAST(sum(CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2)) * CAST(hour(ts) AS DECIMAL(4,0))), 2) AS DOUBLE) AS sxy
+  FROM events)
+SELECT n,
+       (n * sxy - sx * sy) / (n * CAST(n AS DOUBLE)) AS covar_pop,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_value_hour
+FROM m
+""",
+)
+def exact_moment_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation of event value vs hour-of-day from EXACT power sums:
+    the five moments (Σx, Σy, Σx², Σy², Σxy) accumulate in decimal/bigint
+    (associative — partial aggregation and AQE re-planning cannot change
+    them), and only the final closed-form combines them in double, in the
+    SAME expression order as the oracle, so the result is bit-identical.
+    Built-in corr()/covar_pop() stream in double and are order-dependent —
+    unusable against an oracle; this is the scalable deterministic form
+    (one map-side pass, a 1-row result)."""
+    e = load(spark, sf_dir, "events")
+    hr = F.hour("ts").cast("bigint")
+    m = e.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(dec2("value")), 2).cast("double").alias("sx"),
+        F.sum(hr).cast("double").alias("sy"),
+        F.round(F.sum(dec2("value") * dec2("value")), 2).cast("double").alias("sxx"),
+        F.sum(hr * hr).cast("double").alias("syy"),
+        F.round(F.sum(dec2("value") * F.hour("ts").cast("decimal(4,0)")), 2)
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "n",
+        ((n * sxy - sx * sy) / (n * n.cast("double"))).alias("covar_pop"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_value_hour"),
+    )
+
+
+@query(
+    "value_quantiles_exact",
+    oracle="""
+WITH s AS (
+  SELECT value, row_number() OVER (ORDER BY value ASC, event_id ASC) - 1 AS rn
+  FROM events),
+nn AS (SELECT count(*) AS n FROM events),
+p AS (SELECT unnest([0.25, 0.5, 0.75]) AS pct),
+ix AS (
+  SELECT pct,
+         CAST(floor(pct * (n - 1)) AS BIGINT) AS lo,
+         CAST(ceil(pct * (n - 1)) AS BIGINT) AS hi,
+         pct * (n - 1) - floor(pct * (n - 1)) AS frac
+  FROM p, nn)
+SELECT ix.pct, slo.value + (shi.value - slo.value) * ix.frac AS qvalue
+FROM ix
+JOIN s slo ON slo.rn = ix.lo
+JOIN s shi ON shi.rn = ix.hi
+""",
+)
+def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (percentile_cont semantics) written
+    out by hand: rank the values, compute the fractional index, linearly
+    interpolate between the two bracketing rows — the interpolation
+    expression is syntactically identical in Spark and the oracle, so the
+    doubles match bit-for-bit (built-in percentile()/quantile_cont() may
+    associate differently engine-to-engine). The global row_number is the
+    deliberate cost of EXACT quantiles; the scale path is
+    approx_percentile (guardrailed in tests), this query is the oracle-
+    checkable ground truth."""
+    e = load(spark, sf_dir, "events")
+    s = e.select(
+        "value",
+        (F.row_number().over(Window.orderBy(F.asc("value"), F.asc("event_id"))) - 1).alias("rn"),
+    )
+    nn = e.agg(F.count("*").alias("n"))
+    p = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("pct")
+    )
+    idx = F.col("pct") * (F.col("n") - 1)
+    ix = (
+        p.join(F.broadcast(nn))
+        .select(
+            "pct",
+            F.floor(idx).cast("bigint").alias("lo"),
+            F.ceil(idx).cast("bigint").alias("hi"),
+            (idx - F.floor(idx)).alias("frac"),
+        )
+    )
+    slo = s.select(F.col("rn").alias("lo"), F.col("value").alias("lo_val"))
+    shi = s.select(F.col("rn").alias("hi"), F.col("value").alias("hi_val"))
+    return (
+        slo.join(F.broadcast(ix), "lo")
+        .join(shi, "hi")
+        .select(
+            "pct",
+            (F.col("lo_val") + (F.col("hi_val") - F.col("lo_val")) * F.col("frac")).alias("qvalue"),
+        )
+    )
