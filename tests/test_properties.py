@@ -1,0 +1,165 @@
+"""Property-based tests (hypothesis) for the operator algebra.
+
+The reference ships no property tests (SURVEY §5); these are our addition:
+each core operator has an algebraic law that must hold for ARBITRARY
+inputs, not just the fixtures — merge is idempotent, aggregate-merge is
+associative, dedup is a deterministic one-per-key choice, salting never
+changes join results, tolerant casting is total (never throws).
+
+Examples are kept small (Spark job latency dominates); the laws, not the
+data volume, carry the coverage.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ecommerce_lakehouse_spark.lake.merge import merge_aggregate, merge_upsert
+from ecommerce_lakehouse_spark.operators.relational import dedup_by_key
+from ecommerce_lakehouse_spark.operators.scale import salted_join
+from ecommerce_lakehouse_spark.sources.readers import cast_to_schema
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.integers(min_value=-100, max_value=100)
+rows = st.lists(st.tuples(keys, vals), min_size=0, max_size=12)
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@given(target=rows, updates=rows)
+@settings(**SETTINGS)
+def test_merge_upsert_idempotent_and_key_complete(spark, target, updates):
+    """merge(merge(T, U), U) == merge(T, U); result keys == keys(T) ∪ keys(U);
+    every key present in U carries U's (deduped) value."""
+    t = spark.createDataFrame(target, "k int, v int")
+    # merge precondition: updates unique per key (deterministic survivor)
+    udedup = {}
+    for k, v in updates:
+        udedup[k] = v
+    u = spark.createDataFrame(list(udedup.items()) or [], "k int, v int")
+    once = merge_upsert(t, u, ["k"])
+    twice = merge_upsert(once, u, ["k"])
+    got_once, got_twice = _collect(once), _collect(twice)
+    assert got_once == got_twice
+    # key completeness + update-wins
+    expected_keys = {k for k, _ in target} | set(udedup)
+    by_key = {}
+    for k, v in got_once:
+        by_key.setdefault(k, []).append(v)
+    assert set(by_key) == expected_keys
+    for k, v in udedup.items():
+        assert v in by_key[k]
+
+
+@given(a=rows, b=rows, c=rows)
+@settings(**SETTINGS)
+def test_merge_aggregate_associative(spark, a, b, c):
+    """Folding deltas one at a time equals folding their pre-combined sum:
+    merge_agg(merge_agg(A, B), C) == merge_agg(A, B ⊎ C) where ⊎ is
+    key-wise sum — the law that makes incremental rollup refresh correct
+    under any batching."""
+
+    def mk(rws):
+        agg = {}
+        for k, v in rws:
+            agg[k] = agg.get(k, 0) + v
+        return spark.createDataFrame(list(agg.items()) or [], "k int, s int")
+
+    A, B, C = mk(a), mk(b), mk(c)
+    stepwise = merge_aggregate(merge_aggregate(A, B, ["k"], ["s"]), C, ["k"], ["s"])
+    bc = {}
+    for k, v in b + c:
+        bc[k] = bc.get(k, 0) + v
+    BC = spark.createDataFrame(list(bc.items()) or [], "k int, s int")
+    combined = merge_aggregate(A, BC, ["k"], ["s"])
+    assert _collect(stepwise) == _collect(combined)
+
+
+@given(data=st.lists(st.tuples(keys, vals, vals), min_size=0, max_size=15))
+@settings(**SETTINGS)
+def test_dedup_by_key_deterministic_minimum(spark, data):
+    """dedup_by_key keeps exactly one row per key — the orderBy-minimal
+    one — and only rows that existed in the input."""
+    df = spark.createDataFrame(data, "k int, a int, b int")
+    out = _collect(dedup_by_key(df, ["k"], [F.asc("a"), F.asc("b")]))
+    expected = {}
+    for k, a, b in data:
+        if k not in expected or (a, b) < expected[k]:
+            expected[k] = (a, b)
+    assert out == sorted((k, a, b) for k, (a, b) in expected.items())
+
+
+@given(left=rows, right=st.lists(st.tuples(keys, vals), min_size=0, max_size=6))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, left, right):
+    """Salting is invisible in the result: salted_join == plain inner join
+    as a multiset, for arbitrary (including duplicate-keyed) inputs."""
+    l = spark.createDataFrame(left, "k int, lv int")
+    r = spark.createDataFrame(right, "k int, rv int")
+    plain = _collect(l.join(r, "k").select("k", "lv", "rv"))
+    salted = _collect(salted_join(l, r, "k", n_salts=4).select("k", "lv", "rv"))
+    assert salted == plain
+
+
+# digit-free garbage alphabet: avoids ambiguity over exotic numeric forms
+# (unicode digits, "5.7") where Python's int() and Spark's try_cast disagree
+_garbage = st.text(
+    alphabet="abcxyz !@#_-.",
+    max_size=8,
+)
+
+
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.one_of(
+                st.integers(min_value=-10**9, max_value=10**9).map(str),
+                _garbage,
+                st.none(),
+            ),
+            _garbage,
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_cast_to_schema_total_and_tolerant(spark, raw):
+    """Tolerant cast never throws: parseable ints survive exactly, garbage
+    becomes NULL (P11 semantics, reference src/etl_utils.py:334-349), row
+    count is preserved."""
+    import re
+
+    df = spark.createDataFrame(raw, "n string, s string")
+    schema = StructType(
+        [StructField("n", IntegerType()), StructField("s", StringType())]
+    )
+    out = cast_to_schema(df, schema).collect()
+    assert len(out) == len(raw)
+    got = sorted(((r.n, r.s) for r in out), key=str)
+    want = []
+    for n_raw, s_raw in raw:
+        n = None
+        if n_raw is not None and re.fullmatch(r"[+-]?\d+", n_raw.strip()):
+            v = int(n_raw)
+            if -(2**31) <= v < 2**31:
+                n = v
+        want.append((n, s_raw))
+    assert got == sorted(want, key=str)
