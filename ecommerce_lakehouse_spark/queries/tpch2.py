@@ -529,11 +529,13 @@ LIMIT 20
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waiting suppliers (Q21 adapted: "late" = shipped >60 days after the
     order date, since the testdata has no commit/receipt dates): the
-    EXISTS + NOT-EXISTS pair over the same order collapses into ONE
-    per-order aggregate — count distinct suppliers and distinct late
-    suppliers — instead of two correlated scans. An order qualifies when it
-    has ≥2 suppliers but exactly 1 late one; that supplier's late lines all
-    count. One shuffle on the order key, then a 100-row supplier dim
+    EXISTS + NOT-EXISTS pair over the same order collapses into a
+    two-level reduction — per-(order, supplier) late-line counts, then
+    per-order supplier/late-supplier counts — instead of two correlated
+    scans (and instead of countDistinct's Expand duplication). An order
+    qualifies when it has ≥2 suppliers but exactly 1 late one; that
+    supplier's late lines all count. The fat join is aggregated once and
+    the exchange reused by both branches; the supplier dim is a 100-row
     broadcast."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -542,23 +544,29 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("supp_cnt"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp_cnt"),
+    # Two-level reduction instead of countDistinct: the per-(order, supplier)
+    # aggregate collapses the fat join once (no Expand duplication), is
+    # shared by both downstream branches via exchange reuse, and carries the
+    # late-line counts forward so the final numwait is a plain sum.
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("late"), 1)).alias("late_lines")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("supp_cnt"),
+        F.count(F.when(F.col("late_lines") > 0, 1)).alias("late_supp_cnt"),
     )
     qualifying = per_order.filter(
         (F.col("supp_cnt") >= 2) & (F.col("late_supp_cnt") == 1)
     ).select("l_orderkey")
-    late_lines = lo.filter(F.col("late")).join(
-        qualifying, "l_orderkey", "left_semi"
-    )
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name")
     return (
-        late_lines.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_supp.filter(F.col("late_lines") > 0)
+        .join(qualifying, "l_orderkey", "left_semi")
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
