@@ -610,3 +610,77 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_size").alias("max_size"),
         )
     )
+
+
+@query(
+    "window_navigation",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(lead(o_orderdate) OVER w AS DATE) AS next_order_date,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS last_price,
+       percent_rank() OVER w AS spend_pct_rank,
+       cume_dist() OVER w AS spend_cume_dist,
+       ntile(4) OVER w AS spend_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation surface beyond the reference's single rank()
+    (SURVEY §2.6): lead, first/last_value, percent_rank, cume_dist, ntile —
+    one per-customer sort serves every function (a single Window exchange;
+    all eight columns compute in one pass over each partition). last_value
+    pins an explicit unbounded-following frame — the default
+    current-row-bounded frame is a classic silent-wrong-answer in both
+    engines."""
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date(F.lead("o_orderdate").over(w)).alias("next_order_date"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.percent_rank().over(w).alias("spend_pct_rank"),
+        F.cume_dist().over(w).alias("spend_cume_dist"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+@query(
+    "unpivot_priority_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS order_count,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, metric, value
+FROM wide UNPIVOT (value FOR metric IN (order_count, total_value))
+""",
+)
+def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long reshape, the inverse of pivot_returnflag_revenue):
+    per-priority metrics melted to (key, metric, value) rows. Spark's
+    unpivot/melt compiles to an Expand over the already-aggregated frame —
+    the fan-out happens AFTER reduction (5 rows × 2 metrics), never on the
+    fact table."""
+    wide = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("double").alias("order_count"),
+            money_sum("o_totalprice").alias("total_value"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["order_count", "total_value"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
