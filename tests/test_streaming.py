@@ -179,3 +179,47 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.count() == batch.count()
     assert got.count() > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across a stop/restart: run an availableNow query to
+    completion, add new source files, restart with the SAME checkpoint.
+    The sink is a raw append (NOT a keyed merge), so any re-read of the
+    first batch's files would duplicate rows — the count assertion proves
+    the checkpoint skips already-committed files and processes only the
+    new ones."""
+    src = tmp_path / "src"
+    cp = str(tmp_path / "cp_restart")
+    base = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+    )
+    b1 = base.filter(F.col("event_id") % 2 == 0)
+    b2 = base.filter(F.col("event_id") % 2 == 1)
+    b1.write.mode("append").parquet(str(src))
+
+    table = LakeTable(spark, str(tmp_path / "append_sink"))
+
+    def sink(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            table.append(batch_df)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(base.schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = b1.count()
+    assert table.read().count() == n1
+
+    b2.write.mode("append").parquet(str(src))
+    run_once()  # restart from the same checkpoint
+    assert table.read().count() == n1 + b2.count()
+    assert table.read().select("event_id").distinct().count() == n1 + b2.count()
