@@ -110,12 +110,19 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket = term if bucket is None else bucket + term
         return bucket
 
-    bands = None
-    for b in range(_CD_BANDS):
-        part = v.select(
-            "vec_id", "emb", "nrm", F.lit(b).alias("band"), band_bucket(b).alias("bucket")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # All band buckets in ONE projection + explode (not a per-band union,
+    # which would scan the embeddings table once per band at 100 TB). Only
+    # the slim (vec_id, band, bucket) triple flows into the explode; the
+    # vectors rejoin after candidate generation.
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).cast("int").alias("band"), band_bucket(b).alias("bucket"))
+            for b in range(_CD_BANDS)
+        ]
+    )
+    bands = v.select("vec_id", F.explode(band_structs).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
     # Expand SLIM (vec_a, vec_b) id pairs only, dedup, then join the
     # vectors back for the exact-cosine confirmation: candidate volume is
