@@ -232,3 +232,70 @@ class LakeTable:
                 shutil.rmtree(d)
                 removed.append(d)
         return removed
+
+    # ---------------- statistics (§4: ANALYZE TABLE analogue) -------------
+
+    def analyze(self, columns: list[str] | None = None) -> dict:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` analogue.
+
+        The reference turns on CBO + histogram statistics
+        (src/glue_etl.py:535-539); Catalyst's cost-based rules only bite
+        when rowCount / NDV / min-max are real. One aggregation pass
+        computes table row count and per-column null count, min, max, and
+        approx NDV (HLL — the 100 TB-safe distinct), persisted as a
+        version-keyed sidecar under ``_stats/`` so statistics travel with
+        time travel and survive restarts. Callers (and humans) use them to
+        pick broadcast sides, bucket counts, and partition columns.
+        """
+        import pyspark.sql.functions as F
+
+        df = self.read()
+        atomic = {
+            "byte", "short", "integer", "long", "float", "double", "decimal",
+            "string", "boolean", "date", "timestamp", "timestamp_ntz",
+        }
+        cols = columns or [
+            f.name for f in df.schema.fields if f.dataType.typeName() in atomic
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"{c}__min"),
+                F.max(c).alias(f"{c}__max"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+            ]
+        row = df.agg(*aggs).collect()[0].asDict()
+
+        def _json(v):
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        stats = {
+            "version": self.current_version(),
+            "row_count": row["__n"],
+            "columns": {
+                c: {
+                    "min": _json(row[f"{c}__min"]),
+                    "max": _json(row[f"{c}__max"]),
+                    "null_count": row[f"{c}__nulls"],
+                    "ndv_approx": row[f"{c}__ndv"],
+                }
+                for c in cols
+            },
+            "analyzed_at": time.time(),
+        }
+        stats_dir = os.path.join(self.root, "_stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        with open(os.path.join(stats_dir, f"v{stats['version']:08d}.json"), "w") as f:
+            json.dump(stats, f)
+        return stats
+
+    def stats(self, version: int | None = None) -> dict | None:
+        """Read the stats sidecar for ``version`` (default: current), or
+        None if that version was never analyzed."""
+        v = version if version is not None else self.current_version()
+        p = os.path.join(self.root, "_stats", f"v{v:08d}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)

@@ -155,3 +155,27 @@ def test_table_diff_between_versions(spark, tmp_path):
     diff = table_diff(t.read(v1), t.read(v2), keys=["id"])
     got = {r["id"]: r["change_type"] for r in diff.collect()}
     assert got == {2: "update", 3: "delete", 4: "insert"}
+
+
+def test_analyze_stats_sidecar(spark, sf_dir, tmp_path):
+    """analyze() computes row count + per-column min/max/nulls/approx-NDV
+    in one pass and pins them to the version; stats() time-travels with
+    the table."""
+    t = LakeTable(spark, str(tmp_path / "stats_t"))
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    t.overwrite(df)
+    s1 = t.analyze()
+    n = df.count()
+    assert s1["row_count"] == n
+    ok = s1["columns"]["o_orderkey"]
+    assert ok["null_count"] == 0
+    # approx NDV within 10% of exact distinct (keys are unique)
+    assert abs(ok["ndv_approx"] - n) / n < 0.10
+    assert s1["columns"]["o_totalprice"]["min"] is not None
+
+    # new version: old stats stay readable, new version starts unanalyzed
+    t.append(df.limit(10))
+    assert t.stats() is None
+    assert t.stats(version=s1["version"])["row_count"] == n
+    s2 = t.analyze()
+    assert s2["row_count"] == n + 10
