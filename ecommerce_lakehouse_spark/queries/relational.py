@@ -684,3 +684,77 @@ def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "grouping_sets_sales",
+    oracle="""
+SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+       grouping(n.n_name) AS g_nation, grouping(o.o_orderpriority) AS g_priority,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+""",
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the cube/rollup queries): three
+    chosen aggregation grains in ONE pass — per-nation, per-priority, and
+    grand total — with grouping() indicators disambiguating the NULLs.
+    Scale: one Expand×3 + single hash agg, vs three scans if the grains
+    ran separately; cheaper than cube (which would pay ×4 for an unwanted
+    grain)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority"), "o_totalprice")
+    )
+    return (
+        j.groupingSets([["nation"], ["priority"], []], "nation", "priority")
+        .agg(
+            F.grouping("nation").cast("long").alias("g_nation"),
+            F.grouping("priority").cast("long").alias("g_priority"),
+            F.count("*").alias("cnt"),
+            money_sum("o_totalprice").alias("total_value"),
+        )
+        .select("nation", "priority", "g_nation", "g_priority", "cnt", "total_value")
+    )
+
+
+@query(
+    "null_safe_join_sizes",
+    oracle="""
+WITH a AS (
+  SELECT nullif(p_size % 5, 0) AS size_mod, count(*) AS n_all
+  FROM part GROUP BY 1),
+b AS (
+  SELECT nullif(p_size % 5, 0) AS size_mod, count(*) AS n_premium
+  FROM part WHERE p_retailprice > 950 GROUP BY 1)
+SELECT a.size_mod, a.n_all, b.n_premium
+FROM a JOIN b ON a.size_mod IS NOT DISTINCT FROM b.size_mod
+""",
+)
+def null_safe_join_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL group —
+    which a plain equi-join silently drops — joins like any other key.
+    The null-safe operator stays a hash join (NULL hashes as a normal
+    value), NOT a fallback to nested-loop; same plan shape as a standard
+    equi-join."""
+    p = load(spark, sf_dir, "part")
+    key = F.nullif(F.col("p_size") % 5, F.lit(0))
+    a = p.groupBy(key.alias("size_mod")).agg(F.count("*").alias("n_all"))
+    b = (
+        p.filter(F.col("p_retailprice") > 950)
+        .groupBy(key.alias("size_mod"))
+        .agg(F.count("*").alias("n_premium"))
+    )
+    bb = b.withColumnRenamed("size_mod", "size_mod_b")
+    return (
+        a.join(bb, a.size_mod.eqNullSafe(F.col("size_mod_b")))
+        .select("size_mod", "n_all", "n_premium")
+    )
