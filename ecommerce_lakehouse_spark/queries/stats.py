@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ecommerce_lakehouse_spark.money import dec2
+from ecommerce_lakehouse_spark.money import dec2, money_sum
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -212,5 +212,45 @@ def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pct",
             (F.col("lo_val") + (F.col("hi_val") - F.col("lo_val")) * F.col("frac")).alias("qvalue"),
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 25000.0) AS INT) AS bucket,
+       CAST(CAST(floor(o_totalprice / 25000.0) AS INT) * 25000 AS DOUBLE) AS lower_bound,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values (width_bucket-style profiling;
+    additive to the reference's A9 column-stats surface, SURVEY §2.5).
+
+    Scale: bucket id is a pure map-side expression, so partial aggregation
+    collapses each input partition to ≤ ~20 rows before the shuffle — the
+    cheapest possible profile of a 100 TB column (one scan, O(buckets)
+    shuffle). Both engines compute floor() on the same IEEE double division,
+    and the sum uses the exact-decimal money recipe (money.py), so the
+    oracle is bit-identical.
+    """
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int")
+    return (
+        o.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 25000).cast("double").alias("lower_bound"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            money_sum("o_totalprice").alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
         )
     )
