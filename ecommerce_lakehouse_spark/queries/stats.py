@@ -254,3 +254,37 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@query(
+    "order_status_journey",
+    oracle="""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       string_agg(o_orderstatus, '>' ORDER BY o_orderdate, o_orderkey) AS journey
+FROM orders
+GROUP BY 1
+""",
+)
+def order_status_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer chronological status sequence (ordered string_agg /
+    array_agg surface; additive — the reference has no sequence
+    construction). This is the canonical shape for building per-user event
+    sequences as LLM training data.
+
+    Scale: the shuffle carries one slim (date, key, status) struct per
+    order, grouped by customer; per-key state is bounded by
+    orders-per-customer, so no key's list can blow an executor. Ordering
+    is deterministic on both engines: array_sort on the struct sorts by
+    (o_orderdate, o_orderkey) exactly like the oracle's ORDER BY.
+    """
+    o = load(spark, sf_dir, "orders")
+    seq = F.array_sort(
+        F.collect_list(F.struct("o_orderdate", "o_orderkey", "o_orderstatus"))
+    )
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.concat_ws(
+            ">", F.transform(seq, lambda s: s["o_orderstatus"])
+        ).alias("journey"),
+    )
