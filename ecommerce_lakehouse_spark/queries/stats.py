@@ -288,3 +288,55 @@ def order_status_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             ">", F.transform(seq, lambda s: s["o_orderstatus"])
         ).alias("journey"),
     )
+
+
+@query(
+    "grouped_median_doclen",
+    oracle="""
+WITH s AS (
+  SELECT lang, length(text) AS len,
+         row_number() OVER (PARTITION BY lang ORDER BY length(text), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents)
+SELECT lang,
+       max(cnt) AS n_docs,
+       CAST(sum(len) AS DOUBLE) / count(*) AS median_len
+FROM s
+WHERE rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+   OR rn = CAST(floor((cnt + 2) / 2.0) AS BIGINT)
+GROUP BY 1
+""",
+)
+def grouped_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (grouped percentile_cont(0.5) written out by
+    hand — the grouped complement of value_quantiles_exact). Median is a
+    SELECTION statistic: rank within the group, keep the one or two middle
+    rows, average them — integer lengths average to an exact .0/.5 double,
+    so the oracle matches bit-for-bit where built-in median()/percentile()
+    interpolation could associate differently engine-to-engine.
+
+    Scale: one hash partition per group key (25 langs here; at 100 TB the
+    shape holds for any key whose largest group fits a partition — else
+    pre-aggregate to (key, len, freq) first and rank over running freq
+    sums). No global sort anywhere."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.length("text").alias("len")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("len"), F.asc("doc_id"))
+    wc = Window.partitionBy("lang")
+    s = d.select(
+        "lang",
+        "len",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    mid_lo = F.floor((F.col("cnt") + 1) / 2.0).cast("bigint")
+    mid_hi = F.floor((F.col("cnt") + 2) / 2.0).cast("bigint")
+    return (
+        s.filter((F.col("rn") == mid_lo) | (F.col("rn") == mid_hi))
+        .groupBy("lang")
+        .agg(
+            F.max("cnt").alias("n_docs"),
+            (F.sum("len").cast("double") / F.count("*")).alias("median_len"),
+        )
+    )
