@@ -10,7 +10,7 @@ Streaming with watermarks.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ecommerce_lakehouse_spark.money import money_sum
 from ecommerce_lakehouse_spark.operators.relational import asof_join, dedup_by_key
@@ -176,4 +176,74 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
         F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+@query(
+    "user_session_stats",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         date_diff('second', min(ts), max(ts)) AS dur_s
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       sum(n_events) AS n_events,
+       max(dur_s) AS max_session_seconds,
+       CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events_per_session
+FROM per_sess GROUP BY 1
+""",
+)
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session statistics via explicit gaps-and-islands (lag →
+    new-session flag → running sum → two-level reduction) — the batch
+    form of sessionization, complementing session_window_agg's built-in
+    session_window. Deterministic: the lag/cumsum windows order by
+    (ts, event_id).
+
+    Scale: both window passes partition by user_id — one shuffle, then
+    per-user sorted streams (no global sort); the two groupBys reduce
+    strictly (events → sessions → users). Session duration compares
+    second-floored epochs on both engines (Spark long cast ≡ DuckDB
+    date_diff('second'))."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    s = e.withColumn("new_sess", new_sess).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = s.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "dur_s"
+        ),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("dur_s").alias("max_session_seconds"),
+        (F.sum("n_events").cast("double") / F.count("*")).alias(
+            "avg_events_per_session"
+        ),
     )
