@@ -340,3 +340,41 @@ def grouped_median_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("len").cast("double") / F.count("*")).alias("median_len"),
         )
     )
+
+
+@query(
+    "revenue_share_by_priority",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot FROM orders)
+SELECT g.o_orderpriority,
+       CAST(g.rev AS DOUBLE) AS revenue,
+       CAST(g.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS revenue_share
+FROM g, t
+""",
+)
+def revenue_share_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each priority's share of global
+    revenue. The denominator is NOT a window sum over doubles (whose
+    addition order differs engine-to-engine) — both numerator and total
+    are exact decimal sums (order-independent), cast to double only for
+    the final division, so shares are bit-identical.
+
+    Scale: two partial-aggregating scans (Catalyst shares the exchange
+    when possible) and a broadcast of the 1-row total — the standard shape
+    for normalizing any per-group metric at 100 TB without a global
+    window."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(F.sum(dec2("o_totalprice")).alias("rev"))
+    t = o.agg(F.sum(dec2("o_totalprice")).alias("tot"))
+    return g.join(F.broadcast(t)).select(
+        "o_orderpriority",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.col("tot").cast("double")).alias(
+            "revenue_share"
+        ),
+    )
