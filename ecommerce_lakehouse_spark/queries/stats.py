@@ -378,3 +378,47 @@ def revenue_share_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@query(
+    "latest_order_value",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_totalprice,
+         count(*) OVER (PARTITION BY o_custkey) AS n_orders,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders)
+SELECT o_custkey, n_orders,
+       o_orderdate AS latest_order_date,
+       o_totalprice AS latest_order_value
+FROM r WHERE rn = 1
+""",
+)
+def latest_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per group via max_by over a composite ordering struct — the
+    aggregate form of "latest row per key", deterministic because the
+    ordering struct ends in the unique o_orderkey. The oracle states the
+    same selection as a rank-1 window.
+
+    Scale: this is ONE partial-aggregating pass (each map task keeps a
+    single candidate row per key before the shuffle) — strictly cheaper
+    than the window form, which must shuffle and sort every row. The
+    standard SCD-style "current state per key" shape at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    pick = F.max_by(
+        F.struct(
+            F.col("o_orderdate").alias("d"), F.col("o_totalprice").alias("p")
+        ),
+        F.struct("o_orderdate", "o_orderkey"),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), pick.alias("m"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("m.d").alias("latest_order_date"),
+            F.col("m.p").alias("latest_order_value"),
+        )
+    )
