@@ -422,3 +422,76 @@ def latest_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.p").alias("latest_order_value"),
         )
     )
+
+
+@query(
+    "cumulative_new_customers",
+    oracle="""
+WITH f AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS day
+  FROM orders GROUP BY 1),
+d AS (SELECT day, count(*) AS new_customers FROM f GROUP BY 1)
+SELECT day, new_customers,
+       sum(new_customers) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         AS cumulative_customers
+FROM d
+""",
+)
+def cumulative_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by first-order day. A naive
+    count(DISTINCT) OVER (ORDER BY day) re-scans every prefix; this is the
+    scalable rewrite — arg-min per customer (one agg), collapse to daily
+    new-customer counts (second agg), then a running sum over the tiny
+    daily series. The only ordered window runs over ~thousands of rows
+    regardless of input scale."""
+    o = load(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(F.min(F.to_date("o_orderdate")).alias("day"))
+    d = f.groupBy("day").agg(F.count("*").alias("new_customers"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day",
+        "new_customers",
+        F.sum("new_customers").over(w).alias("cumulative_customers"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
+  FROM orders GROUP BY 1),
+a AS (
+  SELECT DISTINCT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS active_month
+  FROM orders)
+SELECT c.cohort_month, a.active_month, count(*) AS active_customers
+FROM a JOIN c ON a.o_custkey = c.o_custkey
+GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    counted in every month they stay active — the standard product-
+    analytics triangle.
+
+    Scale: both branches pre-aggregate to one row per (customer[, month])
+    before the join, so the join input is bounded by distinct customers ×
+    active months, not raw orders; the cohort side shuffles on the same
+    o_custkey key as the activity side (co-partitioned sort-merge join,
+    no broadcast needed at any scale)."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("cohort_month")
+    )
+    a = (
+        o.select(
+            "o_custkey",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("active_month"),
+        )
+        .distinct()
+    )
+    return (
+        a.join(c, "o_custkey")
+        .groupBy("cohort_month", "active_month")
+        .agg(F.count("*").alias("active_customers"))
+    )
