@@ -495,3 +495,44 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_month", "active_month")
         .agg(F.count("*").alias("active_customers"))
     )
+
+
+@query(
+    "part_cooccurrence",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM li a
+JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs ordered together
+    (the candidate-generation step of frequent-itemset mining).
+
+    Scale: the self-join is co-partitioned on l_orderkey — one shuffle of
+    the slim (orderkey, partkey) projection feeds both sides, and fan-out
+    is bounded by items-per-order squared (small constant), never n².
+    The final top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+    heads — no global sort even with billions of distinct pairs).
+    Deterministic: ties broken by (part_a, part_b)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
