@@ -536,3 +536,67 @@ def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "source_fuzzy_pairs",
+    oracle="""
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       levenshtein(a.source, b.source) AS edit_distance
+FROM s a JOIN s b ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 1
+""",
+)
+def source_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching over distinct source labels (edit distance
+    <= 1) — the entity-resolution primitive for reconciling near-identical
+    source/feed names in a training-data catalog. Levenshtein distance is
+    integer-exact, so both engines agree.
+
+    Scale: the pairwise comparison runs AFTER collapsing to distinct
+    values (20 here; bounded by label vocabulary, not corpus size), with
+    the tiny distinct set broadcast — a BroadcastNestedLoopJoin over
+    vocab², never corpus². For vocabularies too large for that, the
+    docstring recipe is q-gram blocking first (same banding idea as
+    minhash_lsh_pairs)."""
+    s = load(spark, sf_dir, "documents").select("source").distinct()
+    a = s.select(F.col("source").alias("src_a"))
+    b = s.select(F.col("source").alias("src_b"))
+    dist = F.levenshtein("src_a", "src_b")
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .filter(dist <= 1)
+        .select("src_a", "src_b", dist.alias("edit_distance"))
+    )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       revenue / lag(revenue) OVER (ORDER BY month) - 1 AS mom_growth
+FROM m
+""",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: exact-decimal monthly sums (map-
+    side collapsing to one row per month), then a lag ratio over the tiny
+    monthly series — the derivative-over-time reporting shape. The ordered
+    window touches only ~months rows regardless of input scale; the
+    division runs on identical doubles in both engines (first month's
+    growth is NULL by definition)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "revenue",
+        (F.col("revenue") / F.lag("revenue").over(w) - 1).alias("mom_growth"),
+    )
