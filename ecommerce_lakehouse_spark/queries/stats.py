@@ -600,3 +600,80 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") / F.lag("revenue").over(w) - 1).alias("mom_growth"),
     )
+
+
+@query(
+    "status_mix_by_nation",
+    oracle="""
+SELECT n.n_name AS nation,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o.o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o.o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o.o_orderstatus = 'P') AS n_pending,
+       CAST(count(*) FILTER (WHERE o.o_orderstatus = 'F') AS DOUBLE)
+         / count(*) AS finished_share
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+)
+def status_mix_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregation over a snowflake join:
+    per-nation order-status mix in ONE grouped pass — no pivot reshape, no
+    per-status scans. Spark's count_if is the FILTER clause's twin.
+
+    Scale: customer and nation are dimensions — Spark broadcasts both, so
+    the fact table never shuffles before the aggregate, and the partial
+    aggregation collapses each map task to 25 nation rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    fin = F.count_if(F.col("o_orderstatus") == "F")
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_orders"),
+        fin.alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_orderstatus") == "P").alias("n_pending"),
+        (fin.cast("double") / F.count("*")).alias("finished_share"),
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+WITH k AS (
+  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+t AS (SELECT count(*) AS total FROM lineitem)
+SELECT k.l_orderkey, k.cnt,
+       CAST(k.cnt AS DOUBLE) / t.total AS row_share
+FROM k, t
+ORDER BY k.cnt DESC, k.l_orderkey
+LIMIT 20
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: top-20 heaviest l_orderkey values with
+    their share of total rows — the diagnostic you run BEFORE choosing a
+    join strategy (a key holding >>1/partitions of the rows calls for
+    salting or AQE skew splitting; see operators/scale.py::salted_join).
+
+    Scale: one partial-aggregating scan per branch, a broadcast 1-row
+    total, and TakeOrderedAndProject for the top-k — the profile itself
+    never shuffles the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    t = li.agg(F.count("*").alias("total"))
+    return (
+        k.join(F.broadcast(t))
+        .select(
+            "l_orderkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("row_share"),
+        )
+        .orderBy(F.desc("cnt"), "l_orderkey")
+        .limit(20)
+    )
