@@ -586,3 +586,63 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.floor((F.sum("n_tokens").over(cum) - 1) / _BATCH_TOKENS).cast("long").alias("batch_id"),
     )
+
+
+@query(
+    "train_val_test_split",
+    oracle="""
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents),
+s AS (
+  SELECT lang,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b),
+g AS (SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2)
+SELECT lang, split, n_docs,
+       CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang)
+         AS lang_share
+FROM g
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hashing the
+    stable document key (salted so the cut is independent of the sampling
+    hash in hash_sample_stratified) — never rand(): the same doc lands in
+    the same split across runs, engines, retries, and incremental ingest,
+    which is what makes held-out sets trustworthy. Returns the per-language
+    split audit (counts + within-language share).
+
+    Scale: split assignment is a pure map-side expression; the audit
+    collapses to 3 rows per language before the only shuffle, and the
+    share window runs over those 3 rows per partition key."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    g = d.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "split",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "lang_share"
+        ),
+    )
