@@ -646,3 +646,42 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_share"
         ),
     )
+
+
+@query(
+    "normalized_dedup_groups",
+    oracle=r"""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+         md5(text) AS raw_hash
+  FROM documents)
+SELECT count(*) AS n_docs,
+       count(DISTINCT raw_hash) AS n_unique_raw,
+       count(DISTINCT norm_hash) AS n_unique_normalized,
+       count(*) - count(DISTINCT norm_hash) AS n_dup_docs
+FROM n
+""",
+)
+def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware dedup audit: lowercase + whitespace-collapse
+    before hashing, so documents differing only in case/spacing count as
+    duplicates (the first rung of the dedup ladder, between byte-exact
+    exact_dedup and the minhash/simhash near-dup family). Reports corpus
+    size, distinct raw hashes, distinct normalized hashes, and the
+    duplicate-document count their difference implies.
+
+    Scale: normalization is a map-side regex; only fixed-width hashes
+    shuffle (never raw text), and the dual countDistinct runs over those
+    hashes — identical shuffle profile to exact_dedup."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    n = d.select(
+        F.md5(norm).alias("norm_hash"), F.md5("text").alias("raw_hash")
+    )
+    return n.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("raw_hash").alias("n_unique_raw"),
+        F.countDistinct("norm_hash").alias("n_unique_normalized"),
+        (F.count("*") - F.countDistinct("norm_hash")).alias("n_dup_docs"),
+    )
