@@ -677,3 +677,43 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "l_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "rolling_7day_revenue",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1, 2)
+SELECT day,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(sum(rev_dec) OVER (ORDER BY day_num
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS revenue_7d
+FROM d
+""",
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue via a RANGE-interval window frame (value-
+    based, so calendar gaps are skipped correctly — a ROWS frame would
+    silently span missing days). The windowed sum accumulates DECIMAL
+    (associative/exact — sliding-window or segment-tree evaluation
+    strategies cannot change it), cast to double only on output.
+
+    Scale: orders collapse to one row per day before the window, so the
+    ordered frame scan runs over ~days rows regardless of input scale."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")).alias(
+            "day_num"
+        ),
+    ).agg(F.sum(dec2("o_totalprice")).alias("rev_dec"))
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return d.select(
+        "day",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("revenue_7d"),
+    )
