@@ -717,3 +717,42 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         F.sum("rev_dec").over(w).cast("double").alias("revenue_7d"),
     )
+
+
+@query(
+    "orphan_audit_full_outer",
+    oracle="""
+WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+SELECT CASE WHEN o.k IS NULL THEN 'lineitem_only'
+            WHEN l.k IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence,
+       count(*) AS n_keys
+FROM o FULL OUTER JOIN l ON o.k = l.k
+GROUP BY 1
+""",
+)
+def orphan_audit_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided referential-integrity audit via FULL OUTER join: classify
+    every order key as present in both tables, orders-only (childless
+    order), or lineitem-only (orphaned items) — the bidirectional
+    completion of the anti-join RI checks (SURVEY §2.4 J2), in one pass
+    instead of two anti-joins.
+
+    Scale: both sides collapse to distinct keys first (partial-agg before
+    the shuffle), then a co-partitioned sort-merge full-outer on the same
+    key — no broadcast needed at any scale, and the presence histogram is
+    3 rows."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("ok")).distinct()
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("lk"))
+        .distinct()
+    )
+    j = o.join(li, o.ok == li.lk, "full_outer")
+    presence = (
+        F.when(F.col("ok").isNull(), "lineitem_only")
+        .when(F.col("lk").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return j.groupBy(presence.alias("presence")).agg(F.count("*").alias("n_keys"))
