@@ -756,3 +756,43 @@ def orphan_audit_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
     )
     return j.groupBy(presence.alias("presence")).agg(F.count("*").alias("n_keys"))
+
+
+@query(
+    "customer_spend_deciles",
+    oracle="""
+WITH s AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1),
+d AS (
+  SELECT o_custkey, spend,
+         ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  FROM s)
+SELECT decile, count(*) AS n_customers,
+       CAST(min(spend) AS DOUBLE) AS min_spend,
+       CAST(max(spend) AS DOUBLE) AS max_spend,
+       CAST(sum(spend) AS DOUBLE) AS total_spend
+FROM d GROUP BY 1
+""",
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM-style value segmentation: rank customers into spend deciles
+    (ntile over exact-decimal lifetime spend, custkey tiebreak so equal
+    spends split deterministically) and profile each band. The
+    whale-vs-long-tail report behind every marketing segmentation.
+
+    Scale: orders pre-aggregate to one row per customer before the global
+    ntile — the single-partition window sees customers, not orders. For
+    customer counts too large for one partition, the recipe is
+    percent_rank over a distributed sort or approx_percentile cut
+    points; exact ntile is kept here for oracle checkability."""
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(F.sum(dec2("o_totalprice")).alias("spend"))
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    d = s.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("spend").cast("double").alias("min_spend"),
+        F.max("spend").cast("double").alias("max_spend"),
+        F.sum("spend").cast("double").alias("total_spend"),
+    )
