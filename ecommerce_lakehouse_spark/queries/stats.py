@@ -796,3 +796,35 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("spend").cast("double").alias("max_spend"),
         F.sum("spend").cast("double").alias("total_spend"),
     )
+
+
+@query(
+    "customers_all_quarters",
+    oracle="""
+SELECT o_custkey,
+       count(DISTINCT quarter(o_orderdate)) AS n_quarters,
+       count(*) AS n_orders
+FROM orders
+WHERE year(o_orderdate) = 1995
+GROUP BY 1
+HAVING count(DISTINCT quarter(o_orderdate)) = 4
+""",
+)
+def customers_all_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers who ordered in EVERY
+    quarter of 1995 — divide the orders relation by the quarter domain.
+    Implemented as the scalable count-matching form (distinct-quarter
+    count equals the divisor cardinality), not a quadruple self-join.
+
+    Scale: the year filter prunes partitions at the scan, the distinct
+    count collapses map-side to at most 4 values per customer, and the
+    HAVING runs post-aggregation — one shuffle on the group key."""
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.countDistinct(F.quarter("o_orderdate")).alias("n_quarters"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_quarters") == 4)
+    )
