@@ -99,3 +99,39 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
+
+
+@pytest.mark.parametrize(
+    "name", ["part_cooccurrence", "key_skew_profile", "top_k_global"]
+)
+def test_topk_uses_take_ordered(spark, sf_dir, name):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heaps + driver merge of k-row heads), never a full global sort."""
+    text = plan_text(REGISTRY[name](spark, sf_dir))
+    assert "TakeOrderedAndProject" in text, f"{name}: top-k not TakeOrdered"
+
+
+@pytest.mark.parametrize("name", ["status_mix_by_nation", "revenue_share_by_priority"])
+def test_small_side_broadcasts(spark, sf_dir, name):
+    """Dimension / 1-row-total joins must broadcast — the fact side never
+    shuffles for the join."""
+    info = audit(REGISTRY[name](spark, sf_dir))
+    assert any("Broadcast" in j for j in info["joins"]), (
+        f"{name}: expected broadcast join: {info['joins']}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["cumulative_new_customers", "monthly_revenue_growth", "rolling_7day_revenue"],
+)
+def test_preagg_before_ordered_window(spark, sf_dir, name):
+    """Time-series queries must collapse to per-period rows BEFORE their
+    ordered window: the plan's window operator may only see aggregated
+    input (HashAggregate upstream of Window), never raw fact rows."""
+    text = plan_text(REGISTRY[name](spark, sf_dir))
+    assert "Window" in text, f"{name}: expected a window operator"
+    win_pos = text.index("Window")
+    assert "HashAggregate" in text[win_pos:], (
+        f"{name}: no aggregate upstream of the ordered window"
+    )
