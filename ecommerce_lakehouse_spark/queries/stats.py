@@ -828,3 +828,64 @@ def customers_all_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_quarters") == 4)
     )
+
+
+@query(
+    "value_outlier_rate",
+    oracle="""
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sx,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sxx
+  FROM events GROUP BY 1),
+s AS (
+  SELECT event_type, n, sx / n AS mean,
+         sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)) AS std
+  FROM m)
+SELECT e.event_type,
+       max(s.n) AS n_events,
+       count(*) FILTER (WHERE abs(e.value - s.mean) > 3 * s.std) AS n_outliers,
+       CAST(count(*) FILTER (WHERE abs(e.value - s.mean) > 3 * s.std) AS DOUBLE)
+         / max(s.n) AS outlier_rate
+FROM events e JOIN s ON e.event_type = s.event_type
+GROUP BY 1
+""",
+)
+def value_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly rate: group moments from EXACT decimal
+    power sums (associative — engine/evaluation-order independent), mean
+    and population-std derived in double with the SAME expression order as
+    the oracle, broadcast back over the fact table, and |value - mean| >
+    3σ counted with a conditional aggregate. Built-in stddev() streams in
+    double (order-dependent) — unusable against an oracle; this is the
+    deterministic two-pass form.
+
+    Scale: two scans of events (moments, then flagging) with a broadcast
+    of one stats row per event type between them; both aggregations
+    collapse map-side. At 100 TB the second scan reuses the cached/columnar
+    source — never a self-join shuffle."""
+    e = load(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(dec2("value")), 2).cast("double").alias("sx"),
+        F.round(F.sum(dec2("value") * dec2("value")), 2).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    s = m.select(
+        F.col("event_type").alias("et"),
+        "n",
+        (sx / n).alias("mean"),
+        F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n)).alias("std"),
+    )
+    flagged = F.count_if(
+        F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std")
+    )
+    return (
+        e.join(F.broadcast(s), e.event_type == s.et)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            flagged.alias("n_outliers"),
+            (flagged.cast("double") / F.max("n")).alias("outlier_rate"),
+        )
+    )
