@@ -247,3 +247,67 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_events_per_session"
         ),
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1
+  WHERE e.event_type = 'click' GROUP BY 1),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT '1_view' AS step, count(*) AS n_users FROM t1
+UNION ALL
+SELECT '2_click', count(*) FROM t2
+UNION ALL
+SELECT '3_purchase', count(*) FROM t3
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users counted at each step only if the
+    step's event happens strictly AFTER their entry into the previous step
+    (first view → first later click → first later purchase) — temporal
+    ordering, not mere co-occurrence.
+
+    Scale: each stage is a filtered pre-aggregation joined on user_id —
+    all three joins co-partition on the same key (one shuffle family, AQE
+    reuses the exchange), per-user state is one timestamp, and the final
+    output is three rows via unionByName of 1-row aggregates."""
+    e = load(spark, sf_dir, "events")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+
+    def step(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step(t1, "1_view")
+        .unionByName(step(t2, "2_click"))
+        .unionByName(step(t3, "3_purchase"))
+    )
