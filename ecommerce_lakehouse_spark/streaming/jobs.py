@@ -57,9 +57,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(spool)
     )
-    return raw.withColumn(
-        "ts", F.expr("to_utc_timestamp(timestamp_micros(ts DIV 1000), current_timezone())")
-    )
+    from pyspark.sql import types as T
+
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn(
+            "ts", F.expr("to_utc_timestamp(timestamp_micros(ts DIV 1000), current_timezone())")
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -30,23 +30,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown/pruning; at cluster scale the same call reads a partitioned
     table directory.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    to read natively: read it as raw nanos (legacy conf, runtime-settable)
-    and convert with integer division to microsecond TimestampType —
-    bit-identical to DuckDB's nanos→micros truncation.
+    events.ts has shipped in two physical encodings across testdata
+    generations: parquet TIMESTAMP(NANOS) (Spark 4 reads only via the
+    legacy nanos-as-long conf) and plain TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ). Normalize both to session-local TimestampType with
+    the same rendered (naive) wall-clock value as the DuckDB oracle,
+    regardless of session timezone.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        # to_utc_timestamp(..., current_timezone()) pins the *rendered*
-        # (naive) value regardless of session timezone, matching the
-        # tz-naive oracle even if the harness session isn't UTC.
-        return spark.read.parquet(path).withColumn(
-            "ts",
-            F.expr("to_utc_timestamp(timestamp_micros(ts DIV 1000), current_timezone())"),
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Raw nanos → micros (integer truncation, bit-identical to
+            # DuckDB); to_utc_timestamp(..., current_timezone()) pins the
+            # rendered naive value for any session timezone.
+            return df.withColumn(
+                "ts",
+                F.expr("to_utc_timestamp(timestamp_micros(ts DIV 1000), current_timezone())"),
+            )
+        if isinstance(ts_type, T.TimestampNTZType):
+            # NTZ→TZ cast interprets the naive value at the session zone,
+            # so render-back yields the identical wall clock.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
