@@ -29,6 +29,38 @@ from pyspark.sql import DataFrame, SparkSession
 from ecommerce_lakehouse_spark.lake.merge import merge_upsert
 
 
+def _part_key(v):
+    """JSON-safe canonical form of a partition value (dates/timestamps
+    become strings; comparison happens through a string cast on read)."""
+    if v is None or isinstance(v, (int, bool)):
+        return v
+    return str(v)
+
+
+def _entry_path(e) -> str:
+    return e["path"] if isinstance(e, dict) else e
+
+
+def _partition_predicate(pcols: list[str], rows: list[dict]):
+    """OR-of-AND equality predicate over partition columns for the given
+    partition tuples. Values compare through a string cast (partition
+    values round-trip the JSON manifest as strings), which Spark still
+    evaluates against the in-memory partition spec at planning time —
+    i.e. this prunes directories, it doesn't scan-and-drop."""
+    import pyspark.sql.functions as F
+
+    pred = F.lit(False)
+    for row in rows:
+        clause = F.lit(True)
+        for c in pcols:
+            v = row[c]
+            clause = clause & (
+                F.col(c).isNull() if v is None else (F.col(c).cast("string") == str(v))
+            )
+        pred = pred | clause
+    return pred
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -112,28 +144,86 @@ class LakeTable:
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """K5/K6: MERGE upsert with create-if-absent fallback (reference
-        src/glue_etl.py:439-497). Copy-on-write: reads current snapshot,
-        applies the logical merge, writes a new version."""
+        src/glue_etl.py:439-497, Delta ``whenMatchedUpdateAll /
+        whenNotMatchedInsertAll``).
+
+        Partition-pruned copy-on-write (the Delta-at-scale behavior: rewrite
+        only matched files, never the whole table): the set of *touched*
+        partitions is the union of the updates' partition values and the
+        partitions of target rows whose keys match an update (so a key that
+        moved partitions is still rewritten, exactly like Delta's
+        touched-file inner join). Only those partitions are read, merged,
+        and rewritten into the new data dir; every other partition's files
+        pass through into the new manifest untouched — at 100 TB a daily
+        increment rewrites only the partitions it lands in.
+
+        Unpartitioned tables fall back to a full-snapshot rewrite (there is
+        no prune unit without partitions; file-level pruning would need
+        per-file key stats, which Delta itself only gets from data skipping).
+        """
         if not self.exists():
             return self.overwrite(updates)
         prior = self._manifest(self.current_version())
-        merged = merge_upsert(self.read(), updates, keys)
+        pcols = prior["partition_by"]
+        if not pcols:
+            merged = merge_upsert(self.read(), updates, keys)
+            d = self._new_data_dir()
+            merged.write.mode("overwrite").parquet(d)
+            return self._commit([d], "merge", pcols)
+
+        target = self.read()
+        # Touched partitions: control-plane collect of distinct partition
+        # tuples (bounded by partition count, never data volume). The
+        # target side is a key-column-pruned semi-join — one slim shuffle.
+        upd_parts = updates.select(*pcols).distinct()
+        tgt_parts = (
+            target.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
+            .select(*pcols)
+            .distinct()
+        )
+        touched = {
+            tuple(_part_key(v) for v in r)
+            for r in upd_parts.unionByName(tgt_parts).distinct().collect()
+        }
+        touched_rows = [dict(zip(pcols, t)) for t in sorted(touched, key=str)]
+
+        merged = merge_upsert(
+            target.filter(_partition_predicate(pcols, touched_rows)), updates, keys
+        )
         d = self._new_data_dir()
-        w = merged.write.mode("overwrite")
-        if prior["partition_by"]:
-            w = w.partitionBy(*prior["partition_by"])
-        w.parquet(d)
-        return self._commit([d], "merge", prior["partition_by"])
+        merged.write.mode("overwrite").partitionBy(*pcols).parquet(d)
+
+        # Prior dirs pass through with the touched partitions masked out;
+        # read() turns the mask into a partition-pruning filter, so those
+        # directories are skipped at scan planning, not scanned-and-dropped.
+        entries = []
+        for e in prior["data_dirs"]:
+            e = dict(e) if isinstance(e, dict) else {"path": e, "exclude": []}
+            seen = {tuple(sorted(x.items())) for x in e.get("exclude", [])}
+            extra = [t for t in touched_rows if tuple(sorted(t.items())) not in seen]
+            e["exclude"] = e.get("exclude", []) + extra
+            entries.append(e)
+        entries.append(d)
+        return self._commit(entries, "merge", pcols)
 
     # ---------------- readers (S4 + time travel) ----------------
 
     def read(self, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.current_version()
-        dirs = self._manifest(v)["data_dirs"]
+        entries = self._manifest(v)["data_dirs"]
+        pcols = self._manifest(v)["partition_by"]
         # one read per commit dir, unioned: multiple partitioned roots can't
         # share a single scan (CONFLICTING_DIRECTORY_STRUCTURES) and schema
-        # evolution across commits needs unionByName anyway
-        dfs = [self.spark.read.option("mergeSchema", "true").parquet(d) for d in dirs]
+        # evolution across commits needs unionByName anyway. Dict entries
+        # carry a partition exclusion mask (partitions superseded by a later
+        # MERGE) applied as a partition-pruning filter.
+        dfs = []
+        for e in entries:
+            df = self.spark.read.option("mergeSchema", "true").parquet(_entry_path(e))
+            excl = e.get("exclude") if isinstance(e, dict) else None
+            if excl:
+                df = df.filter(~_partition_predicate(pcols, excl))
+            dfs.append(df)
         out = dfs[0]
         for other in dfs[1:]:
             out = out.unionByName(other, allowMissingColumns=True)
@@ -223,7 +313,7 @@ class LakeTable:
         cur = self.current_version()
         versions = [m["version"] for m in self.history()]
         for v in versions[-keep_last:] if keep_last else [cur]:
-            live.update(self._manifest(v)["data_dirs"])
+            live.update(_entry_path(e) for e in self._manifest(v)["data_dirs"])
         removed = []
         data_root = os.path.join(self.root, "data")
         for name in sorted(os.listdir(data_root)):

@@ -153,11 +153,11 @@ def asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                THEN 1 ELSE 0 END) AS n_high
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM events
 GROUP BY 1
 """,
@@ -203,7 +203,7 @@ WITH o AS (
 )
 SELECT user_id,
        count(*) AS n_sessions,
-       sum(n_events) AS n_events,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        max(dur_s) AS max_session_seconds,
        CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_events_per_session
 FROM per_sess GROUP BY 1

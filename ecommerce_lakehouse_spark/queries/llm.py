@@ -75,8 +75,8 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
-       sum(length(text)) AS total_chars
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1, 2
 """,
 )

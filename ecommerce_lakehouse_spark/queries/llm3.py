@@ -288,8 +288,8 @@ WITH t AS (
 )
 SELECT doc_id,
        len(pieces) AS n_pieces,
-       list_aggregate(list_transform(pieces, x -> (length(x) + 3) // 4), 'sum')
-         AS est_bpe_tokens,
+       CAST(list_aggregate(list_transform(pieces, x -> (length(x) + 3) // 4), 'sum')
+         AS BIGINT) AS est_bpe_tokens,
        len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
        length(text) / CAST(list_aggregate(list_transform(pieces,
             x -> (length(x) + 3) // 4), 'sum') AS DOUBLE) AS chars_per_token

@@ -135,11 +135,11 @@ def dup_rate_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_rate_profile",
     oracle="""
 SELECT count(*) AS total_rows,
-       sum(CASE WHEN o_orderpriority IS NULL OR CAST(o_orderpriority AS VARCHAR) = ''
-                THEN 1 ELSE 0 END) AS null_priority,
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-       sum(CASE WHEN try_cast(o_orderpriority AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
-         AS uncastable_priority
+       CAST(sum(CASE WHEN o_orderpriority IS NULL OR CAST(o_orderpriority AS VARCHAR) = ''
+                THEN 1 ELSE 0 END) AS BIGINT) AS null_priority,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       CAST(sum(CASE WHEN try_cast(o_orderpriority AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS uncastable_priority
 FROM orders
 """,
 )

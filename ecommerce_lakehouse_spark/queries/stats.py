@@ -432,8 +432,8 @@ WITH f AS (
   FROM orders GROUP BY 1),
 d AS (SELECT day, count(*) AS new_customers FROM f GROUP BY 1)
 SELECT day, new_customers,
-       sum(new_customers) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-         AS cumulative_customers
+       CAST(sum(new_customers) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cumulative_customers
 FROM d
 """,
 )

@@ -35,8 +35,10 @@ def _canon_cell(x) -> str:
     if isinstance(x, float):
         if math.isnan(x):
             return NULL_TOKEN
-        if x == int(x) and abs(x) < 1e15:
-            return str(int(x))  # 5.0 vs 5 (int col in one engine, double in other)
+        # Strict: 5.0 != 5. The driver's value-hash distinguishes int64 from
+        # float64 cells, so the local gate must too — oracles must CAST integer
+        # aggregates (DuckDB sum(BIGINT) -> HUGEINT -> pandas float64) back to
+        # BIGINT rather than rely on canonicalization.
         return repr(x)
     if isinstance(x, (pd.Timestamp, datetime.datetime)):
         if pd.isna(x):

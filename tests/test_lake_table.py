@@ -68,6 +68,79 @@ def test_compact_and_vacuum(spark, tbl):
     assert tbl.read().count() == 2
 
 
+def test_merge_partition_pruned_rewrite(spark, tbl, tmp_path):
+    """A MERGE touching one partition must leave other partitions' files
+    byte-identical (partition-pruned copy-on-write, Delta's matched-file
+    rewrite semantics — reference src/glue_etl.py:442-458 at scale)."""
+    import glob
+    import hashlib
+
+    tbl.overwrite(
+        _df(spark, [(1, "a", "x"), (2, "b", "x"), (3, "c", "y"), (4, "d", "z")]),
+        partition_by=["part"],
+    )
+
+    def files_with_hashes(pat):
+        out = {}
+        for f in sorted(glob.glob(str(tmp_path / "t/data") + pat)):
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    y_before = files_with_hashes("/v00000001/part=y/*.parquet")
+    z_before = files_with_hashes("/v00000001/part=z/*.parquet")
+    assert y_before and z_before
+
+    # update k=2 in partition x, insert k=5 into partition w
+    tbl.merge(_df(spark, [(2, "B", "x"), (5, "e", "w")]), keys=["k"])
+
+    # untouched partitions: identical files, no new copies written for them
+    assert files_with_hashes("/v00000001/part=y/*.parquet") == y_before
+    assert files_with_hashes("/v00000001/part=z/*.parquet") == z_before
+    assert not glob.glob(str(tmp_path / "t/data/v00000002/part=y"))
+    assert not glob.glob(str(tmp_path / "t/data/v00000002/part=z"))
+    # touched + new partitions live in the new dir
+    assert glob.glob(str(tmp_path / "t/data/v00000002/part=x"))
+    assert glob.glob(str(tmp_path / "t/data/v00000002/part=w"))
+
+    got = {(r.k, r.v, r.part) for r in tbl.read().collect()}
+    assert got == {
+        (1, "a", "x"), (2, "B", "x"), (3, "c", "y"), (4, "d", "z"), (5, "e", "w"),
+    }
+    # time travel still sees the pre-merge snapshot
+    assert {(r.k, r.v) for r in tbl.read(version=1).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+
+
+def test_merge_key_moved_partitions(spark, tbl):
+    """A key whose partition value changes in the update must not survive
+    twice: its OLD partition is also touched (Delta's matched-file join)."""
+    tbl.overwrite(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")]), partition_by=["part"]
+    )
+    tbl.merge(_df(spark, [(1, "A", "y")]), keys=["k"])  # k=1 moves x -> y
+    got = {(r.k, r.v, r.part) for r in tbl.read().collect()}
+    assert got == {(1, "A", "y"), (2, "b", "y")}
+
+
+def test_merge_chain_then_vacuum(spark, tbl):
+    """Two successive pruned merges accumulate exclusion masks correctly,
+    and vacuum keeps dirs still referenced by the latest manifest."""
+    tbl.overwrite(
+        _df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]),
+        partition_by=["part"],
+    )
+    tbl.merge(_df(spark, [(1, "A", "x")]), keys=["k"])
+    tbl.merge(_df(spark, [(2, "B", "y")]), keys=["k"])
+    got = {(r.k, r.v) for r in tbl.read().collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "c")}
+    tbl.vacuum(keep_last=1)
+    # v1's dir is still live (holds partition z) — read must survive vacuum
+    got = {(r.k, r.v) for r in tbl.read().collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "c")}
+
+
 def test_merge_requires_unique_update_keys(spark, tbl):
     # SURVEY §7.5: dedup precedes merge; duplicate update keys double-insert
     # in the pure relational form, so upstream dedup is a correctness
