@@ -47,18 +47,39 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "n_queries": len(times),
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+    }
+    # Full detail to stderr + sidecar file; stdout gets ONE JSON line capped
+    # at ~1800 chars (the harness keeps only the last 2000 chars of stdout —
+    # a 105-query dict blows that buffer and parses as null). If the full
+    # dict doesn't fit, keep the slowest queries and count the rest.
+    full = json.dumps(payload)
+    print(full, file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    if len(full) > 1800:
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1]))
+        kept: dict[str, float] = {}
+        for k, v in slowest.items():
+            kept[k] = v
+            payload["queries"] = kept
+            payload["queries_omitted"] = len(times) - len(kept)
+            if len(json.dumps(payload)) > 1800:
+                kept.pop(k)
+                payload["queries"] = kept
+                payload["queries_omitted"] = len(times) - len(kept)
+                break
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

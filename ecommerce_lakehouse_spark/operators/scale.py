@@ -26,7 +26,20 @@ def salted_join(
     (key, salt) so the hot key's rows land on n_salts partitions instead
     of one. Costs: right side inflates ×n_salts — keep it the dimension
     side. Results are identical to the unsalted join (asserted in tests).
+
+    Only left-preserving join types are allowed: with ``right`` or
+    ``full_outer`` every unmatched RIGHT row would surface once per salt
+    replica (n_salts duplicates). Swap the sides (salt the other input)
+    for a right-skewed outer join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched right rows "
+            f"x{n_salts}; allowed: inner/left/left_semi/left_anti "
+            "(swap sides for right-preserving joins)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)).alias(
         "__salt"
     )

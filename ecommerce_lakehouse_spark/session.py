@@ -35,6 +35,10 @@ def get_spark(
         .config("spark.sql.cbo.enabled", "true")
         # Deterministic timestamp semantics vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts testdata has shipped as parquet TIMESTAMP(NANOS), which
+        # Spark 4 only reads with this legacy conf (tables.read_events_raw
+        # also sets it lazily for vanilla caller sessions)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any pandas-UDF path (LLM-pipeline operators)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

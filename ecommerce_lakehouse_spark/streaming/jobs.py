@@ -28,45 +28,44 @@ from pyspark.sql import DataFrame, SparkSession
 from ecommerce_lakehouse_spark.lake import LakeTable
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, spool_dir: str | None = None
+) -> DataFrame:
     """File-source stream over the events table (one-file-per-trigger
     simulates micro-batch arrival; schema pinned from the batch reader).
 
-    The nanosecond-timestamp workaround matches tables.load()."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    # The file-stream source ingests directories (files "arrive" in them).
-    # The testdata table is a single file — expose it through a spool dir
-    # (symlink, no copy); in production this is the landing directory that
-    # upstream ingest appends files into. The spool path is DETERMINISTIC
-    # per source: checkpoints pin the source path, so a restarted query
-    # must see the same directory to resume exactly-once.
-    import hashlib
-    import tempfile
+    ts normalization is shared with the batch path
+    (tables.normalize_events_ts) so the two readers cannot drift.
 
-    digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
-    spool = os.path.join(tempfile.gettempdir(), f"events_spool_{digest}")
-    os.makedirs(spool, exist_ok=True)
-    link = os.path.join(spool, "events-000.parquet")
+    The file-stream source ingests directories (files "arrive" in them).
+    The testdata table is a single file — expose it through ``spool_dir``
+    (populated with a symlink, no copy); in production this is the landing
+    directory upstream ingest appends files into. When not supplied, a
+    deterministic per-source temp dir is derived: checkpoints pin the
+    source path, so a restarted query must see the same directory to
+    resume exactly-once.
+    """
+    from ecommerce_lakehouse_spark.tables import normalize_events_ts, read_events_raw
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = read_events_raw(spark, path).schema
+    if spool_dir is None:
+        import hashlib
+        import tempfile
+
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        spool_dir = os.path.join(tempfile.gettempdir(), f"events_spool_{digest}")
+    os.makedirs(spool_dir, exist_ok=True)
+    link = os.path.join(spool_dir, "events-000.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
-        .load(spool)
+        .load(spool_dir)
     )
-    from pyspark.sql import types as T
-
-    ts_type = schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        return raw.withColumn(
-            "ts", F.expr("to_utc_timestamp(timestamp_micros(ts DIV 1000), current_timezone())")
-        )
-    if isinstance(ts_type, T.TimestampNTZType):
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_events_ts(raw)
 
 
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -35,6 +35,26 @@ def test_salted_join_left_outer(spark):
     assert sorted(map(tuple, got.collect())) == [(1, "x", "r1"), (2, "y", None), (3, "z", None)]
 
 
+def test_salted_join_equivalence_every_allowed_how(spark):
+    """Property: for every allowed join type, salted == plain on data with
+    unmatched rows on BOTH sides (the case that exposes replication bugs)."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "r1"), (2, "r2"), (9, "r9")], ["k", "w"])
+    for how in ["inner", "left", "left_semi", "left_anti"]:
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, "k", n_salts=4, how=how)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), f"how={how} mismatch"
+    for how in ["right", "full", "full_outer", "rightouter"]:
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, "k", n_salts=4, how=how)
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_custkey")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
