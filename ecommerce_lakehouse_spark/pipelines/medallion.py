@@ -33,10 +33,15 @@ from ecommerce_lakehouse_spark.tables import load
 
 
 def _bronze(df: DataFrame, source: str) -> DataFrame:
-    """Bronze metadata columns (E:84-86: source_file + ingestion ts)."""
-    return df.withColumn("source_file", F.lit(source)).withColumn(
-        "ingestion_timestamp", F.current_timestamp()
-    )
+    """Bronze metadata columns (reference docs/etl_processes.md:74,85:
+    source_file + ingestion ts). source_file comes from
+    ``F.input_file_name()`` so multi-file ingests keep true per-file
+    lineage; the caller-supplied ``source`` is the fallback for inputs
+    that aren't file scans (e.g. createDataFrame in tests)."""
+    return df.withColumn(
+        "source_file",
+        F.when(F.input_file_name() != "", F.input_file_name()).otherwise(F.lit(source)),
+    ).withColumn("ingestion_timestamp", F.current_timestamp())
 
 
 def run_medallion(spark: SparkSession, sf_dir: str, root: str) -> dict:
@@ -103,6 +108,13 @@ def run_medallion(spark: SparkSession, sf_dir: str, root: str) -> dict:
             valid = valid.withColumn("day_of_week", F.dayofweek("o_orderdate")).withColumn(
                 "hour_of_day", F.hour("o_orderdate")
             )
+        if name == "part":
+            # silver.products derived columns (reference docs/data_model.md:
+            # 104,109 + docs/etl_processes.md:253-254: is_active flag +
+            # last_updated_timestamp change-tracking stamp)
+            valid = valid.withColumn("is_active", F.lit(True)).withColumn(
+                "last_updated_timestamp", F.current_timestamp()
+            )
         deduped = dedup_by_key(valid, pk, [F.asc(c) for c in pk]).observe(
             obs, F.count(F.lit(1)).alias("rows")
         )
@@ -130,5 +142,31 @@ def run_medallion(spark: SparkSession, sf_dir: str, root: str) -> dict:
     gt.overwrite(daily)
     tables["gold.daily_sales"] = gt
 
+    # ---- post-pipeline SQL smoke phase (reference stepfunctions/
+    # delta-lake.json:147-215: three parallel Athena `SELECT * ... LIMIT 5`
+    # checks over the clean tables; here spark.sql over catalog views).
+    # A table that registered but can't serve 5 rows fails the run — the
+    # same contract as the Step Function's Catch → HandleValidationFailure.
+    metrics["smoke"] = run_smoke_queries(
+        spark,
+        {
+            "clean_orders": tables["silver.orders"],
+            "clean_order_items": tables["silver.lineitem"],
+            "clean_products": tables["silver.part"],
+        },
+    )
+
     tables["metrics"] = metrics
     return tables
+
+
+def run_smoke_queries(spark: SparkSession, views: dict[str, LakeTable]) -> dict[str, int]:
+    """Register each LakeTable under its view name and run
+    ``SELECT * FROM <view> LIMIT 5``, returning rows served per view.
+    Raises if any smoke query errors (propagated) — mirroring the
+    reference's validation-failure branch."""
+    served: dict[str, int] = {}
+    for view, lt in views.items():
+        lt.register(view)
+        served[view] = len(spark.sql(f"SELECT * FROM {view} LIMIT 5").collect())
+    return served

@@ -21,6 +21,24 @@ def test_medallion_end_to_end(spark, sf_dir, tmp_path):
     cols = set(t["silver.orders"].read().columns)
     assert {"day_of_week", "hour_of_day"} <= cols
 
+    # silver products derived columns (docs/data_model.md:104,109)
+    pcols = set(t["silver.part"].read().columns)
+    assert {"is_active", "last_updated_timestamp"} <= pcols
+    assert t["silver.part"].read().filter(~F.col("is_active")).count() == 0
+
+    # bronze lineage: source_file is the true input file path
+    # (F.input_file_name), not a constant stamp
+    src_files = [
+        r[0] for r in t["bronze.orders"].read().select("source_file").distinct().collect()
+    ]
+    assert src_files and all("orders.parquet" in s for s in src_files)
+
+    # smoke phase ran: every clean view served LIMIT 5 rows
+    # (stepfunctions/delta-lake.json:147-215)
+    assert t["metrics"]["smoke"] == {
+        "clean_orders": 5, "clean_order_items": 5, "clean_products": 5,
+    }
+
     # rejected rows carry audit metadata (G:338-346)
     rej_cols = set(t["rejected.orders"].read().columns)
     assert {"validation_errors", "rejection_time", "source", "job_name"} <= rej_cols
