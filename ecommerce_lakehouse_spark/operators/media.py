@@ -1,0 +1,254 @@
+"""Real media decoders for uncompressed formats — pure numpy/stdlib, no
+external media libraries required.
+
+Covers the formats that are decodable without native codecs:
+
+- **PPM/PGM** (P6/P5 binary, P3/P2 ASCII) — the canonical uncompressed
+  image interchange format.
+- **BMP** (Windows DIB, 24/32-bit uncompressed) — header offsets per the
+  public BITMAPINFOHEADER layout.
+- **WAV** (PCM) — via the stdlib ``wave`` module + numpy frombuffer.
+
+Compressed formats (JPEG/PNG/GIF/MP3/OGG) are sniffed by magic bytes and
+raise ``NotImplementedError`` — nothing silently fake-decodes media; a
+production deployment drops in PIL/ffmpeg behind the same function
+signatures and the Spark-side operators in ``operators/multimodal.py``
+are unchanged.
+
+All decoders are plain ``bytes -> numpy`` functions so they vectorize
+inside Arrow ``mapInPandas`` batches (the only Python boundary).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# magic-byte sniffing
+# ---------------------------------------------------------------------------
+
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"P6", "image/x-portable-pixmap"),
+    (b"P5", "image/x-portable-graymap"),
+    (b"P3", "image/x-portable-pixmap-ascii"),
+    (b"P2", "image/x-portable-graymap-ascii"),
+    (b"BM", "image/bmp"),
+    (b"RIFF", "audio/wav"),  # refined below (RIFF....WAVE)
+    (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+]
+
+
+def sniff_mime(payload: bytes) -> str:
+    """Identify a payload by magic bytes (never by trusting metadata)."""
+    for magic, mime in _MAGIC:
+        if payload[: len(magic)] == magic:
+            if mime == "audio/wav" and payload[8:12] != b"WAVE":
+                return "application/octet-stream"
+            return mime
+    return "application/octet-stream"
+
+
+# ---------------------------------------------------------------------------
+# image decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """PPM/PGM (P2/P3 ASCII, P5/P6 binary) -> HxWxC uint8 array."""
+    # header tokens: magic, width, height, maxval — whitespace/comment-separated
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    magic = payload[:2]
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    channels = 3 if magic in (b"P6", b"P3") else 1
+    n = w * h * channels
+    if magic in (b"P6", b"P5"):
+        arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    else:
+        arr = np.array(payload[pos:].split()[:n], dtype=np.uint8)
+    return arr.reshape(h, w, channels)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> HxWx3 uint8 (BGR -> RGB, bottom-up)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} not supported")
+    top_down = h < 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    row_stride = (w * bytes_pp + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = []
+    for r in range(h):
+        off = data_offset + r * row_stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * bytes_pp, offset=off)
+        rows.append(row.reshape(w, bytes_pp)[:, :3][:, ::-1])  # BGR(A) -> RGB
+    img = np.stack(rows)
+    return img if top_down else img[::-1]
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an HxWxC uint8 array.
+
+    Real for PPM/PGM/BMP (no codec needed). Compressed formats raise —
+    swap in PIL here in production; every caller is unchanged."""
+    mime = sniff_mime(payload)
+    if mime.startswith("image/x-portable"):
+        return _decode_pnm(payload)
+    if mime == "image/bmp":
+        return _decode_bmp(payload)
+    if mime in ("image/png", "image/jpeg", "image/gif"):
+        raise NotImplementedError(f"{mime} requires a native codec (PIL) — not available here")
+    raise ValueError(f"not an image payload (sniffed {mime})")
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6) bytes — the re-encode side of a
+    decode→transform→encode pipeline."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_bilinear(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Pure-numpy bilinear resize (align_corners=False convention, the
+    same sampling grid as torchvision/PIL default)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    img = img.astype(np.float32)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return np.clip(top * (1 - wy) + bot * wy, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# audio decode
+# ---------------------------------------------------------------------------
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV (PCM) payload -> (samples float32 in [-1, 1] shaped
+    [n_frames, n_channels], sample_rate). Compressed audio raises."""
+    mime = sniff_mime(payload)
+    if mime == "audio/mpeg" or mime == "audio/ogg":
+        raise NotImplementedError(f"{mime} requires ffmpeg — not available here")
+    if mime != "audio/wav":
+        raise ValueError(f"not an audio payload (sniffed {mime})")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch, sampwidth, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if sampwidth == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{sampwidth * 8}-bit PCM not supported")
+    return arr.reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """[n_frames, n_channels] float32 in [-1, 1] -> 16-bit PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(samples.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """Codec-free audio descriptors: duration, RMS energy, zero-crossing
+    rate (all computed on the mono mix)."""
+    mono = samples.mean(axis=1)
+    zc = int(np.count_nonzero(np.diff(np.signbit(mono)))) if len(mono) > 1 else 0
+    return {
+        "n_frames": int(samples.shape[0]),
+        "n_channels": int(samples.shape[1]),
+        "sample_rate": int(rate),
+        "duration_s": float(samples.shape[0] / rate) if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+        "zero_crossing_rate": float(zc / max(len(mono) - 1, 1)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# video (concatenated-PPM container)
+# ---------------------------------------------------------------------------
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream into per-frame payloads — a minimal
+    uncompressed 'video' container (what a real deployment does with
+    ffmpeg's rawvideo demuxer). Frame boundaries come from each header's
+    declared geometry, never from scanning pixel bytes for magic."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad frame header at offset {pos}")
+        # parse this frame's header to learn its pixel-data length
+        m = payload[pos:]
+        img = _decode_pnm(m)  # validates header
+        h, w, c = img.shape
+        # header length = bytes before pixel data
+        hdr_end = _pnm_data_offset(m)
+        frame_len = hdr_end + h * w * c
+        frames.append(m[:frame_len])
+        pos += frame_len
+    return frames
+
+
+def _pnm_data_offset(payload: bytes) -> int:
+    pos, found = 2, 0
+    while found < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        found += 1
+    return pos + 1

@@ -3,10 +3,15 @@
 ``mapInPandas`` — the one place Python touches the hot path, amortized per
 batch, never per row.
 
-The actual media decoders (PIL/librosa/ffmpeg) are NOT installed in this
-environment; ``decode_image``/``decode_audio`` are explicit stubs. The
-Spark-side plumbing — schema, batch iteration, deterministic featurization
-of the raw bytes — is real and oracle-tested (multimodal_features query).
+Decoding is REAL for uncompressed formats (PPM/PGM/BMP images, WAV PCM
+audio, concatenated-PPM video) via ``operators/media.py`` — pure
+numpy/stdlib, no native codecs. Compressed formats (JPEG/PNG/MP3) raise
+``NotImplementedError`` after magic-byte sniffing; a production deployment
+drops PIL/ffmpeg into those two functions and every operator here is
+unchanged. The decode→feature/resize/frame-sample pipelines are
+oracle-tested end-to-end (image_decode_features / audio_decode_features:
+deterministic payloads generated, encoded, decoded, and featurized
+Spark-side, matched against closed-form DuckDB SQL).
 """
 
 from __future__ import annotations
@@ -17,17 +22,18 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ecommerce_lakehouse_spark.operators.media import (  # noqa: F401
+    audio_features,
+    decode_audio,
+    decode_image,
+    encode_ppm,
+    encode_wav,
+    resize_bilinear,
+    sniff_mime,
+    split_ppm_frames,
+)
+
 FEATURE_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, last_byte int, checksum int"
-
-
-def decode_image(payload: bytes) -> "object":
-    """Stub: real implementation decodes to HxWxC array via PIL/libjpeg.
-    Kept as a hard failure so nothing silently fake-decodes media."""
-    raise NotImplementedError("image decoding requires PIL — not available in this environment")
-
-
-def decode_audio(payload: bytes) -> "object":
-    raise NotImplementedError("audio decoding requires librosa/ffmpeg — not available here")
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
