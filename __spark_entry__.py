@@ -72,10 +72,10 @@ _FIRST = [
     "range_band_join",
     "set_operations",
     "rollup_sales",
-    "cube_sales",
     "grouping_sets_sales",
     "pivot_returnflag_revenue",
-    "unpivot_priority_metrics",
+    "image_decode_features",
+    "audio_decode_features",
     "cumulative_new_customers",
     "part_cooccurrence",
     "tpch_q1_pricing_summary",

@@ -71,47 +71,129 @@ def featurize_binary(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = "doc_id bigint, width int, height int, n_bytes int"
-FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int"
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double"
+)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Decode→resize plumbing (stubbed decode): emits the target geometry
-    plus payload size per document. With media libs installed, the loop
-    body becomes decode_image(payload).resize((width, height)) — the
-    mapInPandas signature, output schema, and per-partition parallelism
-    are exactly what the production operator keeps."""
+def image_feature_extract(df: DataFrame) -> DataFrame:
+    """REAL decode → feature-extract over binary image payloads (PPM/BMP):
+    geometry + exact per-channel means. Channel sums are exact integer
+    sums (uint8 pixels) divided once, so results are reproducible across
+    partitionings and engines. One Arrow batch in, one out; fully
+    parallel per input partition — no shuffle."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": width,
-                    "height": height,
-                    "n_bytes": pdf["payload"].map(len),
-                }
-            )
+            out = {k: [] for k in ("doc_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b")}
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w, c = img.shape
+                sums = img.reshape(-1, c).astype(np.int64).sum(axis=0)
+                n = h * w
+                out["doc_id"].append(doc)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_r"].append(sums[0] / n)
+                out["mean_g"].append(sums[min(1, c - 1)] / n)
+                out["mean_b"].append(sums[min(2, c - 1)] / n)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, n_bytes int, payload binary"
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL decode → bilinear resize → re-encode: each payload is decoded
+    (PPM/BMP), resampled to (width, height) with the pure-numpy bilinear
+    kernel, and re-encoded as binary PPM. The mapInPandas signature,
+    output schema, and per-partition parallelism are what the production
+    operator keeps when PIL replaces the uncompressed-format decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "n_bytes": [], "payload": []}
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                resized = resize_bilinear(decode_image(bytes(payload)), width, height)
+                enc = encode_ppm(resized)
+                out["doc_id"].append(doc)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["n_bytes"].append(len(enc))
+                out["payload"].append(enc)
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int = 10, frame_size: int = 64) -> DataFrame:
-    """Frame-sampling plumbing (stubbed decode): chunks the payload into
-    fixed-size pseudo-frames and emits every n-th — the 1→many fan-out
-    shape (one output row per sampled frame) a real video sampler
-    produces. Row explosion happens inside the Arrow batch, not via a
-    join; output partitioning follows the input."""
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_bytes int, width int, height int, mean_lum double"
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling over a concatenated-PPM video container: split
+    the payload into frames (by each frame header's declared geometry),
+    decode every n-th, and emit its geometry + mean luminance — the
+    1→many fan-out shape (one output row per sampled frame) of a real
+    video sampler. Row explosion happens inside the Arrow batch, not via
+    a join; output partitioning follows the input."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            out = {k: [] for k in ("doc_id", "frame_idx", "frame_bytes", "width", "height", "mean_lum")}
             for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = [payload[i : i + frame_size] for i in range(0, len(payload), frame_size)]
+                frames = split_ppm_frames(bytes(payload))
                 for idx in range(0, len(frames), every_n):
+                    img = decode_image(frames[idx])
+                    h, w, _ = img.shape
                     out["doc_id"].append(doc)
                     out["frame_idx"].append(idx)
                     out["frame_bytes"].append(len(frames[idx]))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_lum"].append(float(img.astype(np.int64).sum() / img.size))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, n_frames int, n_channels int, sample_rate int, "
+    "duration_s double, energy bigint, zero_crossings int"
+)
+
+
+def audio_feature_extract(df: DataFrame) -> DataFrame:
+    """REAL WAV decode → feature-extract: frame/channel/rate geometry,
+    integer PCM energy (sum of squares — exact, order-independent), and
+    zero-crossing count. Floats appear only in duration (exact division);
+    everything else is integer-exact so results hash identically across
+    engines and partitionings."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "n_channels", "sample_rate",
+                                   "duration_s", "energy", "zero_crossings")}
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_audio(bytes(payload))
+                pcm = np.round(samples * 32768.0).astype(np.int64)  # undo exact /32768
+                mono = pcm[:, 0]
+                zc = int(np.count_nonzero((mono[1:] < 0) != (mono[:-1] < 0))) if len(mono) > 1 else 0
+                out["doc_id"].append(doc)
+                out["n_frames"].append(samples.shape[0])
+                out["n_channels"].append(samples.shape[1])
+                out["sample_rate"].append(rate)
+                out["duration_s"].append(samples.shape[0] / rate)
+                out["energy"].append(int((mono**2).sum()))
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

@@ -1,0 +1,176 @@
+"""Multimodal decode queries — REAL end-to-end media pipelines with
+closed-form DuckDB oracles.
+
+Payloads are generated deterministically from ``doc_id`` (pixel/sample
+values are integer formulas), encoded into real containers (binary PPM /
+16-bit PCM WAV), then decoded and featurized by the production operators
+(operators/multimodal.py → operators/media.py). The oracle recomputes the
+same features arithmetically in SQL — so a header-parsing bug, stride
+error, channel swap, or quantization mismatch in the codec path breaks
+the hash. This is what makes the multimodal component *testable* without
+shipping media files in the testdata.
+
+Reference: the lakehouse reference has no media pipeline; this implements
+the north-star multimodal requirement (binary columns + typed metadata +
+Arrow-batched decode) with decoders real for uncompressed formats.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+# deterministic geometry/pixel formulas shared by generator and oracle
+_IMG = dict(w="8 + doc_id % 5", h="6 + doc_id % 4")
+_PIX = dict(
+    r="(doc_id * 7 + 3 * x + 5 * y) % 256",
+    g="(doc_id * 11 + 2 * x + y) % 256",
+    b="(doc_id * 13 + x + 4 * y) % 256",
+)
+_AUDIO_N = "160 + doc_id % 50"
+_AUDIO_RATE = 8000
+
+
+def _gen_image_payloads(df: DataFrame) -> DataFrame:
+    """doc_id -> binary PPM payload with formula pixels (Arrow-batched)."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import encode_ppm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                w, h = 8 + d % 5, 6 + d % 4
+                ys, xs = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (d * 7 + 3 * xs + 5 * ys) % 256,
+                        (d * 11 + 2 * xs + ys) % 256,
+                        (d * 13 + xs + 4 * ys) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.mapInPandas(run, schema="doc_id bigint, payload binary")
+
+
+@query(
+    "image_decode_features",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_IMG['w']} AS w, {_IMG['h']} AS h FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(sum({_PIX['r']}) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(sum({_PIX['g']}) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(sum({_PIX['b']}) AS DOUBLE) / (w * h) AS mean_b
+FROM px
+GROUP BY doc_id, w, h
+""",
+)
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode → feature extraction, end-to-end through the real PPM
+    codec: generate formula-pixel images per doc_id, encode to binary PPM,
+    decode with operators/media.decode_image, emit geometry + exact
+    per-channel means. The oracle recomputes the means in closed form
+    over a generated pixel grid — byte-level codec errors cannot pass.
+
+    Scale: generation+decode+featurize run in ONE mapInPandas stage (no
+    shuffle, fully parallel per partition); channel sums are exact integer
+    sums so results are partitioning-independent."""
+    from ecommerce_lakehouse_spark.operators.multimodal import image_feature_extract
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return image_feature_extract(_gen_image_payloads(docs))
+
+
+@query(
+    "audio_decode_features",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_AUDIO_N} AS n FROM documents),
+p AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n),
+             i -> CAST(trunc((((doc_id * 3 + i * 17) % 2049) - 1024)
+                             * 32767.0 / 1024) AS BIGINT)) AS pcm
+  FROM d
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_frames,
+       1 AS n_channels,
+       {_AUDIO_RATE} AS sample_rate,
+       CAST(n AS DOUBLE) / {_AUDIO_RATE} AS duration_s,
+       CAST(list_aggregate(list_transform(pcm, x -> x * x), 'sum') AS BIGINT) AS energy,
+       CAST(list_aggregate(
+           list_transform(range(2, n + 1),
+               i -> CASE WHEN (pcm[i] < 0) <> (pcm[i - 1] < 0) THEN 1 ELSE 0 END),
+           'sum') AS INT) AS zero_crossings
+FROM p
+""",
+)
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode → feature extraction through the real WAV PCM codec:
+    per doc_id, synthesize a dyadic-sawtooth signal (sample k/1024 with
+    k = (doc_id*3 + i*17) % 2049 - 1024 — exactly representable, so
+    16-bit quantization truncates identically in numpy and SQL), encode
+    with the stdlib wave writer, decode with operators/media.decode_audio,
+    and emit integer-exact features (PCM energy = sum of squares,
+    zero-crossing count) plus exact duration.
+
+    Scale: one mapInPandas stage, no shuffle; features are
+    order-independent integer sums."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import encode_wav
+    from ecommerce_lakehouse_spark.operators.multimodal import audio_feature_extract
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                n = 160 + d % 50
+                i = np.arange(n)
+                k = (d * 3 + i * 17) % 2049 - 1024
+                payloads.append(encode_wav(k / 1024.0, _AUDIO_RATE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return audio_feature_extract(payloads)
+
+
+@query(
+    "image_resize_pipeline",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_IMG['w']} AS w, {_IMG['h']} AS h FROM documents)
+SELECT doc_id, 4 AS width, 4 AS height,
+       -- P6 header (magic+NL, w SP h NL, maxval NL) = 9 fixed + digit chars
+       CAST(9 + length(CAST(4 AS VARCHAR)) * 2 + 4 * 4 * 3 AS INT) AS n_bytes
+FROM d
+""",
+)
+def image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → bilinear resize → re-encode, validated on geometry: every
+    output payload is a real PPM of the target size (header 'P6\\n4 4\\n
+    255\\n' = 11 + 2*digits bytes + 48 pixel bytes). Pixel-level resize
+    correctness is covered by unit tests (block-mean identity); this
+    query locks the distributed pipeline shape and output sizing."""
+    from ecommerce_lakehouse_spark.operators.multimodal import resize_images
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = resize_images(_gen_image_payloads(docs), 4, 4)
+    return out.select("doc_id", "width", "height", "n_bytes")

@@ -1,0 +1,125 @@
+"""Pure-numpy/stdlib media codecs: PPM/PGM/BMP image decode, WAV PCM
+audio decode, bilinear resize, concatenated-PPM frame splitting."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ecommerce_lakehouse_spark.operators.media import (
+    audio_features,
+    decode_audio,
+    decode_image,
+    encode_ppm,
+    encode_wav,
+    resize_bilinear,
+    sniff_mime,
+    split_ppm_frames,
+)
+
+
+def _img(h=6, w=8, seed=3):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_roundtrip_bit_exact():
+    img = _img()
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+def test_ppm_ascii_p3():
+    img = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)  # 1x2
+    payload = b"P3\n# comment\n2 1\n255\n1 2 3 4 5 6\n"
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_pgm_binary_p5():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    payload = b"P5\n4 3\n255\n" + gray.tobytes()
+    out = decode_image(payload)
+    assert out.shape == (3, 4, 1) and np.array_equal(out[:, :, 0], gray)
+
+
+def _encode_bmp24(img: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BMP writer (test-side reference encoder)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    pixel_data = b""
+    for row in img[::-1]:  # bottom-up
+        bgr = row[:, ::-1].tobytes()
+        pixel_data += bgr + b"\x00" * (stride - len(bgr))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0)
+    return header + info + pixel_data
+
+
+def test_bmp_decode_matches_source():
+    img = _img(5, 7)
+    assert np.array_equal(decode_image(_encode_bmp24(img)), img)
+
+
+def test_bmp_odd_width_padding():
+    img = _img(3, 3)  # stride 9 -> padded to 12
+    assert np.array_equal(decode_image(_encode_bmp24(img)), img)
+
+
+def test_sniff_mime():
+    assert sniff_mime(encode_ppm(_img())) == "image/x-portable-pixmap"
+    assert sniff_mime(b"\x89PNG\r\n") == "image/png"
+    assert sniff_mime(b"RIFFxxxxWAVE") == "audio/wav"
+    assert sniff_mime(b"RIFFxxxxAVI ") == "application/octet-stream"
+    assert sniff_mime(b"garbage") == "application/octet-stream"
+
+
+def test_resize_bilinear_identity_and_constant():
+    img = _img(8, 8)
+    assert np.array_equal(resize_bilinear(img, 8, 8), img)
+    const = np.full((4, 4, 3), 77, dtype=np.uint8)
+    assert np.array_equal(resize_bilinear(const, 9, 5), np.full((5, 9, 3), 77, np.uint8))
+
+
+def test_resize_bilinear_downsample_2x_is_block_mean():
+    # exact 2x downsample with align_corners=False samples at pixel centers
+    # of each 2x2 block -> bilinear = block mean
+    img = np.zeros((4, 4, 1), dtype=np.uint8)
+    img[:2, :2, 0] = 100
+    out = resize_bilinear(img, 2, 2)
+    assert out[0, 0, 0] == 100 and out[1, 1, 0] == 0
+
+
+def test_wav_roundtrip_and_features():
+    rate = 8000
+    t = np.arange(1600)
+    mono = ((t % 64) - 32) / 32.0  # sawtooth, dyadic values
+    payload = encode_wav(mono, rate)
+    assert sniff_mime(payload) == "audio/wav"
+    samples, got_rate = decode_audio(payload)
+    assert got_rate == rate and samples.shape == (1600, 1)
+    f = audio_features(samples, got_rate)
+    assert f["n_frames"] == 1600 and f["duration_s"] == 0.2
+    assert f["zero_crossing_rate"] > 0 and f["rms"] > 0.3
+
+
+def test_wav_stereo():
+    rate = 4000
+    left = np.linspace(-0.5, 0.5, 400)
+    right = -left
+    payload = encode_wav(np.stack([left, right], axis=1), rate)
+    samples, _ = decode_audio(payload)
+    assert samples.shape == (400, 2)
+    assert abs(samples[:, 0].mean()) < 0.01
+
+
+def test_split_ppm_frames():
+    frames = [_img(seed=i) for i in range(5)]
+    blob = b"".join(encode_ppm(f) for f in frames)
+    parts = split_ppm_frames(blob)
+    assert len(parts) == 5
+    for raw, src in zip(parts, frames):
+        assert np.array_equal(decode_image(raw), src)
+
+
+def test_split_ppm_frames_rejects_garbage():
+    with pytest.raises(ValueError):
+        split_ppm_frames(b"NOTAPPM")

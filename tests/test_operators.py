@@ -52,37 +52,62 @@ def test_dedup_by_key_deterministic(spark):
     assert got == {(1, "a"), (2, "z")}
 
 
-def test_resize_images_plumbing(spark, sf_dir):
-    from ecommerce_lakehouse_spark.operators.multimodal import resize_images, with_binary_payload
-    from ecommerce_lakehouse_spark.tables import load
+def _test_image(doc_id: int, w: int = 8, h: int = 6):
+    import numpy as np
 
-    docs = load(spark, sf_dir, "documents").limit(20)
-    out = resize_images(with_binary_payload(docs), 224, 224)
-    rows = out.collect()
-    assert len(rows) == 20
-    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
-    assert all(r["n_bytes"] > 0 for r in rows)
+    ys, xs = np.mgrid[0:h, 0:w]
+    r = (doc_id * 7 + 3 * xs + 5 * ys) % 256
+    g = (doc_id * 11 + 2 * xs + ys) % 256
+    b = (doc_id * 13 + xs + 4 * ys) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
 
 
-def test_sample_frames_fanout(spark, sf_dir):
-    from ecommerce_lakehouse_spark.operators.multimodal import sample_frames, with_binary_payload
-    from ecommerce_lakehouse_spark.tables import load
+def test_resize_images_real_decode(spark):
+    import numpy as np
 
-    docs = load(spark, sf_dir, "documents").limit(10)
-    out = sample_frames(with_binary_payload(docs), every_n=3, frame_size=50)
-    pdf = out.toPandas()
-    assert set(pdf["doc_id"].unique()) == {r["doc_id"] for r in docs.select("doc_id").collect()}
-    # every_n sampling: frame indices are multiples of 3
+    from ecommerce_lakehouse_spark.operators.media import decode_image, encode_ppm
+    from ecommerce_lakehouse_spark.operators.multimodal import resize_images
+
+    rows = [(i, bytearray(encode_ppm(_test_image(i, 16, 12)))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = resize_images(df, 224, 224).collect()
+    assert len(out) == 20
+    assert all(r["width"] == 224 and r["height"] == 224 for r in out)
+    # output payloads are decodable PPMs with the target geometry
+    img = decode_image(bytes(out[0]["payload"]))
+    assert img.shape == (224, 224, 3) and img.dtype == np.uint8
+
+
+def test_sample_frames_real_video(spark):
+    from ecommerce_lakehouse_spark.operators.media import encode_ppm
+    from ecommerce_lakehouse_spark.operators.multimodal import sample_frames
+
+    # 10 docs, each a 9-frame concatenated-PPM "video"
+    rows = [
+        (i, bytearray(b"".join(encode_ppm(_test_image(i * 100 + f)) for f in range(9))))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    pdf = sample_frames(df, every_n=3).toPandas()
+    assert set(pdf["doc_id"].unique()) == set(range(10))
     assert (pdf["frame_idx"] % 3 == 0).all()
-    assert (pdf["frame_bytes"] > 0).all()
+    assert sorted(pdf[pdf.doc_id == 0]["frame_idx"]) == [0, 3, 6]
+    assert (pdf["width"] == 8).all() and (pdf["height"] == 6).all()
+    assert (pdf["frame_bytes"] > 0).all() and (pdf["mean_lum"] > 0).all()
 
 
-def test_decode_stubs_raise(spark):
+def test_decode_compressed_formats_raise():
     import pytest as _pytest
 
-    from ecommerce_lakehouse_spark.operators.multimodal import decode_audio, decode_image
+    from ecommerce_lakehouse_spark.operators.media import decode_audio, decode_image
 
     with _pytest.raises(NotImplementedError):
-        decode_image(b"xx")
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04" + b"\x00" * 16)
+    with _pytest.raises(ValueError):
+        decode_image(b"xx")
+    with _pytest.raises(ValueError):
         decode_audio(b"xx")
