@@ -41,6 +41,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm,
     llm2,
     llm3,
+    llm4,
     media,
     quality,
     relational,

@@ -1,0 +1,204 @@
+"""Training-data curation operators, wave 4: repetition profiling,
+PII scanning, and train/eval n-gram contamination — the quality/safety
+gates a corpus pipeline runs between dedup and sampling.
+
+All hot-path logic is JVM Column expressions (split / higher-order array
+functions / regexp_extract_all) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+# PII patterns chosen to behave identically under Java regex and RE2
+# (DuckDB): no lookaround, no backrefs.
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "repetition_profile",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+b AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> concat(w[i], ' ', w[i+1])) AS bg
+  FROM t WHERE len(w) >= 2
+)
+SELECT doc_id,
+       len(w) AS n_words,
+       len(bg) AS n_bigrams,
+       len(list_distinct(bg)) AS n_distinct_bigrams,
+       (len(bg) - len(list_distinct(bg))) / CAST(len(bg) AS DOUBLE)
+         AS dup_bigram_ratio,
+       list_max(list_transform(list_distinct(w),
+                               u -> len(list_filter(w, x -> x = u))))
+         / CAST(len(w) AS DOUBLE) AS top_word_share
+FROM b
+""",
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-bigram
+    ratio (what fraction of consecutive word pairs are repeats) and
+    top-word share (mode frequency / doc length). High values flag
+    boilerplate/spam for corpus filtering.
+
+    Scale: zero shuffles — every metric is computed inside the row with
+    higher-order array functions (sequence→transform for bigrams,
+    distinct-filter-count for the mode), so this runs at scan speed and
+    parallelizes per file split. The mode loop is O(distinct × len) per
+    row — bounded by document vocabulary, never corpus size."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    bg = F.expr(
+        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
+        "i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', "
+        "element_at(split(trim(text), '\\\\s+'), i + 1)))"
+    )
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(split(trim(text), '\\\\s+')), "
+        "u -> size(filter(split(trim(text), '\\\\s+'), x -> x = u))))"
+    )
+    return (
+        d.filter(F.size(w) >= 2)
+        .select(
+            "doc_id",
+            F.size(w).alias("n_words"),
+            F.size(bg).alias("n_bigrams"),
+            F.size(F.array_distinct(bg)).alias("n_distinct_bigrams"),
+            (
+                (F.size(bg) - F.size(F.array_distinct(bg)))
+                / F.size(bg).cast("double")
+            ).alias("dup_bigram_ratio"),
+            (top_cnt / F.size(w).cast("double")).alias("top_word_share"),
+        )
+    )
+
+
+@query(
+    "pii_scan",
+    oracle=f"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_EMAIL}')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(len(regexp_extract_all(text, '{_EMAIL}'))) AS BIGINT) AS total_emails,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_PHONE}')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(sum(len(regexp_extract_all(text, '{_PHONE}'))) AS BIGINT) AS total_phones,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_IPV4}')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ipv4,
+       CAST(sum(len(regexp_extract_all(text, '{_IPV4}'))) AS BIGINT) AS total_ipv4
+FROM documents
+GROUP BY 1
+""",
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII surface scan per source feed: email / phone / IPv4 match
+    counts (docs-affected + total occurrences) — the triage report that
+    decides which sources need scrubbing before training. Patterns are
+    lookaround-free so Java regex and RE2 agree match-for-match.
+
+    Scale: regexp_extract_all is JVM-side and the aggregation is an
+    ordinary partial-agg groupBy on the low-cardinality source key — one
+    slim shuffle of per-source partial counts."""
+    d = load(spark, sf_dir, "documents")
+
+    def hits(pat: str):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+
+    def agg_pair(pat: str, label: str):
+        h = hits(pat)
+        return [
+            F.sum(F.when(h > 0, 1).otherwise(0)).alias(f"docs_with_{label}"),
+            F.sum(h.cast("long")).alias(f"total_{label}s" if label != "ipv4" else "total_ipv4"),
+        ]
+
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *agg_pair(_EMAIL, "email"),
+        *agg_pair(_PHONE, "phone"),
+        *agg_pair(_IPV4, "ipv4"),
+    )
+
+
+@query(
+    "ngram_contamination",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 3),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS gs
+  FROM t WHERE len(w) >= 5
+),
+ex AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+ev AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 100 = 0),
+hit AS (
+  SELECT ex.doc_id, count(*) AS n_contaminated
+  FROM ex JOIN ev USING (gram)
+  WHERE ex.doc_id % 100 <> 0
+  GROUP BY 1
+)
+SELECT g.doc_id,
+       len(g.gs) AS n_grams,
+       coalesce(hit.n_contaminated, 0) AS n_contaminated,
+       coalesce(hit.n_contaminated, 0) / CAST(len(g.gs) AS DOUBLE) AS containment
+FROM g LEFT JOIN hit ON g.doc_id = hit.doc_id
+WHERE g.doc_id % 100 <> 0
+""",
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: 5-gram containment of every train
+    document against the eval set's n-gram inventory (eval = doc_id %
+    100 == 0, a deterministic holdout stand-in). This is the standard
+    decontamination gate run before training so eval benchmarks aren't
+    memorized.
+
+    Scale: the eval inventory is DISTINCT n-grams of the (small) eval
+    set — broadcast to every executor, so the train side never shuffles
+    its exploded grams: explode → broadcast-semi-join → per-doc count is
+    map-side until the final per-doc aggregation on doc_id. Production
+    swaps the raw gram string for xxhash64(gram) to slim the broadcast;
+    kept as text here so the DuckDB oracle matches exactly."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, size(split(trim(text), '\\\\s+')) - 4), "
+        "i -> concat_ws(' ', "
+        "element_at(split(trim(text), '\\\\s+'), i), "
+        "element_at(split(trim(text), '\\\\s+'), i + 1), "
+        "element_at(split(trim(text), '\\\\s+'), i + 2), "
+        "element_at(split(trim(text), '\\\\s+'), i + 3), "
+        "element_at(split(trim(text), '\\\\s+'), i + 4))))"
+    )
+    base = d.filter(F.size(w) >= 5).select("doc_id", grams.alias("gs"))
+    ex = base.select("doc_id", F.explode("gs").alias("gram"))
+    ev = ex.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
+    train = base.filter(F.col("doc_id") % 100 != 0)
+    hit = (
+        ex.filter(F.col("doc_id") % 100 != 0)
+        .join(F.broadcast(ev), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        train.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("gs").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)) / F.size("gs").cast("double")
+            ).alias("containment"),
+        )
+    )

