@@ -56,29 +56,31 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes per file split. The mode loop is O(distinct × len) per
     row — bounded by document vocabulary, never corpus size."""
     d = load(spark, sf_dir, "documents")
-    w = F.split(F.trim("text"), r"\s+")
+    # Materialization barrier (the winnow_fingerprints lesson,
+    # queries/llm3.py:454-461): Catalyst collapses projections into HOF
+    # lambdas and never CSE-dedupes them, so without the barrier every
+    # element_at(w, i) re-runs split() — O(len²) tokenizations per row.
+    toks = (
+        d.select("doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w"))
+        .filter(F.size("w") >= 2)
+        .localCheckpoint()
+    )
     bg = F.expr(
-        "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
-        "i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', "
-        "element_at(split(trim(text), '\\\\s+'), i + 1)))"
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
     top_cnt = F.expr(
-        "array_max(transform(array_distinct(split(trim(text), '\\\\s+')), "
-        "u -> size(filter(split(trim(text), '\\\\s+'), x -> x = u))))"
+        "array_max(transform(array_distinct(w), u -> size(filter(w, x -> x = u))))"
     )
-    return (
-        d.filter(F.size(w) >= 2)
-        .select(
-            "doc_id",
-            F.size(w).alias("n_words"),
-            F.size(bg).alias("n_bigrams"),
-            F.size(F.array_distinct(bg)).alias("n_distinct_bigrams"),
-            (
-                (F.size(bg) - F.size(F.array_distinct(bg)))
-                / F.size(bg).cast("double")
-            ).alias("dup_bigram_ratio"),
-            (top_cnt / F.size(w).cast("double")).alias("top_word_share"),
-        )
+    return toks.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(bg).alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).alias("n_distinct_bigrams"),
+        (
+            (F.size(bg) - F.size(F.array_distinct(bg))) / F.size(bg).cast("double")
+        ).alias("dup_bigram_ratio"),
+        (top_cnt / F.size("w").cast("double")).alias("top_word_share"),
     )
 
 
@@ -171,17 +173,22 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps the raw gram string for xxhash64(gram) to slim the broadcast;
     kept as text here so the DuckDB oracle matches exactly."""
     d = load(spark, sf_dir, "documents")
-    w = F.split(F.trim("text"), r"\s+")
-    grams = F.expr(
-        "array_distinct(transform(sequence(1, size(split(trim(text), '\\\\s+')) - 4), "
-        "i -> concat_ws(' ', "
-        "element_at(split(trim(text), '\\\\s+'), i), "
-        "element_at(split(trim(text), '\\\\s+'), i + 1), "
-        "element_at(split(trim(text), '\\\\s+'), i + 2), "
-        "element_at(split(trim(text), '\\\\s+'), i + 3), "
-        "element_at(split(trim(text), '\\\\s+'), i + 4))))"
+    # Two materialization barriers (see queries/llm3.py:454-461): tokenize
+    # once, build the gram arrays once — without them projection collapse
+    # re-inlines split() into all five element_at() calls per gram
+    # (measured 42 s at sf0.1; with barriers ~2 s), and the gram arrays
+    # would recompute for each of the three consumers below.
+    toks = (
+        d.select("doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w"))
+        .filter(F.size("w") >= 5)
+        .localCheckpoint()
     )
-    base = d.filter(F.size(w) >= 5).select("doc_id", grams.alias("gs"))
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, size(w) - 4), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+        "element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4))))"
+    )
+    base = toks.select("doc_id", grams.alias("gs")).localCheckpoint()
     ex = base.select("doc_id", F.explode("gs").alias("gram"))
     ev = ex.filter(F.col("doc_id") % 100 == 0).select("gram").distinct()
     train = base.filter(F.col("doc_id") % 100 != 0)
