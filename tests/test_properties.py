@@ -163,3 +163,95 @@ def test_cast_to_schema_total_and_tolerant(spark, raw):
                 n = v
         want.append((n, s_raw))
     assert got == sorted(want, key=str)
+
+
+# ---------------------------------------------------------------------------
+# media codec laws (pure functions — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_ppm_roundtrip_law(h, w, seed):
+    """decode(encode(img)) == img for every geometry and pixel content."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import decode_image, encode_ppm
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+@given(
+    n=st.integers(1, 500),
+    channels=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_law(n, channels, seed):
+    """WAV 16-bit PCM roundtrip: dyadic samples (k/1024) survive encode+
+    decode bit-exactly; arbitrary floats survive within 1 LSB."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import decode_audio, encode_wav
+
+    rng = np.random.RandomState(seed)
+    k = rng.randint(-1024, 1025, size=(n, channels))
+    samples = k / 1024.0
+    out, rate = decode_audio(encode_wav(samples, 8000))
+    assert rate == 8000 and out.shape == (n, channels)
+    # k/1024 quantizes to trunc(k*32767/1024); re-scaling is within 1 LSB
+    assert np.max(np.abs(out - samples)) <= 1.0 / 32767
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    th=st.integers(1, 12),
+    tw=st.integers(1, 12),
+    v=st.integers(0, 255),
+)
+@settings(max_examples=30, deadline=None)
+def test_resize_preserves_constant_images(h, w, th, tw, v):
+    """Bilinear resize of a constant image is constant (no boundary
+    bleed), for every source/target geometry."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import resize_bilinear
+
+    img = np.full((h, w, 3), v, dtype=np.uint8)
+    out = resize_bilinear(img, tw, th)
+    assert out.shape == (th, tw, 3)
+    assert (out == v).all()
+
+
+@given(
+    n_frames=st.integers(1, 6),
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_ppm_container_split_law(n_frames, h, w, seed):
+    """split(concat(frames)) recovers every frame bit-exactly."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import (
+        decode_image,
+        encode_ppm,
+        split_ppm_frames,
+    )
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n_frames)
+    ]
+    parts = split_ppm_frames(b"".join(encode_ppm(f) for f in frames))
+    assert len(parts) == n_frames
+    for raw, src in zip(parts, frames):
+        assert np.array_equal(decode_image(raw), src)
