@@ -20,13 +20,18 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     dedup upstream (reference relies on this implicitly: dedup G:404 always
     precedes merge G:452; SURVEY §7.5).
 
+    Schema evolution (Delta ``spark.databricks.delta.schema.autoMerge``
+    semantics): columns present on only one side survive the union —
+    update-only columns appear as NULL on untouched target rows, and
+    target-only columns as NULL on update rows.
+
     Scale note: one shuffle on the merge keys for the anti-join; with both
     sides bucketed/pre-partitioned by key it is co-partitioned. The
     anti-join side prunes to key columns only (column pruning keeps the
     shuffle narrow).
     """
     untouched = target.join(updates.select(*keys), on=keys, how="left_anti")
-    return updates.unionByName(untouched)
+    return updates.unionByName(untouched, allowMissingColumns=True)
 
 
 def merge_aggregate(

@@ -115,6 +115,30 @@ class LakeTable:
         n = self.current_version() + 1 if self.exists() else 1
         return os.path.join(self.root, "data", f"v{n:08d}")
 
+    @staticmethod
+    def _carry_prior_dirs(prior: dict, touched_rows: list[dict], new_dir: str) -> list:
+        """Manifest entries for a partition-pruned rewrite: every prior
+        data dir passes through with ``touched_rows`` added to its
+        exclusion mask; the new dir (holding the rewritten partitions)
+        is appended unmasked."""
+        entries = []
+        for e in prior["data_dirs"]:
+            e = dict(e) if isinstance(e, dict) else {"path": e, "exclude": []}
+            seen = {tuple(sorted(x.items())) for x in e.get("exclude", [])}
+            extra = [t for t in touched_rows if tuple(sorted(t.items())) not in seen]
+            e["exclude"] = e.get("exclude", []) + extra
+            entries.append(e)
+        entries.append(new_dir)
+        return entries
+
+    def _touched_partitions(self, df, pcols: list[str]) -> list[dict]:
+        """Distinct partition tuples present in ``df`` (control-plane
+        collect — bounded by partition count, never data volume)."""
+        touched = {
+            tuple(_part_key(v) for v in r) for r in df.select(*pcols).distinct().collect()
+        }
+        return [dict(zip(pcols, t)) for t in sorted(touched, key=str)]
+
     # ---------------- writers (K1-K6) ----------------
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
@@ -172,20 +196,13 @@ class LakeTable:
             return self._commit([d], "merge", pcols)
 
         target = self.read()
-        # Touched partitions: control-plane collect of distinct partition
-        # tuples (bounded by partition count, never data volume). The
-        # target side is a key-column-pruned semi-join — one slim shuffle.
-        upd_parts = updates.select(*pcols).distinct()
-        tgt_parts = (
-            target.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
-            .select(*pcols)
-            .distinct()
+        # Touched partitions: the updates' own partitions plus partitions
+        # of target rows whose keys match (key-column-pruned semi-join —
+        # one slim shuffle), so a key that moved partitions is rewritten.
+        tgt_matched = target.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
+        touched_rows = self._touched_partitions(
+            updates.select(*pcols).unionByName(tgt_matched.select(*pcols)), pcols
         )
-        touched = {
-            tuple(_part_key(v) for v in r)
-            for r in upd_parts.unionByName(tgt_parts).distinct().collect()
-        }
-        touched_rows = [dict(zip(pcols, t)) for t in sorted(touched, key=str)]
 
         merged = merge_upsert(
             target.filter(_partition_predicate(pcols, touched_rows)), updates, keys
@@ -196,15 +213,68 @@ class LakeTable:
         # Prior dirs pass through with the touched partitions masked out;
         # read() turns the mask into a partition-pruning filter, so those
         # directories are skipped at scan planning, not scanned-and-dropped.
-        entries = []
-        for e in prior["data_dirs"]:
-            e = dict(e) if isinstance(e, dict) else {"path": e, "exclude": []}
-            seen = {tuple(sorted(x.items())) for x in e.get("exclude", [])}
-            extra = [t for t in touched_rows if tuple(sorted(t.items())) not in seen]
-            e["exclude"] = e.get("exclude", []) + extra
-            entries.append(e)
-        entries.append(d)
-        return self._commit(entries, "merge", pcols)
+        return self._commit(self._carry_prior_dirs(prior, touched_rows, d), "merge", pcols)
+
+    def delete(self, condition) -> int:
+        """Delta-style ``DELETE FROM t WHERE condition`` as copy-on-write
+        (reference's storage layer is Delta, whose DELETE rewrites only
+        files containing matches). Partition-pruned like merge(): only
+        partitions containing matching rows are rewritten; the rest pass
+        through behind the exclusion mask. Unpartitioned tables rewrite
+        the snapshot."""
+        import pyspark.sql.functions as F
+
+        prior = self._manifest(self.current_version())
+        pcols = prior["partition_by"]
+        target = self.read()
+        if not pcols:
+            kept = target.filter(~F.expr(condition) if isinstance(condition, str) else ~condition)
+            d = self._new_data_dir()
+            kept.write.mode("overwrite").parquet(d)
+            return self._commit([d], "delete", pcols)
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        touched_rows = self._touched_partitions(target.filter(cond), pcols)
+        if not touched_rows:
+            return self.current_version()  # no-op delete: nothing matched
+        kept = target.filter(_partition_predicate(pcols, touched_rows)).filter(~cond)
+        d = self._new_data_dir()
+        kept.write.mode("overwrite").partitionBy(*pcols).parquet(d)
+        return self._commit(self._carry_prior_dirs(prior, touched_rows, d), "delete", pcols)
+
+    def update(self, condition, assignments: dict) -> int:
+        """Delta-style ``UPDATE t SET col = expr WHERE condition`` as
+        copy-on-write, partition-pruned: rewrites only partitions holding
+        matching rows (assignments must not change partition columns —
+        use merge() for partition-moving updates, which handles the old
+        partition correctly)."""
+        import pyspark.sql.functions as F
+
+        prior = self._manifest(self.current_version())
+        pcols = prior["partition_by"]
+        bad = set(assignments) & set(pcols)
+        if bad:
+            raise ValueError(f"update() cannot modify partition columns {sorted(bad)}; use merge()")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        def apply(df):
+            for c, expr in assignments.items():
+                val = F.expr(expr) if isinstance(expr, str) else expr
+                df = df.withColumn(c, F.when(cond, val).otherwise(F.col(c)))
+            return df
+
+        target = self.read()
+        if not pcols:
+            d = self._new_data_dir()
+            apply(target).write.mode("overwrite").parquet(d)
+            return self._commit([d], "update", pcols)
+        touched_rows = self._touched_partitions(target.filter(cond), pcols)
+        if not touched_rows:
+            return self.current_version()
+        rewritten = apply(target.filter(_partition_predicate(pcols, touched_rows)))
+        d = self._new_data_dir()
+        rewritten.write.mode("overwrite").partitionBy(*pcols).parquet(d)
+        return self._commit(self._carry_prior_dirs(prior, touched_rows, d), "update", pcols)
 
     # ---------------- readers (S4 + time travel) ----------------
 

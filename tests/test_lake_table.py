@@ -141,6 +141,57 @@ def test_merge_chain_then_vacuum(spark, tbl):
     assert got == {(1, "A"), (2, "B"), (3, "c")}
 
 
+def test_delete_partition_pruned(spark, tbl, tmp_path):
+    """DELETE rewrites only partitions containing matches; other
+    partitions' files are untouched; history records the op."""
+    import glob
+
+    tbl.overwrite(
+        _df(spark, [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")]),
+        partition_by=["part"],
+    )
+    tbl.delete(F.col("k") == 1)
+    assert {(r.k, r.v) for r in tbl.read().collect()} == {(2, "b"), (3, "c")}
+    # partition y untouched: no y dir written in v2
+    assert not glob.glob(str(tmp_path / "t/data/v00000002/part=y"))
+    assert tbl.history()[-1]["operation"] == "delete"
+    # string-condition form + no-op delete returns current version
+    v = tbl.delete("k = 999")
+    assert v == tbl.current_version()
+    assert tbl.read().count() == 2
+
+
+def test_update_partition_pruned(spark, tbl, tmp_path):
+    """UPDATE SET v WHERE cond rewrites only matching partitions and
+    refuses to modify partition columns."""
+    import glob
+
+    import pytest as _pytest
+
+    tbl.overwrite(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")]), partition_by=["part"]
+    )
+    tbl.update("k = 1", {"v": "upper(v)"})
+    got = {(r.k, r.v) for r in tbl.read().collect()}
+    assert got == {(1, "A"), (2, "b")}
+    assert not glob.glob(str(tmp_path / "t/data/v00000002/part=y"))
+    with _pytest.raises(ValueError, match="partition columns"):
+        tbl.update("k = 1", {"part": "'z'"})
+
+
+def test_merge_schema_evolution(spark, tbl):
+    """MERGE with updates carrying a NEW column: existing rows get NULL,
+    update rows carry the value (Delta autoMerge semantics)."""
+    tbl.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "x")]), partition_by=["part"])
+    updates = spark.createDataFrame(
+        [(2, "B", "x", "extra")], "k int, v string, part string, note string"
+    )
+    tbl.merge(updates, keys=["k"])
+    rows = {r.k: r for r in tbl.read().collect()}
+    assert rows[2].v == "B" and rows[2].note == "extra"
+    assert rows[1].v == "a" and rows[1].note is None
+
+
 def test_merge_requires_unique_update_keys(spark, tbl):
     # SURVEY §7.5: dedup precedes merge; duplicate update keys double-insert
     # in the pure relational form, so upstream dedup is a correctness
