@@ -209,3 +209,104 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# composition queries: ANN quality eval + curation funnel
+# ---------------------------------------------------------------------------
+
+from ecommerce_lakehouse_spark.queries import ORACLES as _ORACLES  # noqa: E402
+from ecommerce_lakehouse_spark.queries.llm import (  # noqa: E402
+    embedding_knn_bruteforce as _knn,
+)
+from ecommerce_lakehouse_spark.queries.llm2 import (  # noqa: E402
+    embedding_lsh_ann as _lsh,
+)
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+WITH knn AS ({_ORACLES['embedding_knn_bruteforce']}),
+ann AS ({_ORACLES['embedding_lsh_ann']}),
+hits AS (
+  SELECT ann.query_id,
+         CASE WHEN knn.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ann LEFT JOIN knn
+    ON ann.query_id = knn.query_id AND ann.neighbor_id = knn.neighbor_id
+)
+SELECT count(*) AS n_queries,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_5
+FROM hits
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: does the LSH index's reported neighbor
+    appear in the exact brute-force top-5? Composes the two registered
+    operators and reports recall@5 — the metric that tunes plane count /
+    multi-probe before anyone trusts the index at scale. (The oracle
+    composes the same two oracle SQLs as CTEs, so this also cross-checks
+    the operators against each other.)
+
+    Scale: both inputs are per-query top-k results (rows = queries × k),
+    so the join and aggregate are control-plane-sized regardless of
+    corpus size."""
+    knn = _knn(spark, sf_dir).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    ann = _lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    joined = ann.join(knn, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*")
+        ).alias("recall_at_5"),
+    )
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle="""
+WITH t AS (
+  SELECT lang, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT lang, text,
+         least(len(toks) / 100.0, 1.0)
+           * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)) AS qscore
+  FROM t
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN qscore >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_pass,
+       count(DISTINCT CASE WHEN qscore >= 0.2 THEN md5(text) END)
+         AS n_unique_pass
+FROM scored
+GROUP BY 1
+""",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel per language: raw docs → quality gate
+    (the text_quality_stats score) → exact dedup (md5 content hash),
+    reported as stage counts — the shrinkage report every corpus build
+    publishes.
+
+    Scale: one scan; the quality score is row-local JVM array math, the
+    dedup stage counts DISTINCT fixed-width hashes (never raw text) under
+    a conditional, and the group key (lang) is low-cardinality — one slim
+    shuffle of partial aggregates."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    qscore = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * (
+        F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+    )
+    scored = d.select("lang", "text", qscore.alias("qscore"))
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("qscore") >= 0.2, 1).otherwise(0)).alias("n_quality_pass"),
+        F.countDistinct(
+            F.when(F.col("qscore") >= 0.2, F.md5("text"))
+        ).alias("n_unique_pass"),
+    )
