@@ -170,3 +170,25 @@ def test_merge_exclusion_mask_prunes_at_plan_time(spark, tmp_path):
     # file-level proof: count leaf files the old-dir scan actually reads
     old_dir_df = t.read(version=1).filter(F.col("part") != "p0")
     assert old_dir_df.count() == 30
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_row_at_a_time_python(spark, sf_dir, name):
+    """SURVEY §2.9 UDF policy, enforced mechanically over every registered
+    query's physical plan: zero BatchEvalPython (row-at-a-time Python
+    UDFs) anywhere. Python may appear only as Arrow-vectorized operators
+    (MapInPandas / FlatMapGroupsInPandas) at the deliberate multimodal
+    boundaries."""
+    text = plan_text(REGISTRY[name](spark, sf_dir))
+    assert "BatchEvalPython" not in text, f"{name} uses a row-at-a-time Python UDF"
+    assert "PythonUDF" not in text or "ArrowEvalPython" in text or "MapInPandas" in text, name
+
+
+def test_every_query_has_an_oracle():
+    """The correctness gate is only as wide as its oracle coverage: every
+    registered query must ship DuckDB oracle SQL (no silent rows-only
+    fallbacks)."""
+    from ecommerce_lakehouse_spark.queries import ORACLES
+
+    missing = sorted(set(REGISTRY) - set(ORACLES))
+    assert not missing, f"queries without oracles: {missing}"
