@@ -373,23 +373,21 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("n_doc"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the old label through the checkpoint so convergence is a
+        # filter-count over the cached result — no extra join per iteration
+        cand = (
             labels.join(neigh, labels.doc_id == neigh.n_doc, "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_label"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = cand.filter(F.col("cluster_id") < F.col("old_label")).count()
+        labels = cand.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))

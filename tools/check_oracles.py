@@ -1,6 +1,10 @@
 """Run every registered query against its DuckDB oracle and report.
 
-Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracles.py [--tz ZONE] [sf_dir] [query_name ...]
+
+--tz runs the whole gate under a non-UTC session timezone (e.g.
+America/New_York) — the probe that catches timestamp normalization bugs
+whose rendered wall clock depends on the session zone.
 """
 
 from __future__ import annotations
@@ -18,9 +22,19 @@ from ecommerce_lakehouse_spark.testing import check_query
 
 def main() -> int:
     args = sys.argv[1:]
+    tz = None
+    if "--tz" in args:
+        i = args.index("--tz")
+        tz = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args[1:] if args and os.path.isdir(args[0]) else args
-    spark = get_spark("oracle-check")
+    extra = {"spark.sql.session.timeZone": tz} if tz else None
+    spark = get_spark("oracle-check", extra_conf=extra)
+    if tz:
+        # getOrCreate may reuse a session built with UTC — force the conf
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        print(f"session timezone: {tz}")
     failures = []
     for name, fn in REGISTRY.items():
         if names and name not in names:
