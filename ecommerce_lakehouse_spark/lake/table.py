@@ -29,6 +29,20 @@ from pyspark.sql import DataFrame, SparkSession
 from ecommerce_lakehouse_spark.lake.merge import merge_upsert
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed a version this operation didn't see.
+
+    LakeTable's commit protocol is optimistic concurrency control in the
+    Delta style: an operation snapshots the table version when it starts,
+    and the commit (a) refuses if the table moved past that snapshot and
+    (b) creates its manifest file with O_EXCL so two writers racing for
+    the same version number cannot both win — the loser gets this error
+    and must re-read and retry. What is NOT implemented (and what
+    delta-spark adds) is logical conflict resolution: a real Delta commit
+    re-checks whether the winner's files actually overlap its read set
+    and auto-retries when disjoint. Here every conflict surfaces."""
+
+
 def _part_key(v):
     """JSON-safe canonical form of a partition value (dates/timestamps
     become strings; comparison happens through a string cast on read)."""
@@ -92,8 +106,20 @@ class LakeTable:
                 out.append(self._manifest(int(name[1:-5])))
         return out
 
-    def _commit(self, data_dirs: list[str], operation: str, partition_by: list[str]) -> int:
-        version = (self.current_version() + 1) if self.exists() else 1
+    def _commit(
+        self,
+        data_dirs: list[str],
+        operation: str,
+        partition_by: list[str],
+        base_version: int | None = None,
+    ) -> int:
+        current = self.current_version() if self.exists() else 0
+        if base_version is not None and current != base_version:
+            raise ConcurrentWriteError(
+                f"{operation}: table advanced v{base_version} -> v{current} "
+                "since this operation read it; re-read and retry"
+            )
+        version = current + 1
         os.makedirs(self._manifest_dir, exist_ok=True)
         manifest = {
             "version": version,
@@ -102,7 +128,16 @@ class LakeTable:
             "partition_by": partition_by,
             "committed_at": time.time(),
         }
-        with open(os.path.join(self._manifest_dir, f"v{version:08d}.json"), "w") as f:
+        mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
+        try:
+            # O_EXCL: exactly one writer can create this version's manifest
+            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{operation}: lost the race for v{version} "
+                f"(another writer committed it); re-read and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         # atomic pointer swap: write temp file then rename
         fd, tmp = tempfile.mkstemp(dir=self._manifest_dir)
@@ -145,12 +180,13 @@ class LakeTable:
         """K1/K4: full overwrite (schema evolution implicit — the new
         version's parquet schema wins)."""
         partition_by = partition_by or []
+        base = self.current_version() if self.exists() else 0
         d = self._new_data_dir()
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(d)
-        return self._commit([d], "overwrite", partition_by)
+        return self._commit([d], "overwrite", partition_by, base_version=base)
 
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """K2/K3: append — new version references prior data dirs plus the
@@ -164,7 +200,9 @@ class LakeTable:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(d)
-        return self._commit(prior["data_dirs"] + [d], "append", partition_by)
+        return self._commit(
+            prior["data_dirs"] + [d], "append", partition_by, base_version=prior["version"]
+        )
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
         """K5/K6: MERGE upsert with create-if-absent fallback (reference
@@ -193,7 +231,7 @@ class LakeTable:
             merged = merge_upsert(self.read(), updates, keys)
             d = self._new_data_dir()
             merged.write.mode("overwrite").parquet(d)
-            return self._commit([d], "merge", pcols)
+            return self._commit([d], "merge", pcols, base_version=prior["version"])
 
         target = self.read()
         # Touched partitions: the updates' own partitions plus partitions
@@ -213,7 +251,10 @@ class LakeTable:
         # Prior dirs pass through with the touched partitions masked out;
         # read() turns the mask into a partition-pruning filter, so those
         # directories are skipped at scan planning, not scanned-and-dropped.
-        return self._commit(self._carry_prior_dirs(prior, touched_rows, d), "merge", pcols)
+        return self._commit(
+            self._carry_prior_dirs(prior, touched_rows, d), "merge", pcols,
+            base_version=prior["version"],
+        )
 
     def delete(self, condition) -> int:
         """Delta-style ``DELETE FROM t WHERE condition`` as copy-on-write
@@ -231,7 +272,7 @@ class LakeTable:
             kept = target.filter(~F.expr(condition) if isinstance(condition, str) else ~condition)
             d = self._new_data_dir()
             kept.write.mode("overwrite").parquet(d)
-            return self._commit([d], "delete", pcols)
+            return self._commit([d], "delete", pcols, base_version=prior["version"])
 
         cond = F.expr(condition) if isinstance(condition, str) else condition
         touched_rows = self._touched_partitions(target.filter(cond), pcols)
@@ -240,7 +281,10 @@ class LakeTable:
         kept = target.filter(_partition_predicate(pcols, touched_rows)).filter(~cond)
         d = self._new_data_dir()
         kept.write.mode("overwrite").partitionBy(*pcols).parquet(d)
-        return self._commit(self._carry_prior_dirs(prior, touched_rows, d), "delete", pcols)
+        return self._commit(
+            self._carry_prior_dirs(prior, touched_rows, d), "delete", pcols,
+            base_version=prior["version"],
+        )
 
     def update(self, condition, assignments: dict) -> int:
         """Delta-style ``UPDATE t SET col = expr WHERE condition`` as
@@ -267,14 +311,17 @@ class LakeTable:
         if not pcols:
             d = self._new_data_dir()
             apply(target).write.mode("overwrite").parquet(d)
-            return self._commit([d], "update", pcols)
+            return self._commit([d], "update", pcols, base_version=prior["version"])
         touched_rows = self._touched_partitions(target.filter(cond), pcols)
         if not touched_rows:
             return self.current_version()
         rewritten = apply(target.filter(_partition_predicate(pcols, touched_rows)))
         d = self._new_data_dir()
         rewritten.write.mode("overwrite").partitionBy(*pcols).parquet(d)
-        return self._commit(self._carry_prior_dirs(prior, touched_rows, d), "update", pcols)
+        return self._commit(
+            self._carry_prior_dirs(prior, touched_rows, d), "update", pcols,
+            base_version=prior["version"],
+        )
 
     # ---------------- readers (S4 + time travel) ----------------
 
@@ -318,7 +365,9 @@ class LakeTable:
         if prior["partition_by"]:
             w = w.partitionBy(*prior["partition_by"])
         w.parquet(d)
-        return self._commit([d], "compact", prior["partition_by"])
+        return self._commit(
+            [d], "compact", prior["partition_by"], base_version=prior["version"]
+        )
 
     def optimize(self, zorder_by: list[str], target_partitions: int = 8, bits: int = 8) -> int:
         """OPTIMIZE ZORDER analogue (reference docs/etl_processes.md:381-386,
@@ -372,7 +421,9 @@ class LakeTable:
         if prior["partition_by"]:
             w = w.partitionBy(*prior["partition_by"])
         w.parquet(d)
-        return self._commit([d], "optimize-zorder", prior["partition_by"])
+        return self._commit(
+            [d], "optimize-zorder", prior["partition_by"], base_version=prior["version"]
+        )
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """VACUUM analogue (reference docs/data_model.md:310-316): delete

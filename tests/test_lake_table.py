@@ -192,6 +192,43 @@ def test_merge_schema_evolution(spark, tbl):
     assert rows[1].v == "a" and rows[1].note is None
 
 
+def test_optimistic_concurrency_detects_conflicts(spark, tbl):
+    """Delta-style OCC: a commit whose base version is stale, or that
+    loses the race for a version's manifest file, raises instead of
+    silently clobbering the other writer."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ecommerce_lakehouse_spark.lake import ConcurrentWriteError
+
+    tbl.overwrite(_df(spark, [(1, "a", "x")]))
+    base = tbl.current_version()
+
+    # writer B commits in between
+    tbl.append(_df(spark, [(2, "b", "x")]))
+
+    # writer A tries to commit against its stale snapshot
+    with _pytest.raises(ConcurrentWriteError, match="advanced"):
+        tbl._commit(["/nonexistent"], "merge", [], base_version=base)
+
+    # manifest-file race: the next version's manifest already exists
+    nxt = tbl.current_version() + 1
+    race = os.path.join(tbl._manifest_dir, f"v{nxt:08d}.json")
+    with open(race, "w") as f:
+        json.dump({"version": nxt, "data_dirs": [], "partition_by": []}, f)
+    with _pytest.raises(ConcurrentWriteError, match="race"):
+        tbl.append(_df(spark, [(3, "c", "x")]))
+    os.remove(race)
+
+    # after cleanup the writer retries successfully and data is intact
+    tbl.append(_df(spark, [(3, "c", "x")]))
+    assert {(r.k, r.v) for r in tbl.read().collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+
 def test_merge_requires_unique_update_keys(spark, tbl):
     # SURVEY §7.5: dedup precedes merge; duplicate update keys double-insert
     # in the pure relational form, so upstream dedup is a correctness
