@@ -310,3 +310,41 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("qscore") >= 0.2, F.md5("text"))
         ).alias("n_unique_pass"),
     )
+
+
+from ecommerce_lakehouse_spark.queries.llm2 import (  # noqa: E402
+    lang_id_heuristic as _lang_id,
+)
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+WITH pred AS ({_ORACLES['lang_id_heuristic']})
+SELECT lang AS labeled_lang, predicted_lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred
+GROUP BY 1, 2
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    language-ID heuristic against the corpus's lang labels — the accuracy
+    report any curation pipeline publishes before trusting a filter.
+    (Composes the registered lang_id operator; the oracle composes its
+    oracle SQL, cross-checking both.)
+
+    Scale: the classifier runs in the scan stage (JVM array expressions);
+    the matrix is a low-cardinality (label × prediction) groupBy — one
+    slim shuffle of partial counts."""
+    pred = _lang_id(spark, sf_dir)
+    return pred.groupBy(
+        F.col("lang").alias("labeled_lang"), "predicted_lang"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang") == F.col("predicted_lang"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
