@@ -92,6 +92,13 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_pairs for why not a self-join); exact cosine runs only on
     candidates, never O(n²). Recall tunes via band count; bucket width via
     planes-per-band.
+
+    Pipeline-ordering caveat (measured, tools/scale_smoke.py): candidate
+    count — and the true output — is quadratic in exact-copy multiplicity
+    (identical vectors share every bucket and all C(copies,2) pairs are
+    genuine near-dups). At scale, run exact content-hash collapse FIRST
+    (exact_dedup), then near-dup on canonical vectors; the curation
+    funnel stages in that order.
     """
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
