@@ -105,6 +105,14 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq = F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     v = e.withColumn("nrm", F.sqrt(sq))
+    return _cosine_pair_search(v)
+
+
+def _cosine_pair_search(v: DataFrame) -> DataFrame:
+    """Banded-LSH candidate generation + exact-cosine confirmation over a
+    (vec_id, emb, nrm) DataFrame — the shared engine behind
+    embedding_cosine_dups (all vectors) and
+    embedding_cosine_dups_canonical (exact-collapsed vectors)."""
 
     def band_bucket(b: int):
         bucket = None
@@ -168,6 +176,77 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cos)
         .filter(F.col("cos") >= _CD_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 5).alias("cosine_sim"))
+    )
+
+
+@query(
+    "embedding_cosine_dups_canonical",
+    oracle=f"""
+WITH canon AS (
+  SELECT min(vec_id) AS vec_id, embedding, count(*) AS n_copies
+  FROM embeddings GROUP BY embedding
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) AS nrm
+  FROM canon
+), bands AS (
+  {_CD_BANDS_SQL}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.emb AS ea, b.emb AS eb, a.nrm AS na, b.nrm AS nb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), confirmed AS (
+  SELECT vec_a, vec_b, round(cos, 5) AS cosine_sim
+  FROM (SELECT vec_a, vec_b,
+               list_aggregate(list_transform(range(1, {_DIM} + 1),
+                   i -> ea[i] * eb[i]), 'sum') / (na * nb) AS cos
+        FROM pairs)
+  WHERE cos >= {_CD_THRESHOLD}
+)
+SELECT c.vec_a, c.vec_b, c.cosine_sim,
+       ca.n_copies AS copies_a, cb.n_copies AS copies_b
+FROM confirmed c
+JOIN canon ca ON c.vec_a = ca.vec_id
+JOIN canon cb ON c.vec_b = cb.vec_id
+""",
+)
+def embedding_cosine_dups_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-ordered near-dup pipeline as one operator: exact-collapse
+    identical vectors FIRST (group by the embedding itself — no float
+    serialization, canonical id = min vec_id, multiplicity kept), then
+    banded-LSH near-dup on the canonical set only. This removes the
+    quadratic-in-copy-multiplicity candidate blowup measured in
+    tools/scale_smoke.py (178 s → the canonical set is copy-free, so
+    bucket sizes reflect genuine near-dup density only); each emitted
+    pair carries both sides' multiplicities so downstream dedup can
+    weight survivors.
+
+    Scale: the collapse is one groupBy on the vector value (map-side
+    partials collapse copies early); everything after runs on the
+    strictly smaller canonical set."""
+    e = load(spark, sf_dir, "embeddings")
+    canon = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"), F.count("*").alias("n_copies")
+    )
+    sq = F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    v = canon.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(sq))
+    pairs = _cosine_pair_search(v)
+    copies = canon.select("vec_id", "n_copies")
+    return (
+        pairs.join(
+            F.broadcast(copies.select(F.col("vec_id").alias("vec_a"),
+                                      F.col("n_copies").alias("copies_a"))),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(copies.select(F.col("vec_id").alias("vec_b"),
+                                      F.col("n_copies").alias("copies_b"))),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", "cosine_sim", "copies_a", "copies_b")
     )
 
 

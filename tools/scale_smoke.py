@@ -34,6 +34,7 @@ QUERIES = [
     "minhash_lsh_pairs",
     "simhash_signatures",
     "embedding_lsh_ann",
+    "embedding_cosine_dups_canonical",
     "embedding_cosine_dups",
     "ngram_contamination",
     "repetition_profile",
