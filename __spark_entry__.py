@@ -83,7 +83,7 @@ _FIRST = [
     "tpch_q21_waiting_supplier",
     "exact_dedup",
     "minhash_lsh_pairs",
-    "embedding_cosine_dups",
+    "embedding_cosine_dups_canonical",
     "token_count_by_lang",
     "bpe_token_estimate",
     "text_quality_stats",
