@@ -23,6 +23,7 @@ import json
 import os
 import tempfile
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,17 +31,22 @@ from ecommerce_lakehouse_spark.lake.merge import merge_upsert
 
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer committed a version this operation didn't see.
+    """Another writer committed a conflicting version this operation
+    didn't see.
 
     LakeTable's commit protocol is optimistic concurrency control in the
     Delta style: an operation snapshots the table version when it starts,
     and the commit (a) refuses if the table moved past that snapshot and
     (b) creates its manifest file with O_EXCL so two writers racing for
-    the same version number cannot both win — the loser gets this error
-    and must re-read and retry. What is NOT implemented (and what
-    delta-spark adds) is logical conflict resolution: a real Delta commit
-    re-checks whether the winner's files actually overlap its read set
-    and auto-retries when disjoint. Here every conflict surfaces."""
+    the same version number cannot both win. Logical conflict resolution
+    (what delta-spark's commit protocol adds on top) is implemented for
+    the common cases: blind appends rebase over any winner, and
+    partition-pruned merge/delete/update rebase automatically when every
+    intervening winner's touched partitions are disjoint from theirs AND
+    the winner's newly-added data cannot affect this operation's read set
+    (checked by scanning only the winners' delta dirs). Overlapping
+    writers — and full-table rewrites (overwrite/compact/optimize) racing
+    anything — still surface this error."""
 
 
 def _part_key(v):
@@ -68,11 +74,135 @@ def _partition_predicate(pcols: list[str], rows: list[dict]):
         clause = F.lit(True)
         for c in pcols:
             v = row[c]
+            # eqNullSafe (SQL <=>): every clause is TRUE/FALSE, never NULL,
+            # so rows whose partition value is NULL survive ~pred exclusion
+            # masks instead of being silently dropped by 3-valued logic.
             clause = clause & (
-                F.col(c).isNull() if v is None else (F.col(c).cast("string") == str(v))
+                F.col(c).isNull()
+                if v is None
+                else F.col(c).cast("string").eqNullSafe(str(v))
             )
         pred = pred | clause
     return pred
+
+
+def _row_canon(row: dict) -> tuple:
+    """Canonical hashable form of a partition tuple for disjointness checks
+    and for comparison against hive-path values: None stays None, bools
+    lowercase (hive writes true/false), everything else via str."""
+    out = []
+    for k in sorted(row):
+        v = row[k]
+        if isinstance(v, bool):
+            v = str(v).lower()
+        elif v is not None:
+            v = str(v)
+        out.append((k, v))
+    return tuple(out)
+
+
+def _dir_partition_tuples(path: str, pcols: list[str]) -> set[tuple]:
+    """Partition tuples physically present under ``path`` (hive-style
+    ``col=value`` dirs; filesystem walk — control-plane, bounded by
+    partition count, never data volume)."""
+    from urllib.parse import unquote
+
+    found: set[tuple] = set()
+
+    def walk(d: str, depth: int, acc: list):
+        if depth == len(pcols):
+            found.add(_row_canon(dict(zip(pcols, acc))))
+            return
+        try:
+            names = os.listdir(d)
+        except FileNotFoundError:
+            return
+        prefix = pcols[depth] + "="
+        for name in names:
+            if name.startswith(prefix):
+                v = unquote(name[len(prefix):])
+                walk(
+                    os.path.join(d, name),
+                    depth + 1,
+                    acc + [None if v == "__HIVE_DEFAULT_PARTITION__" else v],
+                )
+
+    walk(path, 0, [])
+    return found
+
+
+def _collect_file_stats(d: str) -> dict:
+    """Per-file column min/max from parquet FOOTERS (footer-only I/O — the
+    local analogue of Delta's data-skipping stats, which are likewise
+    collected at write time and stored in the log). Only primitive
+    int/float/str/bool columns are recorded; anything else is skipped and
+    later treated as "unknown → cannot prune". Keys are paths relative to
+    ``d``. On a real cluster this walk runs against the object store via
+    the same listing the commit already performs; cost is one footer read
+    per written file, amortized into the write."""
+    import pyarrow.parquet as pq
+
+    files: dict[str, dict] = {}
+    for root, _, names in os.walk(d):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, name)
+            md = pq.ParquetFile(fp).metadata
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            seen_cols: set[str] = set()
+            bad: set[str] = set()
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    c = col.path_in_schema
+                    if "." in c:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        bad.add(c)
+                        continue
+                    mn, mx = st.min, st.max
+                    if not isinstance(mn, (int, float, str, bool)) or not isinstance(
+                        mx, (int, float, str, bool)
+                    ):
+                        bad.add(c)
+                        continue
+                    seen_cols.add(c)
+                    mins[c] = mn if c not in mins else min(mins[c], mn)
+                    maxs[c] = mx if c not in maxs else max(maxs[c], mx)
+            files[os.path.relpath(fp, d)] = {
+                c: [mins[c], maxs[c]] for c in seen_cols - bad
+            }
+    return files
+
+
+def _ranges_intersect(file_stats: dict | None, key_ranges: dict) -> bool:
+    """True unless the footer stats PROVE the file cannot contain any key
+    in ``key_ranges`` (missing stats → must assume intersecting)."""
+    if not file_stats:
+        return True
+    for c, (lo, hi) in key_ranges.items():
+        fs = file_stats.get(c)
+        if not fs or fs[0] is None or fs[1] is None:
+            continue
+        try:
+            if (lo is not None and fs[1] < lo) or (hi is not None and fs[0] > hi):
+                return False
+        except TypeError:  # incomparable types across engines — no pruning
+            continue
+    return True
+
+
+def _local_path(uri: str) -> str:
+    """input_file_name() returns file:// URIs; normalize to a local path."""
+    from urllib.parse import unquote, urlparse
+
+    if uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return uri
 
 
 class LakeTable:
@@ -112,6 +242,8 @@ class LakeTable:
         operation: str,
         partition_by: list[str],
         base_version: int | None = None,
+        touched: list[dict] | None = None,
+        txn: dict | None = None,
     ) -> int:
         current = self.current_version() if self.exists() else 0
         if base_version is not None and current != base_version:
@@ -126,6 +258,13 @@ class LakeTable:
             "operation": operation,
             "data_dirs": data_dirs,
             "partition_by": partition_by,
+            # list = partition tuples this commit wrote/rewrote ([] = blind
+            # append); None = full-table (overwrite/compact/unpartitioned
+            # DML) — used by the rebase protocol's disjointness check.
+            "touched_partitions": touched,
+            # Delta txn pattern: {"app_id", "version"} for idempotent
+            # replays (streaming foreachBatch records its batch id here).
+            "txn": txn,
             "committed_at": time.time(),
         }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -146,25 +285,175 @@ class LakeTable:
         os.replace(tmp, self._latest_path())
         return version
 
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest transaction version committed for ``app_id`` (Delta's
+        ``txnAppId``/``txnVersion`` idempotent-write pattern), or None."""
+        last = None
+        for m in self.history():
+            t = m.get("txn")
+            if t and t.get("app_id") == app_id:
+                last = t["version"] if last is None else max(last, t["version"])
+        return last
+
+    def _commit_rebasing(
+        self,
+        make_entries,
+        operation: str,
+        partition_by: list[str],
+        base_version: int,
+        touched: list[dict] | None,
+        txn: dict | None = None,
+        delta_check=None,
+        blind: bool = False,
+        max_retries: int = 5,
+    ) -> int:
+        """Commit with Delta-style logical conflict auto-resolution.
+
+        ``make_entries(prior_manifest_or_None)`` rebuilds the manifest
+        entry list against an arbitrary base. On ``ConcurrentWriteError``,
+        the winners (manifests between our base and the new head) are
+        examined: a blind append (``touched == []``) rebases over
+        anything; a partition-scoped op rebases only if every winner
+        recorded a touched-partition list disjoint from ours AND
+        ``delta_check`` (given a DataFrame of only the winners' newly
+        added data dirs — an incremental scan, never the full table)
+        confirms the winner's new rows cannot affect our read set.
+        Anything else re-raises: the caller must re-read and retry, since
+        its rewritten data itself may be stale."""
+        base = base_version
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self._commit(
+                    make_entries(self._manifest(base) if base else None),
+                    operation,
+                    partition_by,
+                    base_version=base,
+                    touched=touched,
+                    txn=txn,
+                )
+            except ConcurrentWriteError as err:
+                last_err = err
+                head = self.current_version() if self.exists() else 0
+                if head <= base:
+                    # manifest race without an advanced head (half-committed
+                    # writer): nothing to rebase onto
+                    raise
+                winners = [self._manifest(v) for v in range(base + 1, head + 1)]
+                if not blind:
+                    if touched is None:
+                        raise  # full-table op: never auto-rebase
+                    # partition-scoped op: every winner must have recorded
+                    # a touched list disjoint from ours
+                    mine = {_row_canon(r) for r in touched}
+                    for w in winners:
+                        w_touched = w.get("touched_partitions")
+                        if w_touched is None:
+                            raise
+                        if mine & {_row_canon(r) for r in w_touched}:
+                            raise
+                    if delta_check is not None:
+                        delta_df = self._winners_delta_df(base, winners)
+                        if delta_df is not None and not delta_check(delta_df):
+                            raise
+                base = head
+        raise last_err if last_err else ConcurrentWriteError(
+            f"{operation}: exceeded rebase retries"
+        )
+
+    def _winners_delta_df(self, base: int, winners: list[dict]) -> DataFrame | None:
+        """Union of data dirs the winners added beyond our base manifest —
+        the winners' write delta, read raw (bounded by what they wrote)."""
+        base_paths = (
+            {_entry_path(e) for e in self._manifest(base)["data_dirs"]} if base else set()
+        )
+        new_paths: list[str] = []
+        for w in winners:
+            for e in w["data_dirs"]:
+                p = _entry_path(e)
+                if p not in base_paths and p not in new_paths:
+                    new_paths.append(p)
+        if not new_paths:
+            return None
+        dfs = [
+            self.spark.read.option("mergeSchema", "true").parquet(p) for p in new_paths
+        ]
+        out = dfs[0]
+        for other in dfs[1:]:
+            out = out.unionByName(other, allowMissingColumns=True)
+        return out
+
     def _new_data_dir(self) -> str:
+        # Unique per writer (Delta-style GUID naming): two racing writers
+        # must never share a data dir, or the loser's mode("overwrite")
+        # write would clobber the winner's already-committed files before
+        # the loser's _commit even runs. The manifest stores paths, so
+        # nothing depends on version-number naming.
         n = self.current_version() + 1 if self.exists() else 1
-        return os.path.join(self.root, "data", f"v{n:08d}")
+        return os.path.join(self.root, "data", f"v{n:08d}-{uuid.uuid4().hex[:12]}")
 
     @staticmethod
     def _carry_prior_dirs(prior: dict, touched_rows: list[dict], new_dir: str) -> list:
         """Manifest entries for a partition-pruned rewrite: every prior
         data dir passes through with ``touched_rows`` added to its
-        exclusion mask; the new dir (holding the rewritten partitions)
-        is appended unmasked."""
+        exclusion mask; the new dir (holding the rewritten partitions) is
+        appended unmasked. A prior dir whose physically-present partitions
+        are ALL excluded contributes nothing to any future read, so its
+        entry is dropped — which lets vacuum() reclaim the dir once the
+        old versions age out, instead of storage growing monotonically."""
+        pcols = prior["partition_by"]
         entries = []
         for e in prior["data_dirs"]:
             e = dict(e) if isinstance(e, dict) else {"path": e, "exclude": []}
             seen = {tuple(sorted(x.items())) for x in e.get("exclude", [])}
             extra = [t for t in touched_rows if tuple(sorted(t.items())) not in seen]
             e["exclude"] = e.get("exclude", []) + extra
+            present = _dir_partition_tuples(e["path"], pcols)
+            excluded = {_row_canon(x) for x in e["exclude"]}
+            if present and present <= excluded:
+                continue  # fully superseded: reclaimable by vacuum
             entries.append(e)
         entries.append(new_dir)
         return entries
+
+    def _file_inventory(self, manifest: dict) -> list[tuple]:
+        """(dir, relpath, footer_stats|None) for every live parquet file of
+        an unpartitioned snapshot. Entries carrying a ``live_files`` list
+        (from a prior file-pruned DML) enumerate exactly those; plain dirs
+        are walked. Control-plane: bounded by file count."""
+        inv = []
+        for e in manifest["data_dirs"]:
+            dpath = _entry_path(e)
+            stats = e.get("files", {}) if isinstance(e, dict) else {}
+            if isinstance(e, dict) and e.get("live_files") is not None:
+                rels = e["live_files"]
+            else:
+                rels = sorted(
+                    os.path.relpath(os.path.join(root, n), dpath)
+                    for root, _, names in os.walk(dpath)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+            for rel in rels:
+                inv.append((dpath, rel, stats.get(rel)))
+        return inv
+
+    @staticmethod
+    def _surviving_file_entries(prior: dict, untouched: list[tuple]) -> list:
+        """Manifest entries carrying the untouched files forward by name —
+        the files themselves are never copied (byte-identical pass-through,
+        like Delta keeping unrewritten AddFiles in the log)."""
+        by_dir: dict[str, list] = {}
+        for dpath, rel, stats in untouched:
+            by_dir.setdefault(dpath, []).append((rel, stats))
+        return [
+            {
+                "path": dpath,
+                "live_files": [r for r, _ in rels],
+                "files": {r: s for r, s in rels if s},
+            }
+            for dpath, rels in by_dir.items()
+        ]
 
     def _touched_partitions(self, df, pcols: list[str]) -> list[dict]:
         """Distinct partition tuples present in ``df`` (control-plane
@@ -176,32 +465,60 @@ class LakeTable:
 
     # ---------------- writers (K1-K6) ----------------
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """K1/K4: full overwrite (schema evolution implicit — the new
-        version's parquet schema wins)."""
-        partition_by = partition_by or []
-        base = self.current_version() if self.exists() else 0
+    def _write_dir_entry(self, df: DataFrame, partition_by: list[str]):
+        """Write ``df`` into a fresh uniquely-named data dir; return the
+        manifest entry. Unpartitioned dirs carry per-file footer min/max
+        stats (Delta data-skipping analogue) so later DML can file-prune."""
         d = self._new_data_dir()
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(d)
-        return self._commit([d], "overwrite", partition_by, base_version=base)
+        if partition_by:
+            return d
+        return {"path": d, "files": _collect_file_stats(d)}
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        txn: dict | None = None,
+    ) -> int:
+        """K1/K4: full overwrite (schema evolution implicit — the new
+        version's parquet schema wins). Never auto-rebases: replace-all
+        semantics racing any other writer must surface."""
+        partition_by = partition_by or []
+        base = self.current_version() if self.exists() else 0
+        entry = self._write_dir_entry(df, partition_by)
+        return self._commit(
+            [entry], "overwrite", partition_by, base_version=base, txn=txn
+        )
 
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """K2/K3: append — new version references prior data dirs plus the
-        new one (no rewrite of existing files)."""
+        new one (no rewrite of existing files). Blind add: on a concurrent
+        commit it auto-rebases onto the new head (Delta semantics — blind
+        appends read nothing, so they conflict with nothing)."""
         if not self.exists():
             return self.overwrite(df, partition_by)
         prior = self._manifest(self.current_version())
         partition_by = partition_by or prior["partition_by"]
-        d = self._new_data_dir()
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(d)
-        return self._commit(
-            prior["data_dirs"] + [d], "append", partition_by, base_version=prior["version"]
+        entry = self._write_dir_entry(df, partition_by)
+        # Record the partitions this append wrote (filesystem walk of the
+        # freshly-written dir — no extra Spark job) so OTHER writers'
+        # disjointness checks see them; the append itself rebases blindly.
+        touched = (
+            [dict(t) for t in sorted(_dir_partition_tuples(_entry_path(entry), partition_by), key=str)]
+            if partition_by
+            else []
+        )
+        return self._commit_rebasing(
+            lambda head: (head["data_dirs"] if head else []) + [entry],
+            "append",
+            partition_by,
+            base_version=prior["version"],
+            touched=touched,
+            blind=True,
         )
 
     def merge(self, updates: DataFrame, keys: list[str]) -> int:
@@ -219,19 +536,74 @@ class LakeTable:
         pass through into the new manifest untouched — at 100 TB a daily
         increment rewrites only the partitions it lands in.
 
-        Unpartitioned tables fall back to a full-snapshot rewrite (there is
-        no prune unit without partitions; file-level pruning would need
-        per-file key stats, which Delta itself only gets from data skipping).
+        Unpartitioned tables use FILE-level pruning instead (Delta's data
+        skipping): per-file footer min/max stats recorded at write time
+        narrow the candidate files by key range, then one column-pruned
+        scan of only the candidates finds the exactly-touched files
+        (Delta's touched-file inner join); every other file passes through
+        into the new manifest untouched, byte-identical.
         """
+        import pyspark.sql.functions as F
+
         if not self.exists():
             return self.overwrite(updates)
         prior = self._manifest(self.current_version())
         pcols = prior["partition_by"]
         if not pcols:
-            merged = merge_upsert(self.read(), updates, keys)
-            d = self._new_data_dir()
-            merged.write.mode("overwrite").parquet(d)
-            return self._commit([d], "merge", pcols, base_version=prior["version"])
+            inventory = self._file_inventory(prior)
+            # key ranges of the updates: one tiny agg (collects 1 row)
+            rng = updates.agg(
+                *[F.min(k).alias(f"{k}__lo") for k in keys],
+                *[F.max(k).alias(f"{k}__hi") for k in keys],
+            ).first()
+            key_ranges = {}
+            for k in keys:
+                lo, hi = rng[f"{k}__lo"], rng[f"{k}__hi"]
+                if isinstance(lo, (int, float, str, bool)) and isinstance(
+                    hi, (int, float, str, bool)
+                ):
+                    key_ranges[k] = (lo, hi)
+            candidates = [
+                f for f in inventory if _ranges_intersect(f[2], key_ranges)
+            ]
+            # exact touched-file check (Delta's matched-file join): scan
+            # only the candidates, key columns only, semi-join the updates
+            touched_paths: set[str] = set()
+            if candidates:
+                cand_paths = [os.path.join(d_, rel) for d_, rel, _ in candidates]
+                scan = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*cand_paths)
+                    .select(*keys, F.input_file_name().alias("__file"))
+                )
+                hit = (
+                    scan.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
+                    .select("__file")
+                    .distinct()
+                    .collect()
+                )
+                touched_paths = {_local_path(r["__file"]) for r in hit}
+            touched = [
+                f
+                for f in candidates
+                if os.path.abspath(os.path.join(f[0], f[1])) in touched_paths
+            ]
+            target = (
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(d_, rel) for d_, rel, _ in touched]
+                )
+                if touched
+                else self.read().limit(0)
+            )
+            merged = merge_upsert(target, updates, keys)
+            entry = self._write_dir_entry(merged, [])
+            untouched = [f for f in inventory if f not in touched]
+            return self._commit(
+                self._surviving_file_entries(prior, untouched) + [entry],
+                "merge",
+                pcols,
+                base_version=prior["version"],
+            )
 
         target = self.read()
         # Touched partitions: the updates' own partitions plus partitions
@@ -251,10 +623,74 @@ class LakeTable:
         # Prior dirs pass through with the touched partitions masked out;
         # read() turns the mask into a partition-pruning filter, so those
         # directories are skipped at scan planning, not scanned-and-dropped.
-        return self._commit(
-            self._carry_prior_dirs(prior, touched_rows, d), "merge", pcols,
+        # On a concurrent commit: auto-rebase iff every winner touched
+        # disjoint partitions and its new data contains none of our merge
+        # keys (incremental scan of the winners' delta only).
+        upd_keys = updates.select(*keys).distinct()
+
+        def _no_key_overlap(winners_delta: DataFrame) -> bool:
+            cols = set(winners_delta.columns)
+            if not set(keys) <= cols:
+                return True  # winner's data has no key columns: can't match
+            return (
+                winners_delta.select(*keys).join(upd_keys, on=keys, how="left_semi").isEmpty()
+            )
+
+        return self._commit_rebasing(
+            lambda head: self._carry_prior_dirs(head, touched_rows, d),
+            "merge",
+            pcols,
             base_version=prior["version"],
+            touched=touched_rows,
+            delta_check=_no_key_overlap,
         )
+
+    def _touched_files_by_cond(self, prior: dict, cond) -> tuple[list, list]:
+        """(touched, untouched) file inventory split for an unpartitioned
+        snapshot: a file is touched iff it physically contains a row where
+        ``cond`` is TRUE (one column-pruned scan — parquet footer pushdown
+        does the skipping — then a bounded distinct-file collect, exactly
+        Delta's find-touched-files scan)."""
+        import pyspark.sql.functions as F
+
+        inventory = self._file_inventory(prior)
+        if not inventory:
+            return [], []
+        paths = [os.path.join(d_, rel) for d_, rel, _ in inventory]
+        scan = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .withColumn("__file", F.input_file_name())
+        )
+        hit = (
+            scan.filter(F.coalesce(cond, F.lit(False)))
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched_paths = {_local_path(r["__file"]) for r in hit}
+        touched = [
+            f
+            for f in inventory
+            if os.path.abspath(os.path.join(f[0], f[1])) in touched_paths
+        ]
+        untouched = [f for f in inventory if f not in touched]
+        return touched, untouched
+
+    @staticmethod
+    def _cond_delta_check(cond):
+        """Rebase safety for partition-scoped delete/update: the winners'
+        new data must contain no row matching our condition (else a serial
+        re-run would have rewritten it too)."""
+        import pyspark.sql.functions as F
+
+        def check(winners_delta: DataFrame) -> bool:
+            try:
+                return winners_delta.filter(F.coalesce(cond, F.lit(False))).isEmpty()
+            except Exception:
+                return False  # condition not evaluable on winner's schema
+
+        return check
 
     def delete(self, condition) -> int:
         """Delta-style ``DELETE FROM t WHERE condition`` as copy-on-write
@@ -262,28 +698,48 @@ class LakeTable:
         files containing matches). Partition-pruned like merge(): only
         partitions containing matching rows are rewritten; the rest pass
         through behind the exclusion mask. Unpartitioned tables rewrite
-        the snapshot."""
+        only the FILES containing matches; all other files pass through
+        byte-identical."""
         import pyspark.sql.functions as F
 
         prior = self._manifest(self.current_version())
         pcols = prior["partition_by"]
-        target = self.read()
-        if not pcols:
-            kept = target.filter(~F.expr(condition) if isinstance(condition, str) else ~condition)
-            d = self._new_data_dir()
-            kept.write.mode("overwrite").parquet(d)
-            return self._commit([d], "delete", pcols, base_version=prior["version"])
-
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        # SQL/Delta DELETE removes only rows where the condition is TRUE;
+        # rows where it evaluates to NULL are kept. filter(~cond) would
+        # silently drop them (3-valued logic), so coalesce NULL -> FALSE.
+        keep_pred = ~F.coalesce(cond, F.lit(False))
+        if not pcols:
+            touched, untouched = self._touched_files_by_cond(prior, cond)
+            if not touched:
+                return self.current_version()  # no-op delete
+            kept = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(d_, rel) for d_, rel, _ in touched])
+                .filter(keep_pred)
+            )
+            entry = self._write_dir_entry(kept, [])
+            return self._commit(
+                self._surviving_file_entries(prior, untouched) + [entry],
+                "delete",
+                pcols,
+                base_version=prior["version"],
+            )
+
+        target = self.read()
         touched_rows = self._touched_partitions(target.filter(cond), pcols)
         if not touched_rows:
             return self.current_version()  # no-op delete: nothing matched
-        kept = target.filter(_partition_predicate(pcols, touched_rows)).filter(~cond)
+        kept = target.filter(_partition_predicate(pcols, touched_rows)).filter(keep_pred)
         d = self._new_data_dir()
         kept.write.mode("overwrite").partitionBy(*pcols).parquet(d)
-        return self._commit(
-            self._carry_prior_dirs(prior, touched_rows, d), "delete", pcols,
+        return self._commit_rebasing(
+            lambda head: self._carry_prior_dirs(head, touched_rows, d),
+            "delete",
+            pcols,
             base_version=prior["version"],
+            touched=touched_rows,
+            delta_check=self._cond_delta_check(cond),
         )
 
     def update(self, condition, assignments: dict) -> int:
@@ -307,20 +763,37 @@ class LakeTable:
                 df = df.withColumn(c, F.when(cond, val).otherwise(F.col(c)))
             return df
 
-        target = self.read()
         if not pcols:
-            d = self._new_data_dir()
-            apply(target).write.mode("overwrite").parquet(d)
-            return self._commit([d], "update", pcols, base_version=prior["version"])
+            # file-pruned: rewrite only files containing matching rows
+            touched, untouched = self._touched_files_by_cond(prior, cond)
+            if not touched:
+                return self.current_version()
+            rewritten = apply(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(d_, rel) for d_, rel, _ in touched]
+                )
+            )
+            entry = self._write_dir_entry(rewritten, [])
+            return self._commit(
+                self._surviving_file_entries(prior, untouched) + [entry],
+                "update",
+                pcols,
+                base_version=prior["version"],
+            )
+        target = self.read()
         touched_rows = self._touched_partitions(target.filter(cond), pcols)
         if not touched_rows:
             return self.current_version()
         rewritten = apply(target.filter(_partition_predicate(pcols, touched_rows)))
         d = self._new_data_dir()
         rewritten.write.mode("overwrite").partitionBy(*pcols).parquet(d)
-        return self._commit(
-            self._carry_prior_dirs(prior, touched_rows, d), "update", pcols,
+        return self._commit_rebasing(
+            lambda head: self._carry_prior_dirs(head, touched_rows, d),
+            "update",
+            pcols,
             base_version=prior["version"],
+            touched=touched_rows,
+            delta_check=self._cond_delta_check(cond),
         )
 
     # ---------------- readers (S4 + time travel) ----------------
@@ -336,7 +809,14 @@ class LakeTable:
         # MERGE) applied as a partition-pruning filter.
         dfs = []
         for e in entries:
-            df = self.spark.read.option("mergeSchema", "true").parquet(_entry_path(e))
+            if isinstance(e, dict) and e.get("live_files") is not None:
+                # file-pruned DML carried these files forward by name
+                paths = [os.path.join(e["path"], rel) for rel in e["live_files"]]
+                if not paths:
+                    continue
+                df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            else:
+                df = self.spark.read.option("mergeSchema", "true").parquet(_entry_path(e))
             excl = e.get("exclude") if isinstance(e, dict) else None
             if excl:
                 df = df.filter(~_partition_predicate(pcols, excl))
@@ -360,13 +840,9 @@ class LakeTable:
         df = self.read()
         if target_partitions:
             df = df.repartition(target_partitions, *(prior["partition_by"] or []))
-        d = self._new_data_dir()
-        w = df.write.mode("overwrite")
-        if prior["partition_by"]:
-            w = w.partitionBy(*prior["partition_by"])
-        w.parquet(d)
+        entry = self._write_dir_entry(df, prior["partition_by"])
         return self._commit(
-            [d], "compact", prior["partition_by"], base_version=prior["version"]
+            [entry], "compact", prior["partition_by"], base_version=prior["version"]
         )
 
     def optimize(self, zorder_by: list[str], target_partitions: int = 8, bits: int = 8) -> int:
@@ -416,13 +892,9 @@ class LakeTable:
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-        d = self._new_data_dir()
-        w = clustered.write.mode("overwrite")
-        if prior["partition_by"]:
-            w = w.partitionBy(*prior["partition_by"])
-        w.parquet(d)
+        entry = self._write_dir_entry(clustered, prior["partition_by"])
         return self._commit(
-            [d], "optimize-zorder", prior["partition_by"], base_version=prior["version"]
+            [entry], "optimize-zorder", prior["partition_by"], base_version=prior["version"]
         )
 
     def vacuum(self, keep_last: int = 2) -> list[str]:

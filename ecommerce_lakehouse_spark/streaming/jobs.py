@@ -195,37 +195,57 @@ def stream_rollup_refresh(
     rows, never recomputing history.
 
     Exactly-once: additive combines are NOT naturally idempotent under
-    micro-batch replay, so the batch id is persisted with the commit via
-    the checkpoint; availableNow triggers + checkpointing give effective
-    exactly-once for the file source used here."""
-    from ecommerce_lakehouse_spark.lake.merge import merge_aggregate
+    micro-batch replay (foreachBatch is at-least-once), so each commit
+    records the batch id in the LakeTable manifest (Delta's txnAppId /
+    txnVersion pattern) and a replayed batch whose id was already applied
+    is skipped — see apply_rollup_batch."""
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        delta = (
-            batch_df.groupBy(
-                F.date_trunc("hour", "ts").alias("bucket"), "event_type"
-            )
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-            )
-        )
-        if not table.exists():
-            table.overwrite(delta)
-            return
-        table.overwrite(
-            merge_aggregate(
-                table.read(), delta, keys=["bucket", "event_type"],
-                sum_cols=["n_events", "total_value"],
-            )
-        )
+        apply_rollup_batch(table, batch_df, batch_id)
 
     return (
         events.writeStream.foreachBatch(refresh)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
+    )
+
+
+ROLLUP_TXN_APP = "stream_rollup"
+
+
+def apply_rollup_batch(table: LakeTable, batch_df: DataFrame, batch_id: int) -> None:
+    """One idempotent micro-batch application of the continuous rollup.
+
+    The LakeTable commit carries ``{"app_id": ROLLUP_TXN_APP, "version":
+    batch_id}``; if a crash between the table commit and the checkpoint
+    commit causes Spark to replay the batch, ``last_txn`` shows it was
+    already applied and the additive combine is skipped — exactly Delta's
+    idempotent-writes pattern for foreachBatch."""
+    from ecommerce_lakehouse_spark.lake.merge import merge_aggregate
+
+    if batch_df.isEmpty():
+        return
+    if table.exists():
+        last = table.last_txn(ROLLUP_TXN_APP)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already committed
+    delta = (
+        batch_df.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    txn = {"app_id": ROLLUP_TXN_APP, "version": batch_id}
+    if not table.exists():
+        table.overwrite(delta, txn=txn)
+        return
+    table.overwrite(
+        merge_aggregate(
+            table.read(), delta, keys=["bucket", "event_type"],
+            sum_cols=["n_events", "total_value"],
+        ),
+        txn=txn,
     )
 
 

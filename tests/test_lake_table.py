@@ -87,21 +87,21 @@ def test_merge_partition_pruned_rewrite(spark, tbl, tmp_path):
                 out[f] = hashlib.md5(fh.read()).hexdigest()
         return out
 
-    y_before = files_with_hashes("/v00000001/part=y/*.parquet")
-    z_before = files_with_hashes("/v00000001/part=z/*.parquet")
+    y_before = files_with_hashes("/v00000001-*/part=y/*.parquet")
+    z_before = files_with_hashes("/v00000001-*/part=z/*.parquet")
     assert y_before and z_before
 
     # update k=2 in partition x, insert k=5 into partition w
     tbl.merge(_df(spark, [(2, "B", "x"), (5, "e", "w")]), keys=["k"])
 
     # untouched partitions: identical files, no new copies written for them
-    assert files_with_hashes("/v00000001/part=y/*.parquet") == y_before
-    assert files_with_hashes("/v00000001/part=z/*.parquet") == z_before
-    assert not glob.glob(str(tmp_path / "t/data/v00000002/part=y"))
-    assert not glob.glob(str(tmp_path / "t/data/v00000002/part=z"))
+    assert files_with_hashes("/v00000001-*/part=y/*.parquet") == y_before
+    assert files_with_hashes("/v00000001-*/part=z/*.parquet") == z_before
+    assert not glob.glob(str(tmp_path / "t/data/v00000002-*/part=y"))
+    assert not glob.glob(str(tmp_path / "t/data/v00000002-*/part=z"))
     # touched + new partitions live in the new dir
-    assert glob.glob(str(tmp_path / "t/data/v00000002/part=x"))
-    assert glob.glob(str(tmp_path / "t/data/v00000002/part=w"))
+    assert glob.glob(str(tmp_path / "t/data/v00000002-*/part=x"))
+    assert glob.glob(str(tmp_path / "t/data/v00000002-*/part=w"))
 
     got = {(r.k, r.v, r.part) for r in tbl.read().collect()}
     assert got == {
@@ -153,7 +153,7 @@ def test_delete_partition_pruned(spark, tbl, tmp_path):
     tbl.delete(F.col("k") == 1)
     assert {(r.k, r.v) for r in tbl.read().collect()} == {(2, "b"), (3, "c")}
     # partition y untouched: no y dir written in v2
-    assert not glob.glob(str(tmp_path / "t/data/v00000002/part=y"))
+    assert not glob.glob(str(tmp_path / "t/data/v00000002-*/part=y"))
     assert tbl.history()[-1]["operation"] == "delete"
     # string-condition form + no-op delete returns current version
     v = tbl.delete("k = 999")
@@ -174,7 +174,7 @@ def test_update_partition_pruned(spark, tbl, tmp_path):
     tbl.update("k = 1", {"v": "upper(v)"})
     got = {(r.k, r.v) for r in tbl.read().collect()}
     assert got == {(1, "A"), (2, "b")}
-    assert not glob.glob(str(tmp_path / "t/data/v00000002/part=y"))
+    assert not glob.glob(str(tmp_path / "t/data/v00000002-*/part=y"))
     with _pytest.raises(ValueError, match="partition columns"):
         tbl.update("k = 1", {"part": "'z'"})
 
@@ -258,7 +258,9 @@ def test_optimize_zorder_clusters_all_dims(spark, tmp_path):
     assert t.history()[-1]["operation"] == "optimize-zorder"
     assert t.read().count() == 20000
 
-    data_dir = t._manifest(t.current_version())["data_dirs"][0]
+    from ecommerce_lakehouse_spark.lake.table import _entry_path
+
+    data_dir = _entry_path(t._manifest(t.current_version())["data_dirs"][0])
     files = glob.glob(f"{data_dir}/*.parquet")
     assert len(files) >= 8
     spans = []
@@ -340,3 +342,300 @@ def test_analyze_stats_sidecar(spark, sf_dir, tmp_path):
     assert t.stats(version=s1["version"])["row_count"] == n
     s2 = t.analyze()
     assert s2["row_count"] == n + 10
+
+
+# ---------- round-3 storage-layer depth: conflict resolution, file pruning ----------
+
+
+def test_unpartitioned_merge_file_pruned(spark, tbl, tmp_path):
+    """An unpartitioned MERGE must rewrite only the FILES whose key range
+    intersects the updates (footer-stats pre-filter + exact touched-file
+    scan); every other file passes through byte-identical by reference."""
+    import glob
+    import hashlib
+
+    # 4 files with disjoint key ranges via repartitionByRange
+    df = spark.createDataFrame([(i, f"v{i}", "p") for i in range(400)], "k int, v string, part string")
+    tbl.overwrite(df.repartitionByRange(4, "k"))
+
+    def hashes():
+        out = {}
+        for f in sorted(glob.glob(str(tmp_path / "t/data/*/*.parquet"))):
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before = hashes()
+    assert len(before) == 4
+
+    # update keys 0..9 — all inside ONE range file
+    tbl.merge(
+        spark.createDataFrame([(i, "UPD", "p") for i in range(10)], "k int, v string, part string"),
+        keys=["k"],
+    )
+
+    # the new manifest carries 3 of the 4 original files forward BY NAME
+    # (no copies) and replaces exactly the one file holding keys 0..9
+    entries = tbl._manifest(tbl.current_version())["data_dirs"]
+    live_listed = [e for e in entries if isinstance(e, dict) and e.get("live_files")]
+    assert live_listed and sum(len(e["live_files"]) for e in live_listed) == 3
+    carried = {
+        f"{e['path']}/{rel}" for e in live_listed for rel in e["live_files"]
+    }
+    after = hashes()
+    # carried files are the SAME paths with UNCHANGED bytes
+    for f in carried:
+        assert after[f] == before[f]
+    # data correct
+    got = {r.k: r.v for r in tbl.read().collect()}
+    assert got[0] == "UPD" and got[9] == "UPD" and got[399] == "v399"
+    assert len(got) == 400
+
+
+def test_unpartitioned_merge_footer_stats_prune(spark, tbl):
+    """The footer-stats pre-filter alone must exclude non-intersecting
+    files before any data scan (plan-level proof of data skipping)."""
+    from ecommerce_lakehouse_spark.lake.table import _ranges_intersect
+
+    df = spark.createDataFrame([(i, "x", "p") for i in range(100)], "k int, v string, part string")
+    tbl.overwrite(df.repartitionByRange(4, "k"))
+    inv = tbl._file_inventory(tbl._manifest(tbl.current_version()))
+    assert len(inv) == 4
+    assert all(stats and "k" in stats for _, _, stats in inv)
+    hits = [f for f in inv if _ranges_intersect(f[2], {"k": (0, 5)})]
+    assert len(hits) == 1  # 3 of 4 files proven non-intersecting by footers
+
+
+def test_unpartitioned_delete_update_file_pruned(spark, tbl, tmp_path):
+    """Unpartitioned DELETE/UPDATE rewrite only files containing matches."""
+    import glob
+    import hashlib
+
+    df = spark.createDataFrame([(i, i % 7, "p") for i in range(300)], "k int, v int, part string")
+    tbl.overwrite(df.repartitionByRange(3, "k"))
+
+    def hashes():
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in sorted(glob.glob(str(tmp_path / "t/data/*/*.parquet")))
+        }
+
+    def carried_live():
+        entries = tbl._manifest(tbl.current_version())["data_dirs"]
+        return [
+            f"{e['path']}/{rel}"
+            for e in entries
+            if isinstance(e, dict) and e.get("live_files")
+            for rel in e["live_files"]
+        ]
+
+    before = hashes()
+    tbl.delete("k < 10")  # only the first range file contains matches
+    live = carried_live()
+    assert len(live) == 2  # two of three files pass through by name
+    after = hashes()
+    assert all(after[f] == before[f] for f in live)
+    assert tbl.read().count() == 290
+
+    tbl.update("k >= 290", {"v": "v + 1000"})
+    # only the last range file rewritten; at least the 2 carried files again
+    assert len(carried_live()) == 2
+    got = {r.k: r.v for r in tbl.read().collect()}
+    assert got[295] == 295 % 7 + 1000 and got[100] == 100 % 7
+
+
+def test_delete_keeps_null_condition_rows(spark, tbl):
+    """DELETE removes rows where cond is TRUE; NULL-evaluating rows stay
+    (SQL 3-valued logic — ADVICE issue)."""
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, "drop", "x"), (3, "keep", "x")], "k int, v string, part string"
+    )
+    tbl.overwrite(df)
+    tbl.delete(F.col("v") == "drop")
+    assert {r.k for r in tbl.read().collect()} == {1, 3}
+
+
+def test_null_partition_value_survives_pruned_dml(spark, tbl):
+    """Rows in a NULL-valued partition must survive partition-pruned DML
+    on other partitions (null-safe partition predicates — ADVICE issue)."""
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y")], "k int, v string, part string"
+    )
+    tbl.overwrite(df, partition_by=["part"])
+    tbl.merge(_df(spark, [(2, "B", "x")]), keys=["k"])
+    got = {(r.k, r.v, r.part) for r in tbl.read().collect()}
+    assert got == {(1, "a", None), (2, "B", "x"), (3, "c", "y")}
+    # and DML on the NULL partition itself works
+    tbl.update(F.col("part").isNull(), {"v": "upper(v)"})
+    got = {(r.k, r.v) for r in tbl.read().collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "c")}
+
+
+def test_concurrent_disjoint_appends_both_commit(spark, tmp_path):
+    """Two appends racing: the loser auto-rebases (blind add) — both
+    commit with no caller retry, no data lost (Delta blind-append
+    semantics)."""
+    root = str(tmp_path / "cc")
+    a = LakeTable(spark, root)
+    b = LakeTable(spark, root)
+    a.overwrite(_df(spark, [(1, "a", "x")]), partition_by=["part"])
+
+    # interleave: while A's append is mid-flight (after snapshotting its
+    # base), B commits an append
+    orig = LakeTable._new_data_dir
+    fired = {}
+
+    def hooked(self):
+        if self is a and "done" not in fired:
+            fired["done"] = True
+            b.append(_df(spark, [(2, "b", "y")]))
+        return orig(self)
+
+    LakeTable._new_data_dir = hooked
+    try:
+        a.append(_df(spark, [(3, "c", "z")]))
+    finally:
+        LakeTable._new_data_dir = orig
+
+    got = {(r.k, r.v, r.part) for r in a.read().collect()}
+    assert got == {(1, "a", "x"), (2, "b", "y"), (3, "c", "z")}
+    ops = [m["operation"] for m in a.history()]
+    assert ops == ["overwrite", "append", "append"]
+
+
+def test_concurrent_disjoint_partition_merges_both_commit(spark, tmp_path):
+    """Two merges touching DISJOINT partitions: loser auto-rebases."""
+    root = str(tmp_path / "cc2")
+    a = LakeTable(spark, root)
+    b = LakeTable(spark, root)
+    a.overwrite(
+        _df(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]),
+        partition_by=["part"],
+    )
+
+    orig = LakeTable._new_data_dir
+    fired = {}
+
+    def hooked(self):
+        if self is a and "done" not in fired:
+            fired["done"] = True
+            b.merge(_df(spark, [(2, "B", "y")]), keys=["k"])  # touches y only
+        return orig(self)
+
+    LakeTable._new_data_dir = hooked
+    try:
+        a.merge(_df(spark, [(1, "A", "x")]), keys=["k"])  # touches x only
+    finally:
+        LakeTable._new_data_dir = orig
+
+    got = {(r.k, r.v) for r in a.read().collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "c")}
+
+
+def test_concurrent_overlapping_merges_conflict(spark, tmp_path):
+    """Two merges touching the SAME partition must still surface
+    ConcurrentWriteError for the loser — no silent lost update."""
+    import pytest as _pytest
+
+    from ecommerce_lakehouse_spark.lake import ConcurrentWriteError
+
+    root = str(tmp_path / "cc3")
+    a = LakeTable(spark, root)
+    b = LakeTable(spark, root)
+    a.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "x")]), partition_by=["part"])
+
+    orig = LakeTable._new_data_dir
+    fired = {}
+
+    def hooked(self):
+        if self is a and "done" not in fired:
+            fired["done"] = True
+            b.merge(_df(spark, [(2, "B", "x")]), keys=["k"])
+        return orig(self)
+
+    LakeTable._new_data_dir = hooked
+    try:
+        with _pytest.raises(ConcurrentWriteError):
+            a.merge(_df(spark, [(1, "A", "x")]), keys=["k"])
+    finally:
+        LakeTable._new_data_dir = orig
+    # winner's commit intact
+    assert {(r.k, r.v) for r in a.read().collect()} == {(1, "a"), (2, "B")}
+
+
+def test_racing_writers_never_share_data_dirs(spark, tmp_path):
+    """ADVICE high: the loser's data dir must never clobber the winner's
+    files — dirs are uniquely named per writer, and the winner's committed
+    data survives the loser's entire write+fail cycle."""
+    import pytest as _pytest
+
+    from ecommerce_lakehouse_spark.lake import ConcurrentWriteError
+
+    root = str(tmp_path / "cc4")
+    a = LakeTable(spark, root)
+    b = LakeTable(spark, root)
+    a.overwrite(_df(spark, [(1, "a", "x")]))
+
+    orig = LakeTable._new_data_dir
+    fired = {}
+
+    def hooked(self):
+        if self is a and "done" not in fired:
+            fired["done"] = True
+            b.overwrite(_df(spark, [(9, "winner", "x")]))
+        return orig(self)
+
+    LakeTable._new_data_dir = hooked
+    try:
+        with _pytest.raises(ConcurrentWriteError):
+            a.overwrite(_df(spark, [(8, "loser", "x")]))
+    finally:
+        LakeTable._new_data_dir = orig
+    # the winner's committed snapshot is fully readable (no clobbered files)
+    assert {(r.k, r.v) for r in b.read().collect()} == {(9, "winner")}
+
+
+def test_superseded_dir_dropped_and_vacuumed(spark, tbl, tmp_path):
+    """A dir whose every partition is excluded by later DML leaves the
+    manifest, so vacuum reclaims it (ADVICE: no monotonic growth)."""
+    import glob
+
+    tbl.overwrite(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")]), partition_by=["part"]
+    )
+    v1_dirs = set(glob.glob(str(tmp_path / "t/data/v00000001-*")))
+    assert len(v1_dirs) == 1
+    # merge touches BOTH partitions -> v1 dir fully superseded
+    tbl.merge(_df(spark, [(1, "A", "x"), (2, "B", "y")]), keys=["k"])
+    entries = tbl._manifest(tbl.current_version())["data_dirs"]
+    paths = {e["path"] if isinstance(e, dict) else e for e in entries}
+    assert not (paths & v1_dirs)  # superseded entry dropped
+    tbl.vacuum(keep_last=1)
+    assert not any(glob.glob(str(tmp_path / "t/data/v00000001-*")))
+    assert {(r.k, r.v) for r in tbl.read().collect()} == {(1, "A"), (2, "B")}
+
+
+def test_txn_idempotent_replay(spark, tmp_path):
+    """Delta txn pattern: a replayed foreachBatch (same batch id) must not
+    double-add into the additive rollup."""
+    import datetime
+
+    from ecommerce_lakehouse_spark.streaming.jobs import apply_rollup_batch
+
+    t = LakeTable(spark, str(tmp_path / "rollup_txn"))
+    batch = spark.createDataFrame(
+        [(datetime.datetime(2025, 1, 1, 10, 5), "click", 2.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    apply_rollup_batch(t, batch, batch_id=0)
+    first = {(r.event_type): (r.n_events, r.total_value) for r in t.read().collect()}
+    assert first == {"click": (1, 2.0)}
+    # replay the SAME batch id (crash between table commit and checkpoint)
+    apply_rollup_batch(t, batch, batch_id=0)
+    assert {(r.event_type): (r.n_events, r.total_value) for r in t.read().collect()} == first
+    # the NEXT batch id applies
+    apply_rollup_batch(t, batch, batch_id=1)
+    assert {(r.event_type): (r.n_events, r.total_value) for r in t.read().collect()} == {
+        "click": (2, 4.0)
+    }
+    assert t.last_txn("stream_rollup") == 1
