@@ -1,19 +1,24 @@
-"""Real media decoders for uncompressed formats — pure numpy/stdlib, no
-external media libraries required.
+"""Real media decoders — pure numpy/stdlib, no external media libraries
+required.
 
-Covers the formats that are decodable without native codecs:
+Covers the formats decodable without native codecs:
 
 - **PPM/PGM** (P6/P5 binary, P3/P2 ASCII) — the canonical uncompressed
   image interchange format.
 - **BMP** (Windows DIB, 24/32-bit uncompressed) — header offsets per the
   public BITMAPINFOHEADER layout.
+- **PNG** (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced) — full
+  spec-conformant decode: chunk walk, zlib inflate of concatenated IDATs,
+  per-scanline unfilter for all five filter types (None/Sub/Up/Average/
+  Paeth). Plus a matching encoder that cycles filter types per row, so
+  round-trip tests exercise every unfilter path.
 - **WAV** (PCM) — via the stdlib ``wave`` module + numpy frombuffer.
 
-Compressed formats (JPEG/PNG/GIF/MP3/OGG) are sniffed by magic bytes and
-raise ``NotImplementedError`` — nothing silently fake-decodes media; a
-production deployment drops in PIL/ffmpeg behind the same function
-signatures and the Spark-side operators in ``operators/multimodal.py``
-are unchanged.
+Formats that genuinely need a native codec (JPEG/GIF/MP3/OGG) are sniffed
+by magic bytes and raise ``NotImplementedError`` — nothing silently
+fake-decodes media; a production deployment drops in PIL/ffmpeg behind
+the same function signatures and the Spark-side operators in
+``operators/multimodal.py`` are unchanged.
 
 All decoders are plain ``bytes -> numpy`` functions so they vectorize
 inside Arrow ``mapInPandas`` batches (the only Python boundary).
@@ -24,6 +29,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -117,17 +123,159 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img if top_down else img[::-1]
 
 
+# PNG color types -> channel count (bit depth 8, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec section 9 'Filtering'):
+    each scanline is prefixed by a filter-type byte; reconstruction uses
+    the left neighbor (a), the above neighbor (b), and the upper-left
+    neighbor (c). Sub is a per-byte-lane cumulative sum (vectorized);
+    Average/Paeth carry a left-to-right dependency, done per pixel."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 1:  # Sub: recon[i] = line[i] + recon[i-bpp] — cumsum per lane
+            cur = line.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on scanline {y}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Spec-conformant PNG decode for 8-bit gray/GA/RGB/RGBA, interlace 0:
+    walk chunks, parse IHDR, inflate the concatenated IDAT stream with
+    stdlib zlib, unfilter scanlines. Palette/16-bit/interlaced images
+    raise (honestly) — they're rare in training corpora and would need
+    only more table-work, not a native codec."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace} "
+            "not supported (8-bit gray/GA/RGB/RGBA, non-interlaced only)"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    return _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWxC uint8 (C in 1/2/3/4) -> PNG bytes. Filter types cycle
+    None/Sub/Up/Average/Paeth by row index, so every decoder unfilter
+    path is exercised by round-trip data (and output stays a fully valid
+    PNG any external tool can open)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    img = img.astype(np.uint8)
+    bpp = ch
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        ft = y % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - left) & 0xFF
+        elif ft == 2:  # Up
+            filt = (cur - prev) & 0xFF
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = (cur - pred) & 0xFF
+        lines.append(ft)
+        lines += filt.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an HxWxC uint8 array.
 
-    Real for PPM/PGM/BMP (no codec needed). Compressed formats raise —
-    swap in PIL here in production; every caller is unchanged."""
+    Real for PPM/PGM/BMP (no codec needed) and PNG (stdlib zlib inflate +
+    numpy unfilter). JPEG/GIF raise — swap in PIL here in production;
+    every caller is unchanged."""
     mime = sniff_mime(payload)
     if mime.startswith("image/x-portable"):
         return _decode_pnm(payload)
     if mime == "image/bmp":
         return _decode_bmp(payload)
-    if mime in ("image/png", "image/jpeg", "image/gif"):
+    if mime == "image/png":
+        return _decode_png(payload)
+    if mime in ("image/jpeg", "image/gif"):
         raise NotImplementedError(f"{mime} requires a native codec (PIL) — not available here")
     raise ValueError(f"not an image payload (sniffed {mime})")
 

@@ -105,6 +105,40 @@ def image_feature_extract(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+RGBA_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, mean_a double"
+)
+
+
+def image_feature_extract_rgba(df: DataFrame) -> DataFrame:
+    """Four-channel variant of image_feature_extract (PNG RGBA payloads):
+    geometry + exact per-channel means including alpha. Same Arrow
+    mapInPandas shape — no shuffle, integer-exact channel sums."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "channels",
+                                   "mean_r", "mean_g", "mean_b", "mean_a")}
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w, c = img.shape
+                sums = img.reshape(-1, c).astype(np.int64).sum(axis=0)
+                n = h * w
+                out["doc_id"].append(doc)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_r"].append(sums[0] / n)
+                out["mean_g"].append(sums[min(1, c - 1)] / n)
+                out["mean_b"].append(sums[min(2, c - 1)] / n)
+                out["mean_a"].append(sums[3] / n if c == 4 else None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=RGBA_FEATURE_SCHEMA)
+
+
 RESIZE_SCHEMA = "doc_id bigint, width int, height int, n_bytes int, payload binary"
 
 

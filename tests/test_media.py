@@ -123,3 +123,64 @@ def test_split_ppm_frames():
 def test_split_ppm_frames_rejects_garbage():
     with pytest.raises(ValueError):
         split_ppm_frames(b"NOTAPPM")
+
+
+# ---------- PNG (round-3: pure-stdlib zlib + numpy unfilter) ----------
+
+
+def _rng_img(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    return a[:, :, 0] if c == 1 else a
+
+
+def test_png_roundtrip_all_color_types():
+    """gray / gray+alpha / RGB / RGBA, with >=5 rows so every filter type
+    (None/Sub/Up/Average/Paeth) is exercised by the cycling encoder."""
+    from ecommerce_lakehouse_spark.operators.media import encode_png
+
+    for c in (1, 2, 3, 4):
+        src = _rng_img(9, 7, c, seed=c)
+        payload = encode_png(src)
+        assert sniff_mime(payload) == "image/png"
+        out = decode_image(payload)
+        want = src[:, :, None] if src.ndim == 2 else src
+        assert out.shape == want.shape
+        assert np.array_equal(out, want), f"PNG round-trip mismatch c={c}"
+
+
+def test_png_single_filter_rows():
+    """Force each filter type on its own by slicing rows so the first row
+    uses filter y%5 — checks reconstruction is per-row independent of the
+    cycle phase."""
+    from ecommerce_lakehouse_spark.operators.media import encode_png
+
+    src = _rng_img(5, 4, 3, seed=42)
+    assert np.array_equal(decode_image(encode_png(src)), src)
+    # gradient image (worst case for Sub/Paeth deltas)
+    grad = np.arange(8 * 6 * 3, dtype=np.uint32).reshape(8, 6, 3) % 256
+    grad = grad.astype(np.uint8)
+    assert np.array_equal(decode_image(encode_png(grad)), grad)
+
+
+def test_png_unsupported_variants_raise():
+    import struct as _struct
+    import zlib as _zlib
+
+    from ecommerce_lakehouse_spark.operators.media import _png_chunk
+
+    # 16-bit depth header
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        decode_image(payload)
+
+
+def test_jpeg_still_raises():
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
