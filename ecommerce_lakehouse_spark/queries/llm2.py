@@ -39,56 +39,31 @@ _K, _BANDS, _ROWS = 32, 8, 4
 _P = 4294967311  # prime > 2^32
 _EST_THRESHOLD = 0.125  # ≥4 of 32 signature positions agree
 
+# Skew guard (round-2 verdict item #8): a band bucket larger than this is
+# a degenerate "stop band" — after exact-collapse, only template/
+# boilerplate corpora produce them, and expanding such a bucket is
+# quadratic work for near-zero dedup signal (the same pair is recoverable
+# from its other 7 bands unless it is pathological in ALL bands). Buckets
+# over the cap are dropped WHOLE (never truncated) in both the Spark plan
+# and the DuckDB oracle; the drop is observable, not silent — the
+# registered band_skew_profile query reports bucket-size stats and the
+# over-cap count, and tools/scale_smoke.py's poisoned-corpus variant
+# measures the guard keeping wall time bounded.
+_BUCKET_CAP = 512
 
-@query(
-    "minhash_lsh_pairs",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, {_TOKS_D} AS toks FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(toks) - 1),
-             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-  FROM t WHERE len(toks) >= 3
-), hs AS (
-  SELECT doc_id,
-         list_transform(shingles, s -> {_H32_D.format(x='s')}) AS hashes
-  FROM sh
-), sig AS (
-  SELECT doc_id,
-         list_transform(range(0, {_K}),
-             k -> list_min(list_transform(hashes, h -> (h * (2*k + 1) + (12345 + k)) % {_P}))) AS sig
-  FROM hs
-), bands AS (
-  SELECT doc_id, sig,
-         unnest(list_transform(range(0, {_BANDS}),
-             j -> concat_ws(',', j, sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]))) AS band_key
-  FROM sig
-), pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       len(list_filter(range(1, {_K} + 1), i -> sa[i] = sb[i])) / {_K}.0 AS est_jaccard
-FROM pairs
-WHERE len(list_filter(range(1, {_K} + 1), i -> sa[i] = sb[i])) / {_K}.0 >= {_EST_THRESHOLD}
-""",
-)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate candidate pairs (north star dedup).
 
-    Pipeline: word-3-gram shingles → 32 universal-hash minima (signature)
-    → 8 bands × 4 rows → equi-join on band key → signature-estimated
-    Jaccard filter. All signature math is JVM higher-order array
-    expressions.
+def minhash_signatures_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(…, text) -> (…, sig): the module's 3-gram-shingle MinHash
+    signature as an array<bigint> column, all other columns preserved.
+    Shared by minhash_lsh_pairs and pipelines/curation (the incremental
+    band index). Docs with < 3 tokens are dropped (no shingle exists).
 
-    Scale: the only shuffle is the band-key self-join, whose buckets are
-    small by construction (LSH); no O(n²) comparison. At 100 TB, band_key
-    is salted-bucketable and signatures are 32×8B fixed width.
-    """
-    d = load(spark, sf_dir, "documents")
-    sig = (
-        d.select("doc_id", F.expr(_TOKS_S).alias("toks"))
+    Single pass over the hash array with a K-wide accumulator — see the
+    projection-collapse note inside (Catalyst inlines md5 work into every
+    reference of the naive per-k form; measured 9.1s -> 0.9s at sf0.1)."""
+    passthrough = [c for c in docs.columns if c != text_col]
+    return (
+        docs.select(*passthrough, F.expr(_TOKS_S.replace("text", text_col)).alias("toks"))
         .filter(F.expr("size(toks) >= 3"))
         .withColumn(
             "shingles",
@@ -97,13 +72,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
             ),
         )
-        # Single pass over the hash array with a K-wide accumulator. The
-        # naive form — transform(sequence(0,K-1), k -> array_min(transform(
-        # hashes, ...))) — references `hashes` K times, and Catalyst's
-        # projection collapse inlines the md5 work into each reference:
-        # every shingle gets hashed K=32 times (measured 9.1s -> 0.9s at
-        # sf0.1 for the signature stage). Init value _P is a safe +inf:
-        # every universal-hash output is % _P, strictly below it.
+        # Init value _P is a safe +inf: universal-hash outputs are % _P.
         .withColumn(
             "sig",
             F.expr(
@@ -113,11 +82,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"   (m, k) -> least(m, (h * (2*k + 1) + (12345 + k)) % {_P})))"
             ),
         )
-        .select("doc_id", "sig")
+        .select(*passthrough, "sig")
     )
-    bands = sig.select(
-        "doc_id",
-        "sig",
+
+
+def minhash_bands_df(sig_df: DataFrame) -> DataFrame:
+    """(…, sig) -> (…, sig, band_key) with one row per band — the LSH
+    index shape ((band_key, doc_id) is the inverted index a 100 TB
+    incremental dedup maintains as a table)."""
+    return sig_df.select(
+        "*",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {_BANDS - 1}),"
@@ -125,34 +99,193 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_key"),
     )
+
+
+def minhash_est_jaccard(sa, sb):
+    """Signature-agreement Jaccard estimate between two sig columns."""
+    return F.expr(
+        f"size(filter(zip_with({sa}, {sb}, (x, y) -> x = y), v -> v)) / cast({_K} as double)"
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text
+  FROM documents GROUP BY text
+), t AS (
+  SELECT doc_id, n_copies, {_TOKS_D} AS toks FROM canon
+), sh AS (
+  SELECT doc_id, n_copies,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+), hs AS (
+  SELECT doc_id, n_copies,
+         list_transform(shingles, s -> {_H32_D.format(x='s')}) AS hashes
+  FROM sh
+), sig AS (
+  SELECT doc_id, n_copies,
+         list_transform(range(0, {_K}),
+             k -> list_min(list_transform(hashes, h -> (h * (2*k + 1) + (12345 + k)) % {_P}))) AS sig
+  FROM hs
+), bands AS (
+  SELECT doc_id, n_copies, sig,
+         unnest(list_transform(range(0, {_BANDS}),
+             j -> concat_ws(',', j, sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]))) AS band_key
+  FROM sig
+), bsz AS (
+  SELECT band_key, count(*) AS n FROM bands GROUP BY 1
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb,
+         a.n_copies AS copies_a, b.n_copies AS copies_b
+  FROM bands a
+  JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN bsz s ON a.band_key = s.band_key AND s.n <= {_BUCKET_CAP}
+)
+SELECT doc_a, doc_b,
+       len(list_filter(range(1, {_K} + 1), i -> sa[i] = sb[i])) / {_K}.0 AS est_jaccard,
+       copies_a, copies_b
+FROM pairs
+WHERE len(list_filter(range(1, {_K} + 1), i -> sa[i] = sb[i])) / {_K}.0 >= {_EST_THRESHOLD}
+""",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs (north star dedup),
+    collapse-first: exact copies are collapsed on md5(text) BEFORE any
+    shingling (canonical doc = min doc_id, multiplicity carried as
+    copies_a/copies_b), so candidate volume reflects genuine near-dup
+    density — identical texts can never blow up a band bucket
+    quadratically. Exact-copy pairs are exact_dedup's domain; this
+    operator emits pairs between distinct texts only.
+
+    Pipeline: md5 collapse → word-3-gram shingles → 32 universal-hash
+    minima (signature) → 8 bands × 4 rows → equi-join on band key →
+    signature-estimated Jaccard filter. All signature math is JVM
+    higher-order array expressions.
+
+    Scale: the collapse shuffles fixed-width hashes (never raw text —
+    canonical text is fetched back by a slim id join); the only other
+    shuffle is the band-key join, whose buckets are small by
+    construction (LSH); no O(n²) comparison. At 100 TB, band_key is
+    salted-bucketable and signatures are 32×8B fixed width.
+    """
+    d = load(spark, sf_dir, "documents")
+    # exact-collapse first: groupBy the fixed-width hash, then join the
+    # canonical text back on doc_id (text crosses the wire once)
+    canon_ids = (
+        d.select("doc_id", F.md5("text").alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .drop("__h")
+    )
+    canon = canon_ids.join(d.select("doc_id", "text"), "doc_id")
+    sig = minhash_signatures_df(canon.select("doc_id", "n_copies", "text"))
+    bands = minhash_bands_df(sig)
     # Candidate pairs via groupBy(band_key) + in-bucket expansion rather
     # than a band_key self-join: a self-join instantiates the (expensive)
     # signature subtree on BOTH sides of the plan, doubling the hash work;
     # one hash-shuffle on band_key computes it once. LSH keeps buckets
     # small by construction, so the quadratic in-bucket expansion is
     # bounded (it emits exactly the candidate set the join would).
-    members = F.expr("sort_array(collect_list(struct(doc_id, sig)))")
+    members = F.expr("sort_array(collect_list(struct(doc_id, n_copies, sig)))")
     pair_expr = F.expr(
         "flatten(transform(sequence(0, size(members) - 2),"
         " i -> transform(sequence(i + 1, size(members) - 1),"
         "   j -> struct(members[i].doc_id as doc_a, members[j].doc_id as doc_b,"
-        "              members[i].sig as sa, members[j].sig as sb))))"
+        "              members[i].sig as sa, members[j].sig as sb,"
+        "              members[i].n_copies as copies_a, members[j].n_copies as copies_b))))"
     )
     pairs = (
         bands.groupBy("band_key")
         .agg(members.alias("members"))
-        .filter(F.size("members") >= 2)
+        # skew guard: degenerate stop-band buckets (> _BUCKET_CAP) drop
+        # whole — see the cap's definition above for the policy + where
+        # the drop is surfaced (band_skew_profile, scale_smoke)
+        .filter(F.size("members").between(2, _BUCKET_CAP))
         .select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb")
+        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb", "p.copies_a", "p.copies_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = F.expr(
-        f"size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) / cast({_K} as double)"
-    )
+    est = minhash_est_jaccard("sa", "sb")
     return (
         pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
-        .select("doc_a", "doc_b", "est_jaccard")
+        .select("doc_a", "doc_b", "est_jaccard", "copies_a", "copies_b")
+    )
+
+
+@query(
+    "band_skew_profile",
+    oracle=f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+), t AS (
+  SELECT doc_id, {_TOKS_D} AS toks FROM canon
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+), hs AS (
+  SELECT doc_id, list_transform(shingles, s -> {_H32_D.format(x='s')}) AS hashes
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {_K}),
+             k -> list_min(list_transform(hashes, h -> (h * (2*k + 1) + (12345 + k)) % {_P}))) AS sig
+  FROM hs
+), bands AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, {_BANDS}),
+             j -> concat_ws(',', j, sig[4*j+1], sig[4*j+2], sig[4*j+3], sig[4*j+4]))) AS band_key
+  FROM sig
+), bsz AS (
+  SELECT band_key, count(*) AS n FROM bands GROUP BY 1
+)
+SELECT count(*) AS n_buckets,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+       max(n) AS max_bucket,
+       CAST(sum(CASE WHEN n > {_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+       CAST(sum(CASE WHEN n BETWEEN 2 AND {_BUCKET_CAP} THEN n * (n - 1) // 2 ELSE 0 END)
+            AS BIGINT) AS candidates_kept,
+       CAST(sum(CASE WHEN n > {_BUCKET_CAP} THEN n * (n - 1) // 2 ELSE 0 END)
+            AS BIGINT) AS candidates_dropped
+FROM bsz
+""",
+)
+def band_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew guard's observability face (round-2 verdict item #8's
+    'no silent truncation'): bucket-size statistics of the MinHash LSH
+    band index on THIS corpus — total buckets, multi-member buckets, the
+    max bucket, and exactly how many buckets / candidate pairs the
+    _BUCKET_CAP guard drops. An operator that caps must publish what it
+    capped; run this alongside minhash_lsh_pairs whenever dedup recall
+    matters (candidates_dropped == 0 means the guard was a no-op).
+
+    Scale: the band index is one shuffle; the profile is a two-level
+    count aggregation over it — strictly cheaper than the pair join it
+    audits."""
+    d = load(spark, sf_dir, "documents")
+    canon_ids = (
+        d.select("doc_id", F.md5("text").alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("__h")
+    )
+    canon = canon_ids.join(d.select("doc_id", "text"), "doc_id")
+    bands = minhash_bands_df(minhash_signatures_df(canon))
+    bsz = bands.groupBy("band_key").agg(F.count("*").alias("n"))
+    kept_pairs = F.expr(f"CASE WHEN n BETWEEN 2 AND {_BUCKET_CAP} THEN n * (n - 1) div 2 ELSE 0 END")
+    dropped_pairs = F.expr(f"CASE WHEN n > {_BUCKET_CAP} THEN n * (n - 1) div 2 ELSE 0 END")
+    return bsz.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).cast("bigint").alias("n_multi_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.when(F.col("n") > _BUCKET_CAP, 1).otherwise(0)).cast("bigint").alias("n_over_cap"),
+        F.sum(kept_pairs).cast("bigint").alias("candidates_kept"),
+        F.sum(dropped_pairs).cast("bigint").alias("candidates_dropped"),
     )
 
 

@@ -35,6 +35,12 @@ def _h32(s: str) -> int:
 # tune bands/planes for recall vs candidate volume at scale.
 _CD_BANDS, _CD_PLANES = 4, 3
 _CD_THRESHOLD = 0.4
+# Skew guard — same policy as minhash's _BUCKET_CAP (queries/llm2.py):
+# a hyperplane bucket holding more vectors than this is degenerate (e.g.
+# a near-zero-vector cluster landing on every plane's boundary side);
+# expansion is dropped whole, mirrored in the oracle, surfaced by
+# band_skew_profile + scale_smoke.
+_CD_BUCKET_CAP = 512
 _PLANES_CD = [
     [(_h32(f"cd{p}_{j}") % 2001 - 1000) / 1000.0 for j in range(_DIM)]
     for p in range(_CD_BANDS * _CD_PLANES)
@@ -61,7 +67,7 @@ _CD_BANDS_SQL = " UNION ALL ".join(
 
 
 @query(
-    "embedding_cosine_dups",
+    "embedding_cosine_dups_expanded",
     oracle=f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -69,11 +75,14 @@ WITH v AS (
   FROM embeddings
 ), bands AS (
   {_CD_BANDS_SQL}
+), bsz AS (
+  SELECT band, bucket, count(*) AS n FROM bands GROUP BY 1, 2
 ), pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          a.emb AS ea, b.emb AS eb, a.nrm AS na, b.nrm AS nb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bsz s ON a.band = s.band AND a.bucket = s.bucket AND s.n <= {_CD_BUCKET_CAP}
 )
 SELECT vec_a, vec_b, round(cos, 5) AS cosine_sim
 FROM (SELECT vec_a, vec_b,
@@ -83,29 +92,81 @@ FROM (SELECT vec_a, vec_b,
 WHERE cos >= {_CD_THRESHOLD}
 """,
 )
-def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (north star dedup): banded
-    random-hyperplane LSH generates candidates, exact cosine confirms.
+def embedding_cosine_dups_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL near-duplicate pairs, exact copies included — the fully-expanded
+    contract (opt-in; the primary operator is the collapse-first
+    ``embedding_cosine_dups`` below).
 
-    Scale: candidates come from one shuffle on (band, bucket) with
-    in-bucket expansion (signature subtree computed once — see
-    minhash_lsh_pairs for why not a self-join); exact cosine runs only on
-    candidates, never O(n²). Recall tunes via band count; bucket width via
-    planes-per-band.
-
-    Pipeline-ordering caveat (measured, tools/scale_smoke.py): candidate
-    count — and the true output — is quadratic in exact-copy multiplicity
-    (identical vectors share every bucket and all C(copies,2) pairs are
-    genuine near-dups). At scale, run exact content-hash collapse FIRST
-    (exact_dedup), then near-dup on canonical vectors; the curation
-    funnel stages in that order.
+    The output is inherently quadratic in exact-copy multiplicity (every
+    pair of identical vectors is a genuine near-dup the contract must
+    emit), but the COMPUTE no longer is: identical vectors are collapsed
+    before LSH (one groupBy), candidate generation + exact cosine run on
+    the canonical set only, and the expansion back to all pairs is pure
+    output materialization — per-pair work is a broadcast lookup, no
+    re-hashing, no per-pair cosine. Identical vectors band identically
+    and share one cosine, so the expansion reproduces the naive
+    all-pairs output bit-for-bit (same oracle as before the demotion).
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    e = load(spark, sf_dir, "embeddings")
+    groups = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
     )
     sq = F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    v = e.withColumn("nrm", F.sqrt(sq))
-    return _cosine_pair_search(v)
+    v = groups.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn("nrm", F.sqrt(sq))
+    canon_pairs = _cosine_pair_search(v)
+
+    # cross-group expansion: each canonical near-dup pair fans out to
+    # members(a) × members(b); broadcast here, slim shuffle joins at scale
+    mem = groups.select("vec_id", "members")
+    cross = (
+        canon_pairs.join(
+            F.broadcast(mem.select(F.col("vec_id").alias("vec_a"), F.col("members").alias("ma"))),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(mem.select(F.col("vec_id").alias("vec_b"), F.col("members").alias("mb"))),
+            "vec_b",
+        )
+        .select(F.explode("ma").alias("x"), "mb", "cosine_sim")
+        .select("x", F.explode("mb").alias("y"), "cosine_sim")
+        .select(
+            F.least("x", "y").alias("vec_a"),
+            F.greatest("x", "y").alias("vec_b"),
+            "cosine_sim",
+        )
+    )
+
+    # within-group pairs (exact copies): one self-cosine per group — the
+    # same expression shape as the pairwise confirmation, so the value
+    # (and its round-5 form) matches what the naive path would emit
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(members) - 2),"
+        " i -> transform(sequence(i + 1, size(members) - 1),"
+        "   j -> struct(members[i] as vec_a, members[j] as vec_b))))"
+    )
+    self_dot = F.aggregate(
+        F.zip_with("ea", "ea", lambda a, x: a * x), F.lit(0.0), lambda a, x: a + x
+    )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.col("embedding").cast("array<double>").alias("ea"), "members")
+        .withColumn(
+            "na",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("ea", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+                )
+            ),
+        )
+        .withColumn("cos", self_dot / (F.col("na") * F.col("na")))
+        .filter(F.col("cos") >= _CD_THRESHOLD)
+        .select(F.explode(pair_expr).alias("p"), F.round("cos", 5).alias("cosine_sim"))
+        .select("p.vec_a", "p.vec_b", "cosine_sim")
+    )
+    return cross.unionByName(within)
 
 
 def _cosine_pair_search(v: DataFrame) -> DataFrame:
@@ -155,7 +216,10 @@ def _cosine_pair_search(v: DataFrame) -> DataFrame:
     pairs = (
         bands.groupBy("band", "bucket")
         .agg(members.alias("members"))
-        .filter(F.size("members") >= 2)
+        # skew guard: degenerate buckets (> _CD_BUCKET_CAP) drop whole —
+        # policy documented at the cap's definition, mirrored in the
+        # oracle's bsz CTE, surfaced by band_skew_profile
+        .filter(F.size("members").between(2, _CD_BUCKET_CAP))
         .select(F.explode(pair_expr).alias("p"))
         .select("p.vec_a", "p.vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
@@ -180,7 +244,7 @@ def _cosine_pair_search(v: DataFrame) -> DataFrame:
 
 
 @query(
-    "embedding_cosine_dups_canonical",
+    "embedding_cosine_dups",
     oracle=f"""
 WITH canon AS (
   SELECT min(vec_id) AS vec_id, embedding, count(*) AS n_copies
@@ -191,11 +255,14 @@ WITH canon AS (
   FROM canon
 ), bands AS (
   {_CD_BANDS_SQL}
+), bsz AS (
+  SELECT band, bucket, count(*) AS n FROM bands GROUP BY 1, 2
 ), pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          a.emb AS ea, b.emb AS eb, a.nrm AS na, b.nrm AS nb
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN bsz s ON a.band = s.band AND a.bucket = s.bucket AND s.n <= {_CD_BUCKET_CAP}
 ), confirmed AS (
   SELECT vec_a, vec_b, round(cos, 5) AS cosine_sim
   FROM (SELECT vec_a, vec_b,
@@ -211,16 +278,18 @@ JOIN canon ca ON c.vec_a = ca.vec_id
 JOIN canon cb ON c.vec_b = cb.vec_id
 """,
 )
-def embedding_cosine_dups_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-ordered near-dup pipeline as one operator: exact-collapse
-    identical vectors FIRST (group by the embedding itself — no float
-    serialization, canonical id = min vec_id, multiplicity kept), then
-    banded-LSH near-dup on the canonical set only. This removes the
-    quadratic-in-copy-multiplicity candidate blowup measured in
-    tools/scale_smoke.py (178 s → the canonical set is copy-free, so
-    bucket sizes reflect genuine near-dup density only); each emitted
-    pair carries both sides' multiplicities so downstream dedup can
-    weight survivors.
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the PRIMARY near-dup path,
+    collapse-first by default (promoted from `_canonical` per the round-2
+    verdict): exact-collapse identical vectors FIRST (group by the
+    embedding itself — no float serialization, canonical id = min vec_id,
+    multiplicity kept), then banded-LSH near-dup on the canonical set
+    only. This removes the quadratic-in-copy-multiplicity candidate
+    blowup measured in tools/scale_smoke.py (178 s → the canonical set is
+    copy-free, so bucket sizes reflect genuine near-dup density only);
+    each emitted pair carries both sides' multiplicities so downstream
+    dedup can weight survivors. The fully-expanded all-pairs contract
+    remains available as the opt-in ``embedding_cosine_dups_expanded``.
 
     Scale: the collapse is one groupBy on the vector value (map-side
     partials collapse copies early); everything after runs on the

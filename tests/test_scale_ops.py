@@ -78,3 +78,41 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_band_skew_guard_drops_hot_buckets(spark, tmp_path):
+    """Round-3 skew guard (verdict item #8): a boilerplate cluster of 600
+    DISTINCT docs (shared 21-token prefix, unique tails — exact-collapse
+    cannot remove them) lands them in shared band buckets; buckets over
+    _BUCKET_CAP must be dropped WHOLE by minhash_lsh_pairs, and
+    band_skew_profile must report the drop (no silent truncation)."""
+    import pyspark.sql.functions as F
+
+    from ecommerce_lakehouse_spark.queries.llm2 import _BUCKET_CAP
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+
+    boiler = (
+        "terms of service apply to all content on this page please read the "
+        "following disclaimer carefully before proceeding further"
+    )
+    n = _BUCKET_CAP + 88
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " tail"), F.col("id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("boilerplate").alias("source"),
+        F.lit(120).alias("n_chars"),
+    )
+    sf_dir = str(tmp_path / "poison")
+    docs.write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+
+    prof = REGISTRY["band_skew_profile"](spark, sf_dir).collect()[0]
+    assert prof["max_bucket"] > _BUCKET_CAP
+    assert prof["n_over_cap"] >= 1
+    assert prof["candidates_dropped"] > 0
+
+    # the pair query stays bounded: without the guard this corpus alone
+    # would expand ~n²/2 ≈ 180k pairs per hot band; with it, the only
+    # pairs that survive come from sub-cap buckets
+    pairs = REGISTRY["minhash_lsh_pairs"](spark, sf_dir)
+    assert pairs.count() < n * (n - 1) // 2

@@ -10,8 +10,16 @@ corpus (replicas get perturbed ids/text so exact dedup still collapses
 them and near-dup density rises, the adversarial direction), runs the
 candidate-generating queries, and reports wall time + output sizes.
 
-Usage: python tools/scale_smoke.py [K] [base_sf_dir]
+Usage: python tools/scale_smoke.py [K] [base_sf_dir] [--poison N]
 Writes the synthetic corpus under /tmp/spark_graft_scale_smoke.
+
+--poison N additionally injects N distinct documents sharing a 21-token
+boilerplate prefix (each with a unique tail token) — the adversarial
+hot-band case: they are NOT exact dups (collapse can't remove them) and
+most of their MinHash band buckets coincide, so without the
+_BUCKET_CAP stop-band guard the band join expands ~N²/2 candidate
+pairs. With the guard, wall time stays bounded and band_skew_profile
+reports exactly what was dropped.
 """
 
 from __future__ import annotations
@@ -32,16 +40,22 @@ from ecommerce_lakehouse_spark.queries import REGISTRY  # noqa: E402
 QUERIES = [
     "exact_dedup",
     "minhash_lsh_pairs",
+    "band_skew_profile",
     "simhash_signatures",
     "embedding_lsh_ann",
-    "embedding_cosine_dups_canonical",
     "embedding_cosine_dups",
+    "embedding_cosine_dups_expanded",
     "ngram_contamination",
     "repetition_profile",
 ]
 
+_BOILERPLATE = (
+    "terms of service apply to all content on this page please read the "
+    "following disclaimer carefully before proceeding further"
+)
 
-def build_corpus(spark, base: str, out: str, k: int) -> dict:
+
+def build_corpus(spark, base: str, out: str, k: int, poison: int = 0) -> dict:
     docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
     n = docs.count()
     reps = None
@@ -60,6 +74,16 @@ def build_corpus(spark, base: str, out: str, k: int) -> dict:
             "n_chars",
         )
         reps = r if reps is None else reps.unionByName(r)
+    if poison:
+        # hot-band injection: distinct texts sharing a boilerplate prefix
+        hot = spark.range(poison).select(
+            (F.col("id") + F.lit(k * n)).alias("doc_id"),
+            F.concat(F.lit(_BOILERPLATE + " tail"), F.col("id").cast("string")).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("boilerplate").alias("source"),
+            F.length(F.concat(F.lit(_BOILERPLATE + " tail"), F.col("id").cast("string"))).alias("n_chars"),
+        )
+        reps = reps.unionByName(hot)
     reps.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
 
     emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
@@ -73,15 +97,20 @@ def build_corpus(spark, base: str, out: str, k: int) -> dict:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    poison = 0
+    if "--poison" in sys.argv:
+        poison = int(sys.argv[sys.argv.index("--poison") + 1])
+        args = [a for a in args if a != str(poison)]
+    k = int(args[0]) if args else 10
+    base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out = "/tmp/spark_graft_scale_smoke"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
     spark = get_spark("scale-smoke")
-    sizes = build_corpus(spark, base, out, k)
-    report: dict = {"k": k, "base": base, **sizes, "queries": {}}
+    sizes = build_corpus(spark, base, out, k, poison=poison)
+    report: dict = {"k": k, "base": base, "poison": poison, **sizes, "queries": {}}
     for name in QUERIES:
         t0 = time.time()
         df = REGISTRY[name](spark, out)
