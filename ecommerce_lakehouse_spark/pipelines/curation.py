@@ -1,0 +1,282 @@
+"""End-to-end corpus-curation pipeline (round-2 verdict item #2): the
+stage chain a 100 TB training-data build runs — raw → quality gates →
+exact-collapse → MinHash band index → near-dup clusters → canonical
+survivors → train/val/test split — with every stage MATERIALIZED as a
+``LakeTable`` version, so a re-run with a new document batch is
+MERGE-incremental (partition-pruned writes, an append-only LSH band
+index, and incremental cross-batch exact dedup).
+
+This turns the individually-proven operators (repetition_profile /
+pii_scan gates, exact_dedup, minhash_lsh_pairs, neardup_clusters,
+train_val_test_split) into the *product* the north star describes: a
+restartable, versioned curation DAG over lakehouse tables rather than a
+bag of queries.
+
+Incrementality contract (documented, tested in tests/test_curation.py):
+
+- ``quality`` and ``canonical`` are MERGE-upserted per batch — only the
+  partitions (languages) present in the batch are rewritten.
+- ``band_index`` is append-only: bands are computed for NEW canonical
+  texts only and appended; new candidate pairs come from joining the new
+  docs' bands against the full index (the standard incremental-LSH
+  shape: new ⋈ all, never all ⋈ all again).
+- ``doc_id`` is assumed monotone across batches (append-only ingest), so
+  a canonical id (min doc_id per content hash) never changes once
+  assigned — the band index never goes stale.
+- ``clusters`` / ``survivors`` / ``splits`` are derived tables,
+  recomputed from the materialized upstream state each run (connected
+  components is a global fixpoint; incremental union-find is explicitly
+  out of scope and called out here rather than faked).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.lake import LakeTable
+from ecommerce_lakehouse_spark.queries.llm2 import (
+    _BUCKET_CAP,
+    _EST_THRESHOLD,
+    minhash_bands_df,
+    minhash_est_jaccard,
+    minhash_signatures_df,
+)
+from ecommerce_lakehouse_spark.queries.llm4 import _EMAIL
+
+# quality-gate thresholds (Gopher-style repetition + PII)
+MIN_WORDS = 5
+MAX_DUP_BIGRAM_RATIO = 0.6
+
+STAGES = ("quality", "canonical", "band_index", "pairs", "clusters", "survivors", "splits")
+
+
+def _tables(spark: SparkSession, root: str) -> dict[str, LakeTable]:
+    return {s: LakeTable(spark, os.path.join(root, s)) for s in STAGES}
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Row-local quality gates: length, duplicate-bigram ratio
+    (repetition_profile's signal), zero PII emails (pii_scan's signal).
+    Materialization barrier before the bigram HOFs — Catalyst inlines
+    split() into every element_at reference otherwise (the
+    repetition_profile lesson, queries/llm4.py)."""
+    base = docs.select(
+        "doc_id", "lang", "source", "text",
+        F.expr(r"split(trim(text), '\\s+')").alias("w"),
+    ).localCheckpoint()
+    bg = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    dup_ratio = (F.size(bg) - F.size(F.array_distinct(bg))) / F.size(bg).cast("double")
+    emails = F.size(F.regexp_extract_all("text", F.lit(_EMAIL), F.lit(0)))
+    return base.filter(
+        (F.size("w") >= MIN_WORDS)
+        & (emails == 0)
+        & (dup_ratio <= MAX_DUP_BIGRAM_RATIO)
+    ).select("doc_id", "lang", "source", "text")
+
+
+def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTable]:
+    """Run one batch of documents through the full curation DAG,
+    committing each stage as a LakeTable version under ``root``.
+    Safe to call repeatedly with new batches (see module docstring for
+    the incrementality contract); returns the stage tables."""
+    t = _tables(spark, root)
+
+    # ---- stage 1: quality gate (MERGE-incremental, partitioned by lang)
+    qual = quality_gate(batch)
+    if t["quality"].exists():
+        t["quality"].merge(qual, keys=["doc_id"])
+    else:
+        t["quality"].overwrite(qual, partition_by=["lang"])
+
+    # ---- stage 2: exact-collapse (cross-batch incremental on content_hash)
+    # Collapse the batch on the fixed-width hash (text never shuffles for
+    # the groupBy — it rejoins by slim doc_id), then COMBINE with existing
+    # canonical state: matched hashes add multiplicity and keep the min
+    # canonical id; new hashes insert. Only the batch's languages rewrite.
+    batch_canon = (
+        qual.select("doc_id", "lang", "text", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+    )
+    if t["canonical"].exists():
+        existing = t["canonical"].read().select(
+            "content_hash",
+            F.col("doc_id").alias("e_doc_id"),
+            F.col("n_copies").alias("e_copies"),
+            F.col("lang").alias("e_lang"),
+        )
+        delta = (
+            batch_canon.join(existing, "content_hash", "left")
+            .select(
+                "content_hash",
+                F.least("doc_id", F.coalesce("e_doc_id", "doc_id")).alias("doc_id"),
+                (F.col("n_copies") + F.coalesce("e_copies", F.lit(0))).alias("n_copies"),
+                F.when(
+                    F.coalesce("e_doc_id", F.col("doc_id")) < F.col("doc_id"),
+                    F.col("e_lang"),
+                ).otherwise(F.col("lang")).alias("lang"),
+                "text",
+            )
+        )
+        new_canon = batch_canon.join(
+            existing.select("content_hash"), "content_hash", "left_anti"
+        ).select("content_hash", "doc_id", "n_copies", "lang", "text")
+        t["canonical"].merge(delta, keys=["content_hash"])
+    else:
+        new_canon = batch_canon
+        t["canonical"].overwrite(batch_canon, partition_by=["lang"])
+
+    # ---- stage 3: LSH band index (append-only; new canonical texts only)
+    new_bands = minhash_bands_df(
+        minhash_signatures_df(new_canon.select("doc_id", "text"))
+    ).select("doc_id", "sig", "band_key")
+    had_index = t["band_index"].exists()
+    if had_index:
+        t["band_index"].append(new_bands)
+    else:
+        t["band_index"].overwrite(new_bands)
+
+    # ---- stage 4: candidate pairs (incremental: new ⋈ full index),
+    # with the stop-band skew guard (llm2._BUCKET_CAP policy): band keys
+    # whose index bucket exceeds the cap are excluded from the join —
+    # degenerate boilerplate bands would otherwise make the new-batch
+    # join quadratic in the hot bucket. Anti-join keeps it plan-side.
+    index = t["band_index"].read()
+    hot = (
+        index.groupBy("band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > _BUCKET_CAP)
+        .select("band_key")
+    )
+    index = index.join(hot, "band_key", "left_anti")
+    nb = new_bands.select(
+        F.col("doc_id").alias("n_id"), F.col("sig").alias("n_sig"), "band_key"
+    )
+    cand = (
+        index.join(nb, "band_key")
+        .filter(F.col("doc_id") != F.col("n_id"))
+        .select(
+            F.least("doc_id", "n_id").alias("doc_a"),
+            F.greatest("doc_id", "n_id").alias("doc_b"),
+            F.when(F.col("doc_id") < F.col("n_id"), F.col("sig")).otherwise(F.col("n_sig")).alias("sa"),
+            F.when(F.col("doc_id") < F.col("n_id"), F.col("n_sig")).otherwise(F.col("sig")).alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    new_pairs = (
+        cand.withColumn("est_jaccard", minhash_est_jaccard("sa", "sb"))
+        .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    if t["pairs"].exists():
+        # pairs between two already-indexed docs were found when the later
+        # one arrived; merge dedups re-discovered (new,new) pairs
+        t["pairs"].merge(new_pairs, keys=["doc_a", "doc_b"])
+    else:
+        t["pairs"].overwrite(new_pairs)
+
+    # ---- stage 5: near-dup clusters (derived; global min-label fixpoint)
+    ids = t["canonical"].read().select("doc_id")
+    pairs = t["pairs"].read().select("doc_a", "doc_b")
+    labels = _connected_components(ids, pairs)
+    t["clusters"].overwrite(labels)
+
+    # ---- stage 6: canonical survivors (cluster representatives)
+    surv = (
+        t["canonical"].read()
+        .join(labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"), "doc_id")
+        .select("doc_id", "content_hash", "n_copies", "lang")
+    )
+    t["survivors"].overwrite(surv, partition_by=["lang"])
+
+    # ---- stage 7: reproducible hash split (never rand())
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(100),
+    )
+    splits = surv.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test"),
+    )
+    t["splits"].overwrite(splits, partition_by=["split"])
+    return t
+
+
+def _connected_components(ids: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Distributed min-label propagation (the neardup_clusters engine,
+    queries/llm3.py): per-iteration join + partial-min agg, lineage
+    truncated with localCheckpoint, convergence-checked (control-plane
+    count only). Iterations ~ log(diameter)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint()
+    labels = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(15):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("n_doc"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        cand = (
+            labels.join(neigh, labels.doc_id == neigh.n_doc, "left")
+            .select(
+                "doc_id",
+                F.col("cluster_id").alias("old_label"),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = cand.filter(F.col("cluster_id") < F.col("old_label")).count()
+        labels = cand.select("doc_id", "cluster_id")
+        if changed == 0:
+            break
+    return labels
+
+
+def funnel(spark: SparkSession, t: dict[str, LakeTable], n_raw: int) -> DataFrame:
+    """Stage-count funnel over the materialized pipeline state — the
+    shrinkage report every corpus build publishes, read from the actual
+    LakeTable versions (not recomputed)."""
+    counts = [
+        (1, "raw", n_raw),
+        (2, "quality_pass", t["quality"].read().count()),
+        (3, "canonical", t["canonical"].read().count()),
+        (
+            4,
+            "neardup_member",
+            t["clusters"].read()
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= 2)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("m"))
+            .collect()[0]["m"],
+        ),
+        (5, "survivors", t["survivors"].read().count()),
+    ]
+    sp = t["splits"].read().groupBy("split").count()
+    by = {r["split"]: r["count"] for r in sp.collect()}
+    counts += [
+        (6, "train", by.get("train", 0)),
+        (7, "val", by.get("val", 0)),
+        (8, "test", by.get("test", 0)),
+    ]
+    return spark.createDataFrame(
+        [(int(o), s, int(n)) for o, s, n in counts],
+        "stage_order int, stage string, n_docs bigint",
+    )

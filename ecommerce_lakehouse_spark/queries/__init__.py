@@ -35,6 +35,7 @@ def query(name: str, oracle: str | None = None):
 
 # Import side effects populate the registry.
 from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
+    curation,
     events,
     gold,
     lakehouse,

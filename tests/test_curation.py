@@ -1,0 +1,104 @@
+"""Materialized corpus-curation pipeline (pipelines/curation.py):
+stage semantics on a micro corpus + the incrementality contract — a
+re-run with a new batch rewrites only the touched partitions, combines
+cross-batch exact dups, and APPENDS to the LSH band index (round-2
+verdict item #2's 'done' test)."""
+
+import glob
+import hashlib
+
+from ecommerce_lakehouse_spark.pipelines.curation import curate, funnel
+
+BASE_EN = "the quick brown fox jumps over the lazy dog near the river bank"
+BASE_FR = "le chat noir dort sur le tapis rouge pres de la fenetre ce soir"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, text string"
+    )
+
+
+def _hashes(pattern):
+    return {
+        f: hashlib.md5(open(f, "rb").read()).hexdigest()
+        for f in sorted(glob.glob(pattern))
+    }
+
+
+def test_curation_stages_and_incremental_rerun(spark, tmp_path):
+    root = str(tmp_path / "cur")
+    b1 = _docs(
+        spark,
+        [
+            (1, "en", "web", BASE_EN),
+            (2, "en", "web", BASE_EN),  # exact dup of 1
+            (3, "fr", "web", BASE_FR),
+            (4, "en", "web", "too short"),  # fails MIN_WORDS
+            (5, "en", "web",
+             "contact me at someone@example.com please do not share this address"),  # PII
+            (6, "en", "web", "spam spam spam spam spam spam spam spam"),  # repetitive
+        ],
+    )
+    t = curate(spark, b1, root)
+
+    # quality gates: dup pair + french doc pass; short/PII/repetitive fail
+    assert {r.doc_id for r in t["quality"].read().collect()} == {1, 2, 3}
+    # exact collapse: 2 distinct texts; dup pair collapses to min id with 2 copies
+    c1 = {(r.doc_id, r.n_copies) for r in t["canonical"].read().collect()}
+    assert c1 == {(1, 2), (3, 1)}
+    assert {r.doc_id for r in t["survivors"].read().collect()} == {1, 3}
+
+    en_before = _hashes(root + "/quality/data/*/lang=en/*.parquet")
+    assert en_before
+
+    # ---- batch 2: french only; one exact dup of doc 3, one new text
+    b2 = _docs(
+        spark,
+        [
+            (10, "fr", "web", BASE_FR),  # cross-batch exact dup of 3
+            (11, "fr", "web",
+             "une autre phrase francaise tout a fait differente des precedentes vraiment"),
+        ],
+    )
+    t = curate(spark, b2, root)
+
+    # partition-pruned MERGE: en files byte-identical, and the new quality
+    # version's data dir contains NO en partition (nothing rewritten)
+    assert _hashes(root + "/quality/data/*/lang=en/*.parquet") == en_before
+    assert not glob.glob(root + "/quality/data/v00000002-*/lang=en")
+    assert glob.glob(root + "/quality/data/v00000002-*/lang=fr")
+
+    # cross-batch exact dedup combined: doc 3's text now has 2 copies and
+    # keeps its original (min) canonical id; batch-1 state untouched
+    c2 = {(r.doc_id, r.n_copies) for r in t["canonical"].read().collect()}
+    assert c2 == {(1, 2), (3, 2), (11, 1)}
+
+    # band index is append-only (incremental LSH: new docs join the full
+    # index, old bands are never recomputed)
+    assert t["band_index"].history()[-1]["operation"] == "append"
+    # index holds bands for new canonical texts only: 3 distinct texts,
+    # doc 10's dup text added no bands
+    assert t["band_index"].read().select("doc_id").distinct().count() == 3
+
+    # funnel totals read from materialized state
+    f = {r.stage: r.n_docs for r in funnel(spark, t, 8).collect()}
+    assert f["raw"] == 8
+    assert f["quality_pass"] == 5  # 1,2,3,10,11
+    assert f["canonical"] == 3
+    assert f["survivors"] == f["train"] + f["val"] + f["test"]
+    assert f["survivors"] == 3  # distinct sentences: no near-dup collapse
+
+
+def test_curation_survivors_collapse_near_dups(spark, tmp_path):
+    """Near-identical texts (one word changed) must cluster and keep one
+    survivor — the minhash → clusters → survivors path end-to-end."""
+    near = BASE_EN.replace("lazy", "sleepy")
+    t = curate(
+        spark,
+        _docs(spark, [(1, "en", "web", BASE_EN), (2, "en", "web", near)]),
+        str(tmp_path / "cur2"),
+    )
+    pairs = t["pairs"].read().collect()
+    assert len(pairs) == 1 and pairs[0]["doc_a"] == 1 and pairs[0]["doc_b"] == 2
+    assert {r.doc_id for r in t["survivors"].read().collect()} == {1}
