@@ -36,57 +36,65 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering, all four join types, set ops, grouping sets, pivot/unpivot,
 # stats, TPC-H, LLM dedup/ANN/text) — remaining entries follow in their
 # registration order.
+#
+# Round-3 rotation (verdict item #7): 27 of the 50 slots now hold queries
+# the driver has never gated (r02 window passed 50/50; those proven names
+# rotate out for per-family stand-ins so CORRECTNESS_r03 adjudicates
+# fresh ground), plus this round's new/changed operators
+# (corpus_curation_pipeline, collapse-first embedding_cosine_dups + its
+# _expanded twin, multiplicity-carrying minhash_lsh_pairs,
+# fuzzy_pairs_blocked, png_decode_features).
 _FIRST = [
     "daily_sales",
-    "product_performance",
-    "department_analytics",
     "customer_insights",
     "merge_upsert_snapshot",
     "tumbling_window_agg",
-    "sliding_window_agg",
-    "session_window_agg",
     "asof_join_enrich",
     "json_props_agg",
-    "user_session_stats",
-    "funnel_view_click_purchase",
     "validation_split_rejected",
-    "validation_error_histogram",
-    "group_count_histogram",
-    "distinct_projection",
     "dedup_by_key",
-    "column_stats",
-    "dup_rate_metric",
-    "null_rate_profile",
-    "between_dates_filter",
     "compound_predicate_filter",
-    "membership_filter",
     "conditional_segmentation",
     "scalar_pipeline",
     "window_top1_per_group",
     "top_k_global",
-    "running_totals",
-    "window_navigation",
     "anti_join_orphans",
-    "semi_join_present",
     "outer_join_flagback",
     "range_band_join",
     "set_operations",
-    "rollup_sales",
     "grouping_sets_sales",
     "pivot_returnflag_revenue",
-    "image_decode_features",
-    "audio_decode_features",
-    "cumulative_new_customers",
-    "part_cooccurrence",
     "tpch_q1_pricing_summary",
-    "tpch_q6_forecast_revenue",
-    "tpch_q21_waiting_supplier",
     "exact_dedup",
     "minhash_lsh_pairs",
-    "embedding_cosine_dups_canonical",
-    "token_count_by_lang",
-    "bpe_token_estimate",
     "text_quality_stats",
+    "corpus_curation_pipeline",
+    "embedding_cosine_dups",
+    "embedding_cosine_dups_expanded",
+    "fuzzy_pairs_blocked",
+    "png_decode_features",
+    "image_resize_pipeline",
+    "neardup_clusters",
+    "normalized_dedup_groups",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "embedding_knn_bruteforce",
+    "embedding_lsh_ann",
+    "embedding_ivf_ann",
+    "ann_recall_eval",
+    "lang_id_heuristic",
+    "repetition_profile",
+    "pii_scan",
+    "ngram_contamination",
+    "hash_sample_stratified",
+    "train_val_test_split",
+    "cube_sales",
+    "token_frequencies",
+    "exact_moment_corr",
+    "cohort_retention",
+    "rolling_7day_revenue",
+    "status_mix_by_nation",
+    "tpch_q9_product_profit",
 ]
 
 
