@@ -171,16 +171,18 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Spec-conformant PNG decode for 8-bit gray/GA/RGB/RGBA, interlace 0:
-    walk chunks, parse IHDR, inflate the concatenated IDAT stream with
-    stdlib zlib, unfilter scanlines. Palette/16-bit/interlaced images
-    raise (honestly) — they're rare in training corpora and would need
-    only more table-work, not a native codec."""
+    """Spec-conformant PNG decode for 8-bit gray/GA/RGB/RGBA/palette,
+    interlace 0: walk chunks, parse IHDR (+PLTE for color type 3),
+    inflate the concatenated IDAT stream with stdlib zlib, unfilter
+    scanlines, and for palette images look indices up into PLTE.
+    16-bit/interlaced images raise (honestly) — rare in training corpora
+    and needing only more table-work, not a native codec."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -188,6 +190,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -195,17 +199,22 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace} "
-            "not supported (8-bit gray/GA/RGB/RGBA, non-interlaced only)"
+            "not supported (8-bit gray/GA/RGB/RGBA/palette, non-interlaced only)"
         )
-    ch = _PNG_CHANNELS[color]
+    ch = 1 if color == 3 else _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
-    return _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    img = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        img = plte[img[:, :, 0]]  # index lookup -> HxWx3 RGB
+    return img
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -262,12 +271,201 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes, code width
+    grows 3..12 bits as the dictionary fills (GIF89a spec appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    # bit reader state over the concatenated sub-block data
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return end  # truncated stream: treat as end
+        byte0 = bitpos >> 3
+        val = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        val = (val >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    def reset_dict():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset_dict()
+    prev: bytes | None = None
+    next_code = end + 1
+    while n_out < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table, width = reset_dict()
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame -> HxWx3 uint8 RGB: logical screen
+    descriptor, global/local color tables, full LZW decompression
+    (variable-width codes, clear/end, KwKwK), interlace de-weaving.
+    Animated GIFs yield frame 0 (frame iteration belongs to the video
+    sampler, not the still decoder)."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                ct = np.frombuffer(payload, dtype=np.uint8, count=n * 3, offset=pos).reshape(-1, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code_size, w * h).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                deweave = np.empty_like(idx)
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deweave[order] = idx
+                idx = deweave
+            return ct[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x} at {pos - 1}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 (<= 256 distinct colors) -> single-frame GIF89a with a
+    REAL LZW encoder (dictionary growth, clear/end codes, 255-byte
+    sub-block framing) — round-trips exercise the decoder's full code
+    path, and the output opens in any image viewer."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors (no quantizer here)")
+    # palette size = power of two >= max(2, n_colors)
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    # LZW encode the index stream
+    codes: list[tuple[int, int]] = [(clear, min_code + 1)]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = end + 1
+    width = min_code + 1
+    cur = b""
+    for v in idx.astype(np.uint8).tobytes():
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = end + 1
+            width = min_code + 1
+        cur = bytes([v])
+    if cur:
+        codes.append((table[cur], width))
+    codes.append((end, width))
+
+    # pack LSB-first
+    acc = n_bits = 0
+    packed = bytearray()
+    for code, cwidth in codes:
+        acc |= code << n_bits
+        n_bits += cwidth
+        while n_bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an HxWxC uint8 array.
 
-    Real for PPM/PGM/BMP (no codec needed) and PNG (stdlib zlib inflate +
-    numpy unfilter). JPEG/GIF raise — swap in PIL here in production;
-    every caller is unchanged."""
+    Real for PPM/PGM/BMP (no codec needed), PNG (stdlib zlib inflate +
+    numpy unfilter), and GIF (pure-Python LZW). JPEG raises — swap in
+    PIL here in production; every caller is unchanged."""
     mime = sniff_mime(payload)
     if mime.startswith("image/x-portable"):
         return _decode_pnm(payload)
@@ -275,7 +473,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if mime == "image/png":
         return _decode_png(payload)
-    if mime in ("image/jpeg", "image/gif"):
+    if mime == "image/gif":
+        return _decode_gif(payload)
+    if mime == "image/jpeg":
         raise NotImplementedError(f"{mime} requires a native codec (PIL) — not available here")
     raise ValueError(f"not an image payload (sniffed {mime})")
 

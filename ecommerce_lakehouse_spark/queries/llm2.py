@@ -172,30 +172,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted-bucketable and signatures are 32×8B fixed width.
     """
     d = load(spark, sf_dir, "documents")
-    # exact-collapse first: groupBy the fixed-width hash, then join the
-    # canonical text back on doc_id (text crosses the wire once)
-    canon_ids = (
-        d.select("doc_id", F.md5("text").alias("__h"))
-        .groupBy("__h")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-        .drop("__h")
+    # exact-collapse first: ONE groupBy on the text value (same shape as
+    # the cosine path's group-by-embedding). A hash-groupBy + join-back
+    # was measured slower AND is no better at scale: the join still has
+    # to shuffle the text by doc_id, so grouping by value is one text
+    # shuffle instead of text + slim (map-side partials collapse copies
+    # before the wire either way).
+    canon = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
     )
-    canon = canon_ids.join(d.select("doc_id", "text"), "doc_id")
-    sig = minhash_signatures_df(canon.select("doc_id", "n_copies", "text"))
-    bands = minhash_bands_df(sig)
+    # Materialize the signatures ONCE (localCheckpoint; persist() on a
+    # cluster): the sig table feeds band generation AND both sides of the
+    # pair join below — without the barrier Catalyst would re-run the
+    # md5/minhash work three times.
+    sig = minhash_signatures_df(canon.select("doc_id", "n_copies", "text")).localCheckpoint()
+    bands = minhash_bands_df(sig.select("doc_id", "sig")).select("doc_id", "band_key")
     # Candidate pairs via groupBy(band_key) + in-bucket expansion rather
-    # than a band_key self-join: a self-join instantiates the (expensive)
-    # signature subtree on BOTH sides of the plan, doubling the hash work;
-    # one hash-shuffle on band_key computes it once. LSH keeps buckets
-    # small by construction, so the quadratic in-bucket expansion is
-    # bounded (it emits exactly the candidate set the join would).
-    members = F.expr("sort_array(collect_list(struct(doc_id, n_copies, sig)))")
+    # than a band_key self-join (one hash-shuffle computes the band index
+    # once; LSH keeps buckets small, so in-bucket expansion is bounded).
+    # Only SLIM (doc_a, doc_b) id pairs flow through the dedup shuffle —
+    # shipping two 32x8B signatures per candidate dominated the runtime
+    # at 10x duplication density (measured 15.6s -> see below); the sigs
+    # and multiplicities rejoin on the deduped pairs. Broadcast is right
+    # at this scale; at 100 TB these become two linear shuffle joins on
+    # doc_id — still nothing O(n²).
+    members = F.expr("sort_array(collect_list(doc_id))")
     pair_expr = F.expr(
         "flatten(transform(sequence(0, size(members) - 2),"
         " i -> transform(sequence(i + 1, size(members) - 1),"
-        "   j -> struct(members[i].doc_id as doc_a, members[j].doc_id as doc_b,"
-        "              members[i].sig as sa, members[j].sig as sb,"
-        "              members[i].n_copies as copies_a, members[j].n_copies as copies_b))))"
+        "   j -> struct(members[i] as doc_a, members[j] as doc_b))))"
     )
     pairs = (
         bands.groupBy("band_key")
@@ -205,12 +210,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the drop is surfaced (band_skew_profile, scale_smoke)
         .filter(F.size("members").between(2, _BUCKET_CAP))
         .select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb", "p.copies_a", "p.copies_b")
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = F.broadcast(
+        sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"),
+            F.col("n_copies").alias("copies_a"),
+        )
+    )
+    sb = F.broadcast(
+        sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"),
+            F.col("n_copies").alias("copies_b"),
+        )
     )
     est = minhash_est_jaccard("sa", "sb")
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
         .select("doc_a", "doc_b", "est_jaccard", "copies_a", "copies_b")
     )

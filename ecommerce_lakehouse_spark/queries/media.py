@@ -215,6 +215,57 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_feature_extract_rgba(payloads)
 
 
+_PIX_G = "(doc_id * 7 + 3 * x + 5 * y) % 256"
+
+
+@query(
+    "gif_decode_features",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_IMG['w']} AS w, {_IMG['h']} AS h FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(sum({_PIX_G}) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(sum({_PIX_G}) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(sum({_PIX_G}) AS DOUBLE) / (w * h) AS mean_b
+FROM px
+GROUP BY doc_id, w, h
+""",
+)
+def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode → feature extraction through the REAL pure-Python LZW
+    codec: grayscale formula images (≤256 distinct values, so the GIF
+    palette holds them exactly) are encoded as genuine GIF89a files —
+    real LZW with dictionary growth and sub-block framing — decoded by
+    operators/media._decode_gif, and featurized. The oracle recomputes
+    the channel means in closed form; an LZW, palette, or framing bug
+    breaks the hash. JPEG is now the only format still raising.
+
+    Scale: one mapInPandas stage, no shuffle, integer-exact sums."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import encode_gif
+    from ecommerce_lakehouse_spark.operators.multimodal import image_feature_extract
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                w, h = 8 + d % 5, 6 + d % 4
+                ys, xs = np.mgrid[0:h, 0:w]
+                gray = ((d * 7 + 3 * xs + 5 * ys) % 256).astype(np.uint8)
+                payloads.append(encode_gif(np.repeat(gray[:, :, None], 3, axis=2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return image_feature_extract(payloads)
+
+
 @query(
     "image_resize_pipeline",
     oracle=f"""

@@ -184,3 +184,79 @@ def test_png_unsupported_variants_raise():
 def test_jpeg_still_raises():
     with pytest.raises(NotImplementedError, match="jpeg"):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+# ---------- GIF (round-3: pure-Python LZW) + palette PNG ----------
+
+
+def test_gif_roundtrip():
+    from ecommerce_lakehouse_spark.operators.media import encode_gif
+
+    rng = np.random.default_rng(3)
+    # <=256 distinct colors: random picks from a 200-color palette
+    palette = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, size=(23, 17))
+    src = palette[idx]
+    payload = encode_gif(src)
+    assert sniff_mime(payload) == "image/gif"
+    out = decode_image(payload)
+    assert out.shape == src.shape
+    assert np.array_equal(out, src)
+
+
+def test_gif_long_stream_dictionary_growth():
+    """Image large enough that the LZW dictionary grows past several code
+    widths (and possibly emits a mid-stream clear)."""
+    from ecommerce_lakehouse_spark.operators.media import encode_gif
+
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(120, 90))
+    src = palette[idx]
+    assert np.array_equal(decode_image(encode_gif(src)), src)
+
+
+def test_gif_interlaced():
+    """Set the interlace flag on a stream whose rows were pre-weaved into
+    GIF pass order — the decoder's de-weave must restore the original."""
+    from ecommerce_lakehouse_spark.operators.media import encode_gif
+
+    rng = np.random.default_rng(5)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    h, w = 11, 7
+    src = palette[rng.integers(0, 16, size=(h, w))]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    weaved = src[order]  # stream order
+    payload = bytearray(encode_gif(weaved))
+    # image descriptor: 6 (header) + 7 (LSD) + 3*palsize, then 0x2C + 9
+    palsize = 2 << (payload[10] & 7)
+    desc = 13 + 3 * palsize
+    assert payload[desc] == 0x2C
+    payload[desc + 9] |= 0x40  # set interlace flag
+    out = decode_image(bytes(payload))
+    assert np.array_equal(out, src)
+
+
+def test_png_palette():
+    """Color-type-3 PNG: indices + PLTE lookup -> RGB."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from ecommerce_lakehouse_spark.operators.media import _png_chunk
+
+    rng = np.random.default_rng(11)
+    plte = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    idx = rng.integers(0, 64, size=(9, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(9))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 5, 9, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_image(payload)
+    assert np.array_equal(out, plte[idx])
