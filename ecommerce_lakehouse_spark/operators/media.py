@@ -463,9 +463,11 @@ def encode_gif(img: np.ndarray) -> bytes:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an HxWxC uint8 array.
 
-    Real for PPM/PGM/BMP (no codec needed), PNG (stdlib zlib inflate +
-    numpy unfilter), and GIF (pure-Python LZW). JPEG raises — swap in
-    PIL here in production; every caller is unchanged."""
+    Every mainstream still-image format decodes for real with no native
+    codec: PPM/PGM/BMP (raw), PNG (stdlib zlib inflate + numpy
+    unfilter), GIF (pure-Python LZW), and baseline JPEG (numpy DCT +
+    generic Huffman — operators/jpeg.py; progressive/subsampled JPEG
+    raises with the reason)."""
     mime = sniff_mime(payload)
     if mime.startswith("image/x-portable"):
         return _decode_pnm(payload)
@@ -476,7 +478,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if mime == "image/gif":
         return _decode_gif(payload)
     if mime == "image/jpeg":
-        raise NotImplementedError(f"{mime} requires a native codec (PIL) — not available here")
+        from ecommerce_lakehouse_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"not an image payload (sniffed {mime})")
 
 

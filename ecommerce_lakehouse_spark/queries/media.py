@@ -266,6 +266,65 @@ def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_feature_extract(payloads)
 
 
+_PIX_BLK = "(doc_id * 7 + 11 * (x // 8) + 23 * (y // 8)) % 256"
+
+
+@query(
+    "jpeg_decode_features",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_IMG['w']} AS w, {_IMG['h']} AS h FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       1 AS channels,
+       CAST(sum({_PIX_BLK}) AS DOUBLE) / (w * h) AS mean_lum
+FROM px
+GROUP BY doc_id, w, h
+""",
+)
+def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode → feature extraction through the REAL baseline JPEG
+    codec (operators/jpeg.py: numpy DCT, canonical Huffman tables
+    declared in DHT, byte stuffing, partial edge blocks). The generated
+    grayscale images are constant per 8x8 block, a property the DCT
+    preserves exactly (DC-only blocks; with unit quantization the
+    round-trip is bit-exact), so the decoded means admit a closed-form
+    oracle — marker parsing, Huffman, zigzag, dequant, IDCT, or edge-
+    crop bugs all break the hash. Lossy-path accuracy (random images,
+    color) is locked by unit tests with error bounds instead, where
+    exactness is mathematically unavailable.
+
+    Scale: one mapInPandas stage, no shuffle, integer-exact sums."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg
+    from ecommerce_lakehouse_spark.operators.media import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "channels", "mean_lum")}
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                w, h = 8 + d % 5, 6 + d % 4
+                ys, xs = np.mgrid[0:h, 0:w]
+                gray = ((d * 7 + 11 * (xs // 8) + 23 * (ys // 8)) % 256).astype(np.uint8)
+                img = decode_image(encode_jpeg(gray))
+                hh, ww, c = img.shape
+                out["doc_id"].append(d)
+                out["width"].append(ww)
+                out["height"].append(hh)
+                out["channels"].append(c)
+                out["mean_lum"].append(int(img.astype(np.int64).sum()) / (hh * ww))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run, schema="doc_id bigint, width int, height int, channels int, mean_lum double"
+    )
+
+
 @query(
     "image_resize_pipeline",
     oracle=f"""

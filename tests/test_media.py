@@ -181,8 +181,10 @@ def test_png_unsupported_variants_raise():
         decode_image(payload)
 
 
-def test_jpeg_still_raises():
-    with pytest.raises(NotImplementedError, match="jpeg"):
+def test_jpeg_garbage_is_parse_error():
+    # JPEG decodes for real now (round 3) — truncated garbage is a parse
+    # error, not a missing-codec error
+    with pytest.raises(ValueError, match="marker"):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
@@ -260,3 +262,74 @@ def test_png_palette():
     )
     out = decode_image(payload)
     assert np.array_equal(out, plte[idx])
+
+
+# ---------- JPEG (round-3: baseline codec, numpy DCT + generic Huffman) ----
+
+
+def test_jpeg_block_constant_bit_exact():
+    """Constant 8x8 blocks are DC-only; with unit quantization the
+    round-trip is bit-exact — the property the oracle query relies on."""
+    from ecommerce_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    bvals = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(bvals, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (24, 32, 1)
+    assert np.array_equal(out[:, :, 0], img)
+    # partial edge blocks (non-multiple-of-8 geometry) stay exact
+    img2 = img[:19, :27]
+    out2 = decode_jpeg(encode_jpeg(img2))
+    assert out2.shape == (19, 27, 1)
+    assert np.array_equal(out2[:, :, 0], img2)
+
+
+def test_jpeg_lossy_error_bounds():
+    """Unit quantization leaves only DCT float rounding: gray within ±1,
+    RGB within ±2 (extra YCbCr rounding)."""
+    from ecommerce_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(2)
+    gray = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(gray))[:, :, 0]
+    assert np.abs(got.astype(int) - gray.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    got3 = decode_jpeg(encode_jpeg(rgb))
+    assert np.abs(got3.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_jpeg_quantized_coarse():
+    """A real (non-unit) quantization table still decodes with bounded
+    error — exercises dequantization and larger coefficient categories."""
+    from ecommerce_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    # smooth gradient: coarse quantization error stays small
+    ys, xs = np.mgrid[0:32, 0:40]
+    img = ((xs * 3 + ys * 2) % 256).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img, qtable=q))[:, :, 0]
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 24
+
+
+def test_jpeg_via_decode_image_and_sniff():
+    from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    payload = encode_jpeg(np.full((8, 8), 77, dtype=np.uint8))
+    assert sniff_mime(payload) == "image/jpeg"
+    assert decode_image(payload)[0, 0, 0] == 77
+
+
+def test_jpeg_progressive_raises():
+    """A progressive (SOF2) header must raise, not mis-decode."""
+    import struct as _struct
+
+    from ecommerce_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="progressive|0xffc2"):
+        decode_jpeg(bytes(payload))

@@ -101,11 +101,11 @@ def test_decode_compressed_formats_raise():
 
     from ecommerce_lakehouse_spark.operators.media import decode_audio, decode_image
 
-    # PNG decodes for real now (round 3) — a truncated PNG is a parse
-    # error, not a missing-codec error
+    # PNG and JPEG decode for real now (round 3) — truncated payloads are
+    # parse errors, not missing-codec errors
     with _pytest.raises(ValueError, match="IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError, match="marker"):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with _pytest.raises(NotImplementedError):
         decode_audio(b"ID3\x04" + b"\x00" * 16)
