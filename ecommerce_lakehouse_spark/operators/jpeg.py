@@ -109,105 +109,127 @@ def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, nby, nbx
 
 
-def encode_jpeg(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB -> 4:4:4 YCbCr) uint8 -> baseline
-    JPEG bytes. Default quantization table is all-ones (near-lossless;
-    block-constant inputs are bit-exact)."""
+def _block_runs(zz: np.ndarray, prev_dc: int) -> tuple[int, list]:
+    """One block's (dc_diff, [(ac_symbol, value), ...]) in zigzag order."""
+    diff = int(zz[0]) - prev_dc
+    ac = []
+    run = 0
+    for v in zz[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ac.append((0xF0, 0))  # ZRL
+            run -= 16
+        ac.append(((run << 4) | _category(v), v))
+        run = 0
+    if run:
+        ac.append((0x00, 0))  # EOB
+    return diff, ac
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsample: bool = False,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB -> YCbCr) uint8 -> baseline JPEG
+    bytes. ``subsample=True`` emits 4:2:0 (Y at 2x2 sampling, chroma
+    averaged over 2x2 pixel blocks) — the layout nearly every real-world
+    JPEG uses; default is 4:4:4. Default quantization is all-ones
+    (near-lossless; block-constant inputs are bit-exact in grayscale)."""
     if qtable is None:
         qtable = np.ones((8, 8), dtype=np.int64)
     qtable = qtable.astype(np.int64)
     gray = img.ndim == 2 or img.shape[2] == 1
     if gray:
         planes = [img.reshape(img.shape[0], img.shape[1]).astype(np.float64)]
+        samps = [(1, 1)]
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
+        if subsample:
+            # pad to even, then 2x2 mean-pool the chroma planes
+            def pool(p):
+                ph, pw = -p.shape[0] % 2, -p.shape[1] % 2
+                p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+                return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+            planes = [y, pool(cb), pool(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
     h, w = planes[0].shape
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # quantized coefficient blocks per component (vectorized DCT)
-    comp_coefs = []
-    for plane in planes:
-        blocks, _, _ = _blocks_of(plane)
+    # per-component quantized coefficient grids sized to the MCU grid
+    comp_zz = []  # (nby_c, nbx_c, 64) zigzag-ordered quantized coefs
+    for plane, (hi, vi) in zip(planes, samps):
+        tgt_h, tgt_w = mcuy * vi * 8, mcux * hi * 8
+        ph, pw = tgt_h - plane.shape[0], tgt_w - plane.shape[1]
+        padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        nby, nbx = tgt_h // 8, tgt_w // 8
+        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         coefs = np.einsum("ij,bjk,lk->bil", _T, blocks - 128.0, _T)
-        comp_coefs.append(np.round(coefs / qtable).astype(np.int64))
+        q = np.round(coefs / qtable).astype(np.int64).reshape(nby, nbx, 64)
+        comp_zz.append(q[:, :, _ZIGZAG])  # row-major 8x8 -> zigzag order
 
-    # collect symbol usage to declare exactly the symbols we emit
+    # walk MCUs in emission order, building (comp, dc_diff, ac_runs)
+    emission = []
+    preds = [0] * len(planes)
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
-    comp_runs = []
-    for coefs in comp_coefs:
-        runs = []
-        prev_dc = 0
-        for blk in coefs:
-            zz = blk.reshape(64)[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            dc_syms.add(_category(diff))
-            ac = []
-            run = 0
-            for v in zz[1:]:
-                v = int(v)
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ac.append((0xF0, 0))  # ZRL
-                    ac_syms.add(0xF0)
-                    run -= 16
-                sym = (run << 4) | _category(v)
-                ac_syms.add(sym)
-                ac.append((sym, v))
-                run = 0
-            if run:
-                ac.append((0x00, 0))  # EOB
-                ac_syms.add(0x00)
-            runs.append((diff, ac))
-        comp_runs.append(runs)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = comp_zz[ci][my * vi + by, mx * hi + bx]
+                        diff, ac = _block_runs(zz, preds[ci])
+                        preds[ci] = int(zz[0])
+                        dc_syms.add(_category(diff))
+                        for sym, _v in ac:
+                            ac_syms.add(sym)
+                        emission.append((diff, ac))
 
     dc_bits, dc_codes = _fixed_length_table(sorted(dc_syms))
     ac_bits, ac_codes = _fixed_length_table(sorted(ac_syms))
 
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT (table 0, 8-bit)
     zz_q = qtable.reshape(64)[_ZIGZAG].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q.tobytes()
-    # SOF0
-    ncomp = 1 if gray else 3
+    ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    for cid, (hi, vi) in zip(range(1, ncomp + 1), samps):
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT: DC table 0, AC table 0 (shared by all components)
     for cls, (bits, codes) in ((0, (dc_bits, dc_codes)), (1, (ac_bits, ac_codes))):
         vals = bytes(s for s, _ in sorted(codes.items(), key=lambda kv: kv[1]))
         body = bytes([cls << 4]) + bytes(bits) + vals
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    # SOS
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
-        sos += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([cid, 0x00])
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # entropy-coded data: non-interleaved would need multiple scans, so
-    # interleave MCUs component-by-component (1x1 sampling -> one block
-    # per component per MCU)
     wbits = _BitWriter()
-    n_blocks = len(comp_runs[0])
-    for b in range(n_blocks):
-        for runs in comp_runs:
-            diff, ac = runs[b]
-            _encode_value(wbits, diff, dc_codes)
-            for sym, v in ac:
-                code, length = ac_codes[sym]
-                wbits.write(code, length)
-                s = sym & 0x0F
-                if s:
-                    wbits.write(v if v >= 0 else v + (1 << s) - 1, s)
+    for diff, ac in emission:
+        _encode_value(wbits, diff, dc_codes)
+        for sym, v in ac:
+            code, length = ac_codes[sym]
+            wbits.write(code, length)
+            s = sym & 0x0F
+            if s:
+                wbits.write(v if v >= 0 else v + (1 << s) - 1, s)
     out += wbits.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -341,11 +363,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (non-1x1 sampling) not supported"
-                    )
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise NotImplementedError(
+                    "non-integer JPEG sampling ratios not supported"
+                )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -372,39 +399,49 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, dri):
     h, w, comps = frame
     nc = len(comps)
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    coefs = [np.zeros((nby * nbx, 8, 8), dtype=np.int64) for _ in range(nc)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient grids sized to the MCU grid
+    coefs = [
+        np.zeros((mcuy * vi, mcux * hi, 8, 8), dtype=np.int64)
+        for (_cid, hi, vi, _tq) in comps
+    ]
     r = _BitReader(payload, pos)
     preds = [0] * nc
     mcu = 0
-    n_mcus = nby * nbx
+    n_mcus = mcuy * mcux
     while mcu < n_mcus:
+        my, mx = divmod(mcu, mcux)
         try:
-            for ci in range(nc):
-                _cid, dc_id, ac_id = scan_tables[ci]
+            for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                _scid, dc_id, ac_id = scan_tables[ci]
                 dc_t, ac_t = htables[(0, dc_id)], htables[(1, ac_id)]
-                s = dc_t.decode(r)
-                diff = _extend(r.bits(s), s) if s else 0
-                preds[ci] += diff
-                blk = np.zeros(64, dtype=np.int64)
-                blk[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = ac_t.decode(r)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    ssss = sym & 0x0F
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    blk[k] = _extend(r.bits(ssss), ssss)
-                    k += 1
-                out = np.zeros(64, dtype=np.int64)
-                out[_ZIGZAG] = blk
-                coefs[ci][mcu] = out.reshape(8, 8)
+                for by in range(vi):
+                    for bx in range(hi):
+                        s = dc_t.decode(r)
+                        diff = _extend(r.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = ac_t.decode(r)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            ssss = sym & 0x0F
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(r.bits(ssss), ssss)
+                            k += 1
+                        out = np.zeros(64, dtype=np.int64)
+                        out[_ZIGZAG] = blk
+                        coefs[ci][my * vi + by, mx * hi + bx] = out.reshape(8, 8)
             mcu += 1
             if dri and mcu % dri == 0 and mcu < n_mcus:
                 r.sync_restart()
@@ -413,10 +450,14 @@ def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, dri):
             r.sync_restart()
             preds = [0] * nc
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
-        deq = coefs[ci] * qtables[tq]
-        blocks = np.einsum("ji,bjk,kl->bil", _T, deq.astype(np.float64), _T)
+    for ci, (_cid, hi, vi, tq) in enumerate(comps):
+        nby, nbx = coefs[ci].shape[:2]
+        deq = (coefs[ci].reshape(-1, 8, 8) * qtables[tq]).astype(np.float64)
+        blocks = np.einsum("ji,bjk,kl->bil", _T, deq, _T)
         grid = blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        # upsample subsampled components to full resolution (nearest
+        # neighbor — the baseline-conformant choice), then crop
+        grid = np.repeat(np.repeat(grid, vmax // vi, axis=0), hmax // hi, axis=1)
         planes.append(grid[:h, :w] + 128.0)
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]

@@ -333,3 +333,25 @@ def test_jpeg_progressive_raises():
     payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
     with pytest.raises(NotImplementedError, match="progressive|0xffc2"):
         decode_jpeg(bytes(payload))
+
+
+def test_jpeg_420_subsampled():
+    """4:2:0 (the real-world default layout): encoder pools chroma 2x2,
+    decoder handles multi-block MCUs + nearest-neighbor upsampling.
+    Color constant per 16x16 block makes pooling lossless -> exact."""
+    from ecommerce_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    cvals = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    big = np.repeat(np.repeat(cvals, 16, axis=0), 16, axis=1)
+    out = decode_jpeg(encode_jpeg(big, subsample=True))
+    assert out.shape == big.shape
+    assert np.array_equal(out, big)
+    # odd geometry: crop back to exact size, bounded error on a gradient
+    ys, xs = np.mgrid[0:33, 0:41]
+    smooth = np.stack(
+        [(xs * 2 + ys) % 256, (xs + ys * 3) % 256, (xs * 4) % 256], axis=2
+    ).astype(np.uint8)
+    out2 = decode_jpeg(encode_jpeg(smooth, subsample=True))
+    assert out2.shape == smooth.shape
+    assert np.abs(out2.astype(int) - smooth.astype(int)).mean() < 4
