@@ -88,8 +88,8 @@ _FIRST = [
     "ngram_contamination",
     "hash_sample_stratified",
     "train_val_test_split",
-    "cube_sales",
-    "token_frequencies",
+    "jpeg_decode_features",
+    "gif_decode_features",
     "exact_moment_corr",
     "cohort_retention",
     "rolling_7day_revenue",

@@ -88,7 +88,10 @@ def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTa
     t = _tables(spark, root)
 
     # ---- stage 1: quality gate (MERGE-incremental, partitioned by lang)
-    qual = quality_gate(batch)
+    # One output file per partition value (small-file hygiene — the
+    # standard pre-write repartition; at larger batch sizes use
+    # repartition(n, col) so hot languages still parallelize)
+    qual = quality_gate(batch).repartition("lang")
     if t["quality"].exists():
         t["quality"].merge(qual, keys=["doc_id"])
     else:
@@ -109,6 +112,7 @@ def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTa
             F.min_by("text", "doc_id").alias("text"),
         )
     )
+    batch_canon = batch_canon.repartition("lang")
     if t["canonical"].exists():
         existing = t["canonical"].read().select(
             "content_hash",
@@ -140,7 +144,7 @@ def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTa
     # ---- stage 3: LSH band index (append-only; new canonical texts only)
     new_bands = minhash_bands_df(
         minhash_signatures_df(new_canon.select("doc_id", "text"))
-    ).select("doc_id", "sig", "band_key")
+    ).select("doc_id", "sig", "band_key").coalesce(8)
     had_index = t["band_index"].exists()
     if had_index:
         t["band_index"].append(new_bands)
@@ -179,6 +183,7 @@ def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTa
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+    new_pairs = new_pairs.coalesce(4)
     if t["pairs"].exists():
         # pairs between two already-indexed docs were found when the later
         # one arrived; merge dedups re-discovered (new,new) pairs
@@ -190,7 +195,7 @@ def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTa
     ids = t["canonical"].read().select("doc_id")
     pairs = t["pairs"].read().select("doc_a", "doc_b")
     labels = _connected_components(ids, pairs)
-    t["clusters"].overwrite(labels)
+    t["clusters"].overwrite(labels.coalesce(4))
 
     # ---- stage 6: canonical survivors (cluster representatives)
     surv = (
@@ -198,6 +203,7 @@ def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTa
         .join(labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"), "doc_id")
         .select("doc_id", "content_hash", "n_copies", "lang")
     )
+    surv = surv.repartition("lang")
     t["survivors"].overwrite(surv, partition_by=["lang"])
 
     # ---- stage 7: reproducible hash split (never rand())
@@ -211,7 +217,7 @@ def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTa
         .when(F.col("bucket") < 90, "val")
         .otherwise("test"),
     )
-    t["splits"].overwrite(splits, partition_by=["split"])
+    t["splits"].overwrite(splits.repartition("split"), partition_by=["split"])
     return t
 
 
@@ -252,31 +258,43 @@ def _connected_components(ids: DataFrame, pairs: DataFrame) -> DataFrame:
 def funnel(spark: SparkSession, t: dict[str, LakeTable], n_raw: int) -> DataFrame:
     """Stage-count funnel over the materialized pipeline state — the
     shrinkage report every corpus build publishes, read from the actual
-    LakeTable versions (not recomputed)."""
-    counts = [
-        (1, "raw", n_raw),
-        (2, "quality_pass", t["quality"].read().count()),
-        (3, "canonical", t["canonical"].read().count()),
-        (
-            4,
-            "neardup_member",
-            t["clusters"].read()
-            .groupBy("cluster_id")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") >= 2)
-            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("m"))
-            .collect()[0]["m"],
-        ),
-        (5, "survivors", t["survivors"].read().count()),
-    ]
-    sp = t["splits"].read().groupBy("split").count()
-    by = {r["split"]: r["count"] for r in sp.collect()}
-    counts += [
-        (6, "train", by.get("train", 0)),
-        (7, "val", by.get("val", 0)),
-        (8, "test", by.get("test", 0)),
-    ]
-    return spark.createDataFrame(
-        [(int(o), s, int(n)) for o, s, n in counts],
-        "stage_order int, stage string, n_docs bigint",
+    LakeTable versions (not recomputed). Built as ONE unioned DataFrame
+    (a single Spark action computes all eight stage counts) rather than
+    per-stage count() jobs — same result, one job-scheduling round trip
+    instead of seven."""
+
+    def row(order: int, name: str, n_col):
+        return F.lit(order).cast("int").alias("stage_order"), F.lit(name).alias(
+            "stage"
+        ), n_col.cast("bigint").alias("n_docs")
+
+    raw = spark.range(1).select(*row(1, "raw", F.lit(n_raw)))
+    qual = t["quality"].read().agg(F.count("*").alias("n")).select(
+        *row(2, "quality_pass", F.col("n"))
     )
+    canon = t["canonical"].read().agg(F.count("*").alias("n")).select(
+        *row(3, "canonical", F.col("n"))
+    )
+    nm = (
+        t["clusters"].read()
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+        .select(*row(4, "neardup_member", F.col("n")))
+    )
+    surv = t["survivors"].read().agg(F.count("*").alias("n")).select(
+        *row(5, "survivors", F.col("n"))
+    )
+    sp = t["splits"].read().agg(
+        F.coalesce(F.sum(F.when(F.col("split") == "train", 1)), F.lit(0)).alias("tr"),
+        F.coalesce(F.sum(F.when(F.col("split") == "val", 1)), F.lit(0)).alias("va"),
+        F.coalesce(F.sum(F.when(F.col("split") == "test", 1)), F.lit(0)).alias("te"),
+    )
+    tr = sp.select(*row(6, "train", F.col("tr")))
+    va = sp.select(*row(7, "val", F.col("va")))
+    te = sp.select(*row(8, "test", F.col("te")))
+    out = raw
+    for part in (qual, canon, nm, surv, tr, va, te):
+        out = out.unionByName(part)
+    return out
