@@ -521,7 +521,7 @@ class LakeTable:
             blind=True,
         )
 
-    def merge(self, updates: DataFrame, keys: list[str]) -> int:
+    def merge(self, updates: DataFrame, keys: list[str], txn: dict | None = None) -> int:
         """K5/K6: MERGE upsert with create-if-absent fallback (reference
         src/glue_etl.py:439-497, Delta ``whenMatchedUpdateAll /
         whenNotMatchedInsertAll``).
@@ -546,7 +546,7 @@ class LakeTable:
         import pyspark.sql.functions as F
 
         if not self.exists():
-            return self.overwrite(updates)
+            return self.overwrite(updates, txn=txn)
         prior = self._manifest(self.current_version())
         pcols = prior["partition_by"]
         if not pcols:
@@ -603,6 +603,7 @@ class LakeTable:
                 "merge",
                 pcols,
                 base_version=prior["version"],
+                txn=txn,
             )
 
         target = self.read()
@@ -643,6 +644,7 @@ class LakeTable:
             base_version=prior["version"],
             touched=touched_rows,
             delta_check=_no_key_overlap,
+            txn=txn,
         )
 
     def _touched_files_by_cond(self, prior: dict, cond) -> tuple[list, list]:

@@ -80,11 +80,19 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "lang", "source", "text")
 
 
-def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTable]:
+def curate(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    txn: dict | None = None,
+) -> dict[str, LakeTable]:
     """Run one batch of documents through the full curation DAG,
     committing each stage as a LakeTable version under ``root``.
     Safe to call repeatedly with new batches (see module docstring for
-    the incrementality contract); returns the stage tables."""
+    the incrementality contract); returns the stage tables. ``txn``
+    (Delta txnAppId/txnVersion dict) is recorded on the quality stage's
+    commit — the idempotence anchor streaming ingest checks before
+    re-applying a replayed micro-batch."""
     t = _tables(spark, root)
 
     # ---- stage 1: quality gate (MERGE-incremental, partitioned by lang)
@@ -93,9 +101,9 @@ def curate(spark: SparkSession, batch: DataFrame, root: str) -> dict[str, LakeTa
     # repartition(n, col) so hot languages still parallelize)
     qual = quality_gate(batch).repartition("lang")
     if t["quality"].exists():
-        t["quality"].merge(qual, keys=["doc_id"])
+        t["quality"].merge(qual, keys=["doc_id"], txn=txn)
     else:
-        t["quality"].overwrite(qual, partition_by=["lang"])
+        t["quality"].overwrite(qual, partition_by=["lang"], txn=txn)
 
     # ---- stage 2: exact-collapse (cross-batch incremental on content_hash)
     # Collapse the batch on the fixed-width hash (text never shuffles for

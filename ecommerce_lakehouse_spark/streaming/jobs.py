@@ -295,3 +295,54 @@ def stream_stream_join(
         "l_ts",
         "r_ts",
     )
+
+
+CURATION_TXN_APP = "stream_curation"
+
+
+def ingest_curation_batch(spark, batch_df: DataFrame, batch_id: int, root: str) -> None:
+    """One idempotent micro-batch through the FULL incremental curation
+    DAG (pipelines/curation.py): quality MERGE, cross-batch exact-dedup
+    combine, append-only band index, derived clusters/survivors/splits.
+    The batch id rides on the quality stage's commit (Delta txn pattern),
+    so an at-least-once foreachBatch replay after a crash is skipped
+    instead of double-merged — the streaming front door a 100 TB corpus
+    build runs at the ingest edge."""
+    from ecommerce_lakehouse_spark.pipelines.curation import _tables, curate
+
+    if batch_df.isEmpty():
+        return
+    qt = _tables(spark, root)["quality"]
+    if qt.exists():
+        last = qt.last_txn(CURATION_TXN_APP)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already curated
+    curate(
+        spark,
+        batch_df,
+        root,
+        txn={"app_id": CURATION_TXN_APP, "version": batch_id},
+    )
+
+
+def stream_curation_ingest(docs: DataFrame, root: str, checkpoint_dir: str):
+    """Streaming ingest into the materialized curation pipeline:
+    watermark-bounded CONTENT-hash dedup at the door (exact copies never
+    even reach the batch pipeline; state is bounded by the watermark
+    horizon), then each micro-batch runs the incremental curation DAG
+    via foreachBatch. Expects (doc_id, lang, source, text, ts)."""
+    deduped = (
+        docs.withWatermark("ts", "2 hours")
+        .withColumn("__h", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h", "ts")
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_curation_batch(batch_df.sparkSession, batch_df, batch_id, root)
+
+    return (
+        deduped.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
