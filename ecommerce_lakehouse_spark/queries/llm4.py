@@ -348,3 +348,132 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == F.col("predicted_lang"), 1).otherwise(0)
         ).alias("n_correct"),
     )
+
+
+_LM_ALPHA = 0.5  # add-alpha smoothing
+_LM_TRAIN_PCT = 80  # train split: md5 hash bucket < 80 (same split as train_val_test_split)
+_HB = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+@query(
+    "bigram_lm_score",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), tr AS (
+  SELECT * FROM d WHERE {_HB} < {_LM_TRAIN_PCT}
+), tru AS (
+  SELECT unnest(w) AS w1 FROM tr
+), uni AS (
+  SELECT w1, count(*) AS c1 FROM tru GROUP BY 1
+), vv AS (
+  SELECT count(DISTINCT w1) AS v FROM tru
+), trb1 AS (
+  SELECT w, unnest(range(1, len(w))) AS pos FROM tr WHERE len(w) >= 2
+), bi AS (
+  SELECT w[pos] AS w1, w[pos + 1] AS w2, count(*) AS c12 FROM trb1 GROUP BY 1, 2
+), db1 AS (
+  SELECT doc_id, w, unnest(range(1, len(w))) AS pos FROM d WHERE len(w) >= 2
+), db2 AS (
+  SELECT doc_id, pos, w[pos] AS w1, w[pos + 1] AS w2 FROM db1
+), scored AS (
+  SELECT db2.doc_id, db2.pos, bi.c12,
+         log2((coalesce(bi.c12, 0) + {_LM_ALPHA})
+              / (coalesce(uni.c1, 0) + {_LM_ALPHA} * vv.v)) AS logp
+  FROM db2
+  LEFT JOIN bi ON db2.w1 = bi.w1 AND db2.w2 = bi.w2
+  LEFT JOIN uni ON db2.w1 = uni.w1
+  CROSS JOIN vv
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+         list_aggregate(
+             list_transform(list_sort(list(struct_pack(pos := pos, lp := logp))),
+                            s -> s.lp), 'sum') AS slog
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_unseen,
+       CAST(n_unseen AS DOUBLE) / n_bigrams AS unseen_rate,
+       round(slog / n_bigrams, 5) AS avg_log2_prob
+FROM agg
+""",
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet-style perplexity gate):
+    train an add-α bigram language model on the corpus's TRAIN hash
+    split (same deterministic bucket rule as train_val_test_split — the
+    model never sees held-out docs), then score every document by its
+    average log2 bigram probability, plus the integer-exact unseen-
+    bigram rate. Low avg probability / high unseen rate flags gibberish,
+    boilerplate, and out-of-domain text for filtering.
+
+    Determinism across engines: each document's log-probs are summed in
+    POSITION order (collect struct(pos, logp), sort, fold) — never in
+    shuffle arrival order — so the float sum is reproducible; the final
+    average is rounded once at the end.
+
+    Scale: model training is two map-side-partial groupBys (unigram and
+    bigram counts, fixed-width keys); V is a 1-row broadcast; scoring is
+    one join per n-gram order on the count tables — the standard
+    distributed KenLM-lite shape. Nothing is per-row Python."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w")
+    ).localCheckpoint()  # barrier: w referenced by position below (HOF-CSE)
+
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(100),
+    )
+    tr = d.filter(bucket < _LM_TRAIN_PCT)
+    tru = tr.select(F.explode("w").alias("w1"))
+    uni = tru.groupBy("w1").agg(F.count("*").alias("c1"))
+    vv = tru.agg(F.countDistinct("w1").alias("v"))
+
+    def bigrams(df):
+        return (
+            df.filter(F.size("w") >= 2)
+            .select(
+                *[c for c in df.columns if c != "w"],
+                F.posexplode(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 1),"
+                        " i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"
+                    )
+                ).alias("pos0", "bg"),
+            )
+            .select(*[c for c in df.columns if c != "w"],
+                    (F.col("pos0") + 1).alias("pos"), "bg.w1", "bg.w2")
+        )
+
+    bi = bigrams(tr.select("w")).groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    db = bigrams(d)
+    scored = (
+        db.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "pos",
+            "c12",
+            F.log2(
+                (F.coalesce("c12", F.lit(0)) + F.lit(_LM_ALPHA))
+                / (F.coalesce("c1", F.lit(0)) + F.lit(_LM_ALPHA) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    slog = F.expr(
+        "aggregate(sort_array(collect_list(struct(pos, logp))),"
+        " cast(0.0 as double), (acc, x) -> acc + x.logp)"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("c12").isNull(), 1).otherwise(0)).cast("bigint").alias("n_unseen"),
+        slog.alias("__slog"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen",
+        (F.col("n_unseen").cast("double") / F.col("n_bigrams")).alias("unseen_rate"),
+        F.round(F.col("__slog") / F.col("n_bigrams"), 5).alias("avg_log2_prob"),
+    )
