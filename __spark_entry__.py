@@ -43,7 +43,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh ground), plus this round's new/changed operators
 # (corpus_curation_pipeline, collapse-first embedding_cosine_dups + its
 # _expanded twin, multiplicity-carrying minhash_lsh_pairs,
-# fuzzy_pairs_blocked, png_decode_features).
+# fuzzy_pairs_blocked, png_decode_features) and the wave-5 span-dedup /
+# mixing / TF-IDF operators (queries/llm5.py).
 _FIRST = [
     "daily_sales",
     "customer_insights",
@@ -57,13 +58,13 @@ _FIRST = [
     "conditional_segmentation",
     "scalar_pipeline",
     "window_top1_per_group",
-    "top_k_global",
-    "anti_join_orphans",
+    "temperature_mixture_weights",
+    "tfidf_top_terms",
     "outer_join_flagback",
-    "range_band_join",
+    "span_dedup_spans",
     "set_operations",
     "grouping_sets_sales",
-    "pivot_returnflag_revenue",
+    "span_dup_rate",
     "tpch_q1_pricing_summary",
     "exact_dedup",
     "minhash_lsh_pairs",

@@ -43,6 +43,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm2,
     llm3,
     llm4,
+    llm5,
     media,
     quality,
     relational,

@@ -1,0 +1,253 @@
+"""Training-data curation operators, wave 5: span-level (substring) exact
+deduplication, per-document duplicated-span rate, temperature-scaled
+domain mixing, and TF-IDF keyword extraction.
+
+Span-level dedup is the missing granularity between whole-document exact
+dedup (queries/llm.py::exact_dedup) and near-dup detection (MinHash /
+SimHash): real corpora share boilerplate *inside* otherwise-distinct
+documents (headers, licenses, navigation chrome), and the published
+result (Lee et al. 2022, "Deduplicating Training Data Makes Language
+Models Better") removes repeated spans of ~50 tokens, not repeated
+documents. Here the unit is a K-word window; the pipeline is the
+Spark-native analogue of their suffix-array pass: slide a window over
+each document map-side, hash it, and group on the 32-char hash — the
+shuffle carries (hash, doc_id) pairs only, never text.
+
+Reference parity: the lakehouse reference has no text pipeline; these
+implement the north-star LLM-curation requirement. No UDFs anywhere —
+tokenization and windowing are higher-order array functions, hashing is
+JVM md5, ranking is window functions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+# Span width in words. Lee et al. use 50-token spans on web text; the
+# synthetic docs are ~50-word streams from a small vocabulary, so K=8
+# keeps span multiplicity realistic (some cross-doc repeats, not all).
+_K = 8
+
+
+def _span_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): md5 of each K-word window, computed map-side.
+
+    Only the 32-char hash and the position leave the scan stage — at
+    100 TB the shuffle payload is ~40 bytes/span regardless of document
+    size, and the window slide itself is a zero-shuffle higher-order
+    function over the token array."""
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("w") - F.lit(_K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _K))),
+    )
+    return (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _K)
+        .select("doc_id", F.posexplode(spans).alias("pos", "h"))
+    )
+
+
+_SPAN_TOKS = f"string_split_regex(trim(text), '\\s+')"
+_SPAN_ORACLE_BASE = f"""
+WITH t AS (
+  SELECT doc_id, {_SPAN_TOKS} AS w FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(w) - {_K - 2}),
+           i -> md5(array_to_string(list_slice(w, i, i + {_K - 1}), ' ')))) AS h
+  FROM t WHERE len(w) >= {_K}
+)
+"""
+
+
+@query(
+    "span_dedup_spans",
+    oracle=_SPAN_ORACLE_BASE
+    + """
+SELECT h AS span_hash,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM s
+GROUP BY h
+HAVING count(*) > 1
+""",
+)
+def span_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated K-word spans across the corpus (Lee et al. 2022 span
+    dedup, candidate-generation stage): every span whose exact text
+    occurs more than once, with its occurrence and document counts.
+
+    Scale: one fixed-width shuffle on the span hash. Map-side the slide
+    is an O(len) array transform; the aggregate is partially combined
+    before the exchange (count + distinct-doc sketch per hash). Output
+    is bounded by the number of *distinct duplicated* spans — at 100 TB
+    the HAVING clause is what keeps this small, and a hot boilerplate
+    span costs one combiner cell per task, not a row explosion."""
+    spans = _span_hashes(load(spark, sf_dir, "documents"))
+    return (
+        spans.groupBy(F.col("h").alias("span_hash"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+@query(
+    "span_dup_rate",
+    oracle=_SPAN_ORACLE_BASE
+    + """
+, c AS (SELECT h, count(*) AS n FROM s GROUP BY h)
+SELECT s.doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_span_rate
+FROM s JOIN c USING (h)
+GROUP BY s.doc_id
+""",
+)
+def span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span rate: what fraction of a document's
+    K-word windows occur elsewhere in the corpus (again in the same
+    document counts too — boilerplate is boilerplate). This is the
+    doc-level curation signal derived from span dedup: docs above a
+    threshold are mostly-boilerplate and get dropped or trimmed.
+
+    Scale: the span→count join is hash-partitioned on the 32-char span
+    hash (both sides already shuffled on it, so AQE coalesces into one
+    exchange reuse), then a fixed-width groupBy on doc_id. Nothing wider
+    than (hash, doc_id, count) ever shuffles."""
+    spans = _span_hashes(load(spark, sf_dir, "documents"))
+    counts = spans.groupBy("h").agg(F.count("*").alias("n"))
+    isdup = F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(isdup).alias("n_dup_spans"),
+            (F.sum(isdup).cast("double") / F.count("*")).alias("dup_span_rate"),
+        )
+    )
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+t AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share,
+         sqrt(CAST(n_docs AS DOUBLE)) / sum(sqrt(CAST(n_docs AS DOUBLE))) OVER ()
+           AS temp_share
+  FROM c
+)
+SELECT source, n_docs, share, temp_share,
+       temp_share / share AS sampling_factor
+FROM t
+""",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (multilingual/multi-domain
+    training mix, T=2 i.e. alpha=0.5 as in mT5/UniMax): per-source
+    sampling weights proportional to n^0.5 instead of n, which
+    up-weights small domains without letting any single giant domain
+    dominate. Emits the natural share, the temperature share, and the
+    up/down-sampling factor a sampler would apply per source.
+
+    Scale: one map-side-combined groupBy over the corpus produces a
+    frame with one row per *domain* (dozens), after which the
+    normalizing window runs on that tiny frame — an empty-frame window
+    over ~20 rows, not a corpus-wide shuffle."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    everything = Window.partitionBy()
+    n = F.col("n_docs").cast("double")
+    return counts.select(
+        "source",
+        "n_docs",
+        (n / F.sum(n).over(everything)).alias("share"),
+        (F.sqrt(n) / F.sum(F.sqrt(n)).over(everything)).alias("temp_share"),
+        (
+            (F.sqrt(n) / F.sum(F.sqrt(n)).over(everything))
+            / (n / F.sum(n).over(everything))
+        ).alias("sampling_factor"),
+    )
+
+
+_TOP_TERMS = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SPAN_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+scored AS (
+  -- round(9) before ranking: ln() can differ between engines in the last
+  -- ulp; ranking and output both use the rounded score so ties and
+  -- hashes agree cross-engine.
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_TERMS}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOP_TERMS} most distinctive terms per document by TF-IDF —
+    the classic keyword-extraction / topic-signal operator a curation
+    pipeline uses for domain tagging and near-topic clustering.
+    Deterministic tie-break (score desc, then term asc) so ranking is
+    reproducible across engines and retries.
+
+    Scale: token explode → two map-side-combined groupBys (doc-term TF,
+    then term DF; the DF frame is vocabulary-sized and broadcast back),
+    corpus doc count rides along as a broadcast literal frame. The only
+    corpus-sized shuffle is the TF groupBy; the rank window partitions
+    by doc_id, which TF already co-partitioned."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            # round(9) before ranking — see the oracle comment: keeps the
+            # score, the tie structure, and the value hash engine-agnostic.
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 9
+            ).alias("tfidf"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    )
+    return scored.withColumn("rnk", rnk).filter(F.col("rnk") <= _TOP_TERMS)
