@@ -56,7 +56,7 @@ _FIRST = [
     "dedup_by_key",
     "compound_predicate_filter",
     "conditional_segmentation",
-    "scalar_pipeline",
+    "mjpeg_video_frames",
     "window_top1_per_group",
     "temperature_mixture_weights",
     "tfidf_top_terms",

@@ -346,3 +346,54 @@ def image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     out = resize_images(_gen_image_payloads(docs), 4, 4)
     return out.select("doc_id", "width", "height", "n_bytes")
+
+
+@query(
+    "mjpeg_video_frames",
+    oracle="""
+WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS n FROM documents),
+f AS (SELECT doc_id, n, unnest(range(0, n, 2)) AS frame_idx FROM d)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(n AS INT) AS n_frames,
+       16 AS width, 16 AS height,
+       CAST((doc_id * 17 + frame_idx * 29) % 256 AS DOUBLE) AS mean_lum
+FROM f
+""",
+)
+def mjpeg_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode through a REAL container + codec chain: per document
+    a 4-6 frame MJPEG-AVI is built (RIFF hdrl/movi/idx1, operators/
+    avi.py) whose frames are JPEG-encoded constant-luminance images,
+    then the production sampler parses the container, decodes every 2nd
+    frame with the baseline JPEG codec, and emits per-frame features.
+    Constant 16x16 frames are DC-only JPEG blocks, which round-trip
+    bit-exactly — so frame means admit a closed-form oracle and any bug
+    in RIFF chunk walking, idx1 offsets, frame ordering, or the JPEG
+    path breaks the hash.
+
+    Scale: generation and decode are both single mapInPandas stages with
+    no shuffle; only slim per-frame feature rows leave the scan."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.avi import encode_mjpeg_avi
+    from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg
+    from ecommerce_lakehouse_spark.operators.multimodal import sample_avi_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                frames = [
+                    encode_jpeg(
+                        np.full((16, 16), (d * 17 + f * 29) % 256, dtype=np.uint8)
+                    )
+                    for f in range(4 + d % 3)
+                ]
+                payloads.append(encode_mjpeg_avi(frames, 16, 16, fps=10))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    videos = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return sample_avi_frames(videos, every_n=2)

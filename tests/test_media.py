@@ -355,3 +355,48 @@ def test_jpeg_420_subsampled():
     out2 = decode_jpeg(encode_jpeg(smooth, subsample=True))
     assert out2.shape == smooth.shape
     assert np.abs(out2.astype(int) - smooth.astype(int)).mean() < 4
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def test_avi_roundtrip_and_meta():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.avi import decode_avi, encode_mjpeg_avi
+    from ecommerce_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    frames = [
+        encode_jpeg(np.full((16, 16), (11 + 40 * f) % 256, dtype=np.uint8))
+        for f in range(4)
+    ]
+    avi = encode_mjpeg_avi(frames, 16, 16, fps=25)
+    out, meta = decode_avi(avi)
+    assert out == frames  # byte-identical frame payloads
+    assert (meta["width"], meta["height"]) == (16, 16)
+    assert meta["n_frames"] == 4 and meta["fps"] == 25
+    assert meta["handler"] == "MJPG" and meta["stream_type"] == "vids"
+    for f, payload in enumerate(out):
+        assert (decode_jpeg(payload) == (11 + 40 * f) % 256).all()
+
+
+def test_avi_odd_sized_frames_word_aligned():
+    # JPEG payloads are frequently odd-length; chunk padding must keep
+    # the walker aligned and must not leak the pad byte into the frame.
+    from ecommerce_lakehouse_spark.operators.avi import decode_avi, encode_mjpeg_avi
+
+    frames = [b"\xff\xd8" + bytes(range(n)) for n in (1, 2, 3, 4, 5)]
+    out, _ = decode_avi(encode_mjpeg_avi(frames, 8, 8))
+    assert out == frames
+
+
+def test_avi_rejects_non_avi_and_truncated():
+    import pytest
+
+    from ecommerce_lakehouse_spark.operators.avi import decode_avi, encode_mjpeg_avi
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    avi = encode_mjpeg_avi([b"\xff\xd8frame"], 8, 8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(avi[:-6] + avi[-2:])  # declared size now overruns
