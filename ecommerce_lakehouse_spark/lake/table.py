@@ -49,6 +49,19 @@ class ConcurrentWriteError(RuntimeError):
     anything — still surface this error."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """Incoming rows violate a table CHECK constraint (Delta's
+    ``ALTER TABLE .. ADD CONSTRAINT`` invariant enforcement): the write
+    is rejected before any commit, listing every violated constraint."""
+
+    def __init__(self, table_root: str, violated: dict[str, str]):
+        self.violated = violated
+        detail = "; ".join(f"{n}: CHECK ({e})" for n, e in sorted(violated.items()))
+        super().__init__(
+            f"write to {table_root} violates constraint(s) {detail}"
+        )
+
+
 def _part_key(v):
     """JSON-safe canonical form of a partition value (dates/timestamps
     become strings; comparison happens through a string cast on read)."""
@@ -244,8 +257,15 @@ class LakeTable:
         base_version: int | None = None,
         touched: list[dict] | None = None,
         txn: dict | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         current = self.current_version() if self.exists() else 0
+        if constraints is None:
+            # table-level metadata rides every commit (Delta: constraints
+            # live in the log and survive data operations)
+            constraints = (
+                self._manifest(current).get("constraints", {}) if current else {}
+            )
         if base_version is not None and current != base_version:
             raise ConcurrentWriteError(
                 f"{operation}: table advanced v{base_version} -> v{current} "
@@ -265,6 +285,8 @@ class LakeTable:
             # Delta txn pattern: {"app_id", "version"} for idempotent
             # replays (streaming foreachBatch records its batch id here).
             "txn": txn,
+            # CHECK constraints: {name: sql_expr}, enforced on every write
+            "constraints": constraints,
             "committed_at": time.time(),
         }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -463,6 +485,79 @@ class LakeTable:
         }
         return [dict(zip(pcols, t)) for t in sorted(touched, key=str)]
 
+    # ---------------- CHECK constraints (Delta invariants) ----------------
+
+    def constraints(self) -> dict[str, str]:
+        """Current CHECK constraints ({name: sql_expr})."""
+        if not self.exists():
+            return {}
+        return self._manifest(self.current_version()).get("constraints", {})
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Reject ``df`` if any row violates any current constraint.
+
+        One Spark job regardless of constraint count: a single aggregate
+        computes a violation flag per constraint (NULL-evaluating rows
+        violate, matching Delta — a CHECK must be provably TRUE). At
+        100 TB this is a map-side-combined boolean agg over the incoming
+        batch only, never the table."""
+        import pyspark.sql.functions as F
+
+        cons = self.constraints()
+        if not cons:
+            return
+        names = sorted(cons)
+        row = df.agg(
+            *[
+                F.max(
+                    (~F.coalesce(F.expr(cons[n]), F.lit(False))).cast("int")
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).first()
+        violated = {
+            n: cons[n] for i, n in enumerate(names) if (row[f"c{i}"] or 0) > 0
+        }
+        if violated:
+            raise ConstraintViolationError(self.root, violated)
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: validates all
+        EXISTING rows first (as Delta does), then commits a metadata-only
+        version carrying the prior data dirs unchanged."""
+        if not self.exists():
+            raise ValueError("add_constraint: table does not exist yet")
+        cons = self.constraints()
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        import pyspark.sql.functions as F
+
+        bad = self.read().filter(~F.coalesce(F.expr(expr), F.lit(False)))
+        if not bad.isEmpty():
+            raise ConstraintViolationError(self.root, {name: expr})
+        prior = self._manifest(self.current_version())
+        return self._commit(
+            prior["data_dirs"],
+            "add_constraint",
+            prior["partition_by"],
+            base_version=prior["version"],
+            constraints={**cons, name: expr},
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """``ALTER TABLE DROP CONSTRAINT``: metadata-only commit."""
+        cons = self.constraints()
+        if name not in cons:
+            raise ValueError(f"no such constraint {name!r}")
+        prior = self._manifest(self.current_version())
+        return self._commit(
+            prior["data_dirs"],
+            "drop_constraint",
+            prior["partition_by"],
+            base_version=prior["version"],
+            constraints={k: v for k, v in cons.items() if k != name},
+        )
+
     # ---------------- writers (K1-K6) ----------------
 
     def _write_dir_entry(self, df: DataFrame, partition_by: list[str]):
@@ -489,6 +584,7 @@ class LakeTable:
         semantics racing any other writer must surface."""
         partition_by = partition_by or []
         base = self.current_version() if self.exists() else 0
+        self._enforce_constraints(df)
         entry = self._write_dir_entry(df, partition_by)
         return self._commit(
             [entry], "overwrite", partition_by, base_version=base, txn=txn
@@ -503,6 +599,7 @@ class LakeTable:
             return self.overwrite(df, partition_by)
         prior = self._manifest(self.current_version())
         partition_by = partition_by or prior["partition_by"]
+        self._enforce_constraints(df)
         entry = self._write_dir_entry(df, partition_by)
         # Record the partitions this append wrote (filesystem walk of the
         # freshly-written dir — no extra Spark job) so OTHER writers'
@@ -547,6 +644,7 @@ class LakeTable:
 
         if not self.exists():
             return self.overwrite(updates, txn=txn)
+        self._enforce_constraints(updates)
         prior = self._manifest(self.current_version())
         pcols = prior["partition_by"]
         if not pcols:
@@ -775,6 +873,7 @@ class LakeTable:
                     *[os.path.join(d_, rel) for d_, rel, _ in touched]
                 )
             )
+            self._enforce_constraints(rewritten)
             entry = self._write_dir_entry(rewritten, [])
             return self._commit(
                 self._surviving_file_entries(prior, untouched) + [entry],
@@ -787,6 +886,7 @@ class LakeTable:
         if not touched_rows:
             return self.current_version()
         rewritten = apply(target.filter(_partition_predicate(pcols, touched_rows)))
+        self._enforce_constraints(rewritten)
         d = self._new_data_dir()
         rewritten.write.mode("overwrite").partitionBy(*pcols).parquet(d)
         return self._commit_rebasing(

@@ -639,3 +639,91 @@ def test_txn_idempotent_replay(spark, tmp_path):
         "click": (2, 4.0)
     }
     assert t.last_txn("stream_rollup") == 1
+
+
+# ------------------------------------------------- CHECK constraints
+
+
+def _mk_orders(spark, tmp_path, name="cons"):
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / name))
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0)], "id int, status string, amount double"
+    )
+    t.overwrite(df)
+    return t
+
+
+def test_constraint_rejects_bad_append_and_allows_good(spark, tmp_path):
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import ConstraintViolationError
+
+    t = _mk_orders(spark, tmp_path)
+    t.add_constraint("amount_positive", "amount > 0")
+    t.add_constraint("status_known", "status IN ('A','B','C')")
+    assert set(t.constraints()) == {"amount_positive", "status_known"}
+
+    good = spark.createDataFrame([(3, "C", 5.0)], "id int, status string, amount double")
+    t.append(good)  # passes both
+
+    bad = spark.createDataFrame(
+        [(4, "Z", -1.0)], "id int, status string, amount double"
+    )
+    v = t.current_version()
+    with pytest.raises(ConstraintViolationError) as ei:
+        t.append(bad)
+    assert set(ei.value.violated) == {"amount_positive", "status_known"}
+    assert t.current_version() == v  # nothing committed
+
+
+def test_constraint_null_evaluating_rows_violate(spark, tmp_path):
+    # Delta semantics: a CHECK must be provably TRUE; NULL amount fails.
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import ConstraintViolationError
+
+    t = _mk_orders(spark, tmp_path)
+    t.add_constraint("amount_positive", "amount > 0")
+    nullrow = spark.createDataFrame(
+        [(5, "A", None)], "id int, status string, amount double"
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.append(nullrow)
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import ConstraintViolationError
+
+    t = _mk_orders(spark, tmp_path)
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint("big_amount", "amount > 15")  # row id=1 fails
+    assert t.constraints() == {}
+
+
+def test_constraint_enforced_on_merge_and_update_survives_versions(spark, tmp_path):
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import ConstraintViolationError
+
+    t = _mk_orders(spark, tmp_path)
+    t.add_constraint("amount_positive", "amount > 0")
+    # constraint must ride along later data commits
+    t.append(spark.createDataFrame([(6, "A", 1.0)], "id int, status string, amount double"))
+    assert "amount_positive" in t.constraints()
+
+    bad_upd = spark.createDataFrame(
+        [(1, "A", -99.0)], "id int, status string, amount double"
+    )
+    with pytest.raises(ConstraintViolationError):
+        t.merge(bad_upd, keys=["id"])
+    with pytest.raises(ConstraintViolationError):
+        t.update("id = 2", {"amount": "-5.0"})
+
+    t.drop_constraint("amount_positive")
+    t.update("id = 2", {"amount": "-5.0"})  # now allowed
+    got = {r.id: r.amount for r in t.read().collect()}
+    assert got[2] == -5.0
