@@ -54,7 +54,7 @@ _FIRST = [
     "json_props_agg",
     "validation_split_rejected",
     "dedup_by_key",
-    "compound_predicate_filter",
+    "mulaw_audio_features",
     "conditional_segmentation",
     "mjpeg_video_frames",
     "window_top1_per_group",

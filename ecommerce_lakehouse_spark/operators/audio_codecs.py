@@ -1,0 +1,238 @@
+"""Compressed-audio WAV codecs in pure numpy/stdlib: G.711 mu-law
+(wFormatTag 7) and IMA ADPCM (wFormatTag 0x11).
+
+The stdlib ``wave`` module only reads WAVE_FORMAT_PCM, so these parse the
+RIFF chunks directly (reusing the walker from operators/avi.py — WAV and
+AVI share the RIFF container). Both algorithms are published standards
+(ITU-T G.711; IMA ADPCM from the Interactive Multimedia Association
+reference, the ubiquitous ``ima4``/dvi format): mu-law is a stateless
+per-byte companding curve with an exact closed form — which is what makes
+the decode oracle SQL-expressible — while IMA ADPCM carries
+predictor/step-index state across samples and is verified by round-trip
+tests instead.
+
+MP3/OGG remain honestly out of scope (operators/media.py raises for
+them): psychoacoustic codecs need either ffmpeg or thousands of lines of
+spec tables. mu-law + ADPCM cover the telephony/game/embedded corpus
+formats that appear in real multimodal crawls alongside plain PCM.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ecommerce_lakehouse_spark.operators.avi import _chunk, _walk
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_IMA_ADPCM = 0x0011
+
+_BIAS = 0x84  # 132
+_CLIP = 32635
+
+
+# --------------------------------------------------------------- G.711 mu-law
+
+
+def mulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 -> mu-law codeword (uint8), ITU-T G.711 encoding curve."""
+    x = pcm.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _CLIP) + _BIAS
+    # exponent = position of the highest set bit above bit 7
+    exponent = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    exponent = np.clip(exponent, 0, 7)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(code: np.ndarray) -> np.ndarray:
+    """mu-law codeword (uint8) -> int16. Exact closed form (the one the
+    DuckDB oracle mirrors with bit operators):
+
+        u = ~code & 0xFF
+        t = (((u & 15) << 3) + 132) << ((u >> 4) & 7)
+        pcm = (t - 132) * (-1 if u & 0x80 else +1)
+    """
+    u = (~code.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + _BIAS) << ((u >> 4) & 0x07)
+    mag = t - _BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+# --------------------------------------------------------------- IMA ADPCM
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+
+def _ima_step(predictor: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: returns (new_predictor, new_index)."""
+    step = int(_IMA_STEP_TABLE[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        predictor -= diff
+    else:
+        predictor += diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + int(_IMA_INDEX_TABLE[nibble])))
+    return predictor, index
+
+
+def ima_adpcm_decode_block(block: bytes) -> np.ndarray:
+    """Decode one mono IMA ADPCM block (4-byte header + 4-bit nibbles,
+    low nibble first) -> int16 samples including the header sample."""
+    predictor, index = struct.unpack_from("<hBx", block, 0)
+    index = max(0, min(88, index))
+    out = [predictor]
+    for byte in block[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            predictor, index = _ima_step(predictor, index, nibble)
+            out.append(predictor)
+    return np.array(out, dtype=np.int16)
+
+
+def ima_adpcm_encode_block(pcm: np.ndarray, index: int = 0) -> bytes:
+    """Encode mono int16 samples as one IMA ADPCM block. The first sample
+    becomes the block-header predictor; each following sample is coded as
+    the 4-bit nibble whose decode lands nearest (standard greedy coder)."""
+    predictor = int(pcm[0])
+    header = struct.pack("<hBx", predictor, index)
+    nibbles = []
+    for s in pcm[1:]:
+        target = int(s)
+        step = int(_IMA_STEP_TABLE[index])
+        diff = target - predictor
+        nibble = 0
+        if diff < 0:
+            nibble = 8
+            diff = -diff
+        if diff >= step:
+            nibble |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nibble |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nibble |= 1
+        predictor, index = _ima_step(predictor, index, nibble)
+        nibbles.append(nibble)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        (nibbles[i] & 0x0F) | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return header + packed
+
+
+# --------------------------------------------------------------- WAV framing
+
+
+def encode_wav_mulaw(pcm: np.ndarray, rate: int) -> bytes:
+    """Mono int16 -> mu-law WAV (wFormatTag 7, one byte per sample)."""
+    data = mulaw_encode(np.asarray(pcm, dtype=np.int16)).tobytes()
+    fmt = struct.pack("<HHIIHHH", WAVE_FORMAT_MULAW, 1, rate, rate, 1, 8, 0)
+    fact = struct.pack("<I", len(data))
+    return _chunk(
+        b"RIFF",
+        b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"fact", fact) + _chunk(b"data", data),
+    )
+
+
+def encode_wav_ima_adpcm(pcm: np.ndarray, rate: int, block_frames: int = 505) -> bytes:
+    """Mono int16 -> IMA ADPCM WAV. ``block_frames`` samples per block
+    (header sample + nibbles); block_align = 4 + (block_frames-1+1)//2."""
+    pcm = np.asarray(pcm, dtype=np.int16)
+    nib = block_frames - 1
+    block_align = 4 + (nib + 1) // 2
+    blocks = []
+    for start in range(0, len(pcm), block_frames):
+        chunk = pcm[start : start + block_frames]
+        blk = ima_adpcm_encode_block(chunk)
+        blocks.append(blk.ljust(block_align, b"\x00"))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        WAVE_FORMAT_IMA_ADPCM,
+        1,
+        rate,
+        rate * block_align // block_frames,
+        block_align,
+        4,
+        2,  # cbSize
+        block_frames,  # wSamplesPerBlock
+    )
+    fact = struct.pack("<I", len(pcm))
+    return _chunk(
+        b"RIFF",
+        b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"fact", fact) + _chunk(b"data", data),
+    )
+
+
+def decode_wav_any(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE parser handling PCM, mu-law, and IMA ADPCM. Returns
+    (float32 samples in [-1, 1] shaped [n_frames, n_channels], rate) —
+    the same contract as operators/media.py::decode_audio."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(8 + riff_size, len(payload))
+    fmt = None
+    data = None
+    n_samples = None
+    for fourcc, start, size in _walk(payload, 12, end):
+        if fourcc == b"fmt ":
+            fmt = payload[start : start + size]
+        elif fourcc == b"data":
+            data = payload[start : start + size]
+        elif fourcc == b"fact":
+            (n_samples,) = struct.unpack_from("<I", payload, start)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+
+    if tag == WAVE_FORMAT_PCM:
+        if bits == 16:
+            arr = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 8:
+            arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM not supported")
+        return arr.reshape(-1, n_ch), rate
+    if tag == WAVE_FORMAT_MULAW:
+        if n_ch != 1:
+            raise NotImplementedError("multi-channel mu-law not supported")
+        pcm = mulaw_decode(np.frombuffer(data, dtype=np.uint8))
+        if n_samples is not None:
+            pcm = pcm[:n_samples]
+        return (pcm.astype(np.float32) / 32768.0).reshape(-1, 1), rate
+    if tag == WAVE_FORMAT_IMA_ADPCM:
+        if n_ch != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM not supported")
+        out = []
+        for start in range(0, len(data), block_align):
+            out.append(ima_adpcm_decode_block(data[start : start + block_align]))
+        pcm = np.concatenate(out)
+        if n_samples is not None:
+            pcm = pcm[:n_samples]
+        return (pcm.astype(np.float32) / 32768.0).reshape(-1, 1), rate
+    raise NotImplementedError(f"WAV format tag 0x{tag:04x} not supported")

@@ -524,16 +524,11 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"{mime} requires ffmpeg — not available here")
     if mime != "audio/wav":
         raise ValueError(f"not an audio payload (sniffed {mime})")
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        n_ch, sampwidth, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
-        frames = wf.readframes(wf.getnframes())
-    if sampwidth == 2:
-        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
-    elif sampwidth == 1:
-        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    else:
-        raise NotImplementedError(f"{sampwidth * 8}-bit PCM not supported")
-    return arr.reshape(-1, n_ch), rate
+    # one RIFF parser for every supported format tag: PCM 8/16-bit,
+    # G.711 mu-law, IMA ADPCM (operators/audio_codecs.py)
+    from ecommerce_lakehouse_spark.operators.audio_codecs import decode_wav_any
+
+    return decode_wav_any(payload)
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

@@ -397,3 +397,73 @@ def mjpeg_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     videos = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
     return sample_avi_frames(videos, every_n=2)
+
+
+@query(
+    "mulaw_audio_features",
+    oracle="""
+WITH d AS (SELECT doc_id, 120 + doc_id % 40 AS n FROM documents),
+i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+u AS (SELECT doc_id, n, xor((doc_id * 7 + i * 13) % 256, 255) AS u FROM i),
+p AS (
+  SELECT doc_id, n,
+         CASE WHEN (u & 128) > 0 THEN -((((u & 15) << 3) + 132) << ((u >> 4) & 7)) + 132
+              ELSE ((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132 END AS pcm
+  FROM u
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_frames,
+       8000 AS sample_rate,
+       CAST(sum(pcm * pcm) AS BIGINT) AS energy,
+       CAST(max(abs(pcm)) AS INT) AS peak
+FROM p GROUP BY doc_id, n
+""",
+)
+def mulaw_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio decode through the REAL G.711 mu-law WAV path
+    (operators/audio_codecs.py: RIFF fmt-tag dispatch, companding-curve
+    decode). Payload samples sit exactly on the mu-law lattice (they are
+    decoded codewords), so the telephony round trip is bit-exact and the
+    oracle recomputes the decode with SQL bit operators — the expansion
+    formula, sign handling, byte inversion, fact-chunk trimming, and WAV
+    framing are all under the hash.
+
+    Scale: one generate + one decode mapInPandas stage, no shuffle;
+    integer-exact energy so results hash identically across engines."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        encode_wav_mulaw,
+        mulaw_decode,
+    )
+    from ecommerce_lakehouse_spark.operators.media import decode_audio
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                n = 120 + d % 40
+                codes = ((d * 7 + np.arange(n) * 13) % 256).astype(np.uint8)
+                payloads.append(encode_wav_mulaw(mulaw_decode(codes), 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "sample_rate", "energy", "peak")}
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_audio(bytes(payload))
+                pcm = np.round(samples[:, 0] * 32768.0).astype(np.int64)
+                out["doc_id"].append(doc)
+                out["n_frames"].append(len(pcm))
+                out["sample_rate"].append(rate)
+                out["energy"].append(int((pcm * pcm).sum()))
+                out["peak"].append(int(np.abs(pcm).max()))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    wavs = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return wavs.mapInPandas(
+        feats,
+        schema="doc_id bigint, n_frames int, sample_rate int, energy bigint, peak int",
+    )

@@ -400,3 +400,95 @@ def test_avi_rejects_non_avi_and_truncated():
     avi = encode_mjpeg_avi([b"\xff\xd8frame"], 8, 8)
     with pytest.raises(ValueError, match="truncated"):
         decode_avi(avi[:-6] + avi[-2:])  # declared size now overruns
+
+
+# ------------------------------------------------- compressed audio
+
+
+def test_mulaw_lattice_roundtrip_exact():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    pcm = mulaw_decode(codes)
+    # decoded values re-encode to codewords that decode identically (the
+    # lattice is stable), and the curve is symmetric around zero
+    assert (mulaw_decode(mulaw_encode(pcm)) == pcm).all()
+    assert pcm.max() == 32124 and pcm.min() == -32124
+    assert mulaw_decode(np.array([0xFF], dtype=np.uint8))[0] == 0
+
+
+def test_mulaw_encode_quantizes_toward_curve():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    x = np.linspace(-32000, 32000, 1001).astype(np.int16)
+    err = mulaw_decode(mulaw_encode(x)).astype(np.int32) - x.astype(np.int32)
+    # companding error is bounded by the local step (coarsest ~ 1/8 of
+    # magnitude near full scale)
+    assert np.abs(err).max() < 2048
+    small = np.arange(-100, 101).astype(np.int16)
+    err_small = mulaw_decode(mulaw_encode(small)).astype(np.int32) - small
+    assert np.abs(err_small).max() <= 4  # fine steps near zero
+
+
+def test_mulaw_wav_through_production_decode_path():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        encode_wav_mulaw,
+        mulaw_decode,
+    )
+    from ecommerce_lakehouse_spark.operators.media import decode_audio
+
+    pcm = mulaw_decode(np.arange(256, dtype=np.uint8))
+    samples, rate = decode_audio(encode_wav_mulaw(pcm, 8000))
+    assert rate == 8000 and samples.shape == (256, 1)
+    assert (np.round(samples[:, 0] * 32768.0).astype(np.int16) == pcm).all()
+
+
+def test_ima_adpcm_block_and_wav_roundtrip():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        encode_wav_ima_adpcm,
+        ima_adpcm_decode_block,
+        ima_adpcm_encode_block,
+    )
+    from ecommerce_lakehouse_spark.operators.media import decode_audio
+
+    t = np.arange(2000)
+    sig = (np.sin(t / 15) * 18000).astype(np.int16)
+    # block-level: header sample is exact, tail tracks the signal
+    blk = ima_adpcm_decode_block(ima_adpcm_encode_block(sig[:505]))
+    assert blk[0] == sig[0]
+    # WAV-level through the production path: fact chunk trims padding,
+    # adaptive quantizer reaches > 25 dB SNR on a smooth signal
+    samples, rate = decode_audio(encode_wav_ima_adpcm(sig, 8000))
+    dec = np.round(samples[:, 0] * 32768.0).astype(np.int32)
+    assert rate == 8000 and len(dec) == len(sig)
+    err = dec - sig.astype(np.int32)
+    snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean() / (err.astype(np.float64) ** 2).mean())
+    assert snr > 25, snr
+
+
+def test_wav_unknown_format_tag_raises():
+    import struct
+
+    import pytest
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import decode_wav_any
+    from ecommerce_lakehouse_spark.operators.avi import _chunk
+
+    fmt = struct.pack("<HHIIHH", 0x0055, 1, 8000, 8000, 1, 0)  # MP3-in-WAV
+    wav = _chunk(b"RIFF", b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", b"\x00\x00"))
+    with pytest.raises(NotImplementedError, match="0x0055"):
+        decode_wav_any(wav)
