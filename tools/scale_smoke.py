@@ -50,6 +50,11 @@ QUERIES = [
     "embedding_cosine_dups_expanded",
     "ngram_contamination",
     "repetition_profile",
+    # span-level dedup: output is bounded by DISTINCT duplicated spans, so
+    # K× exact replication must grow wall time ~linearly (same distinct
+    # spans, bigger counts), not with the pair count C(copies,2)
+    "span_dedup_spans",
+    "span_dup_rate",
 ]
 
 _BOILERPLATE = (
