@@ -55,7 +55,7 @@ _FIRST = [
     "validation_split_rejected",
     "dedup_by_key",
     "mulaw_audio_features",
-    "conditional_segmentation",
+    "apply_mixture_sample",
     "mjpeg_video_frames",
     "window_top1_per_group",
     "temperature_mixture_weights",

@@ -251,3 +251,72 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     )
     return scored.withColumn("rnk", rnk).filter(F.col("rnk") <= _TOP_TERMS)
+
+
+@query(
+    "apply_mixture_sample",
+    oracle="""
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+f AS (
+  SELECT source,
+         (sqrt(CAST(n_docs AS DOUBLE)) / sum(sqrt(CAST(n_docs AS DOUBLE))) OVER ())
+           / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()) AS factor
+  FROM c
+),
+d AS (
+  SELECT doc_id, documents.source, factor,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8))::BIGINT
+           % 1000 AS bucket
+  FROM documents JOIN f USING (source)
+)
+SELECT doc_id, source,
+       CAST(floor(factor) + CASE
+         WHEN bucket < floor((factor - floor(factor)) * 1000) THEN 1 ELSE 0
+       END AS INT) AS n_copies
+FROM d
+WHERE floor(factor) + CASE
+        WHEN bucket < floor((factor - floor(factor)) * 1000) THEN 1 ELSE 0
+      END > 0
+""",
+)
+def apply_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture: each document's copy count
+    under the alpha=0.5 target (factor > 1 domains upsample — every doc
+    keeps floor(factor) copies and a deterministic hash decides the
+    fractional extra; factor < 1 domains keep a hash-chosen subset).
+    Deterministic hash thresholds, never rand(): the same doc gets the
+    same fate across runs, engines, retries, and incremental ingest —
+    and every arithmetic step is an IEEE correctly-rounded op (sqrt,
+    multiply, divide), so the thresholds are bit-identical cross-engine.
+
+    Scale: the per-domain factor frame is tiny and broadcast; the
+    per-doc pass is map-side only (hash, compare, arithmetic) — no
+    corpus-wide shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    everything = Window.partitionBy()
+    n = F.col("n_docs").cast("double")
+    factors = counts.select(
+        "source",
+        (
+            (F.sqrt(n) / F.sum(F.sqrt(n)).over(everything))
+            / (n / F.sum(n).over(everything))
+        ).alias("factor"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#mix"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(1000),
+    )
+    frac_extra = F.when(
+        bucket < F.floor((F.col("factor") - F.floor("factor")) * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    n_copies = (F.floor("factor") + frac_extra).cast("int")
+    return (
+        d.join(F.broadcast(factors), "source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+    )

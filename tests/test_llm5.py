@@ -83,3 +83,21 @@ def test_tfidf_prefers_rare_terms(spark, tmp_path):
         for r in tfidf_top_terms(spark, d).filter("rnk = 1").collect()
     }
     assert top1 == {0: "unique0", 1: "unique1", 2: "unique2"}
+
+
+def test_apply_mixture_sample_copy_counts(spark, tmp_path):
+    # 90/10 at alpha=0.5: factor_small = 2.5 (docs get 2 or 3 copies),
+    # factor_big ~ 0.833 (docs keep 0 or 1) — realized counts must land
+    # near the temperature target.
+    rows = [(i, f"t {i}", "en", "big" if i < 90 else "small", 0) for i in range(100)]
+    d = _mini_corpus(spark, tmp_path, rows)
+    from ecommerce_lakehouse_spark.queries.llm5 import apply_mixture_sample
+
+    got = apply_mixture_sample(spark, d).collect()
+    small = [r.n_copies for r in got if r.source == "small"]
+    big = [r.n_copies for r in got if r.source == "big"]
+    assert set(small) <= {2, 3} and len(small) == 10  # every small doc kept
+    assert set(big) <= {1}  # big docs are never duplicated, some dropped
+    total_small, total_big = sum(small), sum(big)
+    assert 20 <= total_small <= 30  # target 25
+    assert 60 <= total_big <= 90  # target 75
