@@ -320,3 +320,57 @@ def apply_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", n_copies.alias("n_copies"))
         .filter(F.col("n_copies") > 0)
     )
+
+
+_MAX_DUP_SPAN_RATE = 0.6
+
+
+@query(
+    "span_dedup_clean",
+    oracle=_SPAN_ORACLE_BASE
+    + f"""
+, c AS (SELECT h, count(*) AS n FROM s GROUP BY h),
+r AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+           AS dup_span_rate
+  FROM s JOIN c USING (h) GROUP BY s.doc_id
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT canon.doc_id, coalesce(r.dup_span_rate, 0.0) AS dup_span_rate
+FROM canon LEFT JOIN r ON canon.doc_id = r.doc_id
+WHERE coalesce(r.dup_span_rate, 0.0) <= {_MAX_DUP_SPAN_RATE}
+""",
+)
+def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision span dedup exists to make: survivors after
+    (1) exact-collapse on content hash (one canonical doc per distinct
+    text, deterministic min-id survivor) and (2) dropping mostly-
+    boilerplate docs (duplicated-span rate > {_MAX_DUP_SPAN_RATE}).
+    Docs too short to have spans carry rate 0 and survive — absence of
+    evidence is not boilerplate.
+
+    Scale: the collapse groupBy shuffles only (md5, doc_id); the rate
+    side is span_dup_rate's bounded shape; the final join is id-to-id
+    on already-slim frames. Nothing here is pairwise in duplicate
+    multiplicity."""
+    d = load(spark, sf_dir, "documents")
+    canon = d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    spans = _span_hashes(d)
+    counts = spans.groupBy("h").agg(F.count("*").alias("n"))
+    isdup = F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0))
+    rates = (
+        spans.join(counts, "h")
+        .groupBy("doc_id")
+        .agg((F.sum(isdup).cast("double") / F.count("*")).alias("dup_span_rate"))
+    )
+    return (
+        canon.join(rates, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_span_rate", F.lit(0.0)).alias("dup_span_rate"),
+        )
+        .filter(F.col("dup_span_rate") <= _MAX_DUP_SPAN_RATE)
+    )
