@@ -255,3 +255,84 @@ def test_ppm_container_split_law(n_frames, h, w, seed):
     assert len(parts) == n_frames
     for raw, src in zip(parts, frames):
         assert np.array_equal(decode_image(raw), src)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_mulaw_codec_laws(n, seed):
+    """For arbitrary int16 signals: (a) companding error is bounded by the
+    local step size (|err| <= max(4, |x|/8 + 36)), (b) re-encoding the
+    decoded signal is a fixed point (quantize twice == quantize once),
+    (c) the WAV container round-trips the codewords byte-exactly."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        decode_wav_any,
+        encode_wav_mulaw,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    once = mulaw_decode(mulaw_encode(x))
+    err = once.astype(np.int32) - x.astype(np.int32)
+    bound = np.maximum(4, np.abs(x.astype(np.int32)) // 8 + 36)
+    assert (np.abs(err) <= bound).all()
+    assert (mulaw_decode(mulaw_encode(once)) == once).all()  # fixed point
+    samples, rate = decode_wav_any(encode_wav_mulaw(once, 8000))
+    assert rate == 8000
+    assert (np.round(samples[:, 0] * 32768.0).astype(np.int16) == once).all()
+
+
+@given(
+    n=st.integers(min_value=2, max_value=1200),
+    amp=st.integers(min_value=100, max_value=30000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_ima_adpcm_tracks_bounded_step_signals(n, amp, seed):
+    """ADPCM is adaptive-delta: for signals whose per-sample step is
+    within the quantizer's reach the decode must track the input (error
+    bounded by a fraction of the step budget), and sample count must
+    survive the WAV fact-chunk round trip for ANY length (odd nibble
+    counts, partial final blocks)."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        decode_wav_any,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    # smooth random walk: steps well inside the adaptive range
+    steps = rng.integers(-200, 201, size=n)
+    sig = np.clip(np.cumsum(steps) + rng.integers(-amp // 2, amp // 2 + 1), -32768, 32767).astype(np.int16)
+    samples, rate = decode_wav_any(encode_wav_ima_adpcm(sig, 8000))
+    dec = np.round(samples[:, 0] * 32768.0).astype(np.int32)
+    assert rate == 8000 and len(dec) == n  # fact chunk trims block padding
+    err = np.abs(dec - sig.astype(np.int32))
+    assert err.max() <= 2048, err.max()  # tracks within quantizer reach
+
+
+@given(
+    frames=st.lists(
+        st.binary(min_size=0, max_size=64), min_size=1, max_size=12
+    ),
+    fps=st.integers(min_value=1, max_value=60),
+)
+@settings(**SETTINGS)
+def test_avi_container_roundtrip_law(frames, fps):
+    """For ANY frame payload list (odd/even sizes, empty frames): the AVI
+    container must return exactly the same payloads in order, and the
+    header metadata must reflect the inputs."""
+    from ecommerce_lakehouse_spark.operators.avi import decode_avi, encode_mjpeg_avi
+
+    out, meta = decode_avi(encode_mjpeg_avi(frames, 32, 24, fps=fps))
+    assert out == frames
+    assert meta["n_frames"] == len(frames)
+    assert (meta["width"], meta["height"]) == (32, 24)
+    assert meta["fps"] == fps
