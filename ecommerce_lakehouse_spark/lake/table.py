@@ -49,6 +49,12 @@ class ConcurrentWriteError(RuntimeError):
     anything — still surface this error."""
 
 
+class SchemaMismatchError(RuntimeError):
+    """Incoming rows do not match the table schema under strict mode
+    (Delta's default write behavior: new columns and type changes are
+    rejected unless schema evolution is explicitly enabled)."""
+
+
 class ConstraintViolationError(RuntimeError):
     """Incoming rows violate a table CHECK constraint (Delta's
     ``ALTER TABLE .. ADD CONSTRAINT`` invariant enforcement): the write
@@ -590,13 +596,39 @@ class LakeTable:
             [entry], "overwrite", partition_by, base_version=base, txn=txn
         )
 
-    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        schema_mode: str = "merge",
+    ) -> int:
         """K2/K3: append — new version references prior data dirs plus the
         new one (no rewrite of existing files). Blind add: on a concurrent
         commit it auto-rebases onto the new head (Delta semantics — blind
-        appends read nothing, so they conflict with nothing)."""
+        appends read nothing, so they conflict with nothing).
+
+        ``schema_mode``: ``"merge"`` (default here — reads use
+        mergeSchema/unionByName, so evolution is implicit) or
+        ``"strict"`` (Delta's default posture: reject new columns and
+        type changes before anything is written; schema comparison reads
+        parquet footers only, never data)."""
         if not self.exists():
             return self.overwrite(df, partition_by)
+        if schema_mode == "strict":
+            current = {f.name: f.dataType.simpleString() for f in self.read().schema.fields}
+            incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            extra = sorted(set(incoming) - set(current))
+            mismatched = sorted(
+                c for c in incoming.keys() & current.keys() if incoming[c] != current[c]
+            )
+            if extra or mismatched:
+                raise SchemaMismatchError(
+                    f"append to {self.root} under schema_mode='strict': "
+                    f"new columns {extra}, type changes "
+                    f"{[(c, current[c], incoming[c]) for c in mismatched]}"
+                )
+        elif schema_mode != "merge":
+            raise ValueError(f"schema_mode must be 'merge' or 'strict', got {schema_mode!r}")
         prior = self._manifest(self.current_version())
         partition_by = partition_by or prior["partition_by"]
         self._enforce_constraints(df)
@@ -900,7 +932,41 @@ class LakeTable:
 
     # ---------------- readers (S4 + time travel) ----------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_as_of(self, ts: float) -> int:
+        """Delta ``timestampAsOf``: the latest version committed at or
+        before ``ts`` (unix seconds). Raises if the table didn't exist
+        yet at that time."""
+        best = None
+        for m in self.history():
+            if m["committed_at"] <= ts:
+                best = m["version"] if best is None else max(best, m["version"])
+        if best is None:
+            raise ValueError(
+                f"no version of {self.root} existed at or before timestamp {ts}"
+            )
+        return best
+
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE .. TO VERSION AS OF``: commit a NEW
+        version whose content is the old version's (data dirs are reused
+        by reference — no rewrite; history is preserved, so the restore
+        itself can be time-traveled past or restored away again)."""
+        old = self._manifest(version)  # raises if the version never existed
+        prior = self._manifest(self.current_version())
+        return self._commit(
+            old["data_dirs"],
+            "restore",
+            old["partition_by"],
+            base_version=prior["version"],
+        )
+
+    def read(
+        self, version: int | None = None, as_of_timestamp: float | None = None
+    ) -> DataFrame:
+        if version is not None and as_of_timestamp is not None:
+            raise ValueError("pass version OR as_of_timestamp, not both")
+        if as_of_timestamp is not None:
+            version = self.version_as_of(as_of_timestamp)
         v = version if version is not None else self.current_version()
         entries = self._manifest(v)["data_dirs"]
         pcols = self._manifest(v)["partition_by"]

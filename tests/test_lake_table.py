@@ -727,3 +727,65 @@ def test_constraint_enforced_on_merge_and_update_survives_versions(spark, tmp_pa
     t.update("id = 2", {"amount": "-5.0"})  # now allowed
     got = {r.id: r.amount for r in t.read().collect()}
     assert got[2] == -5.0
+
+
+# --------------------------------------- time travel / restore / schema
+
+
+def test_timestamp_time_travel_and_restore(spark, tmp_path):
+    import time as _time
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "tt"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+    ts_v1 = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(spark.createDataFrame([(2, "b")], "id int, v string"))
+
+    # timestampAsOf resolves to the version committed at/before ts
+    assert t.version_as_of(ts_v1) == 1
+    assert [r.id for r in t.read(as_of_timestamp=ts_v1).collect()] == [1]
+    import pytest
+
+    with pytest.raises(ValueError, match="no version"):
+        t.version_as_of(0.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, as_of_timestamp=ts_v1)
+
+    # RESTORE commits a NEW version with the old content; history intact
+    v = t.restore(1)
+    assert v == 3
+    assert [r.id for r in t.read().collect()] == [1]
+    assert [r.id for r in t.read(version=2).collect()] == [2]  # still travelable
+
+
+def test_append_strict_schema_mode(spark, tmp_path):
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable, SchemaMismatchError
+
+    t = LakeTable(spark, str(tmp_path / "strict"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+
+    # strict: same shape passes
+    t.append(spark.createDataFrame([(2, "b")], "id int, v string"), schema_mode="strict")
+    # strict: new column rejected, nothing committed
+    v = t.current_version()
+    with pytest.raises(SchemaMismatchError, match="new columns \\['extra'\\]"):
+        t.append(
+            spark.createDataFrame([(3, "c", 1.0)], "id int, v string, extra double"),
+            schema_mode="strict",
+        )
+    # strict: type change rejected
+    with pytest.raises(SchemaMismatchError, match="type changes"):
+        t.append(
+            spark.createDataFrame([("3", "c")], "id string, v string"),
+            schema_mode="strict",
+        )
+    assert t.current_version() == v
+    # merge (default) still evolves
+    t.append(spark.createDataFrame([(3, "c", 1.0)], "id int, v string, extra double"))
+    assert "extra" in t.read().columns
+    with pytest.raises(ValueError, match="schema_mode"):
+        t.append(spark.createDataFrame([(4, "d")], "id int, v string"), schema_mode="nope")
