@@ -63,7 +63,7 @@ _FIRST = [
     "outer_join_flagback",
     "span_dedup_spans",
     "set_operations",
-    "grouping_sets_sales",
+    "span_dedup_clean",
     "span_dup_rate",
     "tpch_q1_pricing_summary",
     "exact_dedup",

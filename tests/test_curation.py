@@ -64,10 +64,13 @@ def test_curation_stages_and_incremental_rerun(spark, tmp_path):
     t = curate(spark, b2, root)
 
     # partition-pruned MERGE: en files byte-identical, and the new quality
-    # version's data dir contains NO en partition (nothing rewritten)
+    # version's data dir contains NO en partition (nothing rewritten).
+    # (Derive the merge's data-dir version instead of hardcoding it —
+    # metadata commits like add_constraint also advance the version.)
+    vmerge = f"v{t['quality'].current_version():08d}"
     assert _hashes(root + "/quality/data/*/lang=en/*.parquet") == en_before
-    assert not glob.glob(root + "/quality/data/v00000002-*/lang=en")
-    assert glob.glob(root + "/quality/data/v00000002-*/lang=fr")
+    assert not glob.glob(root + f"/quality/data/{vmerge}-*/lang=en")
+    assert glob.glob(root + f"/quality/data/{vmerge}-*/lang=fr")
 
     # cross-batch exact dedup combined: doc 3's text now has 2 copies and
     # keeps its original (min) canonical id; batch-1 state untouched
@@ -166,3 +169,22 @@ def test_stream_curation_ingest_end_to_end(spark, tmp_path):
     assert t["canonical"].read().count() == 2
     surv = {r.doc_id for r in t["survivors"].read().collect()}
     assert len(surv) == 2 and 3 in surv and surv - {3} <= {1, 2}
+
+
+def test_quality_stage_declares_constraints(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import ConstraintViolationError
+    from ecommerce_lakehouse_spark.pipelines.curation import curate
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", "en", "s", 0) for i in range(5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    t = curate(spark, docs, str(tmp_path / "cur"))
+    assert set(t["quality"].constraints()) == {"doc_id_present", "text_present"}
+    # a direct write that violates the stage invariant is rejected
+    bad = t["quality"].read().limit(1).withColumn("text", F.lit(None).cast("string"))
+    with pytest.raises(ConstraintViolationError):
+        t["quality"].merge(bad, keys=["doc_id"])
