@@ -57,7 +57,7 @@ _FIRST = [
     "mulaw_audio_features",
     "apply_mixture_sample",
     "mjpeg_video_frames",
-    "window_top1_per_group",
+    "image_dedup_features",
     "temperature_mixture_weights",
     "tfidf_top_terms",
     "outer_join_flagback",

@@ -24,6 +24,56 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+class _StageMeter:
+    """Per-query stage metrics via the Spark UI REST API (shuffle read/
+    write, input bytes): new completed stages since the last sample are
+    attributed to the query that just ran. Shuffle volume is the number
+    that predicts 100 TB behavior — wall time on a warm 32-core JVM
+    doesn't show a shuffle that would dominate on a real cluster.
+    Degrades to no-op if the UI is unreachable."""
+
+    def __init__(self, spark):
+        self.base = None
+        self.seen: set[tuple] = set()
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            if ui:
+                self.base = f"{ui}/api/v1/applications/{app}/stages"
+            self._sample()  # baseline: warmup stages are not attributed
+        except Exception:
+            self.base = None
+
+    def _sample(self):
+        import urllib.request
+
+        out = []
+        if not self.base:
+            return out
+        with urllib.request.urlopen(self.base + "?status=complete", timeout=5) as r:
+            for st in json.load(r):
+                key = (st["stageId"], st["attemptId"])
+                if key in self.seen:
+                    continue
+                self.seen.add(key)
+                out.append(st)
+        return out
+
+    def delta(self) -> dict | None:
+        try:
+            stages = self._sample()
+        except Exception:
+            return None
+        if self.base is None:
+            return None
+        return {
+            "stages": len(stages),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+            "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+        }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warmup", type=int, default=1)
@@ -32,7 +82,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench")
+    # UI on for the stage-metrics sidecar (the session factory defaults
+    # it off); REST is localhost-only and adds nothing to query time
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
 
     names = [n for n in args.queries.split(",") if n] or list(REGISTRY)
 
@@ -40,11 +92,16 @@ def main() -> None:
     for _ in range(args.warmup):
         materialize(REGISTRY["daily_sales"](spark, sf_dir))
 
+    meter = _StageMeter(spark)
     times: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         materialize(REGISTRY[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        m = meter.delta()
+        if m is not None:
+            metrics[name] = m
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -55,6 +112,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
     }
+    if metrics:
+        # sidecar-only (never on the stdout line): per-query stage counts
+        # and shuffle/input volumes — the scale-predictive numbers
+        payload["stage_metrics"] = metrics
     # Full detail to stderr + sidecar file; stdout gets ONE JSON line capped
     # at ~1800 chars (the harness keeps only the last 2000 chars of stdout —
     # a 105-query dict blows that buffer and parses as null). If the full
@@ -67,7 +128,8 @@ def main() -> None:
             f.write(full + "\n")
     except OSError:
         pass
-    if len(full) > 1800:
+    payload.pop("stage_metrics", None)  # detail-file only; keep stdout slim
+    if len(json.dumps(payload)) > 1800:
         slowest = dict(sorted(times.items(), key=lambda kv: -kv[1]))
         kept: dict[str, float] = {}
         for k, v in slowest.items():

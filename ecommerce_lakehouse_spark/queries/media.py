@@ -467,3 +467,100 @@ def mulaw_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats,
         schema="doc_id bigint, n_frames int, sample_rate int, energy bigint, peak int",
     )
+
+
+_DUP_MOD = 64  # docs with equal doc_id % 64 render byte-identical images
+
+
+@query(
+    "image_dedup_features",
+    oracle=f"""
+WITH cls AS (
+  SELECT doc_id % {_DUP_MOD} AS k, count(*) AS n_copies,
+         min(doc_id) AS doc_id
+  FROM documents GROUP BY doc_id % {_DUP_MOD}
+),
+d AS (SELECT doc_id, n_copies, k, 8 + k % 5 AS w, 6 + k % 4 AS h FROM cls),
+xs AS (SELECT doc_id, n_copies, k, w, h, unnest(range(0, w)) AS x FROM d),
+px AS (SELECT doc_id, n_copies, k, w, h, x, unnest(range(0, h)) AS y FROM xs)
+SELECT doc_id,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum((k * 7 + 3 * x + 5 * y) % 256) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(sum((k * 11 + 2 * x + y) % 256) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(sum((k * 13 + x + 4 * y) % 256) AS DOUBLE) / (w * h) AS mean_b
+FROM px
+GROUP BY doc_id, n_copies, k, w, h
+""",
+)
+def image_dedup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation composed end-to-end: exact image dedup by
+    BINARY content hash (sha2 over the encoded payload, computed
+    JVM-side), deterministic min-id canonical per pixel-identical class,
+    then REAL decode + featurize of canonical images only — the "decode
+    once per distinct asset" shape that matters when 100 TB of crawl
+    images are 30% duplicates. Payloads here render from doc_id %
+    {_DUP_MOD}, so duplicate classes are known in closed form and the
+    oracle checks the hash-dedup, survivor choice, copy counts, AND the
+    decoded features in one go.
+
+    Scale: the dedup groupBy shuffles only (sha2, doc_id) — 40 bytes per
+    image regardless of image size; payloads cross the wire once, in the
+    canonical-fetch join (at cluster scale you'd regenerate/refetch from
+    the object store instead; the join keeps this self-contained). Decode
+    runs only on canonicals, inside one Arrow batch stage."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import decode_image, encode_ppm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                k = int(doc) % _DUP_MOD
+                w, h = 8 + k % 5, 6 + k % 4
+                ys, xs = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (k * 7 + 3 * xs + 5 * ys) % 256,
+                        (k * 11 + 2 * xs + ys) % 256,
+                        (k * 13 + xs + 4 * ys) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_copies", "width", "height",
+                                   "mean_r", "mean_g", "mean_b")}
+            for doc, n, payload in zip(pdf["doc_id"], pdf["n_copies"], pdf["payload"]):
+                img = decode_image(bytes(payload)).astype(np.int64)
+                h, w, _ = img.shape
+                out["doc_id"].append(doc)
+                out["n_copies"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(img[:, :, 0].sum() / (w * h))
+                out["mean_g"].append(img[:, :, 1].sum() / (w * h))
+                out["mean_b"].append(img[:, :, 2].sum() / (w * h))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    hashed = payloads.select("doc_id", "payload", F.sha2("payload", 256).alias("h"))
+    canon = (
+        hashed.select("doc_id", "h")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+    canon_payloads = canon.join(hashed.select("doc_id", "payload"), "doc_id")
+    return canon_payloads.select("doc_id", "n_copies", "payload").mapInPandas(
+        feats,
+        schema=(
+            "doc_id bigint, n_copies bigint, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
