@@ -60,7 +60,7 @@ _FIRST = [
     "image_dedup_features",
     "temperature_mixture_weights",
     "tfidf_top_terms",
-    "outer_join_flagback",
+    "split_contamination_audit",
     "span_dedup_spans",
     "set_operations",
     "span_dedup_clean",

@@ -374,3 +374,103 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dup_span_rate") <= _MAX_DUP_SPAN_RATE)
     )
+
+
+@query(
+    "split_contamination_audit",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#split'), 1, 8))::BIGINT % 100
+           AS bucket
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM b
+),
+g AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS gram
+  FROM t WHERE len(w) >= 5
+),
+train_inv AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+held AS (SELECT DISTINCT split, gram FROM g WHERE split <> 'train'),
+n AS (SELECT split, count(*) AS n_grams FROM held GROUP BY split),
+l AS (
+  SELECT split, count(*) AS n_leaked
+  FROM held JOIN train_inv USING (gram) GROUP BY split
+)
+SELECT n.split, n.n_grams,
+       coalesce(l.n_leaked, 0) AS n_leaked,
+       coalesce(l.n_leaked, 0) / CAST(n.n_grams AS DOUBLE) AS leakage_rate
+FROM n LEFT JOIN l ON n.split = l.split
+""",
+)
+def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval leakage audit over the engine's OWN split assignment:
+    for the val and test splits produced by the train_val_test_split
+    hash (same salt, same 80/10/10 thresholds), what fraction of their
+    distinct 5-grams also appears in the train split? This is the check
+    a pipeline runs before trusting held-out perplexity — split hashing
+    guarantees doc-level disjointness, but n-gram leakage via duplicated
+    text crosses splits anyway, and this query measures exactly that.
+
+    Scale: gram inventories are distinct-collapsed per split before the
+    join (map-side HOF distinct per doc, then one fixed-width shuffle on
+    the gram); the audit output is two rows. The train inventory is the
+    big side — the join shuffles it once; at 100 TB you'd bloom-filter
+    the held-out side first, which AQE's runtime filtering approximates."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    # sequence(1, size-4) == DuckDB range(1, len-3): last 5-gram starts
+    # at size-4 (range excludes its upper bound, sequence includes it)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - F.lit(4)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 5)),
+        )
+    )
+    g = (
+        d.select("doc_id", split.alias("split"), w.alias("w"))
+        .filter(F.size("w") >= 5)
+        .select("split", F.explode(grams).alias("gram"))
+    )
+    train_inv = g.filter(F.col("split") == "train").select("gram").distinct()
+    held = g.filter(F.col("split") != "train").distinct()
+    n = held.groupBy("split").agg(F.count("*").alias("n_grams"))
+    leaked = (
+        held.join(train_inv, "gram")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    return (
+        n.join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_grams",
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+            (
+                F.coalesce("n_leaked", F.lit(0)).cast("double") / F.col("n_grams")
+            ).alias("leakage_rate"),
+        )
+    )
