@@ -499,8 +499,12 @@ class LakeTable:
             return {}
         return self._manifest(self.current_version()).get("constraints", {})
 
-    def _enforce_constraints(self, df: DataFrame) -> None:
-        """Reject ``df`` if any row violates any current constraint.
+    def _enforce_constraints(
+        self, df: DataFrame, cons: dict[str, str] | None = None
+    ) -> None:
+        """Reject ``df`` if any row violates any current constraint (or
+        the explicit ``cons`` dict, for writes that set constraints in
+        the same commit).
 
         One Spark job regardless of constraint count: a single aggregate
         computes a violation flag per constraint (NULL-evaluating rows
@@ -509,7 +513,7 @@ class LakeTable:
         batch only, never the table."""
         import pyspark.sql.functions as F
 
-        cons = self.constraints()
+        cons = self.constraints() if cons is None else cons
         if not cons:
             return
         names = sorted(cons)
@@ -584,16 +588,26 @@ class LakeTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         txn: dict | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """K1/K4: full overwrite (schema evolution implicit — the new
         version's parquet schema wins). Never auto-rebases: replace-all
-        semantics racing any other writer must surface."""
+        semantics racing any other writer must surface.
+
+        ``constraints`` sets the table's CHECK constraints in the SAME
+        commit (CREATE TABLE .. WITH CONSTRAINTS shape): the incoming
+        rows are validated against them in one aggregate — cheaper than
+        overwrite + per-constraint add_constraint, which would re-scan
+        the table once per constraint and burn a commit each."""
         partition_by = partition_by or []
         base = self.current_version() if self.exists() else 0
         self._enforce_constraints(df)
+        if constraints is not None:
+            self._enforce_constraints(df, constraints)
         entry = self._write_dir_entry(df, partition_by)
         return self._commit(
-            [entry], "overwrite", partition_by, base_version=base, txn=txn
+            [entry], "overwrite", partition_by, base_version=base, txn=txn,
+            constraints=constraints,
         )
 
     def append(

@@ -103,13 +103,19 @@ def curate(
     if t["quality"].exists():
         t["quality"].merge(qual, keys=["doc_id"], txn=txn)
     else:
-        t["quality"].overwrite(qual, partition_by=["lang"], txn=txn)
-        # Declare the stage's invariants as table CHECK constraints: every
-        # later writer (incremental merges included) is rejected at commit
-        # time if a bug upstream lets an ungated row through. Validated
-        # against the rows just written, then enforced on all future DML.
-        t["quality"].add_constraint("doc_id_present", "doc_id IS NOT NULL")
-        t["quality"].add_constraint("text_present", "text IS NOT NULL AND length(text) > 0")
+        # Declare the stage's invariants as table CHECK constraints in the
+        # same commit as the data: every later writer (incremental merges
+        # included) is rejected at commit time if a bug upstream lets an
+        # ungated row through.
+        t["quality"].overwrite(
+            qual,
+            partition_by=["lang"],
+            txn=txn,
+            constraints={
+                "doc_id_present": "doc_id IS NOT NULL",
+                "text_present": "text IS NOT NULL AND length(text) > 0",
+            },
+        )
 
     # ---- stage 2: exact-collapse (cross-batch incremental on content_hash)
     # Collapse the batch on the fixed-width hash (text never shuffles for
