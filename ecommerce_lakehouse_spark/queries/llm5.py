@@ -233,7 +233,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        # no broadcast hint: DF is vocabulary-sized (tiny here, huge on
+        # web corpora) — AQE broadcasts when it measures small, shuffles
+        # when it doesn't; forcing the hint would OOM a 100 TB vocab
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
