@@ -89,7 +89,7 @@ _FIRST = [
     "ngram_contamination",
     "hash_sample_stratified",
     "train_val_test_split",
-    "jpeg_decode_features",
+    "jpeg_progressive_features",
     "gif_decode_features",
     "exact_moment_corr",
     "cohort_retention",

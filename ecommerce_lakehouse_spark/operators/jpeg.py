@@ -1,19 +1,25 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT) codec — pure numpy/stdlib.
+"""JPEG (ITU-T T.81) codec — pure numpy/stdlib.
 
 Scope (documented, honest):
 
-- **Decode**: baseline sequential, 8-bit, grayscale or 4:4:4 YCbCr,
+- **Decode**: baseline sequential (SOF0) AND progressive (SOF2, full
+  Annex G: spectral selection, successive approximation, DC/AC
+  first+refine scans, EOB runs), 8-bit, grayscale or YCbCr with any
+  integer sampling factors (4:4:4/4:2:0/4:2:2 multi-block MCUs),
   generic DQT/DHT parsing (any tables, not just Annex K), DRI/RSTn
   restart intervals, 0xFF00 byte unstuffing, partial edge blocks.
-  Progressive, arithmetic-coded, 12-bit, and subsampled (4:2:0/4:2:2)
-  streams raise ``NotImplementedError`` — detected from the headers,
-  never mis-decoded.
-- **Encode**: baseline sequential grayscale or 4:4:4 color. Emits its
-  OWN canonical fixed-length Huffman tables in DHT (JPEG allows
-  arbitrary tables — this is what "optimized" encoders do), so no
-  spec-appendix constant tables are transcribed anywhere. Default
-  quantization is all-ones, which makes block-constant images decode
-  bit-exactly (DC-only blocks survive round-trip) — the property the
+  Arithmetic-coded, 12-bit, and lossless streams raise
+  ``NotImplementedError`` — detected from the headers, never
+  mis-decoded.
+- **Encode**: baseline sequential (grayscale, 4:4:4, or 4:2:0) plus a
+  progressive encoder (4:4:4/grayscale, DC+AC successive approximation
+  and banded spectral selection) whose round trips exercise every
+  progressive decode path against the baseline result. Emits its OWN
+  canonical fixed-length Huffman tables in DHT (JPEG allows arbitrary
+  tables — this is what "optimized" encoders do), so no spec-appendix
+  constant tables are transcribed anywhere. Default quantization is
+  all-ones, which makes block-constant images decode bit-exactly
+  (DC-only blocks survive round-trip) — the property the
   oracle-checked query jpeg_decode_features is built on.
 
 The DCT is the orthonormal 8x8 DCT-II as a matrix product (numpy einsum
@@ -326,6 +332,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffTable] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coefs = None  # progressive: per-component (nby, nbx, 64) accumulators
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -356,7 +364,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 n = sum(bits)
                 htables[(cls, tid)] = _HuffTable(bits, seg[p + 17 : p + 17 + n])
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -374,9 +383,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "non-integer JPEG sampling ratios not supported"
                 )
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xff{marker:02x} (progressive/extended) not supported"
+                f"JPEG SOF marker 0xff{marker:02x} (extended/lossless/arithmetic) not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -388,11 +397,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_tables.append((cid, tabs >> 4, tabs & 0x0F))
-            return _decode_scan(
-                payload, pos + seglen, frame, scan_tables, qtables, htables,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + seglen, frame, scan_tables, qtables, htables,
+                    restart_interval,
+                )
+            # progressive: accumulate this scan's coefficients, continue
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if coefs is None:
+                h, w, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                coefs = [
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for (_cid, hi, vi, _tq) in comps
+                ]
+                dc_preds = {}
+            pos = _decode_progressive_scan(
+                payload, pos + seglen, frame, scan_tables, ss, se, ah, al,
+                coefs, htables, restart_interval,
             )
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _reconstruct(frame, coefs, qtables)
     raise ValueError("JPEG contains no scan")
 
 
@@ -405,7 +436,7 @@ def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, dri):
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     # per-component coefficient grids sized to the MCU grid
     coefs = [
-        np.zeros((mcuy * vi, mcux * hi, 8, 8), dtype=np.int64)
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
         for (_cid, hi, vi, _tq) in comps
     ]
     r = _BitReader(payload, pos)
@@ -441,7 +472,7 @@ def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, dri):
                             k += 1
                         out = np.zeros(64, dtype=np.int64)
                         out[_ZIGZAG] = blk
-                        coefs[ci][my * vi + by, mx * hi + bx] = out.reshape(8, 8)
+                        coefs[ci][my * vi + by, mx * hi + bx] = out
             mcu += 1
             if dri and mcu % dri == 0 and mcu < n_mcus:
                 r.sync_restart()
@@ -449,6 +480,17 @@ def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, dri):
         except _RestartMarker:
             r.sync_restart()
             preds = [0] * nc
+    return _reconstruct(frame, coefs, qtables)
+
+
+def _reconstruct(frame, coefs, qtables) -> np.ndarray:
+    """Dequantize + IDCT per-component (nby, nbx, 64) natural-order
+    coefficient grids, upsample, color-convert — shared by the baseline
+    single-scan path and the progressive multi-scan accumulator."""
+    h, w, comps = frame
+    nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (_cid, hi, vi, tq) in enumerate(comps):
         nby, nbx = coefs[ci].shape[:2]
@@ -467,3 +509,391 @@ def _decode_scan(payload, pos, frame, scan_tables, qtables, htables, dri):
     b_ = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r_, g_, b_], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _scan_end(payload: bytes, pos: int) -> int:
+    """First byte of the next marker at/after ``pos`` (entropy data can't
+    contain a bare 0xFF thanks to stuffing; RSTn belong to the scan)."""
+    p = pos
+    while p + 1 < len(payload):
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return p
+
+
+def _decode_progressive_scan(
+    payload, pos, frame, scan_tables, ss, se, ah, al, coefs, htables, dri
+):
+    """One progressive scan (T.81 Annex G decoding): accumulate into the
+    per-component natural-order coefficient grids.
+
+    Four scan kinds: DC first (Huffman diffs, values << Al), DC refine
+    (one raw bit per block ORed at Al), AC first (run-length + EOB-run
+    coding over the [Ss, Se] band), AC refine (newly-significant
+    coefficients interleaved with correction bits for already-significant
+    ones). AC scans are single-component per the spec; DC scans may
+    interleave components MCU-wise like baseline."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_cid = {c[0]: i for i, c in enumerate(comps)}
+    r = _BitReader(payload, pos)
+    eobrun = 0
+
+    def refine_amount(c):
+        return (1 << al) if c > 0 else -(1 << al)
+
+    def decode_ac_first(blk, ac_t):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = ac_t.decode(r)
+            rl, sz = sym >> 4, sym & 0x0F
+            if sz == 0:
+                if rl != 15:
+                    eobrun = (1 << rl) - 1
+                    if rl:
+                        eobrun += r.bits(rl)
+                    return
+                k += 16  # ZRL
+                continue
+            k += rl
+            if k > se:
+                raise ValueError("progressive AC run past band end")
+            blk[_ZIGZAG[k]] = _extend(r.bits(sz), sz) << al
+            k += 1
+
+    def decode_ac_refine(blk, ac_t):
+        nonlocal eobrun
+        k = ss
+        in_eob = eobrun > 0  # this block folds into a pending EOB run
+        if in_eob:
+            eobrun -= 1
+        else:
+            while k <= se:
+                sym = ac_t.decode(r)
+                rl, sz = sym >> 4, sym & 0x0F
+                if sz == 0:
+                    if rl != 15:
+                        # EOB(n): n-1 MORE blocks after this one; the
+                        # CURRENT block still refines its remaining band
+                        eobrun = (1 << rl) - 1
+                        if rl:
+                            eobrun += r.bits(rl)
+                        in_eob = True
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if sz != 1:
+                        raise ValueError("AC refine size must be 1")
+                    val = (1 << al) if r.bits(1) else -(1 << al)
+                while k <= se:
+                    c = _ZIGZAG[k]
+                    if blk[c] != 0:
+                        if r.bits(1) and (abs(blk[c]) & (1 << al)) == 0:
+                            blk[c] += refine_amount(blk[c])
+                    else:
+                        if rl == 0:
+                            break
+                        rl -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[_ZIGZAG[k]] = val
+                k += 1
+        if in_eob:
+            while k <= se:
+                c = _ZIGZAG[k]
+                if blk[c] != 0:
+                    if r.bits(1) and (abs(blk[c]) & (1 << al)) == 0:
+                        blk[c] += refine_amount(blk[c])
+                k += 1
+
+    if ss == 0:  # DC scan (interleaved over the scan's components)
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        preds = [0] * len(scan_tables)
+        n_mcus = mcuy * mcux
+        mcu = 0
+        while mcu < n_mcus:
+            my, mx = divmod(mcu, mcux)
+            try:
+                for si, (cid, dc_id, _ac_id) in enumerate(scan_tables):
+                    ci = by_cid[cid]
+                    _cid, hi, vi, _tq = comps[ci]
+                    if len(scan_tables) == 1 and (hi, vi) != (hmax, vmax):
+                        raise NotImplementedError(
+                            "non-interleaved subsampled DC scan not supported"
+                        )
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blk = coefs[ci][my * vi + by, mx * hi + bx]
+                            if ah == 0:
+                                s_ = htables[(0, dc_id)].decode(r)
+                                diff = _extend(r.bits(s_), s_) if s_ else 0
+                                preds[si] += diff
+                                blk[0] = preds[si] << al
+                            else:
+                                if r.bits(1):
+                                    blk[0] |= 1 << al
+                mcu += 1
+                if dri and mcu % dri == 0 and mcu < n_mcus:
+                    r.sync_restart()
+                    preds = [0] * len(scan_tables)
+            except _RestartMarker:
+                r.sync_restart()
+                preds = [0] * len(scan_tables)
+    else:  # AC scan: single component, its own block raster
+        if len(scan_tables) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cid, _dc_id, ac_id = scan_tables[0]
+        ci = by_cid[cid]
+        _cid, hi, vi, _tq = comps[ci]
+        bw = (-(-(w * hi) // hmax) + 7) // 8  # ceil(comp_width / 8)
+        bh = (-(-(h * vi) // vmax) + 7) // 8
+        ac_t = htables.get((1, ac_id))
+        n_blocks = bh * bw
+        blki = 0
+        while blki < n_blocks:
+            by, bx = divmod(blki, bw)
+            try:
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    decode_ac_first(blk, ac_t)
+                else:
+                    decode_ac_refine(blk, ac_t)
+                blki += 1
+                if dri and blki % dri == 0 and blki < n_blocks:
+                    r.sync_restart()
+                    eobrun = 0
+            except _RestartMarker:
+                r.sync_restart()
+                eobrun = 0
+    return _scan_end(payload, r.pos)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G: spectral selection + successive
+# approximation, one refinement level) — exists so the progressive DECODER
+# is exercised end-to-end by round trips against the baseline decode.
+# ---------------------------------------------------------------------------
+
+
+def _ac_first_ops(zz_blocks: np.ndarray, ss: int, se: int, al: int) -> list:
+    """Op list for an AC 'first' scan (Ah=0) over one component's blocks:
+    point-transformed magnitudes, run-length symbols, cross-block EOB-run
+    accumulation (trailing zeros fold into the run, never ZRL)."""
+    ops: list = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            rl = eobrun.bit_length() - 1
+            ops.append(("sym", rl << 4))
+            if rl:
+                ops.append(("bits", eobrun - (1 << rl), rl))
+            eobrun = 0
+
+    for blk in zz_blocks:
+        t = [
+            (v >> al) if v >= 0 else -((-v) >> al) for v in blk[ss : se + 1].tolist()
+        ]
+        if not any(t):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last_nz = max(i for i, v in enumerate(t) if v)
+        for i, v in enumerate(t):
+            if i > last_nz:
+                eobrun += 1  # trailing zeros: this block joins an EOB run
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.append(("sym", 0xF0))
+                run -= 16
+            sz = _category(v)
+            ops.append(("sym", (run << 4) | sz))
+            ops.append(("bits", v if v >= 0 else v + (1 << sz) - 1, sz))
+            run = 0
+    flush_eob()
+    return ops
+
+
+def _ac_refine_ops(zz_blocks: np.ndarray, ss: int, se: int, ah: int, al: int) -> list:
+    """Op list for an AC refinement scan (T.81 G.1.2.3 encoder shape):
+    newly-significant coefficients as (run<<4)|1 symbols with sign bits,
+    correction bits for already-significant coefficients buffered and
+    flushed after the next emitted symbol, EOB runs carrying the
+    buffered bits of every folded block."""
+    ops: list = []
+    eobrun = 0
+    eob_pending: list = []
+
+    def flush_eob():
+        nonlocal eobrun, eob_pending
+        if eobrun:
+            rl = eobrun.bit_length() - 1
+            ops.append(("sym", rl << 4))
+            if rl:
+                ops.append(("bits", eobrun - (1 << rl), rl))
+            ops.extend(eob_pending)
+            eob_pending = []
+            eobrun = 0
+
+    for blk in zz_blocks:
+        band = blk[ss : se + 1].tolist()
+        t = [abs(v) >> al for v in band]
+        newly = [i for i, v in enumerate(t) if v == 1 and (abs(band[i]) >> ah) == 0]
+        eobpos = newly[-1] if newly else -1
+        run = 0
+        pending: list = []
+        for i, v in enumerate(band):
+            tv = t[i]
+            if tv == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eobpos:
+                flush_eob()
+                ops.append(("sym", 0xF0))
+                run -= 16
+                ops.extend(pending)
+                pending = []
+            if (abs(v) >> ah) != 0:  # already significant: correction bit
+                pending.append(("bits", tv & 1, 1))
+                continue
+            # newly significant (tv == 1)
+            flush_eob()
+            ops.append(("sym", (run << 4) | 1))
+            ops.append(("bits", 1 if v > 0 else 0, 1))
+            ops.extend(pending)
+            pending = []
+            run = 0
+        if run > 0 or pending:
+            eobrun += 1
+            eob_pending.extend(pending)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _emit_ops(w: _BitWriter, ops: list, codes: dict | None) -> None:
+    for op in ops:
+        if op[0] == "sym":
+            code, length = codes[op[1]]
+            w.write(code, length)
+        else:
+            _op, v, n = op
+            w.write(v, n)
+
+
+def encode_jpeg_progressive(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 -> PROGRESSIVE JPEG (SOF2),
+    4:4:4 only: a spec-complete scan script with spectral selection AND
+    one successive-approximation level — DC first (Al=1), per-component
+    AC bands 1-20 and 21-63 (Al=1), DC refine (raw bits), then AC
+    refinement scans (Ah=1, Al=0) — so a decoder must get every Annex G
+    scan kind right to reproduce the baseline image."""
+    if qtable is None:
+        qtable = np.ones((8, 8), dtype=np.int64)
+    qtable = qtable.astype(np.int64)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if gray:
+        planes = [img.reshape(img.shape[0], img.shape[1]).astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    h, w = planes[0].shape
+    grids = []
+    for plane in planes:
+        blocks, nby, nbx = _blocks_of(plane)
+        coefs = np.einsum("ij,bjk,lk->bil", _T, blocks - 128.0, _T)
+        q = np.round(coefs / qtable).astype(np.int64).reshape(-1, 64)
+        grids.append(q[:, _ZIGZAG])  # (nblocks, 64) zigzag order
+
+    al = 1
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = qtable.reshape(64)[_ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def emit_scan(ops, scan_comps, ss, se, ah, al_, table_cls):
+        nonlocal out
+        codes = None
+        if table_cls is not None:
+            syms = sorted({op[1] for op in ops if op[0] == "sym"}) or [0]
+            bits, codes = _fixed_length_table(syms)
+            vals = bytes(s for s, _ in sorted(codes.items(), key=lambda kv: kv[1]))
+            body = bytes([(table_cls << 4) | 0]) + bytes(bits) + vals
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        sos = bytes([len(scan_comps)])
+        for cid in scan_comps:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al_])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wbits = _BitWriter()
+        _emit_ops(wbits, ops, codes)
+        out += wbits.flush()
+
+    # scan 1: DC first, interleaved, Al=al
+    dc_ops: list = []
+    preds = [0] * nc
+    nblocks = grids[0].shape[0]
+    for bi in range(nblocks):  # 4:4:4 -> MCU order == block raster order
+        for ci in range(nc):
+            v = int(grids[ci][bi, 0]) >> al  # arithmetic shift per G.1.2.1
+            diff = v - preds[ci]
+            preds[ci] = v
+            sz = _category(diff)
+            dc_ops.append(("sym", sz))
+            if sz:
+                dc_ops.append(("bits", diff if diff >= 0 else diff + (1 << sz) - 1, sz))
+    emit_scan(dc_ops, list(range(1, nc + 1)), 0, 0, 0, al, table_cls=0)
+
+    # AC first scans: per component, two spectral bands
+    for ci in range(nc):
+        for ss, se in ((1, 20), (21, 63)):
+            emit_scan(
+                _ac_first_ops(grids[ci], ss, se, al), [ci + 1], ss, se, 0, al, 1
+            )
+
+    # DC refine: raw bit Al of each (signed) DC coefficient, no Huffman
+    dcr_ops = [
+        ("bits", (int(grids[ci][bi, 0]) >> 0) & 1, 1)
+        for bi in range(nblocks)
+        for ci in range(nc)
+    ]
+    emit_scan(dcr_ops, list(range(1, nc + 1)), 0, 0, al, 0, table_cls=None)
+
+    # AC refine scans
+    for ci in range(nc):
+        for ss, se in ((1, 20), (21, 63)):
+            emit_scan(
+                _ac_refine_ops(grids[ci], ss, se, al, 0), [ci + 1], ss, se, al, 0, 1
+            )
+
+    out += b"\xff\xd9"
+    return bytes(out)

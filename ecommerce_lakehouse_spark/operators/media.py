@@ -12,13 +12,19 @@ Covers the formats decodable without native codecs:
   per-scanline unfilter for all five filter types (None/Sub/Up/Average/
   Paeth). Plus a matching encoder that cycles filter types per row, so
   round-trip tests exercise every unfilter path.
-- **WAV** (PCM) — via the stdlib ``wave`` module + numpy frombuffer.
+- **GIF** (87a/89a, pure-Python LZW, interlace de-weave).
+- **JPEG** (baseline + progressive, any integer subsampling) —
+  operators/jpeg.py.
+- **WAV** (PCM 8/16-bit, G.711 mu-law, IMA ADPCM) — one RIFF fmt-tag
+  dispatcher, operators/audio_codecs.py.
+- **MJPEG-AVI video** — operators/avi.py RIFF container walker.
 
-Formats that genuinely need a native codec (JPEG/GIF/MP3/OGG) are sniffed
-by magic bytes and raise ``NotImplementedError`` — nothing silently
-fake-decodes media; a production deployment drops in PIL/ffmpeg behind
-the same function signatures and the Spark-side operators in
-``operators/multimodal.py`` are unchanged.
+Formats that genuinely need a native codec (MP3/OGG; arithmetic/12-bit
+JPEG) are sniffed by magic bytes/headers and raise
+``NotImplementedError`` — nothing silently fake-decodes media; a
+production deployment drops in PIL/ffmpeg behind the same function
+signatures and the Spark-side operators in ``operators/multimodal.py``
+are unchanged.
 
 All decoders are plain ``bytes -> numpy`` functions so they vectorize
 inside Arrow ``mapInPandas`` batches (the only Python boundary).
@@ -465,9 +471,9 @@ def decode_image(payload: bytes) -> np.ndarray:
 
     Every mainstream still-image format decodes for real with no native
     codec: PPM/PGM/BMP (raw), PNG (stdlib zlib inflate + numpy
-    unfilter), GIF (pure-Python LZW), and baseline JPEG (numpy DCT +
-    generic Huffman — operators/jpeg.py; progressive/subsampled JPEG
-    raises with the reason)."""
+    unfilter), GIF (pure-Python LZW), and JPEG — baseline AND
+    progressive, any integer subsampling (numpy DCT + generic Huffman,
+    operators/jpeg.py; arithmetic/12-bit raise with the reason)."""
     mime = sniff_mime(payload)
     if mime.startswith("image/x-portable"):
         return _decode_pnm(payload)

@@ -564,3 +564,55 @@ def image_dedup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_r double, mean_g double, mean_b double"
         ),
     )
+
+
+@query(
+    "jpeg_progressive_features",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_IMG['w']} AS w, {_IMG['h']} AS h FROM documents),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum({_PIX_BLK}) AS DOUBLE) / (w * h) AS mean_lum
+FROM px
+GROUP BY doc_id, w, h
+""",
+)
+def jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) decode end-to-end: the same block-constant
+    grayscale images as jpeg_decode_features, but encoded with the
+    multi-scan Annex G script (DC first + banded AC first + DC refine +
+    AC refinement scans with EOB runs) and decoded by the production
+    progressive path. Block-constant + unit quantization round-trips
+    bit-exactly, so the oracle is the same closed form — scan
+    sequencing, coefficient accumulation, refinement bits, or EOB-run
+    bugs all break the hash.
+
+    Scale: one mapInPandas stage, no shuffle."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg_progressive
+    from ecommerce_lakehouse_spark.operators.media import decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_lum")}
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                w, h = 8 + d % 5, 6 + d % 4
+                ys, xs = np.mgrid[0:h, 0:w]
+                gray = ((d * 7 + 11 * (xs // 8) + 23 * (ys // 8)) % 256).astype(np.uint8)
+                img = decode_image(encode_jpeg_progressive(gray))
+                hh, ww, _c = img.shape
+                out["doc_id"].append(d)
+                out["width"].append(ww)
+                out["height"].append(hh)
+                out["mean_lum"].append(int(img.astype(np.int64).sum()) / (hh * ww))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run, schema="doc_id bigint, width int, height int, mean_lum double"
+    )

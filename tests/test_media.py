@@ -328,10 +328,12 @@ def test_jpeg_progressive_raises():
 
     from ecommerce_lakehouse_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
+    # progressive (SOF2) now decodes for real; lossless (SOF3) still
+    # raises from the header instead of mis-decoding
     payload = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive|0xffc2"):
+    payload[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="0xffc3"):
         decode_jpeg(bytes(payload))
 
 
@@ -492,3 +494,52 @@ def test_wav_unknown_format_tag_raises():
     wav = _chunk(b"RIFF", b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", b"\x00\x00"))
     with pytest.raises(NotImplementedError, match="0x0055"):
         decode_wav_any(wav)
+
+
+# ------------------------------------------------- progressive JPEG
+
+
+def test_progressive_jpeg_matches_baseline_decode():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    qt = np.full((8, 8), 16, dtype=np.int64)
+    qt[0, 0] = 8
+    for shape in [(8, 8), (24, 40), (21, 17), (33, 9, 3), (16, 16, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (None, qt):
+            base = decode_jpeg(encode_jpeg(img, qtable=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, qtable=q))
+            assert (base == prog).all(), (shape, q is not None)
+
+
+def test_progressive_jpeg_is_sof2_and_multiscan():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    payload = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in payload  # SOF2 frame marker
+    assert payload.count(b"\xff\xda") == 6  # DC first/refine + 2x2 AC scans
+
+
+def test_progressive_decode_through_decode_image():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg_progressive
+    from ecommerce_lakehouse_spark.operators.media import decode_image, sniff_mime
+
+    # constant gray: DC-only, unit quant -> bit-exact through the
+    # production decode_image dispatch (magic sniff -> jpeg decoder)
+    img = np.full((16, 24), 77, dtype=np.uint8)
+    payload = encode_jpeg_progressive(img)
+    assert sniff_mime(payload) == "image/jpeg"
+    out = decode_image(payload)
+    assert out.shape == (16, 24, 1) and (out == 77).all()

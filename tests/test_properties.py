@@ -336,3 +336,37 @@ def test_avi_container_roundtrip_law(frames, fps):
     assert meta["n_frames"] == len(frames)
     assert (meta["width"], meta["height"]) == (32, 24)
     assert meta["fps"] == fps
+
+
+@given(
+    h=st.integers(min_value=1, max_value=48),
+    w=st.integers(min_value=1, max_value=48),
+    color=st.booleans(),
+    coarse=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_progressive_jpeg_equals_baseline_law(h, w, color, coarse, seed):
+    """For ANY image/geometry/quantization: decoding the progressive
+    stream (SOF2, spectral selection + successive approximation) must
+    produce the IDENTICAL pixels to decoding the baseline stream of the
+    same quantized coefficients — progressive is a reordering of the
+    same data, so any inequality is a codec bug by construction."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    q = None
+    if coarse:
+        q = np.full((8, 8), 24, dtype=np.int64)
+        q[0, 0] = 8
+    base = decode_jpeg(encode_jpeg(img, qtable=q))
+    prog = decode_jpeg(encode_jpeg_progressive(img, qtable=q))
+    assert (base == prog).all()
