@@ -800,34 +800,60 @@ def _emit_ops(w: _BitWriter, ops: list, codes: dict | None) -> None:
             w.write(v, n)
 
 
-def encode_jpeg_progressive(img: np.ndarray, qtable: np.ndarray | None = None) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB) uint8 -> PROGRESSIVE JPEG (SOF2),
-    4:4:4 only: a spec-complete scan script with spectral selection AND
-    one successive-approximation level — DC first (Al=1), per-component
-    AC bands 1-20 and 21-63 (Al=1), DC refine (raw bits), then AC
+def encode_jpeg_progressive(
+    img: np.ndarray, qtable: np.ndarray | None = None, subsample: bool = False
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB) uint8 -> PROGRESSIVE JPEG (SOF2):
+    a spec-complete scan script with spectral selection AND one
+    successive-approximation level — DC first (Al=1), per-component AC
+    bands 1-20 and 21-63 (Al=1), DC refine (raw bits), then AC
     refinement scans (Ah=1, Al=0) — so a decoder must get every Annex G
-    scan kind right to reproduce the baseline image."""
+    scan kind right to reproduce the baseline image. ``subsample=True``
+    emits 4:2:0 (multi-block MCUs in the DC scans, per-component block
+    rasters in the AC scans) — the layout of nearly every real-world
+    progressive JPEG."""
     if qtable is None:
         qtable = np.ones((8, 8), dtype=np.int64)
     qtable = qtable.astype(np.int64)
     gray = img.ndim == 2 or img.shape[2] == 1
     if gray:
         planes = [img.reshape(img.shape[0], img.shape[1]).astype(np.float64)]
+        samps = [(1, 1)]
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def pool(p):
+                ph, pw = -p.shape[0] % 2, -p.shape[1] % 2
+                p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+                return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+            planes = [y, pool(cb), pool(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
     h, w = planes[0].shape
-    grids = []
-    for plane in planes:
-        blocks, nby, nbx = _blocks_of(plane)
+    hmax = max(s_[0] for s_ in samps)
+    vmax = max(s_[1] for s_ in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []  # per component: (nby, nbx, 64) zigzag, MCU-padded grid
+    for plane, (hi, vi) in zip(planes, samps):
+        tgt_h, tgt_w = mcuy * vi * 8, mcux * hi * 8
+        padded = np.pad(
+            plane,
+            ((0, tgt_h - plane.shape[0]), (0, tgt_w - plane.shape[1])),
+            mode="edge",
+        )
+        nby, nbx = tgt_h // 8, tgt_w // 8
+        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         coefs = np.einsum("ij,bjk,lk->bil", _T, blocks - 128.0, _T)
-        q = np.round(coefs / qtable).astype(np.int64).reshape(-1, 64)
-        grids.append(q[:, _ZIGZAG])  # (nblocks, 64) zigzag order
+        q = np.round(coefs / qtable).astype(np.int64).reshape(nby, nbx, 64)
+        grids.append(q[:, :, _ZIGZAG])
 
     al = 1
     nc = len(planes)
@@ -836,8 +862,8 @@ def encode_jpeg_progressive(img: np.ndarray, qtable: np.ndarray | None = None) -
     zz_q = qtable.reshape(64)[_ZIGZAG].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q.tobytes()
     sof = struct.pack(">BHHB", 8, h, w, nc)
-    for cid in range(1, nc + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)
+    for cid, (hi, vi) in zip(range(1, nc + 1), samps):
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
 
     def emit_scan(ops, scan_comps, ss, se, ah, al_, table_cls):
@@ -858,41 +884,54 @@ def encode_jpeg_progressive(img: np.ndarray, qtable: np.ndarray | None = None) -
         _emit_ops(wbits, ops, codes)
         out += wbits.flush()
 
+    def mcu_blocks():
+        """DC-scan emission order: MCU raster, each component's vi x hi
+        blocks within the MCU (the baseline interleave, T.81 A.2.3)."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(samps):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield ci, grids[ci][my * vi + by, mx * hi + bx]
+
+    def comp_raster(ci):
+        """AC-scan block raster: the component's OWN ceil-dims grid
+        (MCU padding blocks carry DC only, AC stays zero — they are
+        cropped at reconstruction)."""
+        hi, vi = samps[ci]
+        bw = (-(-(w * hi) // hmax) + 7) // 8
+        bh = (-(-(h * vi) // vmax) + 7) // 8
+        return grids[ci][:bh, :bw].reshape(-1, 64)
+
     # scan 1: DC first, interleaved, Al=al
     dc_ops: list = []
     preds = [0] * nc
-    nblocks = grids[0].shape[0]
-    for bi in range(nblocks):  # 4:4:4 -> MCU order == block raster order
-        for ci in range(nc):
-            v = int(grids[ci][bi, 0]) >> al  # arithmetic shift per G.1.2.1
-            diff = v - preds[ci]
-            preds[ci] = v
-            sz = _category(diff)
-            dc_ops.append(("sym", sz))
-            if sz:
-                dc_ops.append(("bits", diff if diff >= 0 else diff + (1 << sz) - 1, sz))
+    for ci, blk in mcu_blocks():
+        v = int(blk[0]) >> al  # arithmetic shift per G.1.2.1
+        diff = v - preds[ci]
+        preds[ci] = v
+        sz = _category(diff)
+        dc_ops.append(("sym", sz))
+        if sz:
+            dc_ops.append(("bits", diff if diff >= 0 else diff + (1 << sz) - 1, sz))
     emit_scan(dc_ops, list(range(1, nc + 1)), 0, 0, 0, al, table_cls=0)
 
-    # AC first scans: per component, two spectral bands
+    # AC first scans: per component, two spectral bands, own raster
     for ci in range(nc):
         for ss, se in ((1, 20), (21, 63)):
             emit_scan(
-                _ac_first_ops(grids[ci], ss, se, al), [ci + 1], ss, se, 0, al, 1
+                _ac_first_ops(comp_raster(ci), ss, se, al), [ci + 1], ss, se, 0, al, 1
             )
 
     # DC refine: raw bit Al of each (signed) DC coefficient, no Huffman
-    dcr_ops = [
-        ("bits", (int(grids[ci][bi, 0]) >> 0) & 1, 1)
-        for bi in range(nblocks)
-        for ci in range(nc)
-    ]
+    dcr_ops = [("bits", int(blk[0]) & 1, 1) for _ci, blk in mcu_blocks()]
     emit_scan(dcr_ops, list(range(1, nc + 1)), 0, 0, al, 0, table_cls=None)
 
     # AC refine scans
     for ci in range(nc):
         for ss, se in ((1, 20), (21, 63)):
             emit_scan(
-                _ac_refine_ops(grids[ci], ss, se, al, 0), [ci + 1], ss, se, al, 0, 1
+                _ac_refine_ops(comp_raster(ci), ss, se, al, 0), [ci + 1], ss, se, al, 0, 1
             )
 
     out += b"\xff\xd9"

@@ -343,10 +343,11 @@ def test_avi_container_roundtrip_law(frames, fps):
     w=st.integers(min_value=1, max_value=48),
     color=st.booleans(),
     coarse=st.booleans(),
+    sub=st.booleans(),
     seed=st.integers(min_value=0, max_value=2**31 - 1),
 )
 @settings(**SETTINGS)
-def test_progressive_jpeg_equals_baseline_law(h, w, color, coarse, seed):
+def test_progressive_jpeg_equals_baseline_law(h, w, color, coarse, sub, seed):
     """For ANY image/geometry/quantization: decoding the progressive
     stream (SOF2, spectral selection + successive approximation) must
     produce the IDENTICAL pixels to decoding the baseline stream of the
@@ -367,6 +368,7 @@ def test_progressive_jpeg_equals_baseline_law(h, w, color, coarse, seed):
     if coarse:
         q = np.full((8, 8), 24, dtype=np.int64)
         q[0, 0] = 8
-    base = decode_jpeg(encode_jpeg(img, qtable=q))
-    prog = decode_jpeg(encode_jpeg_progressive(img, qtable=q))
+    sub = sub and color  # 4:2:0 only applies to color images
+    base = decode_jpeg(encode_jpeg(img, qtable=q, subsample=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, qtable=q, subsample=sub))
     assert (base == prog).all()
