@@ -62,7 +62,7 @@ _FIRST = [
     "tfidf_top_terms",
     "split_contamination_audit",
     "span_dedup_spans",
-    "set_operations",
+    "span_dedup_rewrite",
     "span_dedup_clean",
     "span_dup_rate",
     "tpch_q1_pricing_summary",

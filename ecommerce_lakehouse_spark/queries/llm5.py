@@ -477,3 +477,84 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leakage_rate"),
         )
     )
+
+
+@query(
+    "span_dedup_rewrite",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SPAN_TOKS} AS w FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(w) - {_K - 2}),
+           i -> {{'pos': i,
+                  'h': md5(array_to_string(list_slice(w, i, i + {_K - 1}), ' '))}}))
+           AS u
+  FROM t WHERE len(w) >= {_K}
+),
+s AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sp),
+c AS (SELECT h, count(*) AS n FROM s GROUP BY h),
+p AS (
+  SELECT doc_id, list_sort(list(pos)) AS starts
+  FROM s JOIN c USING (h) WHERE c.n > 1 GROUP BY doc_id
+),
+k AS (
+  SELECT t.doc_id, t.w,
+         list_filter(range(1, len(t.w) + 1),
+           i -> len(list_filter(coalesce(p.starts, CAST([] AS BIGINT[])),
+                    pp -> pp <= i AND i < pp + {_K})) = 0) AS kept
+  FROM t LEFT JOIN p ON t.doc_id = p.doc_id
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_tokens,
+       CAST(len(w) - len(kept) AS INT) AS n_removed,
+       -- coalesce: DuckDB yields NULL for the empty kept-list join of
+       -- fully-removed docs; Spark's concat_ws yields '' — normalize
+       coalesce(array_to_string(list_transform(kept, i -> w[i]), ' '), '')
+         AS clean_text
+FROM k
+""",
+)
+def span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Lee et al. 2022 operation: REMOVE duplicated spans from
+    the text (they delete repeated ~50-token substrings, not documents).
+    A token survives unless it is covered by any K-window whose exact
+    text occurs more than once in the corpus; the kept tokens are
+    re-joined into the cleaned text. Short docs and docs with no
+    duplicated spans pass through byte-identical.
+
+    Scale: the only corpus-wide shuffles are the span-hash count and the
+    slim (doc_id, positions) join back — text crosses the wire once, in
+    the final rewrite join keyed by doc_id. The interval-union mask is a
+    per-row higher-order function, O(len x dup_spans_in_doc), bounded by
+    the document, never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    spans = _span_hashes(d)
+    counts = spans.groupBy("h").agg(F.count("*").alias("n"))
+    dup_starts = (
+        spans.join(counts.filter(F.col("n") > 1), "h")
+        # posexplode is 0-based; token indices below are 1-based
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos") + 1)).alias("starts"))
+    )
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda i: ~F.exists(starts, lambda p: (p <= i) & (i < p + F.lit(_K))),
+    )
+    return (
+        toks.join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            (F.size("w") - F.size(kept)).alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda i: F.element_at("w", i))
+            ).alias("clean_text"),
+        )
+    )

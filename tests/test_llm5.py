@@ -101,3 +101,21 @@ def test_apply_mixture_sample_copy_counts(spark, tmp_path):
     total_small, total_big = sum(small), sum(big)
     assert 20 <= total_small <= 30  # target 25
     assert 60 <= total_big <= 90  # target 75
+
+
+def test_span_dedup_rewrite_removes_only_covered_tokens(spark, tmp_path):
+    # docs 0/1 share the 8-word prefix -> those 8 tokens are removed from
+    # BOTH; each unique tail survives; doc 2 passes byte-identical.
+    shared = " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (0, shared + " alpha beta", "en", "s0", 0),
+        (1, shared + " gamma delta", "en", "s0", 0),
+        (2, " ".join(f"z{i}" for i in range(10)), "en", "s1", 0),
+    ]
+    d = _mini_corpus(spark, tmp_path, rows)
+    from ecommerce_lakehouse_spark.queries.llm5 import span_dedup_rewrite
+
+    got = {r.doc_id: r for r in span_dedup_rewrite(spark, d).collect()}
+    assert got[0].clean_text == "alpha beta" and got[0].n_removed == 8
+    assert got[1].clean_text == "gamma delta" and got[1].n_removed == 8
+    assert got[2].clean_text == rows[2][1] and got[2].n_removed == 0
