@@ -7,7 +7,8 @@ Covers the formats decodable without native codecs:
   image interchange format.
 - **BMP** (Windows DIB, 24/32-bit uncompressed) — header offsets per the
   public BITMAPINFOHEADER layout.
-- **PNG** (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced) — full
+- **PNG** (8-bit gray / gray+alpha / RGB / RGBA / palette, interlace 0
+  AND Adam7) — full
   spec-conformant decode: chunk walk, zlib inflate of concatenated IDATs,
   per-scanline unfilter for all five filter types (None/Sub/Up/Average/
   Paeth). Plus a matching encoder that cycles filter types per row, so
@@ -205,17 +206,35 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 3, 4, 6):
+    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace} "
-            "not supported (8-bit gray/GA/RGB/RGBA/palette, non-interlaced only)"
+            "not supported (8-bit gray/GA/RGB/RGBA/palette only)"
         )
     ch = 1 if color == 3 else _PNG_CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    img = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the output grid by each pass's start/step geometry
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride = wp * ch
+            n = hp * (stride + 1)
+            sub = _png_unfilter(raw[pos : pos + n], hp, stride, ch)
+            pos += n
+            img[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced pixel data length mismatch")
+    else:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        img = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -232,16 +251,18 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """HxWxC uint8 (C in 1/2/3/4) -> PNG bytes. Filter types cycle
-    None/Sub/Up/Average/Paeth by row index, so every decoder unfilter
-    path is exercised by round-trip data (and output stays a fully valid
-    PNG any external tool can open)."""
-    if img.ndim == 2:
-        img = img[:, :, None]
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_filter_rows(img: np.ndarray) -> bytes:
+    """Filter an (h, w, ch) sub-image into PNG scanlines, cycling filter
+    types None/Sub/Up/Average/Paeth by row index so every decoder
+    unfilter path is exercised by round-trip data."""
     h, w, ch = img.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    img = img.astype(np.uint8)
     bpp = ch
     lines = bytearray()
     prev = np.zeros(w * ch, dtype=np.int32)
@@ -268,11 +289,32 @@ def encode_png(img: np.ndarray) -> bytes:
         lines.append(ft)
         lines += filt.astype(np.uint8).tobytes()
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return bytes(lines)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """HxWxC uint8 (C in 1/2/3/4) -> PNG bytes; ``interlace=True`` emits
+    Adam7 (each pass an independently filtered sub-image, per spec
+    section 8.2). Output stays a fully valid PNG any tool can open."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    img = img.astype(np.uint8)
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_rows(sub)
+        data = bytes(lines)
+    else:
+        data = _png_filter_rows(img)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IDAT", zlib.compress(data))
         + _png_chunk(b"IEND", b"")
     )
 

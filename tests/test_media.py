@@ -543,3 +543,21 @@ def test_progressive_decode_through_decode_image():
     assert sniff_mime(payload) == "image/jpeg"
     out = decode_image(payload)
     assert out.shape == (16, 24, 1) and (out == 77).all()
+
+
+def test_png_adam7_interlace_roundtrip():
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import decode_image, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (7, 3), (8, 8), (21, 17, 3), (9, 25, 4), (6, 2, 2)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_image(encode_png(img, interlace=True))
+        want = img[:, :, None] if img.ndim == 2 else img
+        assert out.shape == want.shape and (out == want).all(), shape
+    # interlaced and straight-laced encodings decode identically
+    img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    a = decode_image(encode_png(img, interlace=True))
+    b = decode_image(encode_png(img))
+    assert (a == b).all()
