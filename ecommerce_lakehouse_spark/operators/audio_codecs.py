@@ -215,6 +215,14 @@ def decode_wav_any(payload: bytes) -> tuple[np.ndarray, int]:
             arr = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
         elif bits == 8:
             arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+            arr = v.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            arr = np.frombuffer(data, dtype="<i4").astype(np.float32) / float(1 << 31)
         else:
             raise NotImplementedError(f"{bits}-bit PCM not supported")
         return arr.reshape(-1, n_ch), rate

@@ -206,35 +206,42 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 3, 4, 6):
+    if depth not in (8, 16) or interlace not in (0, 1) or color not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace} "
-            "not supported (8-bit gray/GA/RGB/RGBA/palette only)"
+            "not supported (8/16-bit gray/GA/RGB/RGBA/palette only)"
         )
+    if depth == 16 and color == 3:
+        raise ValueError("PNG palette images cannot be 16-bit")
     ch = 1 if color == 3 else _PNG_CHANNELS[color]
+    nbytes = depth // 8
     raw = zlib.decompress(bytes(idat))
     if interlace:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the output grid by each pass's start/step geometry
-        img = np.zeros((h, w, ch), dtype=np.uint8)
+        img = np.zeros((h, w * ch * nbytes), dtype=np.uint8).reshape(h, w, ch * nbytes)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             wp = (w - x0 + dx - 1) // dx
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            stride = wp * ch
+            stride = wp * ch * nbytes
             n = hp * (stride + 1)
-            sub = _png_unfilter(raw[pos : pos + n], hp, stride, ch)
+            sub = _png_unfilter(raw[pos : pos + n], hp, stride, ch * nbytes)
             pos += n
-            img[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+            img[y0::dy, x0::dx] = sub.reshape(hp, wp, ch * nbytes)
         if pos != len(raw):
             raise ValueError("PNG interlaced pixel data length mismatch")
     else:
-        stride = w * ch
+        stride = w * ch * nbytes
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data length mismatch")
-        img = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+        img = _png_unfilter(raw, h, stride, ch * nbytes).reshape(h, w, ch * nbytes)
+    if depth == 16:
+        # network byte order: take the high byte (the standard 8-bit
+        # downconversion every viewer applies)
+        img = img.reshape(h, w, ch, 2)[:, :, :, 0]
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

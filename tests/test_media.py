@@ -561,3 +561,54 @@ def test_png_adam7_interlace_roundtrip():
     a = decode_image(encode_png(img, interlace=True))
     b = decode_image(encode_png(img))
     assert (a == b).all()
+
+
+def test_png_16bit_high_byte_decode():
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import _png_chunk, decode_image
+
+    h, w = 4, 5
+    rng = np.random.default_rng(2)
+    px16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)
+        lines += px16[y].byteswap().tobytes()  # 16-bit samples are big-endian
+    ihdr = _struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_image(png)
+    assert (out[:, :, 0] == (px16 >> 8).astype(np.uint8)).all()
+
+
+def test_wav_24bit_and_32bit_pcm_decode():
+    import struct as _struct
+
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import decode_wav_any
+    from ecommerce_lakehouse_spark.operators.avi import _chunk
+
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int64)
+    data = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav = _chunk(b"RIFF", b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", data))
+    s, r = decode_wav_any(wav)
+    assert r == 8000
+    assert (np.round(s[:, 0].astype(np.float64) * (1 << 23)).astype(np.int64) == vals).all()
+
+    v32 = np.array([0, 1, -1, (1 << 31) - 1, -(1 << 31)], dtype="<i4")
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 32)
+    wav = _chunk(b"RIFF", b"WAVE" + _chunk(b"fmt ", fmt) + _chunk(b"data", v32.tobytes()))
+    s, r = decode_wav_any(wav)
+    got = np.round(s[:, 0].astype(np.float64) * (1 << 31)).astype(np.int64)
+    # float32 rounding at full scale: within 256 of the int32 value
+    assert np.abs(got - v32.astype(np.int64)).max() <= 256
