@@ -169,15 +169,15 @@ def test_png_unsupported_variants_raise():
 
     from ecommerce_lakehouse_spark.operators.media import _png_chunk
 
-    # 16-bit depth header
-    ihdr = _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # sub-byte depth header (1/2/4-bit packing is genuinely unsupported)
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
     payload = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 26))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    with pytest.raises(NotImplementedError, match="depth=4"):
         decode_image(payload)
 
 
