@@ -346,3 +346,35 @@ def stream_curation_ingest(docs: DataFrame, root: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_backfill_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    table: LakeTable,
+    checkpoint: str,
+    spool_dir: str | None = None,
+):
+    """Backfill-then-stop ingestion (Trigger.AvailableNow): drain every
+    file already present in the source — in multiple rate-limited
+    micro-batches honoring maxFilesPerTrigger, exactly like continuous
+    operation — then terminate. This is the operational mode for
+    catching a stream up after downtime or seeding a new table from a
+    landing directory: same query, same checkpoint, same exactly-once
+    MERGE sink as the continuous trigger, so the backfill and the
+    steady-state stream cannot drift.
+
+    Returns the StreamingQuery (already draining; call awaitTermination)."""
+    events = read_events_stream(spark, sf_dir, spool_dir=spool_dir)
+
+    def upsert(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge(batch_df.dropDuplicates(["event_id"]), keys=["event_id"])
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

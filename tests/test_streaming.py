@@ -281,3 +281,29 @@ def test_stream_rollup_refresh_matches_batch(spark, sf_dir, tmp_path):
     for g, e in zip(got_rows, exp_rows):
         assert g[:3] == e[:3]
         assert abs(g[3] - e[3]) < 1e-6
+
+
+def test_available_now_backfill_drains_and_stops(spark, sf_dir, tmp_path):
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.streaming.jobs import (
+        read_events_stream,
+        stream_backfill_available_now,
+    )
+    from ecommerce_lakehouse_spark.tables import load
+
+    table = LakeTable(spark, str(tmp_path / "backfill"))
+    q = stream_backfill_available_now(
+        spark, sf_dir, table, str(tmp_path / "ckpt"), spool_dir=str(tmp_path / "spool")
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # availableNow terminates after draining
+    n_batch = load(spark, sf_dir, "events").count()
+    assert table.read().count() == n_batch
+    # a second backfill run from the same checkpoint is a no-op (no new
+    # files): exactly-once across restarts
+    v = table.current_version()
+    q2 = stream_backfill_available_now(
+        spark, sf_dir, table, str(tmp_path / "ckpt"), spool_dir=str(tmp_path / "spool")
+    )
+    q2.awaitTermination(120)
+    assert table.current_version() == v and table.read().count() == n_batch

@@ -55,6 +55,9 @@ QUERIES = [
     # spans, bigger counts), not with the pair count C(copies,2)
     "span_dedup_spans",
     "span_dup_rate",
+    # rewrite shuffles text once (id-keyed join); at 10x duplication most
+    # tokens are covered by duplicated windows, the adversarial direction
+    "span_dedup_rewrite",
 ]
 
 _BOILERPLATE = (
