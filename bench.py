@@ -78,13 +78,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--queries", type=str, default="")
+    ap.add_argument(
+        "--detail",
+        action="store_true",
+        help="enable the Spark UI + per-query stage/shuffle metrics "
+        "(writes BENCH_SHUFFLE.json). The UI listener inflates wall "
+        "times 40-70%% on short queries, so this is OFF for timing runs.",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    # UI on for the stage-metrics sidecar (the session factory defaults
-    # it off); REST is localhost-only and adds nothing to query time
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
+    # UI (and its listener overhead) only for --detail runs; timing runs
+    # use the lean session the driver's numbers should reflect
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.ui.enabled": "true"} if args.detail else None,
+    )
 
     names = [n for n in args.queries.split(",") if n] or list(REGISTRY)
 
@@ -92,16 +102,17 @@ def main() -> None:
     for _ in range(args.warmup):
         materialize(REGISTRY["daily_sales"](spark, sf_dir))
 
-    meter = _StageMeter(spark)
+    meter = _StageMeter(spark) if args.detail else None
     times: dict[str, float] = {}
     metrics: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         materialize(REGISTRY[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
-        m = meter.delta()
-        if m is not None:
-            metrics[name] = m
+        if meter is not None:
+            m = meter.delta()
+            if m is not None:
+                metrics[name] = m
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -113,9 +124,16 @@ def main() -> None:
         "n_queries": len(times),
     }
     if metrics:
-        # sidecar-only (never on the stdout line): per-query stage counts
-        # and shuffle/input volumes — the scale-predictive numbers
-        payload["stage_metrics"] = metrics
+        # separate sidecar (never on the stdout line, never in
+        # BENCH_DETAIL.json): per-query stage counts and shuffle/input
+        # volumes — the scale-predictive numbers
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_SHUFFLE.json"), "w") as f:
+                json.dump({"queries": times, "stage_metrics": metrics}, f)
+                f.write("\n")
+        except OSError:
+            pass
     # Full detail to stderr + sidecar file; stdout gets ONE JSON line capped
     # at ~1800 chars (the harness keeps only the last 2000 chars of stdout —
     # a 105-query dict blows that buffer and parses as null). If the full
@@ -128,7 +146,6 @@ def main() -> None:
             f.write(full + "\n")
     except OSError:
         pass
-    payload.pop("stage_metrics", None)  # detail-file only; keep stdout slim
     if len(json.dumps(payload)) > 1800:
         slowest = dict(sorted(times.items(), key=lambda kv: -kv[1]))
         kept: dict[str, float] = {}
