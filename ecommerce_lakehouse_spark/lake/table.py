@@ -615,6 +615,7 @@ class LakeTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         schema_mode: str = "merge",
+        txn: dict | None = None,
     ) -> int:
         """K2/K3: append — new version references prior data dirs plus the
         new one (no rewrite of existing files). Blind add: on a concurrent
@@ -627,7 +628,7 @@ class LakeTable:
         type changes before anything is written; schema comparison reads
         parquet footers only, never data)."""
         if not self.exists():
-            return self.overwrite(df, partition_by)
+            return self.overwrite(df, partition_by, txn=txn)
         if schema_mode == "strict":
             current = {f.name: f.dataType.simpleString() for f in self.read().schema.fields}
             incoming = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -661,6 +662,7 @@ class LakeTable:
             partition_by,
             base_version=prior["version"],
             touched=touched,
+            txn=txn,
             blind=True,
         )
 

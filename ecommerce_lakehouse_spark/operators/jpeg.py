@@ -135,19 +135,12 @@ def _block_runs(zz: np.ndarray, prev_dc: int) -> tuple[int, list]:
     return diff, ac
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    qtable: np.ndarray | None = None,
-    subsample: bool = False,
-) -> bytes:
-    """HxW (grayscale) or HxWx3 (RGB -> YCbCr) uint8 -> baseline JPEG
-    bytes. ``subsample=True`` emits 4:2:0 (Y at 2x2 sampling, chroma
-    averaged over 2x2 pixel blocks) — the layout nearly every real-world
-    JPEG uses; default is 4:4:4. Default quantization is all-ones
-    (near-lossless; block-constant inputs are bit-exact in grayscale)."""
-    if qtable is None:
-        qtable = np.ones((8, 8), dtype=np.int64)
-    qtable = qtable.astype(np.int64)
+def _plane_grids(img: np.ndarray, qtable: np.ndarray, subsample: bool):
+    """Shared encoder front half: color transform (gray passthrough or
+    RGB->YCbCr, optional 4:2:0 2x2 chroma pooling), MCU-grid padding,
+    blocked DCT, quantization, zigzag. Returns (grids, samps, h, w,
+    mcux, mcuy) where grids[ci] is an (nby, nbx, 64) zigzag-ordered
+    quantized coefficient grid sized to the MCU grid."""
     gray = img.ndim == 2 or img.shape[2] == 1
     if gray:
         planes = [img.reshape(img.shape[0], img.shape[1]).astype(np.float64)]
@@ -171,26 +164,44 @@ def encode_jpeg(
             planes = [y, cb, cr]
             samps = [(1, 1), (1, 1), (1, 1)]
     h, w = planes[0].shape
-    hmax = max(s[0] for s in samps)
-    vmax = max(s[1] for s in samps)
+    hmax = max(s_[0] for s_ in samps)
+    vmax = max(s_[1] for s_ in samps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # per-component quantized coefficient grids sized to the MCU grid
-    comp_zz = []  # (nby_c, nbx_c, 64) zigzag-ordered quantized coefs
+    grids = []
     for plane, (hi, vi) in zip(planes, samps):
         tgt_h, tgt_w = mcuy * vi * 8, mcux * hi * 8
-        ph, pw = tgt_h - plane.shape[0], tgt_w - plane.shape[1]
-        padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        padded = np.pad(
+            plane,
+            ((0, tgt_h - plane.shape[0]), (0, tgt_w - plane.shape[1])),
+            mode="edge",
+        )
         nby, nbx = tgt_h // 8, tgt_w // 8
         blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         coefs = np.einsum("ij,bjk,lk->bil", _T, blocks - 128.0, _T)
         q = np.round(coefs / qtable).astype(np.int64).reshape(nby, nbx, 64)
-        comp_zz.append(q[:, :, _ZIGZAG])  # row-major 8x8 -> zigzag order
+        grids.append(q[:, :, _ZIGZAG])
+    return grids, samps, h, w, mcux, mcuy
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsample: bool = False,
+) -> bytes:
+    """HxW (grayscale) or HxWx3 (RGB -> YCbCr) uint8 -> baseline JPEG
+    bytes. ``subsample=True`` emits 4:2:0 (Y at 2x2 sampling, chroma
+    averaged over 2x2 pixel blocks) — the layout nearly every real-world
+    JPEG uses; default is 4:4:4. Default quantization is all-ones
+    (near-lossless; block-constant inputs are bit-exact in grayscale)."""
+    if qtable is None:
+        qtable = np.ones((8, 8), dtype=np.int64)
+    qtable = qtable.astype(np.int64)
+    comp_zz, samps, h, w, mcux, mcuy = _plane_grids(img, qtable, subsample)
 
     # walk MCUs in emission order, building (comp, dc_diff, ac_runs)
     emission = []
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_zz)
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     for my in range(mcuy):
@@ -212,7 +223,7 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     zz_q = qtable.reshape(64)[_ZIGZAG].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q.tobytes()
-    ncomp = len(planes)
+    ncomp = len(comp_zz)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid, (hi, vi) in zip(range(1, ncomp + 1), samps):
         sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)
@@ -262,6 +273,8 @@ class _BitReader:
             raise ValueError("JPEG entropy data truncated")
         byte = d[self.pos]
         if byte == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("JPEG entropy data truncated at 0xFF")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -398,6 +411,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_tables.append((cid, tabs >> 4, tabs & 0x0F))
             if not progressive:
+                if len(scan_tables) != len(frame[2]):
+                    raise NotImplementedError(
+                        "multi-scan baseline JPEG (Ns < Nf non-interleaved "
+                        "scans) not supported"
+                    )
                 return _decode_scan(
                     payload, pos + seglen, frame, scan_tables, qtables, htables,
                     restart_interval,
@@ -616,9 +634,42 @@ def _decode_progressive_scan(
                         blk[c] += refine_amount(blk[c])
                 k += 1
 
-    if ss == 0:  # DC scan (interleaved over the scan's components)
+    if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("DC scan must have Se=0")
+        if len(scan_tables) == 1:
+            # non-interleaved: walk the component's OWN block raster
+            # (ceil dims from its sampling), never the MCU-padded grid —
+            # a full-resolution component of a 4:2:0 frame has fewer
+            # coded block rows than the MCU grid when h % 16 != 0
+            cid, dc_id, _ac_id = scan_tables[0]
+            ci = by_cid[cid]
+            _cid, hi, vi, _tq = comps[ci]
+            bw = (-(-(w * hi) // hmax) + 7) // 8
+            bh = (-(-(h * vi) // vmax) + 7) // 8
+            pred = 0
+            n_blocks = bh * bw
+            blki = 0
+            while blki < n_blocks:
+                by, bx = divmod(blki, bw)
+                try:
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        s_ = htables[(0, dc_id)].decode(r)
+                        diff = _extend(r.bits(s_), s_) if s_ else 0
+                        pred += diff
+                        blk[0] = pred << al
+                    else:
+                        if r.bits(1):
+                            blk[0] |= 1 << al
+                    blki += 1
+                    if dri and blki % dri == 0 and blki < n_blocks:
+                        r.sync_restart()
+                        pred = 0
+                except _RestartMarker:
+                    r.sync_restart()
+                    pred = 0
+            return _scan_end(payload, r.pos)
         preds = [0] * len(scan_tables)
         n_mcus = mcuy * mcux
         mcu = 0
@@ -628,10 +679,6 @@ def _decode_progressive_scan(
                 for si, (cid, dc_id, _ac_id) in enumerate(scan_tables):
                     ci = by_cid[cid]
                     _cid, hi, vi, _tq = comps[ci]
-                    if len(scan_tables) == 1 and (hi, vi) != (hmax, vmax):
-                        raise NotImplementedError(
-                            "non-interleaved subsampled DC scan not supported"
-                        )
                     for by in range(vi):
                         for bx in range(hi):
                             blk = coefs[ci][my * vi + by, mx * hi + bx]
@@ -801,7 +848,10 @@ def _emit_ops(w: _BitWriter, ops: list, codes: dict | None) -> None:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, qtable: np.ndarray | None = None, subsample: bool = False
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsample: bool = False,
+    dc_per_component: bool = False,
 ) -> bytes:
     """HxW (grayscale) or HxWx3 (RGB) uint8 -> PROGRESSIVE JPEG (SOF2):
     a spec-complete scan script with spectral selection AND one
@@ -815,48 +865,12 @@ def encode_jpeg_progressive(
     if qtable is None:
         qtable = np.ones((8, 8), dtype=np.int64)
     qtable = qtable.astype(np.int64)
-    gray = img.ndim == 2 or img.shape[2] == 1
-    if gray:
-        planes = [img.reshape(img.shape[0], img.shape[1]).astype(np.float64)]
-        samps = [(1, 1)]
-    else:
-        rgb = img.astype(np.float64)
-        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample:
-            def pool(p):
-                ph, pw = -p.shape[0] % 2, -p.shape[1] % 2
-                p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
-                return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
-
-            planes = [y, pool(cb), pool(cr)]
-            samps = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [y, cb, cr]
-            samps = [(1, 1), (1, 1), (1, 1)]
-    h, w = planes[0].shape
+    grids, samps, h, w, mcux, mcuy = _plane_grids(img, qtable, subsample)
     hmax = max(s_[0] for s_ in samps)
     vmax = max(s_[1] for s_ in samps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    grids = []  # per component: (nby, nbx, 64) zigzag, MCU-padded grid
-    for plane, (hi, vi) in zip(planes, samps):
-        tgt_h, tgt_w = mcuy * vi * 8, mcux * hi * 8
-        padded = np.pad(
-            plane,
-            ((0, tgt_h - plane.shape[0]), (0, tgt_w - plane.shape[1])),
-            mode="edge",
-        )
-        nby, nbx = tgt_h // 8, tgt_w // 8
-        blocks = padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        coefs = np.einsum("ij,bjk,lk->bil", _T, blocks - 128.0, _T)
-        q = np.round(coefs / qtable).astype(np.int64).reshape(nby, nbx, 64)
-        grids.append(q[:, :, _ZIGZAG])
 
     al = 1
-    nc = len(planes)
+    nc = len(grids)
 
     out = bytearray(b"\xff\xd8")
     zz_q = qtable.reshape(64)[_ZIGZAG].astype(np.uint8)
@@ -903,18 +917,28 @@ def encode_jpeg_progressive(
         bh = (-(-(h * vi) // vmax) + 7) // 8
         return grids[ci][:bh, :bw].reshape(-1, 64)
 
-    # scan 1: DC first, interleaved, Al=al
-    dc_ops: list = []
-    preds = [0] * nc
-    for ci, blk in mcu_blocks():
-        v = int(blk[0]) >> al  # arithmetic shift per G.1.2.1
-        diff = v - preds[ci]
-        preds[ci] = v
-        sz = _category(diff)
-        dc_ops.append(("sym", sz))
-        if sz:
-            dc_ops.append(("bits", diff if diff >= 0 else diff + (1 << sz) - 1, sz))
-    emit_scan(dc_ops, list(range(1, nc + 1)), 0, 0, 0, al, table_cls=0)
+    def dc_first_ops(blocks_iter):
+        ops: list = []
+        preds = [0] * nc
+        for ci, blk in blocks_iter:
+            v = int(blk[0]) >> al  # arithmetic shift per G.1.2.1
+            diff = v - preds[ci]
+            preds[ci] = v
+            sz = _category(diff)
+            ops.append(("sym", sz))
+            if sz:
+                ops.append(("bits", diff if diff >= 0 else diff + (1 << sz) - 1, sz))
+        return ops
+
+    if dc_per_component:
+        # one non-interleaved DC scan per component (ns=1; block order is
+        # the component's own raster) — the layout that pins the
+        # decoder's non-MCU DC geometry, incl. full-res Y of 4:2:0
+        for ci in range(nc):
+            ops = dc_first_ops((ci, blk) for blk in comp_raster(ci))
+            emit_scan(ops, [ci + 1], 0, 0, 0, al, table_cls=0)
+    else:
+        emit_scan(dc_first_ops(mcu_blocks()), list(range(1, nc + 1)), 0, 0, 0, al, table_cls=0)
 
     # AC first scans: per component, two spectral bands, own raster
     for ci in range(nc):
@@ -924,8 +948,13 @@ def encode_jpeg_progressive(
             )
 
     # DC refine: raw bit Al of each (signed) DC coefficient, no Huffman
-    dcr_ops = [("bits", int(blk[0]) & 1, 1) for _ci, blk in mcu_blocks()]
-    emit_scan(dcr_ops, list(range(1, nc + 1)), 0, 0, al, 0, table_cls=None)
+    if dc_per_component:
+        for ci in range(nc):
+            dcr_ops = [("bits", int(blk[0]) & 1, 1) for blk in comp_raster(ci)]
+            emit_scan(dcr_ops, [ci + 1], 0, 0, al, 0, table_cls=None)
+    else:
+        dcr_ops = [("bits", int(blk[0]) & 1, 1) for _ci, blk in mcu_blocks()]
+        emit_scan(dcr_ops, list(range(1, nc + 1)), 0, 0, al, 0, table_cls=None)
 
     # AC refine scans
     for ci in range(nc):

@@ -126,14 +126,22 @@ def image_feature_extract_rgba(df: DataFrame) -> DataFrame:
                 h, w, c = img.shape
                 sums = img.reshape(-1, c).astype(np.int64).sum(axis=0)
                 n = h * w
+                # channel semantics by count: 1 = gray, 2 = gray+ALPHA
+                # (PNG color type 4 — the second channel is alpha, not a
+                # color), 3 = RGB, 4 = RGBA
+                if c <= 2:
+                    r = g = b = sums[0] / n
+                else:
+                    r, g, b = sums[0] / n, sums[1] / n, sums[2] / n
+                a = sums[-1] / n if c in (2, 4) else None
                 out["doc_id"].append(doc)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
-                out["mean_r"].append(sums[0] / n)
-                out["mean_g"].append(sums[min(1, c - 1)] / n)
-                out["mean_b"].append(sums[min(2, c - 1)] / n)
-                out["mean_a"].append(sums[3] / n if c == 4 else None)
+                out["mean_r"].append(r)
+                out["mean_g"].append(g)
+                out["mean_b"].append(b)
+                out["mean_a"].append(a)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=RGBA_FEATURE_SCHEMA)

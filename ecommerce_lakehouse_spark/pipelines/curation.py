@@ -90,17 +90,30 @@ def curate(
     committing each stage as a LakeTable version under ``root``.
     Safe to call repeatedly with new batches (see module docstring for
     the incrementality contract); returns the stage tables. ``txn``
-    (Delta txnAppId/txnVersion dict) is recorded on the quality stage's
-    commit — the idempotence anchor streaming ingest checks before
-    re-applying a replayed micro-batch."""
+    (Delta txnAppId/txnVersion dict) is recorded on EVERY stage commit,
+    and each stage is skipped when its own table has already applied
+    this version — so an at-least-once replay (streaming foreachBatch)
+    that crashed anywhere mid-DAG resumes from the first unapplied
+    stage instead of skipping the batch or double-merging it. Stage
+    inputs are derived from TABLE STATE (canonical rows not yet in the
+    band index; index rows tagged with this batch's version), never
+    from in-memory deltas that a crash would lose."""
     t = _tables(spark, root)
+
+    def done(stage: str) -> bool:
+        if txn is None or not t[stage].exists():
+            return False
+        last = t[stage].last_txn(txn["app_id"])
+        return last is not None and last >= txn["version"]
 
     # ---- stage 1: quality gate (MERGE-incremental, partitioned by lang)
     # One output file per partition value (small-file hygiene — the
     # standard pre-write repartition; at larger batch sizes use
     # repartition(n, col) so hot languages still parallelize)
     qual = quality_gate(batch).repartition("lang")
-    if t["quality"].exists():
+    if done("quality"):
+        pass  # replayed batch: stage already committed
+    elif t["quality"].exists():
         t["quality"].merge(qual, keys=["doc_id"], txn=txn)
     else:
         # Declare the stage's invariants as table CHECK constraints in the
@@ -133,7 +146,9 @@ def curate(
         )
     )
     batch_canon = batch_canon.repartition("lang")
-    if t["canonical"].exists():
+    if done("canonical"):
+        pass  # replayed: multiplicity already combined; never re-merge
+    elif t["canonical"].exists():
         existing = t["canonical"].read().select(
             "content_hash",
             F.col("doc_id").alias("e_doc_id"),
@@ -153,23 +168,42 @@ def curate(
                 "text",
             )
         )
-        new_canon = batch_canon.join(
-            existing.select("content_hash"), "content_hash", "left_anti"
-        ).select("content_hash", "doc_id", "n_copies", "lang", "text")
-        t["canonical"].merge(delta, keys=["content_hash"])
+        t["canonical"].merge(delta, keys=["content_hash"], txn=txn)
     else:
-        new_canon = batch_canon
-        t["canonical"].overwrite(batch_canon, partition_by=["lang"])
+        t["canonical"].overwrite(batch_canon, partition_by=["lang"], txn=txn)
 
-    # ---- stage 3: LSH band index (append-only; new canonical texts only)
-    new_bands = minhash_bands_df(
-        minhash_signatures_df(new_canon.select("doc_id", "text"))
-    ).select("doc_id", "sig", "band_key").coalesce(8)
+    # ---- stage 3: LSH band index (append-only; new canonical texts only).
+    # "New" is derived from TABLE STATE — canonical rows whose doc_id is
+    # not yet in the index — not from the in-memory batch delta, so a
+    # replay after a crash between the canonical merge and this append
+    # still finds the batch's texts. Rows carry the batch version so
+    # stage 4 can recover exactly this batch's bands on a later resume.
+    canon_now = t["canonical"].read()
     had_index = t["band_index"].exists()
     if had_index:
-        t["band_index"].append(new_bands)
+        indexed = t["band_index"].read().select("doc_id").distinct()
+        to_band = canon_now.join(indexed, "doc_id", "left_anti")
     else:
-        t["band_index"].overwrite(new_bands)
+        to_band = canon_now
+    batch_v = F.lit(txn["version"] if txn else -1).cast("bigint")
+    new_bands = (
+        minhash_bands_df(minhash_signatures_df(to_band.select("doc_id", "text")))
+        .select("doc_id", "sig", "band_key")
+        .withColumn("batch_v", batch_v)
+        .coalesce(8)
+    )
+    if done("band_index"):
+        pass
+    elif had_index:
+        t["band_index"].append(new_bands, txn=txn)
+    else:
+        t["band_index"].overwrite(new_bands, txn=txn)
+    if txn is not None:
+        # replay-safe: this batch's bands read back from the committed
+        # index (identical whether the append just ran or ran pre-crash)
+        new_bands = t["band_index"].read().filter(
+            F.col("batch_v") == txn["version"]
+        ).select("doc_id", "sig", "band_key")
 
     # ---- stage 4: candidate pairs (incremental: new ⋈ full index),
     # with the stop-band skew guard (llm2._BUCKET_CAP policy): band keys
@@ -204,18 +238,21 @@ def curate(
         .select("doc_a", "doc_b", "est_jaccard")
     )
     new_pairs = new_pairs.coalesce(4)
-    if t["pairs"].exists():
+    if done("pairs"):
+        pass
+    elif t["pairs"].exists():
         # pairs between two already-indexed docs were found when the later
         # one arrived; merge dedups re-discovered (new,new) pairs
-        t["pairs"].merge(new_pairs, keys=["doc_a", "doc_b"])
+        t["pairs"].merge(new_pairs, keys=["doc_a", "doc_b"], txn=txn)
     else:
-        t["pairs"].overwrite(new_pairs)
+        t["pairs"].overwrite(new_pairs, txn=txn)
 
     # ---- stage 5: near-dup clusters (derived; global min-label fixpoint)
     ids = t["canonical"].read().select("doc_id")
     pairs = t["pairs"].read().select("doc_a", "doc_b")
     labels = _connected_components(ids, pairs)
-    t["clusters"].overwrite(labels.coalesce(4))
+    if not done("clusters"):
+        t["clusters"].overwrite(labels.coalesce(4), txn=txn)
 
     # ---- stage 6: canonical survivors (cluster representatives)
     surv = (
@@ -224,7 +261,8 @@ def curate(
         .select("doc_id", "content_hash", "n_copies", "lang")
     )
     surv = surv.repartition("lang")
-    t["survivors"].overwrite(surv, partition_by=["lang"])
+    if not done("survivors"):
+        t["survivors"].overwrite(surv, partition_by=["lang"], txn=txn)
 
     # ---- stage 7: reproducible hash split (never rand())
     bucket = F.pmod(
@@ -237,42 +275,20 @@ def curate(
         .when(F.col("bucket") < 90, "val")
         .otherwise("test"),
     )
-    t["splits"].overwrite(splits.repartition("split"), partition_by=["split"])
+    if not done("splits"):
+        t["splits"].overwrite(
+            splits.repartition("split"), partition_by=["split"], txn=txn
+        )
     return t
 
 
 def _connected_components(ids: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Distributed min-label propagation (the neardup_clusters engine,
-    queries/llm3.py): per-iteration join + partial-min agg, lineage
-    truncated with localCheckpoint, convergence-checked (control-plane
-    count only). Iterations ~ log(diameter)."""
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint()
-    labels = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    for _ in range(15):
-        neigh = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("n_doc"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        cand = (
-            labels.join(neigh, labels.doc_id == neigh.n_doc, "left")
-            .select(
-                "doc_id",
-                F.col("cluster_id").alias("old_label"),
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = cand.filter(F.col("cluster_id") < F.col("old_label")).count()
-        labels = cand.select("doc_id", "cluster_id")
-        if changed == 0:
-            break
-    return labels
+    """Shared min-label propagation engine (operators/graph.py): converges
+    in O(diameter) iterations, raises rather than returning half-merged
+    clusters if the bound is exceeded."""
+    from ecommerce_lakehouse_spark.operators.graph import min_label_propagation
+
+    return min_label_propagation(ids, pairs)
 
 
 def funnel(spark: SparkSession, t: dict[str, LakeTable], n_raw: int) -> DataFrame:

@@ -113,10 +113,20 @@ def embedding_cosine_dups_expanded(spark: SparkSession, sf_dir: str) -> DataFram
         F.sort_array(F.collect_list("vec_id")).alias("members"),
     )
     sq = F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    v = groups.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn("nrm", F.sqrt(sq))
-    canon_pairs = _cosine_pair_search(v)
+    v = (
+        groups.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            F.size("members").alias("n_copies"),
+        )
+        .withColumn("nrm", F.sqrt(sq))
+    )
+    # weight buckets by group multiplicity so the skew cap sees the RAW
+    # bucket population the oracle counts (600 exact copies = a bucket of
+    # 600, even though they collapse to one canonical row here)
+    canon_pairs, survivors = _cosine_pair_search(
+        v, weight_col="n_copies", return_survivors=True
+    )
 
     # cross-group expansion: each canonical near-dup pair fans out to
     # members(a) × members(b); broadcast here, slim shuffle joins at scale
@@ -152,6 +162,10 @@ def embedding_cosine_dups_expanded(spark: SparkSession, sf_dir: str) -> DataFram
     )
     within = (
         groups.filter(F.size("members") >= 2)
+        # a group whose every bucket is over the raw cap is dropped whole,
+        # within-group pairs included — identical to the uncollapsed
+        # oracle, where those raw buckets (>= group size) all exceed the cap
+        .join(survivors, "vec_id")
         .select(F.col("embedding").cast("array<double>").alias("ea"), "members")
         .withColumn(
             "na",
@@ -169,11 +183,22 @@ def embedding_cosine_dups_expanded(spark: SparkSession, sf_dir: str) -> DataFram
     return cross.unionByName(within)
 
 
-def _cosine_pair_search(v: DataFrame) -> DataFrame:
+def _cosine_pair_search(
+    v: DataFrame, weight_col: str | None = None, return_survivors: bool = False
+):
     """Banded-LSH candidate generation + exact-cosine confirmation over a
     (vec_id, emb, nrm) DataFrame — the shared engine behind
     embedding_cosine_dups (all vectors) and
-    embedding_cosine_dups_canonical (exact-collapsed vectors)."""
+    embedding_cosine_dups_canonical (exact-collapsed vectors).
+
+    ``weight_col``: bucket sizes for the skew cap are summed over this
+    column instead of counting rows — collapse-first callers pass the
+    group multiplicity so the cap applies to the RAW (pre-collapse)
+    bucket population, matching an uncollapsed oracle/reference exactly.
+    ``return_survivors``: also return the distinct vec_ids that appear
+    in at least one under-cap bucket (a collapsed group whose every
+    bucket is over the cap must not emit its within-group pairs either).
+    """
 
     def band_bucket(b: int):
         bucket = None
@@ -196,8 +221,9 @@ def _cosine_pair_search(v: DataFrame) -> DataFrame:
             for b in range(_CD_BANDS)
         ]
     )
-    bands = v.select("vec_id", F.explode(band_structs).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    wt = F.col(weight_col) if weight_col else F.lit(1)
+    bands = v.select("vec_id", wt.alias("wt"), F.explode(band_structs).alias("bb")).select(
+        "vec_id", "wt", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
     # Expand SLIM (vec_a, vec_b) id pairs only, dedup, then join the
@@ -213,13 +239,15 @@ def _cosine_pair_search(v: DataFrame) -> DataFrame:
         " i -> transform(sequence(i + 1, size(members) - 1),"
         "   j -> struct(members[i] as vec_a, members[j] as vec_b))))"
     )
+    sized = bands.groupBy("band", "bucket").agg(
+        members.alias("members"), F.sum("wt").alias("raw_n")
+    )
+    # skew guard: degenerate buckets (> _CD_BUCKET_CAP raw members) drop
+    # whole — policy documented at the cap's definition, mirrored in the
+    # oracle's bsz CTE, surfaced by band_skew_profile
+    ok = sized.filter(F.col("raw_n") <= _CD_BUCKET_CAP)
     pairs = (
-        bands.groupBy("band", "bucket")
-        .agg(members.alias("members"))
-        # skew guard: degenerate buckets (> _CD_BUCKET_CAP) drop whole —
-        # policy documented at the cap's definition, mirrored in the
-        # oracle's bsz CTE, surfaced by band_skew_profile
-        .filter(F.size("members").between(2, _CD_BUCKET_CAP))
+        ok.filter(F.size("members") >= 2)
         .select(F.explode(pair_expr).alias("p"))
         .select("p.vec_a", "p.vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
@@ -234,13 +262,17 @@ def _cosine_pair_search(v: DataFrame) -> DataFrame:
         F.aggregate(F.zip_with("ea", "eb", lambda a, x: a * x), F.lit(0.0), lambda a, x: a + x)
         / (F.col("na") * F.col("nb"))
     )
-    return (
+    confirmed = (
         pairs.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn("cos", cos)
         .filter(F.col("cos") >= _CD_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 5).alias("cosine_sim"))
     )
+    if return_survivors:
+        survivors = ok.select(F.explode("members").alias("vec_id")).distinct()
+        return confirmed, survivors
+    return confirmed
 
 
 @query(
@@ -516,35 +548,9 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = _mh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint()  # pair generation runs once, not per iter
+    from ecommerce_lakehouse_spark.operators.graph import min_label_propagation
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
-    for _ in range(15):
-        neigh = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("n_doc"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # carry the old label through the checkpoint so convergence is a
-        # filter-count over the cached result — no extra join per iteration
-        cand = (
-            labels.join(neigh, labels.doc_id == neigh.n_doc, "left")
-            .select(
-                "doc_id",
-                F.col("cluster_id").alias("old_label"),
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = cand.filter(F.col("cluster_id") < F.col("old_label")).count()
-        labels = cand.select("doc_id", "cluster_id")
-        if changed == 0:
-            break
+    labels = min_label_propagation(docs, pairs)
     return labels.withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
 
 

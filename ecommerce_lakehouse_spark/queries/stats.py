@@ -623,7 +623,10 @@ def blocked_fuzzy_pairs(vdf: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "gram")
     )
-    l1 = vdf.filter(F.length("source") == 1).select(
+    # distance-1 pairs among length<=1 labels (including the empty
+    # string, whose only padded gram '^$' matches nothing) share no
+    # 2-gram, so they get a dedicated block
+    l1 = vdf.filter(F.length("source") <= 1).select(
         "source", F.lit("#L1#").alias("gram")
     )
     blocks = ranked.unionByName(l1)

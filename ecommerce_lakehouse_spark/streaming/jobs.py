@@ -304,19 +304,25 @@ def ingest_curation_batch(spark, batch_df: DataFrame, batch_id: int, root: str) 
     """One idempotent micro-batch through the FULL incremental curation
     DAG (pipelines/curation.py): quality MERGE, cross-batch exact-dedup
     combine, append-only band index, derived clusters/survivors/splits.
-    The batch id rides on the quality stage's commit (Delta txn pattern),
-    so an at-least-once foreachBatch replay after a crash is skipped
-    instead of double-merged — the streaming front door a 100 TB corpus
+    The batch id rides on EVERY stage commit (Delta txn pattern), so an
+    at-least-once foreachBatch replay after a crash anywhere in the DAG
+    resumes from the first unapplied stage — never skipped wholesale,
+    never double-merged — the streaming front door a 100 TB corpus
     build runs at the ingest edge."""
     from ecommerce_lakehouse_spark.pipelines.curation import _tables, curate
 
     if batch_df.isEmpty():
         return
-    qt = _tables(spark, root)["quality"]
-    if qt.exists():
-        last = qt.last_txn(CURATION_TXN_APP)
+    # fully-applied check anchors on the LAST stage: if splits carries
+    # this batch's txn, every stage before it does too (curate() commits
+    # in order). A crash anywhere earlier leaves splits behind, and
+    # curate()'s per-stage txn checks resume from the first unapplied
+    # stage instead of skipping or double-merging the batch.
+    st = _tables(spark, root)["splits"]
+    if st.exists():
+        last = st.last_txn(CURATION_TXN_APP)
         if last is not None and batch_id <= last:
-            return  # replayed micro-batch: already curated
+            return  # replayed micro-batch: already fully curated
     curate(
         spark,
         batch_df,

@@ -188,3 +188,57 @@ def test_quality_stage_declares_constraints(spark, tmp_path):
     bad = t["quality"].read().limit(1).withColumn("text", F.lit(None).cast("string"))
     with pytest.raises(ConstraintViolationError):
         t["quality"].merge(bad, keys=["doc_id"])
+
+
+def test_crash_mid_dag_resumes_from_first_unapplied_stage(spark, tmp_path):
+    """Per-stage txn idempotence: a crash between the canonical merge and
+    the band-index append must NOT lose the batch — the replay resumes
+    downstream stages, and nothing is double-merged."""
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+    from ecommerce_lakehouse_spark.pipelines.curation import _tables, curate
+
+    root = str(tmp_path / "crash")
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon token{i} zeta eta theta", "en", "s", 0)
+            for i in range(6)
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    txn = {"app_id": "crashtest", "version": 7}
+
+    # crash the first run right before the band-index commit
+    orig_overwrite = LakeTable.overwrite
+
+    def boom(self, *a, **k):
+        if self.root.endswith("band_index"):
+            raise RuntimeError("simulated crash")
+        return orig_overwrite(self, *a, **k)
+
+    LakeTable.overwrite = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            curate(spark, docs, root, txn=txn)
+    finally:
+        LakeTable.overwrite = orig_overwrite
+
+    t = _tables(spark, root)
+    assert t["quality"].exists() and t["canonical"].exists()
+    assert not t["splits"].exists()  # crash happened mid-DAG
+    n_canon = t["canonical"].read().count()
+    copies = {r.doc_id: r.n_copies for r in t["canonical"].read().collect()}
+
+    # replay the SAME batch (at-least-once delivery)
+    t = curate(spark, docs, root, txn=txn)
+    # upstream stages were not re-applied: multiplicities unchanged
+    assert {r.doc_id: r.n_copies for r in t["canonical"].read().collect()} == copies
+    assert t["canonical"].read().count() == n_canon
+    # downstream stages now exist and cover the whole batch
+    assert t["band_index"].read().select("doc_id").distinct().count() == n_canon
+    assert t["splits"].read().count() == t["survivors"].read().count() > 0
+    # a second full replay is a no-op end to end
+    versions = {s: t[s].current_version() for s in t}
+    t = curate(spark, docs, root, txn=txn)
+    assert {s: t[s].current_version() for s in t} == versions

@@ -612,3 +612,54 @@ def test_wav_24bit_and_32bit_pcm_decode():
     got = np.round(s[:, 0].astype(np.float64) * (1 << 31)).astype(np.int64)
     # float32 rounding at full scale: within 256 of the int32 value
     assert np.abs(got - v32.astype(np.int64)).max() <= 256
+
+
+def test_rgba_features_gray_alpha_channel_semantics(spark):
+    # PNG color type 4 (gray+alpha): channel 2 is ALPHA, not a color —
+    # mean_r/g/b must all be the gray mean, mean_a the alpha mean.
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.media import encode_png
+    from ecommerce_lakehouse_spark.operators.multimodal import image_feature_extract_rgba
+
+    ga = np.zeros((4, 4, 2), dtype=np.uint8)
+    ga[:, :, 0] = 10  # gray
+    ga[:, :, 1] = 200  # alpha
+    df = spark.createDataFrame([(1, bytearray(encode_png(ga)))], "doc_id bigint, payload binary")
+    row = image_feature_extract_rgba(df).collect()[0]
+    assert row.mean_r == row.mean_g == row.mean_b == 10.0
+    assert row.mean_a == 200.0
+
+
+def test_progressive_noninterleaved_dc_and_baseline_multiscan_raise():
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from ecommerce_lakehouse_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    # the adversarial geometry: 4:2:0, h not a multiple of 16 -> the
+    # full-res Y plane's own raster (3 block rows) differs from the
+    # MCU-padded grid (4); per-component DC scans must still be exact
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample=True))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, subsample=True, dc_per_component=True)
+    )
+    assert (base == prog).all()
+
+    # baseline multi-scan (Ns < Nf) raises honestly instead of IndexError
+    payload = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    i = payload.index(b"\xff\xda")
+    (seglen,) = _struct.unpack_from(">H", payload, i + 2)
+    # rewrite SOS: 1 component instead of 3 (shrink the segment)
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    payload[i + 2 : i + 2 + seglen] = _struct.pack(">H", 2 + len(sos)) + sos
+    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
+        decode_jpeg(bytes(payload))

@@ -372,3 +372,9 @@ def test_progressive_jpeg_equals_baseline_law(h, w, color, coarse, sub, seed):
     base = decode_jpeg(encode_jpeg(img, qtable=q, subsample=sub))
     prog = decode_jpeg(encode_jpeg_progressive(img, qtable=q, subsample=sub))
     assert (base == prog).all()
+    # per-component (non-interleaved) DC scans: same law, different
+    # scan geometry — pins the decoder's non-MCU DC block raster
+    prog2 = decode_jpeg(
+        encode_jpeg_progressive(img, qtable=q, subsample=sub, dc_per_component=True)
+    )
+    assert (base == prog2).all()

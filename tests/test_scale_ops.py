@@ -116,3 +116,74 @@ def test_band_skew_guard_drops_hot_buckets(spark, tmp_path):
     # pairs that survive come from sub-cap buckets
     pairs = REGISTRY["minhash_lsh_pairs"](spark, sf_dir)
     assert pairs.count() < n * (n - 1) // 2
+
+
+def test_cosine_dups_expanded_cap_matches_raw_oracle_at_high_multiplicity(
+    spark, tmp_path
+):
+    """600 exact copies of one vector (> _CD_BUCKET_CAP=512): the raw
+    oracle's buckets hold 600 rows and drop every pair, so the
+    collapse-first path must drop the within-group expansion too — the
+    cap is weighted by multiplicity, not by canonical row count."""
+    import os
+
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.queries import ORACLES, REGISTRY
+    from ecommerce_lakehouse_spark.testing import check_query
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=64).tolist()
+    rows = [(i, [float(x) for x in base], "dup") for i in range(600)]
+    # plus a small pair of near-identical distinct vectors that MUST
+    # still be found (their buckets stay under the cap)
+    v2 = rng.normal(size=64)
+    rows.append((1000, [float(x) for x in v2], "a"))
+    rows.append((1001, [float(x) for x in v2 + 1e-6], "b"))
+    d = str(tmp_path / "caps")
+    os.makedirs(d, exist_ok=True)
+    # single FILE (not a Spark directory): DuckDB's read_parquet in the
+    # oracle harness expects the driver-testdata layout
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+
+    ok, msg = check_query(
+        spark,
+        "embedding_cosine_dups_expanded",
+        REGISTRY["embedding_cosine_dups_expanded"],
+        ORACLES["embedding_cosine_dups_expanded"],
+        d,
+    )
+    assert ok, msg
+    got = REGISTRY["embedding_cosine_dups_expanded"](spark, d).collect()
+    ids = {r.vec_a for r in got} | {r.vec_b for r in got}
+    assert ids == {1000, 1001}  # dup-600 group dropped whole, real pair kept
+
+
+def test_min_label_propagation_long_chain_converges(spark):
+    # a 30-node path graph has diameter 29 > the old 15-iteration cap;
+    # every node must still reach cluster 0 (or the run must raise — but
+    # never return half-merged clusters silently)
+    from ecommerce_lakehouse_spark.operators.graph import min_label_propagation
+
+    n = 30
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    labels = {r.doc_id: r.cluster_id for r in min_label_propagation(ids, pairs).collect()}
+    assert set(labels.values()) == {0}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_propagation(ids, pairs, max_iters=3)

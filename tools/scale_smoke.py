@@ -108,11 +108,15 @@ def build_corpus(spark, base: str, out: str, k: int, poison: int = 0) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     poison = 0
-    if "--poison" in sys.argv:
-        poison = int(sys.argv[sys.argv.index("--poison") + 1])
-        args = [a for a in args if a != str(poison)]
+    if "--poison" in argv:
+        i = argv.index("--poison")
+        poison = int(argv[i + 1])
+        # remove the flag and ITS OWN value by position — filtering by
+        # string value would also strip a positional K equal to it
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
     k = int(args[0]) if args else 10
     base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     out = "/tmp/spark_graft_scale_smoke"
