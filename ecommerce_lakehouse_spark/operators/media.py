@@ -522,7 +522,24 @@ def decode_image(payload: bytes) -> np.ndarray:
     codec: PPM/PGM/BMP (raw), PNG (stdlib zlib inflate + numpy
     unfilter), GIF (pure-Python LZW), and JPEG — baseline AND
     progressive, any integer subsampling (numpy DCT + generic Huffman,
-    operators/jpeg.py; arithmetic/12-bit raise with the reason)."""
+    operators/jpeg.py; arithmetic/12-bit raise with the reason).
+
+    Error contract (fuzz-tested): corrupt/truncated payloads raise
+    ValueError (or NotImplementedError for honest format gaps) — never
+    IndexError/KeyError/struct.error from parser internals, so a bad
+    asset in a 100 TB corpus surfaces as a catchable per-record error,
+    not an opaque crash."""
+    try:
+        return _decode_image_dispatch(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, zlib.error) as e:
+        raise ValueError(
+            f"corrupt {sniff_mime(payload)} payload: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_image_dispatch(payload: bytes) -> np.ndarray:
     mime = sniff_mime(payload)
     if mime.startswith("image/x-portable"):
         return _decode_pnm(payload)
@@ -572,8 +589,20 @@ def resize_bilinear(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a WAV (PCM) payload -> (samples float32 in [-1, 1] shaped
-    [n_frames, n_channels], sample_rate). Compressed audio raises."""
+    """Decode a WAV payload -> (samples float32 in [-1, 1] shaped
+    [n_frames, n_channels], sample_rate). MP3/OGG raise. Same fuzz-tested
+    error contract as decode_image: corrupt payloads raise ValueError."""
+    try:
+        return _decode_audio_dispatch(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(
+            f"corrupt audio payload: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_audio_dispatch(payload: bytes) -> tuple[np.ndarray, int]:
     mime = sniff_mime(payload)
     if mime == "audio/mpeg" or mime == "audio/ogg":
         raise NotImplementedError(f"{mime} requires ffmpeg — not available here")

@@ -378,3 +378,48 @@ def test_progressive_jpeg_equals_baseline_law(h, w, color, coarse, sub, seed):
         encode_jpeg_progressive(img, qtable=q, subsample=sub, dc_per_component=True)
     )
     assert (base == prog2).all()
+
+
+@given(
+    kind=st.integers(min_value=0, max_value=2),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**SETTINGS)
+def test_decoder_error_contract_under_fuzz(kind, seed):
+    """Corrupt/truncated/random payloads must raise ValueError or
+    NotImplementedError from every media decoder — never IndexError/
+    KeyError/struct.error from parser internals. A bad asset in a 100 TB
+    corpus must surface as a catchable per-record error, not a crash."""
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import decode_wav_any
+    from ecommerce_lakehouse_spark.operators.avi import decode_avi, encode_mjpeg_avi
+    from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg
+    from ecommerce_lakehouse_spark.operators.media import (
+        decode_audio,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = [
+        encode_png(rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)),
+        encode_jpeg(rng.integers(0, 256, (16, 16), dtype=np.uint8)),
+        encode_mjpeg_avi([b"\xff\xd8test"], 8, 8),
+        b"P6\n4 4\n255\n" + bytes(48),
+    ]
+    if kind == 0:  # random bytes
+        payload = bytes(rng.integers(0, 256, int(rng.integers(0, 200))).astype(np.uint8))
+    elif kind == 1:  # truncation of a valid payload
+        p = base[int(rng.integers(0, len(base)))]
+        payload = p[: int(rng.integers(0, len(p)))]
+    else:  # byte corruption of a valid payload
+        p = bytearray(base[int(rng.integers(0, len(base)))])
+        for _ in range(int(rng.integers(1, 6))):
+            p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+        payload = bytes(p)
+    for dec in (decode_image, decode_audio, decode_avi, decode_wav_any):
+        try:
+            dec(payload)
+        except (ValueError, NotImplementedError):
+            pass  # the contract
