@@ -1010,6 +1010,46 @@ class LakeTable:
             out = out.unionByName(other, allowMissingColumns=True)
         return out
 
+    def read_skipping(
+        self, bounds: dict[str, tuple], version: int | None = None
+    ) -> DataFrame:
+        """Data skipping on READ (the query-side use of the same footer
+        min/max stats DML pruning uses — Delta's data skipping): files
+        whose stats PROVE no row can satisfy ``bounds`` ({col: (lo, hi)},
+        None = unbounded side) are never opened; the surviving files then
+        get the equivalent row filter, so results are exact, not merely
+        file-granular. Pairs with ``optimize(zorder_by=...)``: Z-order
+        clustering is what makes per-file ranges narrow enough to skip.
+
+        Falls back to a full filtered read when stats aren't available
+        (partitioned snapshots record partition values, not file stats —
+        partition pruning via the filter covers those)."""
+        import pyspark.sql.functions as F
+
+        v = version if version is not None else self.current_version()
+        manifest = self._manifest(v)
+
+        def bound_filter(df: DataFrame) -> DataFrame:
+            for c, (lo, hi) in bounds.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
+            return df
+
+        if manifest["partition_by"]:
+            return bound_filter(self.read(version=v))
+        inventory = self._file_inventory(manifest)
+        keep = [
+            os.path.join(d, rel)
+            for d, rel, stats in inventory
+            if _ranges_intersect(stats, bounds)
+        ]
+        if not keep:
+            return bound_filter(self.read(version=v)).limit(0)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        return bound_filter(df)
+
     def register(self, name: str, version: int | None = None) -> None:
         """K7 catalog registration (CREATE TABLE ... USING ... LOCATION)."""
         self.read(version).createOrReplaceTempView(name)

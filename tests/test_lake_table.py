@@ -789,3 +789,32 @@ def test_append_strict_schema_mode(spark, tmp_path):
     assert "extra" in t.read().columns
     with pytest.raises(ValueError, match="schema_mode"):
         t.append(spark.createDataFrame([(4, "d")], "id int, v string"), schema_mode="nope")
+
+
+# ------------------------------------------------- read-path data skipping
+
+
+def test_read_skipping_prunes_files_after_zorder(spark, tmp_path):
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "skip"))
+    df = spark.createDataFrame(
+        [(i, i % 50, f"v{i}") for i in range(2000)], "id int, k int, v string"
+    )
+    t.overwrite(df.repartition(8))
+    # Z-order on (id): per-file id ranges become narrow, enabling skipping
+    t.optimize(zorder_by=["id"], target_partitions=8)
+
+    narrow = t.read_skipping({"id": (100, 120)})
+    want = sorted(r.id for r in t.read().filter("id between 100 and 120").collect())
+    assert sorted(r.id for r in narrow.collect()) == want
+    # the skip read opened strictly fewer files than the snapshot holds
+    assert len(narrow.inputFiles()) < len(t.read().inputFiles())
+
+    # empty range: provably no file intersects -> zero-row frame, schema kept
+    none = t.read_skipping({"id": (10_000, 20_000)})
+    assert none.count() == 0 and set(none.columns) == {"id", "k", "v"}
+
+    # half-open bounds
+    top = t.read_skipping({"id": (1990, None)})
+    assert sorted(r.id for r in top.collect()) == list(range(1990, 2000))
