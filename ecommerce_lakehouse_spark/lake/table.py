@@ -572,15 +572,18 @@ class LakeTable:
 
     def _write_dir_entry(self, df: DataFrame, partition_by: list[str]):
         """Write ``df`` into a fresh uniquely-named data dir; return the
-        manifest entry. Unpartitioned dirs carry per-file footer min/max
-        stats (Delta data-skipping analogue) so later DML can file-prune."""
+        manifest entry. Every dir carries per-file footer min/max stats
+        (Delta data-skipping analogue): unpartitioned DML file-prunes on
+        them, and read_skipping() uses them on the query side — for
+        partitioned dirs the file keys are hive-relative paths, so
+        partition values ride along for path-level pruning too. (The
+        partition-pruned DML rewrite paths write their dirs directly and
+        stay stats-less; reads fall back to plain filters there.)"""
         d = self._new_data_dir()
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(d)
-        if partition_by:
-            return d
         return {"path": d, "files": _collect_file_stats(d)}
 
     def overwrite(
@@ -1037,8 +1040,9 @@ class LakeTable:
                     df = df.filter(F.col(c) <= F.lit(hi))
             return df
 
-        if manifest["partition_by"]:
-            return bound_filter(self.read(version=v))
+        pcols = manifest["partition_by"]
+        if pcols:
+            return self._read_skipping_partitioned(manifest, bounds, bound_filter, v)
         inventory = self._file_inventory(manifest)
         keep = [
             os.path.join(d, rel)
@@ -1049,6 +1053,69 @@ class LakeTable:
             return bound_filter(self.read(version=v)).limit(0)
         df = self.spark.read.option("mergeSchema", "true").parquet(*keep)
         return bound_filter(df)
+
+    def _read_skipping_partitioned(self, manifest, bounds, bound_filter, v):
+        """Hybrid skipping for partitioned snapshots: hive path values
+        prune on partition-column EQUALITY bounds (string compare of the
+        encoded value — range bounds on partition columns stay filter-only
+        because path strings don't order numerically), footer stats prune
+        on data columns; dirs written by pruned-DML rewrites carry no
+        stats and pass through un-skipped. Exclusion masks still apply."""
+        import pyspark.sql.functions as F
+        from urllib.parse import unquote
+
+        pcols = manifest["partition_by"]
+        eq_bounds = {
+            c: str(lo)
+            for c, (lo, hi) in bounds.items()
+            if c in pcols and lo is not None and lo == hi
+        }
+
+        def rel_partition_values(rel: str) -> dict:
+            out = {}
+            for part in rel.split(os.sep):
+                if "=" in part:
+                    k, _, val = part.partition("=")
+                    out[k] = unquote(val)
+            return out
+
+        dfs = []
+        pruned_any = False
+        for e in manifest["data_dirs"]:
+            dpath = _entry_path(e)
+            stats = e.get("files") if isinstance(e, dict) else None
+            excl = e.get("exclude") if isinstance(e, dict) else None
+            if not stats:
+                df = self.spark.read.option("mergeSchema", "true").parquet(dpath)
+            else:
+                keep = []
+                for rel, fs in stats.items():
+                    pvals = rel_partition_values(rel)
+                    if any(
+                        c in pvals and pvals[c] != val for c, val in eq_bounds.items()
+                    ):
+                        continue
+                    if not _ranges_intersect(fs, bounds):
+                        continue
+                    keep.append(os.path.join(dpath, rel))
+                if len(keep) < len(stats):
+                    pruned_any = True
+                if not keep:
+                    continue
+                df = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", dpath)
+                    .parquet(*keep)
+                )
+            if excl:
+                df = df.filter(~_partition_predicate(pcols, excl))
+            dfs.append(df)
+        if not dfs:
+            return bound_filter(self.read(version=v)).limit(0)
+        out = dfs[0]
+        for other in dfs[1:]:
+            out = out.unionByName(other, allowMissingColumns=True)
+        return bound_filter(out)
 
     def register(self, name: str, version: int | None = None) -> None:
         """K7 catalog registration (CREATE TABLE ... USING ... LOCATION)."""

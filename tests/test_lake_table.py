@@ -818,3 +818,34 @@ def test_read_skipping_prunes_files_after_zorder(spark, tmp_path):
     # half-open bounds
     top = t.read_skipping({"id": (1990, None)})
     assert sorted(r.id for r in top.collect()) == list(range(1990, 2000))
+
+
+def test_read_skipping_partitioned_hybrid(spark, tmp_path):
+    """Partitioned snapshots skip by hive path (partition equality) AND
+    footer stats (data-column ranges) while exclusion masks still apply."""
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "pskip"))
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], i * 10) for i in range(300)],
+        "id int, lang string, amount int",
+    )
+    t.overwrite(df.repartition(2, "id"), partition_by=["lang"])
+
+    # partition equality prune: only lang=b files open
+    got = t.read_skipping({"lang": ("b", "b")})
+    assert {r.lang for r in got.collect()} == {"b"}
+    assert all("lang=b" in f for f in got.inputFiles())
+
+    # data-column range prune via footer stats + exact filter
+    got = t.read_skipping({"id": (10, 20)})
+    assert sorted(r.id for r in got.collect()) == list(range(10, 21))
+    assert len(got.inputFiles()) <= len(t.read().inputFiles())
+
+    # after a partition-pruned MERGE (stats-less rewrite dir), results
+    # stay exact — the new dir passes through un-skipped
+    upd = spark.createDataFrame([(5, "c", 999)], "id int, lang string, amount int")
+    t.merge(upd, keys=["id"])
+    got = t.read_skipping({"id": (5, 5)})
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].amount == 999 and rows[0].lang == "c"
