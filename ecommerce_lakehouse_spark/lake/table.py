@@ -264,6 +264,7 @@ class LakeTable:
         touched: list[dict] | None = None,
         txn: dict | None = None,
         constraints: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int:
         current = self.current_version() if self.exists() else 0
         if constraints is None:
@@ -271,6 +272,10 @@ class LakeTable:
             # live in the log and survive data operations)
             constraints = (
                 self._manifest(current).get("constraints", {}) if current else {}
+            )
+        if generated is None:
+            generated = (
+                self._manifest(current).get("generated_columns", {}) if current else {}
             )
         if base_version is not None and current != base_version:
             raise ConcurrentWriteError(
@@ -293,6 +298,8 @@ class LakeTable:
             "txn": txn,
             # CHECK constraints: {name: sql_expr}, enforced on every write
             "constraints": constraints,
+            # generated columns: {col: sql_expr}, computed/validated on write
+            "generated_columns": generated,
             "committed_at": time.time(),
         }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -531,6 +538,70 @@ class LakeTable:
         if violated:
             raise ConstraintViolationError(self.root, violated)
 
+    def generated_columns(self) -> dict[str, str]:
+        """Current generated-column definitions ({col: sql_expr})."""
+        if not self.exists():
+            return {}
+        return self._manifest(self.current_version()).get("generated_columns", {})
+
+    def add_generated_column(self, col: str, expr: str) -> int:
+        """Delta ``GENERATED ALWAYS AS (expr)``: registers ``col`` so
+        every future write either computes it (when the writer omits it)
+        or validates the provided values against the expression (writer-
+        supplied values that disagree are rejected — Delta semantics).
+        Existing rows are backfilled in a copy-on-write commit."""
+        if not self.exists():
+            raise ValueError("add_generated_column: table does not exist yet")
+        import pyspark.sql.functions as F
+
+        prior = self._manifest(self.current_version())
+        gen = dict(prior.get("generated_columns", {}))
+        if col in gen:
+            raise ValueError(f"generated column {col!r} already defined")
+        gen[col] = expr
+        backfilled = self.read().withColumn(col, F.expr(expr))
+        entry = self._write_dir_entry(backfilled, prior["partition_by"])
+        return self._commit(
+            [entry],
+            "add_generated_column",
+            prior["partition_by"],
+            base_version=prior["version"],
+            generated=gen,
+        )
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute absent generated columns; validate supplied ones (one
+        aggregate job for all disagreements, like constraint checks)."""
+        import pyspark.sql.functions as F
+
+        gen = self.generated_columns()
+        if not gen:
+            return df
+        supplied = [c for c in gen if c in df.columns]
+        if supplied:
+            row = df.agg(
+                *[
+                    F.max(
+                        (~F.col(c).eqNullSafe(F.expr(gen[c]))).cast("int")
+                    ).alias(f"g{i}")
+                    for i, c in enumerate(supplied)
+                ]
+            ).first()
+            bad = {
+                c: gen[c]
+                for i, c in enumerate(supplied)
+                if (row[f"g{i}"] or 0) > 0
+            }
+            if bad:
+                raise ConstraintViolationError(
+                    self.root,
+                    {f"generated:{c}": f"{c} = {e}" for c, e in bad.items()},
+                )
+        for c, e in gen.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e))
+        return df
+
     def add_constraint(self, name: str, expr: str) -> int:
         """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: validates all
         EXISTING rows first (as Delta does), then commits a metadata-only
@@ -604,6 +675,7 @@ class LakeTable:
         the table once per constraint and burn a commit each."""
         partition_by = partition_by or []
         base = self.current_version() if self.exists() else 0
+        df = self._apply_generated(df)
         self._enforce_constraints(df)
         if constraints is not None:
             self._enforce_constraints(df, constraints)
@@ -649,6 +721,7 @@ class LakeTable:
             raise ValueError(f"schema_mode must be 'merge' or 'strict', got {schema_mode!r}")
         prior = self._manifest(self.current_version())
         partition_by = partition_by or prior["partition_by"]
+        df = self._apply_generated(df)
         self._enforce_constraints(df)
         entry = self._write_dir_entry(df, partition_by)
         # Record the partitions this append wrote (filesystem walk of the
@@ -695,6 +768,7 @@ class LakeTable:
 
         if not self.exists():
             return self.overwrite(updates, txn=txn)
+        updates = self._apply_generated(updates)
         self._enforce_constraints(updates)
         prior = self._manifest(self.current_version())
         pcols = prior["partition_by"]

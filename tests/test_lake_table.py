@@ -849,3 +849,44 @@ def test_read_skipping_partitioned_hybrid(spark, tmp_path):
     got = t.read_skipping({"id": (5, 5)})
     rows = got.collect()
     assert len(rows) == 1 and rows[0].amount == 999 and rows[0].lang == "c"
+
+
+def test_generated_columns_compute_validate_backfill(spark, tmp_path):
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import (
+        ConstraintViolationError,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "gen"))
+    t.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, amount double"))
+    t.add_generated_column("amount_cents", "CAST(amount * 100 AS BIGINT)")
+
+    # backfill happened copy-on-write
+    got = {r.id: r.amount_cents for r in t.read().collect()}
+    assert got == {1: 1000, 2: 2000}
+
+    # writer omits the column -> computed
+    t.append(spark.createDataFrame([(3, 30.0)], "id int, amount double"))
+    assert {r.id: r.amount_cents for r in t.read().collect()}[3] == 3000
+
+    # writer supplies AGREEING values -> accepted
+    t.append(
+        spark.createDataFrame(
+            [(4, 40.0, 4000)], "id int, amount double, amount_cents bigint"
+        )
+    )
+    # writer supplies DISAGREEING values -> rejected (Delta semantics)
+    v = t.current_version()
+    with pytest.raises(ConstraintViolationError, match="generated:amount_cents"):
+        t.append(
+            spark.createDataFrame(
+                [(5, 50.0, 1)], "id int, amount double, amount_cents bigint"
+            )
+        )
+    assert t.current_version() == v
+
+    # merge path computes too
+    t.merge(spark.createDataFrame([(1, 99.0)], "id int, amount double"), keys=["id"])
+    assert {r.id: r.amount_cents for r in t.read().collect()}[1] == 9900
