@@ -375,6 +375,24 @@ class LakeTable:
                     # writer): nothing to rebase onto
                     raise
                 winners = [self._manifest(v) for v in range(base + 1, head + 1)]
+                # Metadata changes conflict with EVERYTHING (Delta
+                # semantics): a winner that altered constraints or
+                # generated columns invalidates this writer's pre-commit
+                # validation/computation — even a blind append's rows may
+                # lack a column the head now declares generated, or
+                # violate a constraint it was never checked against.
+                base_meta = self._manifest(base) if base else {}
+                for w in winners:
+                    if (
+                        w.get("constraints", {}) != base_meta.get("constraints", {})
+                        or w.get("generated_columns", {})
+                        != base_meta.get("generated_columns", {})
+                    ):
+                        raise ConcurrentWriteError(
+                            f"{operation}: a concurrent commit changed table "
+                            "metadata (constraints/generated columns); re-read "
+                            "and retry so the write is validated against it"
+                        ) from err
                 if not blind:
                     if touched is None:
                         raise  # full-table op: never auto-rebase
@@ -558,6 +576,11 @@ class LakeTable:
         gen = dict(prior.get("generated_columns", {}))
         if col in gen:
             raise ValueError(f"generated column {col!r} already defined")
+        if col in self.read().columns:
+            raise ValueError(
+                f"column {col!r} already exists with writer-authored data; "
+                "a generated column cannot shadow it (Delta rejects this too)"
+            )
         gen[col] = expr
         backfilled = self.read().withColumn(col, F.expr(expr))
         entry = self._write_dir_entry(backfilled, prior["partition_by"])
@@ -569,12 +592,16 @@ class LakeTable:
             generated=gen,
         )
 
-    def _apply_generated(self, df: DataFrame) -> DataFrame:
+    def _apply_generated(
+        self, df: DataFrame, gen: dict[str, str] | None = None
+    ) -> DataFrame:
         """Compute absent generated columns; validate supplied ones (one
-        aggregate job for all disagreements, like constraint checks)."""
+        aggregate job for all disagreements, like constraint checks).
+        Callers holding a manifest pass its definitions to avoid a second
+        manifest read racing the commit base."""
         import pyspark.sql.functions as F
 
-        gen = self.generated_columns()
+        gen = self.generated_columns() if gen is None else gen
         if not gen:
             return df
         supplied = [c for c in gen if c in df.columns]
@@ -675,7 +702,9 @@ class LakeTable:
         the table once per constraint and burn a commit each."""
         partition_by = partition_by or []
         base = self.current_version() if self.exists() else 0
-        df = self._apply_generated(df)
+        df = self._apply_generated(
+            df, self._manifest(base).get("generated_columns", {}) if base else {}
+        )
         self._enforce_constraints(df)
         if constraints is not None:
             self._enforce_constraints(df, constraints)
@@ -721,7 +750,7 @@ class LakeTable:
             raise ValueError(f"schema_mode must be 'merge' or 'strict', got {schema_mode!r}")
         prior = self._manifest(self.current_version())
         partition_by = partition_by or prior["partition_by"]
-        df = self._apply_generated(df)
+        df = self._apply_generated(df, prior.get("generated_columns", {}))
         self._enforce_constraints(df)
         entry = self._write_dir_entry(df, partition_by)
         # Record the partitions this append wrote (filesystem walk of the
@@ -768,9 +797,9 @@ class LakeTable:
 
         if not self.exists():
             return self.overwrite(updates, txn=txn)
-        updates = self._apply_generated(updates)
-        self._enforce_constraints(updates)
         prior = self._manifest(self.current_version())
+        updates = self._apply_generated(updates, prior.get("generated_columns", {}))
+        self._enforce_constraints(updates)
         pcols = prior["partition_by"]
         if not pcols:
             inventory = self._file_inventory(prior)
@@ -980,12 +1009,23 @@ class LakeTable:
         bad = set(assignments) & set(pcols)
         if bad:
             raise ValueError(f"update() cannot modify partition columns {sorted(bad)}; use merge()")
+        gen = prior.get("generated_columns", {})
+        bad_gen = set(assignments) & set(gen)
+        if bad_gen:
+            raise ValueError(
+                f"update() cannot SET generated columns {sorted(bad_gen)} "
+                "(GENERATED ALWAYS AS values are derived, never assigned)"
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
 
         def apply(df):
             for c, expr in assignments.items():
                 val = F.expr(expr) if isinstance(expr, str) else expr
                 df = df.withColumn(c, F.when(cond, val).otherwise(F.col(c)))
+            # recompute generated columns: an updated source column must
+            # flow through (the rewrite touches whole rows anyway)
+            for c, e in gen.items():
+                df = df.withColumn(c, F.expr(e))
             return df
 
         if not pcols:
@@ -1051,6 +1091,11 @@ class LakeTable:
             "restore",
             old["partition_by"],
             base_version=prior["version"],
+            # a faithful rollback restores table METADATA too — otherwise
+            # restored rows would be governed by constraints/generated
+            # definitions they never satisfied
+            constraints=old.get("constraints", {}),
+            generated=old.get("generated_columns", {}),
         )
 
     def read(
@@ -1139,8 +1184,13 @@ class LakeTable:
         from urllib.parse import unquote
 
         pcols = manifest["partition_by"]
+        def hive_str(v):
+            # hive writes booleans lowercase — same canonicalization as
+            # _row_canon, which exists for exactly this mismatch
+            return str(v).lower() if isinstance(v, bool) else str(v)
+
         eq_bounds = {
-            c: str(lo)
+            c: hive_str(lo)
             for c, (lo, hi) in bounds.items()
             if c in pcols and lo is not None and lo == hi
         }
@@ -1154,7 +1204,6 @@ class LakeTable:
             return out
 
         dfs = []
-        pruned_any = False
         for e in manifest["data_dirs"]:
             dpath = _entry_path(e)
             stats = e.get("files") if isinstance(e, dict) else None
@@ -1172,8 +1221,6 @@ class LakeTable:
                     if not _ranges_intersect(fs, bounds):
                         continue
                     keep.append(os.path.join(dpath, rel))
-                if len(keep) < len(stats):
-                    pruned_any = True
                 if not keep:
                     continue
                 df = (

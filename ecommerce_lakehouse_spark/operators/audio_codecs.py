@@ -191,7 +191,17 @@ def encode_wav_ima_adpcm(pcm: np.ndarray, rate: int, block_frames: int = 505) ->
 def decode_wav_any(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE parser handling PCM, mu-law, and IMA ADPCM. Returns
     (float32 samples in [-1, 1] shaped [n_frames, n_channels], rate) —
-    the same contract as operators/media.py::decode_audio."""
+    the same contract as operators/media.py::decode_audio, including the
+    fuzz-tested error contract: corrupt payloads raise ValueError."""
+    try:
+        return _decode_wav_inner(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt WAV payload: {type(e).__name__}: {e}") from e
+
+
+def _decode_wav_inner(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     (riff_size,) = struct.unpack_from("<I", payload, 4)

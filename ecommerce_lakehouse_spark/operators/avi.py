@@ -133,7 +133,19 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
     """Extract the stream-0 video frames and container metadata from an
     AVI. Returns (frames, meta) where frames are the raw per-frame
     payloads (JPEG bytes for MJPEG) and meta carries width/height/
-    n_frames/fps/handler from the headers."""
+    n_frames/fps/handler from the headers.
+
+    Same fuzz-tested error contract as the other decoders: corrupt
+    payloads raise ValueError, never parser-internal exceptions."""
+    try:
+        return _decode_avi_inner(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt AVI payload: {type(e).__name__}: {e}") from e
+
+
+def _decode_avi_inner(payload: bytes) -> tuple[list[bytes], dict]:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     (riff_size,) = struct.unpack_from("<I", payload, 4)

@@ -890,3 +890,87 @@ def test_generated_columns_compute_validate_backfill(spark, tmp_path):
     # merge path computes too
     t.merge(spark.createDataFrame([(1, 99.0)], "id int, amount double"), keys=["id"])
     assert {r.id: r.amount_cents for r in t.read().collect()}[1] == 9900
+
+
+def test_read_skipping_boolean_partition_values(spark, tmp_path):
+    # hive encodes booleans lowercase: equality bounds must still match
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "bskip"))
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(20)], "id int, flag boolean"
+    )
+    t.overwrite(df, partition_by=["flag"])
+    got = t.read_skipping({"flag": (True, True)})
+    assert sorted(r.id for r in got.collect()) == [i for i in range(20) if i % 2 == 0]
+    assert all("flag=true" in f for f in got.inputFiles())
+
+
+def test_update_recomputes_generated_and_rejects_assigning_them(spark, tmp_path):
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "genupd"))
+    t.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, amount double"))
+    t.add_generated_column("amount_cents", "CAST(amount * 100 AS BIGINT)")
+    t.update("id = 1", {"amount": "99.0"})
+    got = {r.id: r.amount_cents for r in t.read().collect()}
+    assert got == {1: 9900, 2: 2000}  # derived value followed the update
+    with pytest.raises(ValueError, match="cannot SET generated"):
+        t.update("id = 2", {"amount_cents": "1"})
+
+
+def test_generated_column_cannot_shadow_existing_column(spark, tmp_path):
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "genshadow"))
+    t.overwrite(spark.createDataFrame([(1, 5)], "id int, n int"))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_generated_column("n", "id * 2")
+
+
+def test_restore_restores_metadata_too(spark, tmp_path):
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "restmeta"))
+    t.overwrite(spark.createDataFrame([(1, 10.0)], "id int, amount double"))  # v1
+    t.add_generated_column("amount_cents", "CAST(amount * 100 AS BIGINT)")  # v2
+    t.restore(1)  # rows WITHOUT the column come back...
+    assert t.generated_columns() == {}  # ...so the definition must go too
+    assert "amount_cents" not in t.read().columns
+    # and appends after the restore are not governed by the dead definition
+    t.append(spark.createDataFrame([(2, 20.0)], "id int, amount double"))
+    assert "amount_cents" not in t.read().columns
+
+
+def test_blind_append_conflicts_with_concurrent_metadata_change(spark, tmp_path):
+    """Delta semantics: metadata changes conflict with everything — an
+    append racing an add_generated_column must NOT silently rebase
+    (its rows were never validated/computed against the new column)."""
+    import pytest
+
+    from ecommerce_lakehouse_spark.lake.table import ConcurrentWriteError, LakeTable
+
+    root = str(tmp_path / "metarace")
+    t = LakeTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1, 10.0)], "id int, amount double"))
+
+    # simulate the race: writer A snapshots, writer B commits metadata,
+    # then A's append tries to commit from the stale base
+    writer_a = LakeTable(spark, root)
+    df_a = spark.createDataFrame([(2, 20.0)], "id int, amount double")
+    base = writer_a.current_version()
+    entry = writer_a._write_dir_entry(df_a, [])
+    t.add_generated_column("amount_cents", "CAST(amount * 100 AS BIGINT)")  # B wins
+    with pytest.raises(ConcurrentWriteError, match="metadata"):
+        writer_a._commit_rebasing(
+            lambda head: (head["data_dirs"] if head else []) + [entry],
+            "append",
+            [],
+            base_version=base,
+            touched=[],
+            blind=True,
+        )

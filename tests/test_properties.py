@@ -392,7 +392,11 @@ def test_decoder_error_contract_under_fuzz(kind, seed):
     corpus must surface as a catchable per-record error, not a crash."""
     import numpy as np
 
-    from ecommerce_lakehouse_spark.operators.audio_codecs import decode_wav_any
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        decode_wav_any,
+        encode_wav_mulaw,
+        mulaw_decode,
+    )
     from ecommerce_lakehouse_spark.operators.avi import decode_avi, encode_mjpeg_avi
     from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg
     from ecommerce_lakehouse_spark.operators.media import (
@@ -407,6 +411,9 @@ def test_decoder_error_contract_under_fuzz(kind, seed):
         encode_jpeg(rng.integers(0, 256, (16, 16), dtype=np.uint8)),
         encode_mjpeg_avi([b"\xff\xd8test"], 8, 8),
         b"P6\n4 4\n255\n" + bytes(48),
+        encode_wav_mulaw(
+            mulaw_decode(rng.integers(0, 256, 64).astype(np.uint8)), 8000
+        ),
     ]
     if kind == 0:  # random bytes
         payload = bytes(rng.integers(0, 256, int(rng.integers(0, 200))).astype(np.uint8))
