@@ -1,0 +1,215 @@
+"""LakeTable as a Structured Streaming SOURCE via Spark 4's Python Data
+Source API — the analogue of Delta's streaming source
+(``spark.readStream.format("delta")``; the reference depends on
+delta-spark, requirements.txt:3, whose tables are tailable the same way).
+
+Semantics (Delta-parity):
+
+- **Offsets are table versions**: ``{"version": N}`` means every row
+  committed through manifest vN has been emitted, so checkpointed
+  restarts resume exactly-once from the next commit.
+- **A microbatch emits the rows ADDED in (start, end]**: an append's new
+  data dir(s), read file-parallel on the executors as Arrow record
+  batches (one ``InputPartition`` per parquet file — the driver touches
+  only the tiny JSON manifests, never row data).
+- **Non-append data commits raise by default** (merge / delete / update /
+  overwrite / restore / generated-column backfill), exactly like Delta's
+  source. ``ignoreChanges=true`` re-emits the rewritten rows instead
+  (Delta's documented contract: downstream deduplicates). The
+  table-creating commit (v1) counts as initial data, not a change.
+- **compact/optimize are skipped**: physical reorganizations with no
+  logical row change (Delta's ``dataChange=false`` files).
+- **Metadata-only commits** (add/drop constraint) add no data dirs and
+  emit nothing.
+
+Options: ``path`` (table root, required), ``startingVersion`` (int, or
+``"earliest"`` / ``"latest"``; default ``latest`` = only commits after
+stream start, the Kafka ``startingOffsets=latest`` posture),
+``ignoreChanges`` (default false).
+
+Scale: offset planning is manifest-file reads on the driver; row bytes
+move only executor-side (pyarrow, one task per file). Requires storage
+visible to the executors — same contract as every lake read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _latest_version(root: str) -> int:
+    with open(os.path.join(root, "_manifest", "_LATEST")) as f:
+        return int(f.read().strip())
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(root, "_manifest", f"v{version:08d}.json")) as f:
+        return json.load(f)
+
+
+def _entry_path(e) -> str:
+    return e["path"] if isinstance(e, dict) else e
+
+
+def _parquet_files(d: str) -> list[str]:
+    """Hive-relative paths of the parquet files under a data dir."""
+    out = []
+    for base, _dirs, files in os.walk(d):
+        for name in files:
+            if name.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(base, name), d))
+    return sorted(out)
+
+
+def _hive_values(rel: str) -> dict[str, str | None]:
+    """Partition column values encoded in a hive-relative file path."""
+    vals: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            c, v = seg.split("=", 1)
+            vals[c] = None if v == _HIVE_NULL else unquote(v)
+    return vals
+
+
+def _snapshot_arrow_schema(root: str):
+    """Unified arrow schema of the current snapshot's data dirs (hive
+    partition columns included, types by pyarrow's hive inference — the
+    same inference the read path uses, so the two always agree)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+
+    m = _load_manifest(root, _latest_version(root))
+    schemas = []
+    for e in m["data_dirs"]:
+        schemas.append(pds.dataset(_entry_path(e), partitioning="hive").schema)
+    return pa.unify_schemas(schemas)
+
+
+class _LakeFilePartition(InputPartition):
+    def __init__(self, path: str, rel: str):
+        self.path = path
+        self.rel = rel
+
+
+def _file_batches(partition: _LakeFilePartition, target) -> Iterator:
+    """One parquet file → arrow batches conformed to the stream schema:
+    present columns cast, hive partition values materialized as constant
+    columns, columns this file predates filled with nulls (unionByName
+    semantics, matching LakeTable.read's mergeSchema)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(partition.path)
+    hive = _hive_values(partition.rel)
+    n = len(tbl)
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            col = tbl.column(field.name).cast(field.type).combine_chunks()
+        elif field.name in hive and hive[field.name] is not None:
+            col = pa.array([hive[field.name]] * n, pa.string()).cast(field.type)
+        else:
+            col = pa.nulls(n, field.type)
+        cols.append(col)
+    yield from pa.table(cols, schema=target).to_batches()
+
+
+class LakeTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        root = options.get("path")
+        if not root:
+            raise ValueError("laketable source requires .option('path', <table root>)")
+        self._root = root
+        self._ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
+        sv = str(options.get("startingversion", "latest")).lower()
+        if sv == "latest":
+            self._start = _latest_version(root)
+        elif sv == "earliest":
+            self._start = 0
+        else:
+            # startingVersion=N means "emit commit N onward"
+            self._start = max(0, int(sv) - 1)
+        self._arrow_schema = to_arrow_schema(schema)
+
+    # -- driver-side planning ------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": _latest_version(self._root)}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_LakeFilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = _load_manifest(self._root, v)
+            prev_dirs = (
+                {_entry_path(e) for e in _load_manifest(self._root, v - 1)["data_dirs"]}
+                if v > 1
+                else set()
+            )
+            new_dirs = [
+                _entry_path(e) for e in m["data_dirs"] if _entry_path(e) not in prev_dirs
+            ]
+            op = m.get("operation", "")
+            if not new_dirs or op in ("compact", "optimize"):
+                continue
+            if op != "append" and v > 1 and not self._ignore_changes:
+                raise ValueError(
+                    f"laketable stream source at {self._root}: commit v{v} is a "
+                    f"{op!r} (data rewrite); a streaming source tails appends. "
+                    "Set ignoreChanges=true to re-emit rewritten rows "
+                    "(downstream must dedup), or start from a later "
+                    "startingVersion."
+                )
+            for d in new_dirs:
+                for rel in _parquet_files(d):
+                    parts.append(_LakeFilePartition(os.path.join(d, rel), rel))
+        return parts
+
+    # -- executor-side read --------------------------------------------
+    def read(self, partition: _LakeFilePartition):
+        yield from _file_batches(partition, self._arrow_schema)
+
+    def commit(self, end: dict) -> None:
+        # manifests are the source of truth and vacuum() governs their
+        # retention; nothing to release per-microbatch
+        pass
+
+
+class LakeTableDataSource(DataSource):
+    """``spark.dataSource.register(LakeTableDataSource)`` then
+    ``spark.readStream.format("laketable").option("path", root).load()``.
+
+    Batch reads stay on :meth:`LakeTable.read` — the JVM parquet scan
+    with manifest pruning is strictly better than a Python-side batch
+    reader, so this source intentionally implements only the streaming
+    half (the capability the lake layer lacked)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "laketable"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("laketable source requires .option('path', <table root>)")
+        return from_arrow_schema(_snapshot_arrow_schema(root))
+
+    def streamReader(self, schema):
+        return LakeTableStreamReader(self.options, schema)
+
+
+def register_lake_source(spark) -> None:
+    """Idempotent registration of the ``laketable`` streaming format."""
+    spark.dataSource.register(LakeTableDataSource)

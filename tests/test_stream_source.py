@@ -1,0 +1,156 @@
+"""LakeTable as a streaming SOURCE (Python Data Source API) — the
+Delta-streaming-source analogue: version offsets, append tailing,
+exactly-once restart from the checkpoint, ignoreChanges for rewrites."""
+
+import os
+
+import pytest
+
+from ecommerce_lakehouse_spark.lake.stream_source import (
+    LakeTableStreamReader,
+    register_lake_source,
+)
+from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, k string, v double")
+
+
+def _drain(spark, root, sink, checkpoint, **opts):
+    reader = spark.readStream.format("laketable").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(r.id for r in spark.sql(f"select id from {sink}").collect())
+
+
+def test_stream_source_tails_appends_exactly_once(spark, tmp_path):
+    register_lake_source(spark)
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t = LakeTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", 10.0), (2, "b", 20.0)]))
+    t.append(_df(spark, [(3, "a", 30.0)]))
+
+    def drain_to_files():
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", root)
+            .option("startingVersion", "earliest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.id for r in spark.read.parquet(out).collect())
+
+    # earliest: the creating commit counts as initial data
+    assert drain_to_files() == [1, 2, 3]
+
+    # restart from the SAME checkpoint after two more appends: the sink
+    # accumulates exactly the new commits, nothing replayed (version
+    # offsets persisted exactly-once)
+    t.append(_df(spark, [(4, "b", 40.0)]))
+    t.append(_df(spark, [(5, "a", 50.0)]))
+    assert drain_to_files() == [1, 2, 3, 4, 5]
+
+
+def test_stream_source_partitioned_hive_values(spark, tmp_path):
+    register_lake_source(spark)
+    root = str(tmp_path / "p")
+    t = LakeTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", 10.0), (2, "b", 20.0)]), partition_by=["k"])
+    t.append(_df(spark, [(3, "a", 30.0)]), partition_by=["k"])
+    df = (
+        spark.readStream.format("laketable")
+        .option("path", root)
+        .option("startingVersion", "earliest")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("sp")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.k for r in spark.sql("select id, k from sp").collect()}
+    # partition column restored from the hive paths, row-correct
+    assert got == {1: "a", 2: "b", 3: "a"}
+
+
+def test_stream_source_rejects_rewrites_unless_ignore_changes(spark, tmp_path):
+    register_lake_source(spark)
+    root = str(tmp_path / "r")
+    t = LakeTable(spark, root)
+    # one file for both rows so the delete's rewrite re-emits the survivor
+    # (file-pruned deletes carry untouched files, which are NOT re-emitted)
+    t.overwrite(_df(spark, [(1, "a", 10.0), (2, "b", 20.0)]).coalesce(1))
+    t.delete("id = 1")  # data rewrite
+
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _drain(spark, root, "sr1", str(tmp_path / "c1"), startingVersion="earliest")
+
+    # with ignoreChanges the rewritten rows are re-emitted (Delta
+    # contract: downstream dedups) — id=2 appears from v1 AND the rewrite
+    got = _drain(
+        spark,
+        root,
+        "sr2",
+        str(tmp_path / "c2"),
+        startingVersion="earliest",
+        ignoreChanges="true",
+    )
+    assert got == [1, 2, 2]
+
+
+def test_stream_source_skips_compaction_and_latest_default(spark, tmp_path):
+    register_lake_source(spark)
+    root = str(tmp_path / "c")
+    t = LakeTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", 10.0)]))
+    t.compact()  # physical-only: dataChange=false analogue
+
+    # default startingVersion=latest: nothing emitted for past commits
+    assert _drain(spark, root, "sc1", str(tmp_path / "k1")) == []
+    # compaction between offsets emits nothing even from earliest
+    assert (
+        _drain(spark, root, "sc2", str(tmp_path / "k2"), startingVersion="earliest")
+        == [1]
+    )
+
+
+def test_stream_source_offset_planning_is_manifest_only(tmp_path, spark):
+    """The driver never opens data files during offset planning: a table
+    whose data dirs are unreadable still plans partitions (reads happen
+    executor-side) — locks the manifests-only planning contract."""
+    root = str(tmp_path / "m")
+    t = LakeTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(2, "b", 2.0)]))
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ecommerce_lakehouse_spark.lake.stream_source import _snapshot_arrow_schema
+
+    schema = from_arrow_schema(_snapshot_arrow_schema(root))
+    reader = LakeTableStreamReader({"path": root, "startingversion": "earliest"}, schema)
+    assert reader.initialOffset() == {"version": 0}
+    assert reader.latestOffset() == {"version": 2}
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    assert len(parts) >= 2 and all(os.path.isabs(p.path) for p in parts)
+    # empty range → empty plan (API contract)
+    assert reader.partitions({"version": 2}, {"version": 2}) == []
