@@ -53,7 +53,7 @@ _FIRST = [
     "asof_join_enrich",
     "json_props_agg",
     "validation_split_rejected",
-    "dedup_by_key",
+    "cdc_change_feed",  # r3: Change Data Feed over real storage commits
     "mulaw_audio_features",
     "apply_mixture_sample",
     "mjpeg_video_frames",

@@ -1,3 +1,4 @@
+from ecommerce_lakehouse_spark.lake.cdf import table_changes  # noqa: F401
 from ecommerce_lakehouse_spark.lake.merge import (  # noqa: F401
     merge_aggregate,
     merge_upsert,

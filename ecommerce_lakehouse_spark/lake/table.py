@@ -1132,6 +1132,20 @@ class LakeTable:
             out = out.unionByName(other, allowMissingColumns=True)
         return out
 
+    def changes(
+        self,
+        starting_version: int,
+        ending_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change Data Feed (Delta ``table_changes``): row-level changes
+        per commit with ``_change_type``/``_commit_version``, derived
+        from the manifests reading only what each commit touched — see
+        lake/cdf.py for the contract and cost model."""
+        from ecommerce_lakehouse_spark.lake.cdf import table_changes
+
+        return table_changes(self, starting_version, ending_version, keys)
+
     def read_skipping(
         self, bounds: dict[str, tuple], version: int | None = None
     ) -> DataFrame:

@@ -60,3 +60,90 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("order_date"),
     )
     return merge_upsert(target, updates, ["o_orderkey"])
+
+
+@query(
+    "cdc_change_feed",
+    oracle="""
+WITH base AS (
+  -- deterministic quarter of orders: the feed's semantics are fully
+  -- exercised; the three storage commits stay bench-cheap
+  SELECT * FROM orders WHERE o_orderkey % 4 = 1
+), target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+), updates AS (
+  SELECT o_orderkey FROM base
+  WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+), matched AS (
+  SELECT t.o_orderkey FROM target t
+  WHERE EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+), merged AS (
+  SELECT o_orderkey FROM updates
+  UNION ALL
+  SELECT o_orderkey FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+), groups AS (
+  SELECT 2 AS _commit_version, 'update_preimage' AS _change_type,
+         count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+  FROM matched HAVING count(*) > 0
+  UNION ALL
+  SELECT 2, 'update_postimage', count(*), CAST(sum(o_orderkey) AS BIGINT)
+  FROM matched HAVING count(*) > 0
+  UNION ALL
+  SELECT 2, 'insert', count(*), CAST(sum(o_orderkey) AS BIGINT)
+  FROM updates u
+  WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = u.o_orderkey)
+  HAVING count(*) > 0
+  UNION ALL
+  SELECT 3, 'delete', count(*), CAST(sum(o_orderkey) AS BIGINT)
+  FROM merged WHERE o_orderkey % 20 = 1 HAVING count(*) > 0
+)
+SELECT CAST(_commit_version AS INTEGER) AS _commit_version, _change_type, n, key_sum
+FROM groups
+""",
+)
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over REAL storage commits (Delta's
+    ``table_changes``, lake/cdf.py): a pre-1998 orders snapshot is
+    committed to a LakeTable, a 1997H2-and-later batch MERGEs in
+    (matched keys → update, new keys → insert), then a 5%-of-keys
+    DELETE lands — and the query emits the feed's per-commit
+    change-type histogram with key checksums. The oracle recomputes the
+    same logical changes relationally, so any defect in the slice diff
+    (touched-file pre/post, exceptAll cancellation of pass-through
+    rows, key-based pre/postimage pairing) breaks counts or sums.
+
+    Scale: the feed reads only what each commit touched (file-pruned
+    here; partition-pruned on partitioned tables — see lake/cdf.py),
+    never two full snapshots."""
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
+    target = o.filter(F.col("o_orderdate") < "1998-01-01 00:00:00").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderdate") >= "1997-07-01 00:00:00").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(dec2("o_totalprice") * F.lit(1.10).cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    t = LakeTable(spark, tempfile.mkdtemp(prefix="cdc_feed_") + "/orders")
+    t.overwrite(target.coalesce(8))  # v1
+    t.merge(updates, keys=["o_orderkey"])  # v2
+    t.delete("o_orderkey % 20 = 1")  # v3
+    return (
+        t.changes(2, 3, keys=["o_orderkey"])
+        .groupBy(
+            F.col("_commit_version").cast("int").alias("_commit_version"),
+            "_change_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
