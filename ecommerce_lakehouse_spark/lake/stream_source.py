@@ -25,7 +25,10 @@ Semantics (Delta-parity):
 Options: ``path`` (table root, required), ``startingVersion`` (int, or
 ``"earliest"`` / ``"latest"``; default ``latest`` = only commits after
 stream start, the Kafka ``startingOffsets=latest`` posture),
-``ignoreChanges`` (default false).
+``ignoreChanges`` (default false), ``readChangeFeed`` (default false:
+rows arrive with ``_change_type``/``_commit_version`` appended, Delta's
+streaming CDF shape; append commits only — rewrites need the diff
+compute of the batch ``LakeTable.changes()`` API and raise).
 
 Scale: offset planning is manifest-file reads on the driver; row bytes
 move only executor-side (pyarrow, one task per file). Requires storage
@@ -93,9 +96,10 @@ def _snapshot_arrow_schema(root: str):
 
 
 class _LakeFilePartition(InputPartition):
-    def __init__(self, path: str, rel: str):
+    def __init__(self, path: str, rel: str, version: int = 0):
         self.path = path
         self.rel = rel
+        self.version = version
 
 
 def _file_batches(partition: _LakeFilePartition, target) -> Iterator:
@@ -111,7 +115,11 @@ def _file_batches(partition: _LakeFilePartition, target) -> Iterator:
     n = len(tbl)
     cols = []
     for field in target:
-        if field.name in tbl.column_names:
+        if field.name == "_change_type":  # readChangeFeed: appends = inserts
+            col = pa.array(["insert"] * n, pa.string())
+        elif field.name == "_commit_version":
+            col = pa.array([partition.version] * n, pa.int32())
+        elif field.name in tbl.column_names:
             col = tbl.column(field.name).cast(field.type).combine_chunks()
         elif field.name in hive and hive[field.name] is not None:
             col = pa.array([hive[field.name]] * n, pa.string()).cast(field.type)
@@ -130,6 +138,7 @@ class LakeTableStreamReader(DataSourceStreamReader):
             raise ValueError("laketable source requires .option('path', <table root>)")
         self._root = root
         self._ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
+        self._cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         sv = str(options.get("startingversion", "latest")).lower()
         if sv == "latest":
             self._start = _latest_version(root)
@@ -162,17 +171,27 @@ class LakeTableStreamReader(DataSourceStreamReader):
             op = m.get("operation", "")
             if not new_dirs or op in ("compact", "optimize"):
                 continue
-            if op != "append" and v > 1 and not self._ignore_changes:
-                raise ValueError(
-                    f"laketable stream source at {self._root}: commit v{v} is a "
-                    f"{op!r} (data rewrite); a streaming source tails appends. "
-                    "Set ignoreChanges=true to re-emit rewritten rows "
-                    "(downstream must dedup), or start from a later "
-                    "startingVersion."
-                )
+            if op != "append" and v > 1:
+                if self._cdf:
+                    # a rewrite's deletes/updates need the diff compute the
+                    # batch API runs; a source partition can't — be honest
+                    raise ValueError(
+                        f"laketable stream source at {self._root}: commit "
+                        f"v{v} is a {op!r}; readChangeFeed streams serve "
+                        "append commits only (appends = inserts). Use the "
+                        "batch API LakeTable.changes() for rewrite commits."
+                    )
+                if not self._ignore_changes:
+                    raise ValueError(
+                        f"laketable stream source at {self._root}: commit v{v} is a "
+                        f"{op!r} (data rewrite); a streaming source tails appends. "
+                        "Set ignoreChanges=true to re-emit rewritten rows "
+                        "(downstream must dedup), or start from a later "
+                        "startingVersion."
+                    )
             for d in new_dirs:
                 for rel in _parquet_files(d):
-                    parts.append(_LakeFilePartition(os.path.join(d, rel), rel))
+                    parts.append(_LakeFilePartition(os.path.join(d, rel), rel, v))
         return parts
 
     # -- executor-side read --------------------------------------------
@@ -199,12 +218,19 @@ class LakeTableDataSource(DataSource):
         return "laketable"
 
     def schema(self):
+        import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
 
         root = self.options.get("path")
         if not root:
             raise ValueError("laketable source requires .option('path', <table root>)")
-        return from_arrow_schema(_snapshot_arrow_schema(root))
+        sch = _snapshot_arrow_schema(root)
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            # Delta CDF column contract (matches LakeTable.changes)
+            sch = sch.append(pa.field("_change_type", pa.string())).append(
+                pa.field("_commit_version", pa.int32())
+            )
+        return from_arrow_schema(sch)
 
     def streamReader(self, schema):
         return LakeTableStreamReader(self.options, schema)

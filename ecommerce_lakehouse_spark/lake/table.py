@@ -1323,6 +1323,32 @@ class LakeTable:
             [entry], "optimize-zorder", prior["partition_by"], base_version=prior["version"]
         )
 
+    def clone_to(self, dest_root: str, version: int | None = None) -> "LakeTable":
+        """SHALLOW CLONE (Delta ``CREATE TABLE .. SHALLOW CLONE src
+        [VERSION AS OF n]``): a new table whose first commit references
+        this table's data dirs at ``version`` by absolute path — zero
+        bytes copied, metadata (constraints, generated columns) carried.
+        The clone is independent from then on: DML copy-on-writes into
+        its OWN data dirs (shared dirs are only carried/masked, never
+        rewritten in place), and its vacuum() walks only its own data
+        root, so it can never reclaim source files. Delta's caveat
+        carries over unchanged: vacuum() on the SOURCE may remove files
+        a shallow clone still references."""
+        v = version if version is not None else self.current_version()
+        m = self._manifest(v)
+        dest = LakeTable(self.spark, dest_root)
+        if dest.exists():
+            raise ValueError(f"clone destination {dest_root!r} already exists")
+        os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
+        dest._commit(
+            m["data_dirs"],
+            "clone",
+            m["partition_by"],
+            constraints=m.get("constraints", {}),
+            generated=m.get("generated_columns", {}),
+        )
+        return dest
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """VACUUM analogue (reference docs/data_model.md:310-316): delete
         data dirs unreferenced by the last ``keep_last`` versions."""

@@ -381,16 +381,24 @@ def mjpeg_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_lakehouse_spark.operators.multimodal import sample_avi_frames
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fixture-side memo: only 256 distinct constant-luminance frames
+        # exist, so encode each at most once per task (the decode path —
+        # the production side under test — is untouched)
+        frame_cache: dict[int, bytes] = {}
+
+        def frame(lum: int) -> bytes:
+            enc = frame_cache.get(lum)
+            if enc is None:
+                enc = frame_cache[lum] = encode_jpeg(
+                    np.full((16, 16), lum, dtype=np.uint8)
+                )
+            return enc
+
         for pdf in batches:
             payloads = []
             for doc in pdf["doc_id"]:
                 d = int(doc)
-                frames = [
-                    encode_jpeg(
-                        np.full((16, 16), (d * 17 + f * 29) % 256, dtype=np.uint8)
-                    )
-                    for f in range(4 + d % 3)
-                ]
+                frames = [frame((d * 17 + f * 29) % 256) for f in range(4 + d % 3)]
                 payloads.append(encode_mjpeg_avi(frames, 16, 16, fps=10))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

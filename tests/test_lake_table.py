@@ -974,3 +974,42 @@ def test_blind_append_conflicts_with_concurrent_metadata_change(spark, tmp_path)
             touched=[],
             blind=True,
         )
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    """Delta SHALLOW CLONE semantics: the clone references the source's
+    files (no copy), then diverges copy-on-write — writes to either side
+    never change what the other reads; clone vacuum can't touch source
+    files; VERSION AS OF pins the cloned snapshot."""
+    import glob
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id int, k string, v double").coalesce(1)
+    )  # v1
+    src.append(spark.createDataFrame([(3, "a", 3.0)], "id int, k string, v double"))  # v2
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero copy: no parquet landed under the clone's root
+    assert not glob.glob(str(tmp_path / "clone/data/**/*.parquet"), recursive=True)
+    assert sorted(r.id for r in clone.read().collect()) == [1, 2, 3]
+
+    # divergence both ways
+    clone.delete("id = 1")
+    src.append(spark.createDataFrame([(4, "c", 4.0)], "id int, k string, v double"))
+    assert sorted(r.id for r in clone.read().collect()) == [2, 3]
+    assert sorted(r.id for r in src.read().collect()) == [1, 2, 3, 4]
+
+    # clone's vacuum never reclaims source files
+    clone.vacuum(keep_last=1)
+    assert sorted(r.id for r in src.read().collect()) == [1, 2, 3, 4]
+
+    # VERSION AS OF pins the snapshot; existing destination is rejected
+    pinned = src.clone_to(str(tmp_path / "clone_v1"), version=1)
+    assert sorted(r.id for r in pinned.read().collect()) == [1, 2]
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        src.clone_to(str(tmp_path / "clone"))

@@ -134,6 +134,50 @@ def test_stream_source_skips_compaction_and_latest_default(spark, tmp_path):
     )
 
 
+def test_stream_source_read_change_feed(spark, tmp_path):
+    """readChangeFeed=true: Delta's streaming CDF shape — rows carry
+    _change_type='insert' and the commit version; rewrites raise."""
+    register_lake_source(spark)
+    root = str(tmp_path / "cdf")
+    t = LakeTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))  # v1
+    t.append(_df(spark, [(2, "b", 2.0)]))  # v2
+
+    df = (
+        spark.readStream.format("laketable")
+        .option("path", root)
+        .option("startingVersion", "earliest")
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert "_change_type" in df.columns and "_commit_version" in df.columns
+    q = (
+        df.writeStream.format("memory")
+        .queryName("scdf")
+        .option("checkpointLocation", str(tmp_path / "k"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.sql("select * from scdf").collect()
+    )
+    assert got == [(1, "insert", 1), (2, "insert", 2)]
+
+    # a rewrite is not expressible in the source: error names the batch API
+    t.delete("id = 1")
+    with pytest.raises(Exception, match="changes()"):
+        _drain(
+            spark,
+            root,
+            "scdf2",
+            str(tmp_path / "k2"),
+            startingVersion="earliest",
+            readChangeFeed="true",
+        )
+
+
 def test_stream_source_offset_planning_is_manifest_only(tmp_path, spark):
     """The driver never opens data files during offset planning: a table
     whose data dirs are unreadable still plans partitions (reads happen
