@@ -40,7 +40,17 @@ def _entry_norm(e) -> tuple[str, list[dict], list[str] | None]:
     return e, [], None
 
 
+# physical-only reorganizations: no logical row change (Delta dataChange=false)
+_PHYSICAL_OPS = ("compact", "optimize", "optimize-zorder")
+
+
 def _rel_parquet_files(d: str) -> set[str]:
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"change feed: data dir {d} referenced by the manifest is missing "
+            "(vacuumed?). Narrow the version range — silently skipping it "
+            "would misreport changes."
+        )
     out = set()
     for base, _dirs, files in os.walk(d):
         for name in files:
@@ -176,7 +186,7 @@ def table_changes(
         )
     frames: list[DataFrame] = []
     for v in range(starting_version, end + 1):
-        if table._manifest(v).get("operation") in ("compact", "optimize"):
+        if table._manifest(v).get("operation") in _PHYSICAL_OPS:
             continue  # physical-only: pre == post by construction
         pre, post = _version_slices(table, v)
         if pre is None and post is None:

@@ -57,18 +57,62 @@ def _load_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
+# physical-only reorganizations: no logical row change (Delta dataChange=false)
+_PHYSICAL_OPS = ("compact", "optimize", "optimize-zorder")
+
+
 def _entry_path(e) -> str:
     return e["path"] if isinstance(e, dict) else e
 
 
+def _entry_norm(e) -> tuple[str, list[dict], list[str] | None]:
+    if isinstance(e, dict):
+        return e["path"], e.get("exclude") or [], e.get("live_files")
+    return e, [], None
+
+
 def _parquet_files(d: str) -> list[str]:
     """Hive-relative paths of the parquet files under a data dir."""
+    if not os.path.isdir(d):
+        raise FileNotFoundError(
+            f"laketable source: data dir {d} referenced by the manifest is "
+            "missing (vacuumed?). Start the stream from a later "
+            "startingVersion — silently skipping it would lose rows."
+        )
     out = []
     for base, _dirs, files in os.walk(d):
         for name in files:
             if name.endswith(".parquet"):
                 out.append(os.path.relpath(os.path.join(base, name), d))
     return sorted(out)
+
+
+def _canon(d: dict) -> tuple:
+    """Hive-comparable form of a partition tuple (bools lowercase, None
+    stays None, everything else str) — mirrors lake.table._row_canon."""
+    out = []
+    for k in sorted(d):
+        v = d[k]
+        if isinstance(v, bool):
+            v = str(v).lower()
+        elif v is not None:
+            v = str(v)
+        out.append((k, v))
+    return tuple(out)
+
+
+def _live_files(entry) -> list[tuple[str, str]]:
+    """(dir, rel) of the files a manifest entry actually exposes:
+    honors ``live_files`` subsets (file-pruned DML) and skips files in
+    partitions behind the entry's ``exclude`` mask — the same visibility
+    LakeTable.read() enforces, so clones/restored snapshots stream the
+    rows the table reads, not the raw dir contents."""
+    path, excl, live = _entry_norm(entry)
+    rels = sorted(live) if live is not None else _parquet_files(path)
+    if excl:
+        dead = {_canon(row) for row in excl}
+        rels = [r for r in rels if _canon(_hive_values(r)) not in dead]
+    return [(path, r) for r in rels]
 
 
 def _hive_values(rel: str) -> dict[str, str | None]:
@@ -165,11 +209,11 @@ class LakeTableStreamReader(DataSourceStreamReader):
                 if v > 1
                 else set()
             )
-            new_dirs = [
-                _entry_path(e) for e in m["data_dirs"] if _entry_path(e) not in prev_dirs
+            new_entries = [
+                e for e in m["data_dirs"] if _entry_path(e) not in prev_dirs
             ]
             op = m.get("operation", "")
-            if not new_dirs or op in ("compact", "optimize"):
+            if not new_entries or op in _PHYSICAL_OPS:
                 continue
             if op != "append" and v > 1:
                 if self._cdf:
@@ -189,8 +233,8 @@ class LakeTableStreamReader(DataSourceStreamReader):
                         "(downstream must dedup), or start from a later "
                         "startingVersion."
                     )
-            for d in new_dirs:
-                for rel in _parquet_files(d):
+            for e in new_entries:
+                for d, rel in _live_files(e):
                     parts.append(_LakeFilePartition(os.path.join(d, rel), rel, v))
         return parts
 

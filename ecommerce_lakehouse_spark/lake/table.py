@@ -446,14 +446,21 @@ class LakeTable:
         return os.path.join(self.root, "data", f"v{n:08d}-{uuid.uuid4().hex[:12]}")
 
     @staticmethod
-    def _carry_prior_dirs(prior: dict, touched_rows: list[dict], new_dir: str) -> list:
+    def _carry_prior_dirs(
+        prior: dict, touched_rows: list[dict], new_dir: str | None
+    ) -> list:
         """Manifest entries for a partition-pruned rewrite: every prior
         data dir passes through with ``touched_rows`` added to its
         exclusion mask; the new dir (holding the rewritten partitions) is
         appended unmasked. A prior dir whose physically-present partitions
         are ALL excluded contributes nothing to any future read, so its
         entry is dropped — which lets vacuum() reclaim the dir once the
-        old versions age out, instead of storage growing monotonically."""
+        old versions age out, instead of storage growing monotonically.
+
+        ``new_dir=None``: the rewrite produced no rows (a DELETE emptied
+        every touched partition) — referencing the empty dir would make
+        every later read fail parquet schema inference, so it is omitted
+        and vacuum reclaims it."""
         pcols = prior["partition_by"]
         entries = []
         for e in prior["data_dirs"]:
@@ -466,7 +473,8 @@ class LakeTable:
             if present and present <= excluded:
                 continue  # fully superseded: reclaimable by vacuum
             entries.append(e)
-        entries.append(new_dir)
+        if new_dir is not None:
+            entries.append(new_dir)
         return entries
 
     def _file_inventory(self, manifest: dict) -> list[tuple]:
@@ -576,13 +584,14 @@ class LakeTable:
         gen = dict(prior.get("generated_columns", {}))
         if col in gen:
             raise ValueError(f"generated column {col!r} already defined")
-        if col in self.read().columns:
+        snap = self.read()
+        if col in snap.columns:
             raise ValueError(
                 f"column {col!r} already exists with writer-authored data; "
                 "a generated column cannot shadow it (Delta rejects this too)"
             )
         gen[col] = expr
-        backfilled = self.read().withColumn(col, F.expr(expr))
+        backfilled = snap.withColumn(col, F.expr(expr))
         entry = self._write_dir_entry(backfilled, prior["partition_by"])
         return self._commit(
             [entry],
@@ -973,8 +982,11 @@ class LakeTable:
                 .filter(keep_pred)
             )
             entry = self._write_dir_entry(kept, [])
+            # every touched row deleted → the rewrite dir is empty;
+            # referencing it would break schema inference on later reads
+            new_entries = [entry] if entry["files"] else []
             return self._commit(
-                self._surviving_file_entries(prior, untouched) + [entry],
+                self._surviving_file_entries(prior, untouched) + new_entries,
                 "delete",
                 pcols,
                 base_version=prior["version"],
@@ -987,8 +999,16 @@ class LakeTable:
         kept = target.filter(_partition_predicate(pcols, touched_rows)).filter(keep_pred)
         d = self._new_data_dir()
         kept.write.mode("overwrite").partitionBy(*pcols).parquet(d)
+        # a DELETE can empty every touched partition: the dir then holds
+        # no parquet files and must not enter the manifest (filesystem
+        # check, no extra Spark job; the orphan dir is vacuum-reclaimable)
+        has_rows = any(
+            name.endswith(".parquet")
+            for _b, _d, files in os.walk(d)
+            for name in files
+        )
         return self._commit_rebasing(
-            lambda head: self._carry_prior_dirs(head, touched_rows, d),
+            lambda head: self._carry_prior_dirs(head, touched_rows, d if has_rows else None),
             "delete",
             pcols,
             base_version=prior["version"],
@@ -1108,6 +1128,13 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         entries = self._manifest(v)["data_dirs"]
         pcols = self._manifest(v)["partition_by"]
+        if not entries:
+            # a DELETE removed every row: serve an empty frame with the
+            # schema of the most recent version that still had data
+            for pv in range(v - 1, 0, -1):
+                if self._manifest(pv)["data_dirs"]:
+                    return self.read(version=pv).limit(0)
+            raise ValueError(f"table {self.root} has no data in any version")
         # one read per commit dir, unioned: multiple partitioned roots can't
         # share a single scan (CONFLICTING_DIRECTORY_STRUCTURES) and schema
         # evolution across commits needs unionByName anyway. Dict entries

@@ -117,6 +117,9 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the feed reads only what each commit touched (file-pruned
     here; partition-pruned on partitioned tables — see lake/cdf.py),
     never two full snapshots."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ecommerce_lakehouse_spark.lake.table import LakeTable
@@ -132,7 +135,12 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("o_totalprice"),
     )
-    t = LakeTable(spark, tempfile.mkdtemp(prefix="cdc_feed_") + "/orders")
+    # deterministic per-sf scratch root, wiped on re-run (the curation
+    # pipeline's pattern) — never accumulates across bench/driver rounds
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, os.path.join(root, "orders"))
     t.overwrite(target.coalesce(8))  # v1
     t.merge(updates, keys=["o_orderkey"])  # v2
     t.delete("o_orderkey % 20 = 1")  # v3

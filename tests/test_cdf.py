@@ -78,7 +78,8 @@ def test_cdf_compaction_and_metadata_emit_nothing(spark, tmp_path):
     t.overwrite(_df(spark, [(1, "a", 1.0)]))  # v1
     t.compact()  # v2: physical only
     t.add_constraint("v_pos", "v > 0")  # v3: metadata only
-    assert t.changes(2, 3).count() == 0
+    t.optimize(zorder_by=["id"], target_partitions=1)  # v4: physical only
+    assert t.changes(2, 4).count() == 0
 
 
 def test_cdf_update_feed_and_range_validation(spark, tmp_path):

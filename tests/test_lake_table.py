@@ -1013,3 +1013,29 @@ def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already exists"):
         src.clone_to(str(tmp_path / "clone"))
+
+
+def test_delete_emptying_partitions_keeps_table_readable(spark, tmp_path):
+    """A DELETE that removes every row of the touched partitions (or the
+    whole table) must not leave an empty rewrite dir in the manifest —
+    reads after it previously failed parquet schema inference."""
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], "id int, k string, v double"
+        ),
+        partition_by=["k"],
+    )
+    t.delete("k = 'a'")  # empties the whole k=a partition
+    assert sorted(r.id for r in t.read().collect()) == [2]
+
+    # unpartitioned variant, down to the empty table
+    u = LakeTable(spark, str(tmp_path / "u"))
+    u.overwrite(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double").coalesce(1))
+    u.delete("id >= 0")
+    got = u.read()
+    assert got.count() == 0 and got.columns == ["id", "v"]
+    # and the feed still reports the deletions
+    assert sorted(r.id for r in u.changes(2, 2).collect()) == [1, 2]

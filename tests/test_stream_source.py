@@ -178,10 +178,12 @@ def test_stream_source_read_change_feed(spark, tmp_path):
         )
 
 
-def test_stream_source_offset_planning_is_manifest_only(tmp_path, spark):
-    """The driver never opens data files during offset planning: a table
-    whose data dirs are unreadable still plans partitions (reads happen
-    executor-side) — locks the manifests-only planning contract."""
+def test_stream_source_offsets_are_manifest_only_and_vacuum_is_loud(tmp_path, spark):
+    """Offset bookkeeping (initial/latest) reads ONLY the manifests; file
+    planning lists names but never opens data, and a vacuumed commit
+    raises instead of silently emitting an empty microbatch."""
+    import shutil
+
     root = str(tmp_path / "m")
     t = LakeTable(spark, root)
     t.overwrite(_df(spark, [(1, "a", 1.0)]))
@@ -198,3 +200,41 @@ def test_stream_source_offset_planning_is_manifest_only(tmp_path, spark):
     assert len(parts) >= 2 and all(os.path.isabs(p.path) for p in parts)
     # empty range → empty plan (API contract)
     assert reader.partitions({"version": 2}, {"version": 2}) == []
+
+    # data dirs gone (vacuum/external deletion): offsets still work —
+    # they are manifest-only — but planning the reclaimed commit raises
+    shutil.rmtree(str(tmp_path / "m" / "data"))
+    assert reader.latestOffset() == {"version": 2}
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        reader.partitions({"version": 0}, {"version": 2})
+
+
+def test_stream_source_honors_masks_and_skips_zorder(spark, tmp_path):
+    """A shallow clone's v1 carries exclusion masks / live_files from the
+    source's DML history — the stream must emit what the table READS,
+    not raw dir contents; and optimize-zorder is physical-only."""
+    register_lake_source(spark)
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)]),
+        partition_by=["k"],
+    )
+    src.delete("k = 'a'")  # v2: prior dir carried behind exclude mask
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert sorted(r.id for r in clone.read().collect()) == [2]
+
+    got = _drain(
+        spark, str(tmp_path / "clone"), "smask", str(tmp_path / "c1"),
+        startingVersion="earliest",
+    )
+    assert got == [2]  # masked k='a' rows never reach the sink
+
+    # optimize-zorder between offsets: dataChange=false, nothing emitted
+    flat = LakeTable(spark, str(tmp_path / "z"))
+    flat.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    flat.optimize(zorder_by=["id"], target_partitions=1)
+    got = _drain(
+        spark, str(tmp_path / "z"), "szord", str(tmp_path / "c2"),
+        startingVersion="earliest",
+    )
+    assert got == [1, 2]  # v1 only; the zorder rewrite adds nothing
