@@ -66,21 +66,39 @@ def _read_slice(
     pcols: list[str],
     minus_mask: list[dict],
     only_mask: list[dict] | None = None,
+    minus_dvs: list[str] | None = None,
 ) -> DataFrame | None:
     """Rows of one data dir restricted to ``files`` (None = all), outside
-    ``minus_mask`` partitions and (when given) inside ``only_mask`` ones."""
+    ``minus_mask`` partitions, (when given) inside ``only_mask`` ones, and
+    excluding rows named by the ``minus_dvs`` deletion vectors — a slice
+    must reflect what its snapshot READ, or rows a merge-on-read DELETE
+    already removed would re-surface as feed deletes on the next rewrite."""
+    import pyspark.sql.functions as F
+
     if files is not None:
         if not files:
             return None
-        df = table.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, rel) for rel in sorted(files)]
+        reader = table.spark.read.option("mergeSchema", "true").option(
+            "basePath", path
         )
+        df = reader.parquet(*[os.path.join(path, rel) for rel in sorted(files)])
     else:
         df = table.spark.read.option("mergeSchema", "true").parquet(path)
     if minus_mask:
         df = df.filter(~_partition_predicate(pcols, minus_mask))
     if only_mask is not None:
         df = df.filter(_partition_predicate(pcols, only_mask))
+    if minus_dvs:
+        dv = table.spark.read.parquet(*minus_dvs)
+        df = (
+            df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__file_path"),
+                F.col("_metadata.row_index").alias("__row_index"),
+            )
+            .join(dv, on=["__file_path", "__row_index"], how="left_anti")
+            .drop("__file_path", "__row_index")
+        )
     return df
 
 
@@ -127,23 +145,35 @@ def _version_slices(table: LakeTable, v: int) -> tuple[DataFrame | None, DataFra
     pcols_cur = m_cur["partition_by"]
     prev = {p: (excl, live) for p, excl, live in map(_entry_norm, m_prev["data_dirs"] if m_prev else [])}
     cur = {p: (excl, live) for p, excl, live in map(_entry_norm, m_cur["data_dirs"])}
+    # a slice reflects what its snapshot READ: rows behind that
+    # snapshot's deletion vectors were already gone / never visible
+    dvs_p = m_prev.get("deletion_vectors", []) if m_prev else []
+    dvs_c = m_cur.get("deletion_vectors", [])
 
     removed: list[DataFrame] = []
     added: list[DataFrame] = []
     for path, (excl_p, live_p) in prev.items():
         if path not in cur:
-            removed.append(_read_slice(table, path, live_p, pcols_prev, excl_p))
+            removed.append(
+                _read_slice(table, path, live_p, pcols_prev, excl_p, minus_dvs=dvs_p)
+            )
             continue
         excl_c, live_c = cur[path]
         new_excl = _mask_minus(excl_c, excl_p)
         if new_excl:
             removed.append(
-                _read_slice(table, path, live_p, pcols_prev, excl_p, only_mask=new_excl)
+                _read_slice(
+                    table, path, live_p, pcols_prev, excl_p,
+                    only_mask=new_excl, minus_dvs=dvs_p,
+                )
             )
         un_excl = _mask_minus(excl_p, excl_c)
         if un_excl:  # restore() can re-expose masked partitions
             added.append(
-                _read_slice(table, path, live_c, pcols_cur, excl_c, only_mask=un_excl)
+                _read_slice(
+                    table, path, live_c, pcols_cur, excl_c,
+                    only_mask=un_excl, minus_dvs=dvs_c,
+                )
             )
         if live_p != live_c:
             all_files = (
@@ -156,13 +186,69 @@ def _version_slices(table: LakeTable, v: int) -> tuple[DataFrame | None, DataFra
             dropped, gained = pf - cf, cf - pf
             if dropped:
                 removed.append(
-                    _read_slice(table, path, sorted(dropped), pcols_prev, excl_p)
+                    _read_slice(
+                        table, path, sorted(dropped), pcols_prev, excl_p,
+                        minus_dvs=dvs_p,
+                    )
                 )
             if gained:
-                added.append(_read_slice(table, path, sorted(gained), pcols_cur, excl_c))
+                added.append(
+                    _read_slice(
+                        table, path, sorted(gained), pcols_cur, excl_c,
+                        minus_dvs=dvs_c,
+                    )
+                )
     for path, (excl_c, live_c) in cur.items():
         if path not in prev:
-            added.append(_read_slice(table, path, live_c, pcols_cur, excl_c))
+            added.append(
+                _read_slice(table, path, live_c, pcols_cur, excl_c, minus_dvs=dvs_c)
+            )
+
+    # merge-on-read DELETE (and its rollback): rows appear/vanish with no
+    # file change — deletion vectors name them by (file, row_index). Read
+    # ONLY the files the DV touches (the sidecar is small; its distinct
+    # file list is control-plane) and semi-join the ids back to full rows.
+    def _dv_rows(dv_paths: list[str], owners: dict) -> list[DataFrame]:
+        import pyspark.sql.functions as F
+        from urllib.parse import urlparse
+
+        dv = table.spark.read.parquet(*dv_paths)
+        files = [r[0] for r in dv.select("__file_path").distinct().collect()]
+        # group by owning data dir + basePath so hive partition columns
+        # survive the per-file read (a bare file scan would drop them);
+        # a DV file outside the relevant snapshot's dirs contributes no
+        # rows to it, so it is skipped
+        by_dir: dict[str, list[str]] = {}
+        for f in files:
+            local = urlparse(f).path
+            owner = next(
+                (p for p in owners if local.startswith(p.rstrip("/") + "/")), None
+            )
+            if owner is not None:
+                by_dir.setdefault(owner, []).append(f)
+        out = []
+        for d, fs in by_dir.items():
+            reader = table.spark.read.option("mergeSchema", "true").option(
+                "basePath", d
+            )
+            out.append(
+                reader.parquet(*fs)
+                .select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__file_path"),
+                    F.col("_metadata.row_index").alias("__row_index"),
+                )
+                .join(dv, on=["__file_path", "__row_index"], how="left_semi")
+                .drop("__file_path", "__row_index")
+            )
+        return out
+
+    new_dvs = [p for p in dvs_c if p not in set(dvs_p)]
+    if new_dvs:  # rows removed FROM the prior snapshot's files
+        removed.extend(_dv_rows(new_dvs, prev if prev else cur))
+    dropped_dvs = [p for p in dvs_p if p not in set(dvs_c)]
+    if dropped_dvs:  # restore() to a pre-delete version: rows come back
+        added.extend(_dv_rows(dropped_dvs, cur))
     return _union(removed), _union(added)
 
 

@@ -213,6 +213,23 @@ class LakeTableStreamReader(DataSourceStreamReader):
                 e for e in m["data_dirs"] if _entry_path(e) not in prev_dirs
             ]
             op = m.get("operation", "")
+            prev_dvs = (
+                set(_load_manifest(self._root, v - 1).get("deletion_vectors", []))
+                if v > 1
+                else set()
+            )
+            if set(m.get("deletion_vectors", [])) - prev_dvs:
+                # merge-on-read DELETE: rows disappeared without any file
+                # change — a source cannot emit a retraction. ignoreChanges
+                # doubles as Delta's ignoreDeletes here (skip the commit).
+                if not self._ignore_changes or self._cdf:
+                    raise ValueError(
+                        f"laketable stream source at {self._root}: commit "
+                        f"v{v} added deletion vectors (merge-on-read "
+                        "DELETE); a stream cannot retract rows. Set "
+                        "ignoreChanges=true to skip delete-only commits, "
+                        "or use the batch LakeTable.changes() API."
+                    )
             if not new_entries or op in _PHYSICAL_OPS:
                 continue
             if op != "append" and v > 1:

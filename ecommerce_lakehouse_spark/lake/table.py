@@ -265,6 +265,7 @@ class LakeTable:
         txn: dict | None = None,
         constraints: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
+        deletion_vectors: list[str] | None = None,
     ) -> int:
         current = self.current_version() if self.exists() else 0
         if constraints is None:
@@ -276,6 +277,12 @@ class LakeTable:
         if generated is None:
             generated = (
                 self._manifest(current).get("generated_columns", {}) if current else {}
+            )
+        if deletion_vectors is None:
+            # DVs ride commits that keep the underlying files (appends,
+            # metadata); rewrites that materialize them pass [] explicitly
+            deletion_vectors = (
+                self._manifest(current).get("deletion_vectors", []) if current else []
             )
         if base_version is not None and current != base_version:
             raise ConcurrentWriteError(
@@ -300,6 +307,9 @@ class LakeTable:
             "constraints": constraints,
             # generated columns: {col: sql_expr}, computed/validated on write
             "generated_columns": generated,
+            # merge-on-read DELETE sidecars: parquet dirs of
+            # (__file_path, __row_index) rows the snapshot excludes
+            "deletion_vectors": deletion_vectors,
             "committed_at": time.time(),
         }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -598,6 +608,7 @@ class LakeTable:
             "add_generated_column",
             prior["partition_by"],
             base_version=prior["version"],
+            deletion_vectors=[],
             generated=gen,
         )
 
@@ -721,6 +732,7 @@ class LakeTable:
         return self._commit(
             [entry], "overwrite", partition_by, base_version=base, txn=txn,
             constraints=constraints,
+            deletion_vectors=[],
         )
 
     def append(
@@ -807,6 +819,7 @@ class LakeTable:
         if not self.exists():
             return self.overwrite(updates, txn=txn)
         prior = self._manifest(self.current_version())
+        self._reject_cow_with_dvs(prior, "merge")
         updates = self._apply_generated(updates, prior.get("generated_columns", {}))
         self._enforce_constraints(updates)
         pcols = prior["partition_by"]
@@ -955,19 +968,33 @@ class LakeTable:
 
         return check
 
-    def delete(self, condition) -> int:
-        """Delta-style ``DELETE FROM t WHERE condition`` as copy-on-write
-        (reference's storage layer is Delta, whose DELETE rewrites only
-        files containing matches). Partition-pruned like merge(): only
-        partitions containing matching rows are rewritten; the rest pass
-        through behind the exclusion mask. Unpartitioned tables rewrite
-        only the FILES containing matches; all other files pass through
-        byte-identical."""
+    def delete(self, condition, mode: str = "copy-on-write") -> int:
+        """Delta-style ``DELETE FROM t WHERE condition``.
+
+        ``mode="copy-on-write"`` (default): rewrite only what contains
+        matches — partition-pruned like merge() on partitioned tables,
+        file-pruned on unpartitioned ones; everything else passes through
+        byte-identical.
+
+        ``mode="merge-on-read"``: Delta DELETION VECTORS — no data file
+        is rewritten at all; the doomed rows' (file, row_index) ids land
+        in a parquet sidecar that every scan anti-joins out. The write
+        cost is proportional to the DELETED rows, not the touched files —
+        the right trade for frequent small deletes on huge files. Reads
+        pay the anti-join until ``compact()`` materializes the DVs back
+        into clean files (Delta's PURGE)."""
         import pyspark.sql.functions as F
 
         prior = self._manifest(self.current_version())
         pcols = prior["partition_by"]
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode == "merge-on-read":
+            return self._delete_merge_on_read(prior, cond)
+        if mode != "copy-on-write":
+            raise ValueError(
+                f"delete mode must be 'copy-on-write' or 'merge-on-read', got {mode!r}"
+            )
+        self._reject_cow_with_dvs(prior, "delete")
         # SQL/Delta DELETE removes only rows where the condition is TRUE;
         # rows where it evaluates to NULL are kept. filter(~cond) would
         # silently drop them (3-valued logic), so coalesce NULL -> FALSE.
@@ -1016,6 +1043,40 @@ class LakeTable:
             delta_check=self._cond_delta_check(cond),
         )
 
+    def _reject_cow_with_dvs(self, prior: dict, operation: str) -> None:
+        """Copy-on-write DML reads files directly (inventory scans,
+        pruned rewrites) and would resurrect DV-deleted rows; Delta
+        materializes DVs before such operations — here the explicit
+        equivalent is compact()."""
+        if prior.get("deletion_vectors"):
+            raise ValueError(
+                f"{operation}: table has active deletion vectors "
+                "(merge-on-read deletes); run compact() to materialize "
+                "them before copy-on-write DML"
+            )
+
+    def _delete_merge_on_read(self, prior: dict, cond) -> int:
+        """DELETE via deletion vectors: append a (file, row_index)
+        sidecar, keep every data file. See delete() for the contract."""
+        import pyspark.sql.functions as F
+
+        doomed = (
+            self.read(version=prior["version"], _with_rowids=True)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .select("__file_path", "__row_index")
+        )
+        if doomed.isEmpty():
+            return self.current_version()  # no-op delete
+        dv_dir = os.path.join(self.root, "_dv", uuid.uuid4().hex[:12])
+        doomed.write.mode("overwrite").parquet(dv_dir)
+        return self._commit(
+            prior["data_dirs"],
+            "delete-dv",
+            prior["partition_by"],
+            base_version=prior["version"],
+            deletion_vectors=prior.get("deletion_vectors", []) + [dv_dir],
+        )
+
     def update(self, condition, assignments: dict) -> int:
         """Delta-style ``UPDATE t SET col = expr WHERE condition`` as
         copy-on-write, partition-pruned: rewrites only partitions holding
@@ -1025,6 +1086,7 @@ class LakeTable:
         import pyspark.sql.functions as F
 
         prior = self._manifest(self.current_version())
+        self._reject_cow_with_dvs(prior, "update")
         pcols = prior["partition_by"]
         bad = set(assignments) & set(pcols)
         if bad:
@@ -1116,10 +1178,14 @@ class LakeTable:
             # definitions they never satisfied
             constraints=old.get("constraints", {}),
             generated=old.get("generated_columns", {}),
+            deletion_vectors=old.get("deletion_vectors", []),
         )
 
     def read(
-        self, version: int | None = None, as_of_timestamp: float | None = None
+        self,
+        version: int | None = None,
+        as_of_timestamp: float | None = None,
+        _with_rowids: bool = False,
     ) -> DataFrame:
         if version is not None and as_of_timestamp is not None:
             raise ValueError("pass version OR as_of_timestamp, not both")
@@ -1128,6 +1194,9 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         entries = self._manifest(v)["data_dirs"]
         pcols = self._manifest(v)["partition_by"]
+        dvs = self._manifest(v).get("deletion_vectors", [])
+        import pyspark.sql.functions as F
+
         if not entries:
             # a DELETE removed every row: serve an empty frame with the
             # schema of the most recent version that still had data
@@ -1150,6 +1219,14 @@ class LakeTable:
                 df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
             else:
                 df = self.spark.read.option("mergeSchema", "true").parquet(_entry_path(e))
+            if dvs or _with_rowids:
+                # stable row identity for merge-on-read DELETE (Delta
+                # deletion vectors): parquet-native, no data rewrite
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__file_path"),
+                    F.col("_metadata.row_index").alias("__row_index"),
+                )
             excl = e.get("exclude") if isinstance(e, dict) else None
             if excl:
                 df = df.filter(~_partition_predicate(pcols, excl))
@@ -1157,6 +1234,12 @@ class LakeTable:
         out = dfs[0]
         for other in dfs[1:]:
             out = out.unionByName(other, allowMissingColumns=True)
+        if dvs:
+            dv = self.spark.read.parquet(*dvs)
+            # left-anti on (file, row): the Delta merge-on-read scan shape
+            out = out.join(dv, on=["__file_path", "__row_index"], how="left_anti")
+        if dvs and not _with_rowids:
+            out = out.drop("__file_path", "__row_index")
         return out
 
     def changes(
@@ -1200,6 +1283,11 @@ class LakeTable:
                     df = df.filter(F.col(c) <= F.lit(hi))
             return df
 
+        if manifest.get("deletion_vectors"):
+            # footer stats can admit rows a deletion vector removed, and
+            # the DV anti-join needs row ids from every surviving file —
+            # serve the exact filtered read instead of file pruning
+            return bound_filter(self.read(version=v))
         pcols = manifest["partition_by"]
         if pcols:
             return self._read_skipping_partitioned(manifest, bounds, bound_filter, v)
@@ -1295,7 +1383,8 @@ class LakeTable:
             df = df.repartition(target_partitions, *(prior["partition_by"] or []))
         entry = self._write_dir_entry(df, prior["partition_by"])
         return self._commit(
-            [entry], "compact", prior["partition_by"], base_version=prior["version"]
+            [entry], "compact", prior["partition_by"], base_version=prior["version"],
+            deletion_vectors=[],  # rewrite via read() materializes DVs (Delta PURGE)
         )
 
     def optimize(self, zorder_by: list[str], target_partitions: int = 8, bits: int = 8) -> int:
@@ -1347,7 +1436,8 @@ class LakeTable:
         )
         entry = self._write_dir_entry(clustered, prior["partition_by"])
         return self._commit(
-            [entry], "optimize-zorder", prior["partition_by"], base_version=prior["version"]
+            [entry], "optimize-zorder", prior["partition_by"],
+            base_version=prior["version"], deletion_vectors=[]
         )
 
     def clone_to(self, dest_root: str, version: int | None = None) -> "LakeTable":
@@ -1373,6 +1463,7 @@ class LakeTable:
             m["partition_by"],
             constraints=m.get("constraints", {}),
             generated=m.get("generated_columns", {}),
+            deletion_vectors=m.get("deletion_vectors", []),
         )
         return dest
 
@@ -1393,6 +1484,18 @@ class LakeTable:
             if d not in live:
                 shutil.rmtree(d)
                 removed.append(d)
+        # deletion-vector sidecars age out with the manifests that
+        # reference them, exactly like data dirs
+        live_dv: set[str] = set()
+        for v in versions[-keep_last:] if keep_last else [cur]:
+            live_dv.update(self._manifest(v).get("deletion_vectors", []))
+        dv_root = os.path.join(self.root, "_dv")
+        if os.path.isdir(dv_root):
+            for name in sorted(os.listdir(dv_root)):
+                d = os.path.join(dv_root, name)
+                if d not in live_dv:
+                    shutil.rmtree(d)
+                    removed.append(d)
         return removed
 
     # ---------------- statistics (§4: ANALYZE TABLE analogue) -------------
