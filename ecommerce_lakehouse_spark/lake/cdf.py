@@ -89,16 +89,9 @@ def _read_slice(
     if only_mask is not None:
         df = df.filter(_partition_predicate(pcols, only_mask))
     if minus_dvs:
-        dv = table.spark.read.parquet(*minus_dvs)
-        df = (
-            df.select(
-                "*",
-                F.col("_metadata.file_path").alias("__file_path"),
-                F.col("_metadata.row_index").alias("__row_index"),
-            )
-            .join(dv, on=["__file_path", "__row_index"], how="left_anti")
-            .drop("__file_path", "__row_index")
-        )
+        from ecommerce_lakehouse_spark.lake.table import _dv_join
+
+        df = _dv_join(df, table.spark.read.parquet(*minus_dvs), "left_anti")
     return df
 
 
@@ -209,20 +202,28 @@ def _version_slices(table: LakeTable, v: int) -> tuple[DataFrame | None, DataFra
     # ONLY the files the DV touches (the sidecar is small; its distinct
     # file list is control-plane) and semi-join the ids back to full rows.
     def _dv_rows(dv_paths: list[str], owners: dict) -> list[DataFrame]:
-        import pyspark.sql.functions as F
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
+
+        from ecommerce_lakehouse_spark.lake.table import _dv_join
 
         dv = table.spark.read.parquet(*dv_paths)
         files = [r[0] for r in dv.select("__file_path").distinct().collect()]
         # group by owning data dir + basePath so hive partition columns
         # survive the per-file read (a bare file scan would drop them);
-        # a DV file outside the relevant snapshot's dirs contributes no
-        # rows to it, so it is skipped
+        # both sides normalized (the _metadata path is an absolute
+        # percent-encoded URI; manifest paths may be relative). A DV file
+        # outside the relevant snapshot's dirs contributes no rows to it.
+        owner_by_abs = {os.path.abspath(p): p for p in owners}
         by_dir: dict[str, list[str]] = {}
         for f in files:
-            local = urlparse(f).path
+            local = os.path.abspath(unquote(urlparse(f).path))
             owner = next(
-                (p for p in owners if local.startswith(p.rstrip("/") + "/")), None
+                (
+                    orig
+                    for ap, orig in owner_by_abs.items()
+                    if local.startswith(ap.rstrip("/") + "/")
+                ),
+                None,
             )
             if owner is not None:
                 by_dir.setdefault(owner, []).append(f)
@@ -231,21 +232,12 @@ def _version_slices(table: LakeTable, v: int) -> tuple[DataFrame | None, DataFra
             reader = table.spark.read.option("mergeSchema", "true").option(
                 "basePath", d
             )
-            out.append(
-                reader.parquet(*fs)
-                .select(
-                    "*",
-                    F.col("_metadata.file_path").alias("__file_path"),
-                    F.col("_metadata.row_index").alias("__row_index"),
-                )
-                .join(dv, on=["__file_path", "__row_index"], how="left_semi")
-                .drop("__file_path", "__row_index")
-            )
+            out.append(_dv_join(reader.parquet(*fs), dv, "left_semi"))
         return out
 
     new_dvs = [p for p in dvs_c if p not in set(dvs_p)]
-    if new_dvs:  # rows removed FROM the prior snapshot's files
-        removed.extend(_dv_rows(new_dvs, prev if prev else cur))
+    if new_dvs and m_prev is not None:  # rows removed FROM the prior snapshot
+        removed.extend(_dv_rows(new_dvs, prev))
     dropped_dvs = [p for p in dvs_p if p not in set(dvs_c)]
     if dropped_dvs:  # restore() to a pre-delete version: rows come back
         added.extend(_dv_rows(dropped_dvs, cur))

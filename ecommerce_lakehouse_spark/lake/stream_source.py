@@ -204,20 +204,15 @@ class LakeTableStreamReader(DataSourceStreamReader):
         parts: list[_LakeFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _load_manifest(self._root, v)
+            m_prev = _load_manifest(self._root, v - 1) if v > 1 else None
             prev_dirs = (
-                {_entry_path(e) for e in _load_manifest(self._root, v - 1)["data_dirs"]}
-                if v > 1
-                else set()
+                {_entry_path(e) for e in m_prev["data_dirs"]} if m_prev else set()
             )
             new_entries = [
                 e for e in m["data_dirs"] if _entry_path(e) not in prev_dirs
             ]
             op = m.get("operation", "")
-            prev_dvs = (
-                set(_load_manifest(self._root, v - 1).get("deletion_vectors", []))
-                if v > 1
-                else set()
-            )
+            prev_dvs = set(m_prev.get("deletion_vectors", [])) if m_prev else set()
             if set(m.get("deletion_vectors", [])) - prev_dvs:
                 # merge-on-read DELETE: rows disappeared without any file
                 # change — a source cannot emit a retraction. ignoreChanges
@@ -232,6 +227,13 @@ class LakeTableStreamReader(DataSourceStreamReader):
                     )
             if not new_entries or op in _PHYSICAL_OPS:
                 continue
+            if m.get("deletion_vectors") and (v == 1 or op != "append"):
+                raise ValueError(
+                    f"laketable stream source at {self._root}: commit v{v} "
+                    f"({op!r}) introduces data dirs while the snapshot "
+                    "carries deletion vectors — raw file emission would "
+                    "include deleted rows. compact() the table first."
+                )
             if op != "append" and v > 1:
                 if self._cdf:
                     # a rewrite's deletes/updates need the diff compute the

@@ -80,6 +80,24 @@ def _entry_path(e) -> str:
     return e["path"] if isinstance(e, dict) else e
 
 
+def _dv_join(df: "DataFrame", dv: "DataFrame", how: str) -> "DataFrame":
+    """Join ``df`` against a deletion-vector frame on parquet row identity
+    (_metadata file_path + row_index), dropping the id columns after —
+    the ONE place the row-identity scheme lives (read path, change feed,
+    and DV-row recovery all route through it)."""
+    import pyspark.sql.functions as F
+
+    return (
+        df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__file_path"),
+            F.col("_metadata.row_index").alias("__row_index"),
+        )
+        .join(dv, on=["__file_path", "__row_index"], how=how)
+        .drop("__file_path", "__row_index")
+    )
+
+
 def _partition_predicate(pcols: list[str], rows: list[dict]):
     """OR-of-AND equality predicate over partition columns for the given
     partition tuples. Values compare through a string cast (partition
@@ -1060,6 +1078,8 @@ class LakeTable:
         sidecar, keep every data file. See delete() for the contract."""
         import pyspark.sql.functions as F
 
+        if not prior["data_dirs"]:
+            return self.current_version()  # empty table: no-op
         doomed = (
             self.read(version=prior["version"], _with_rowids=True)
             .filter(F.coalesce(cond, F.lit(False)))
@@ -1192,9 +1212,10 @@ class LakeTable:
         if as_of_timestamp is not None:
             version = self.version_as_of(as_of_timestamp)
         v = version if version is not None else self.current_version()
-        entries = self._manifest(v)["data_dirs"]
-        pcols = self._manifest(v)["partition_by"]
-        dvs = self._manifest(v).get("deletion_vectors", [])
+        m = self._manifest(v)
+        entries = m["data_dirs"]
+        pcols = m["partition_by"]
+        dvs = m.get("deletion_vectors", [])
         import pyspark.sql.functions as F
 
         if not entries:
@@ -1235,11 +1256,13 @@ class LakeTable:
         for other in dfs[1:]:
             out = out.unionByName(other, allowMissingColumns=True)
         if dvs:
+            # left-anti on (file, row): the Delta merge-on-read scan shape.
+            # The ids were already attached per-entry above, so join and
+            # (unless the caller wants them) drop directly.
             dv = self.spark.read.parquet(*dvs)
-            # left-anti on (file, row): the Delta merge-on-read scan shape
             out = out.join(dv, on=["__file_path", "__row_index"], how="left_anti")
-        if dvs and not _with_rowids:
-            out = out.drop("__file_path", "__row_index")
+            if not _with_rowids:
+                out = out.drop("__file_path", "__row_index")
         return out
 
     def changes(
@@ -1382,8 +1405,11 @@ class LakeTable:
         if target_partitions:
             df = df.repartition(target_partitions, *(prior["partition_by"] or []))
         entry = self._write_dir_entry(df, prior["partition_by"])
+        # DVs may have deleted every row: a fileless dir must not enter
+        # the manifest (same hazard the cow delete path guards)
         return self._commit(
-            [entry], "compact", prior["partition_by"], base_version=prior["version"],
+            [entry] if entry["files"] else [],
+            "compact", prior["partition_by"], base_version=prior["version"],
             deletion_vectors=[],  # rewrite via read() materializes DVs (Delta PURGE)
         )
 
