@@ -154,3 +154,26 @@ def test_dv_vacuum_and_stream_source_contract(spark, tmp_path):
     removed = t.vacuum(keep_last=2)  # keeps v3, v4 — v2's DV is dead
     assert any("/_dv/" in p for p in removed)
     assert sorted(r.id for r in t.read().collect()) == [2, 4]
+
+
+def test_dv_clone_v1_feed_and_compact_all_deleted(spark, tmp_path):
+    """Two review-fix regressions: (a) a shallow clone of a DV-active
+    source reports only inserts of VISIBLE rows at v1 — never spurious
+    deletes of rows that predate the clone; (b) compact() on a table
+    whose vectors deleted every row leaves a readable empty table."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    src.delete("id = 1", mode="merge-on-read")
+    clone = src.clone_to(str(tmp_path / "clone"))
+    feed = sorted((r._change_type, r.id) for r in clone.changes(1, 1).collect())
+    assert feed == [("insert", 2)]  # id=1 never existed in clone history
+
+    t = LakeTable(spark, str(tmp_path / "all"))
+    t.overwrite(_df(spark, [(1, "a", 1.0)]).coalesce(1))
+    t.delete("id >= 0", mode="merge-on-read")
+    t.compact()  # materializes into... nothing
+    got = t.read()
+    assert got.count() == 0 and "id" in got.columns
+    # and the empty table still takes writes
+    t.append(_df(spark, [(9, "z", 9.0)]))
+    assert sorted(r.id for r in t.read().collect()) == [9]
