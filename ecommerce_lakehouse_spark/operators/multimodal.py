@@ -3,12 +3,15 @@
 ``mapInPandas`` — the one place Python touches the hot path, amortized per
 batch, never per row.
 
-Decoding is REAL for uncompressed formats (PPM/PGM/BMP images, WAV PCM
-audio, concatenated-PPM video) via ``operators/media.py`` — pure
-numpy/stdlib, no native codecs. Compressed formats (JPEG/PNG/MP3) raise
-``NotImplementedError`` after magic-byte sniffing; a production deployment
-drops PIL/ffmpeg into those two functions and every operator here is
-unchanged. The decode→feature/resize/frame-sample pipelines are
+Decoding is REAL — pure numpy/stdlib, no native codecs — for both
+uncompressed formats (PPM/PGM/BMP images, WAV PCM/mu-law/ADPCM audio,
+concatenated-PPM video; ``operators/media.py`` / ``audio_codecs.py``)
+and compressed ones: spec-conformant PNG (incl. Adam7 interlace), GIF
+LZW, full baseline + progressive JPEG (``operators/jpeg.py``, T.81
+Annex G), and MJPEG-in-AVI video (``operators/avi.py``). Only truly
+out-of-scope codecs (e.g. MP3, H.264) raise ``NotImplementedError``
+after magic-byte sniffing; a production deployment drops PIL/ffmpeg
+into those functions and every operator here is unchanged. The decode→feature/resize/frame-sample pipelines are
 oracle-tested end-to-end (image_decode_features / audio_decode_features:
 deterministic payloads generated, encoded, decoded, and featurized
 Spark-side, matched against closed-form DuckDB SQL).

@@ -81,3 +81,88 @@ def bucketed_join(
     """Join two same-bucketed catalog tables on their bucket key —
     shuffle-free (SortMergeJoin with zero Exchange; asserted in tests)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def fixed_width_bucket(col, vmin, vmax, buckets: int):
+    """Deterministic fixed-width bucket id for ``col`` given broadcast
+    min/max columns: ``floor((col - vmin) / w)`` clamped to
+    ``[0, buckets-1]``, with the degenerate all-equal case (``w <= 0``)
+    collapsing to bucket 0.
+
+    Monotone non-decreasing in ``col``, so bucket order == value order and
+    rows that tie on ``col`` always share a bucket — the property that
+    makes per-bucket windows compose into an exact global order. Being a
+    pure expression (no sampling), it is consistent across recomputations
+    of the same frame, unlike ``repartitionByRange``'s sampled bounds."""
+    w = (vmax - vmin) / F.lit(float(buckets))
+    raw = F.floor((col - vmin) / w)
+    return (
+        F.when(w <= F.lit(0.0), F.lit(0))
+        .otherwise(F.least(raw, F.lit(buckets - 1)))
+        .cast("int")
+    )
+
+
+def bucketed_global_row_number(
+    df: DataFrame,
+    sort_value,
+    order_cols: list,
+    buckets: int = 1024,
+    rn_col: str = "rn",
+    n_col: str = "n",
+) -> DataFrame:
+    """Distributed exact global row_number — the scale-safe replacement
+    for ``row_number().over(Window.orderBy(...))`` (which Spark executes
+    as ONE task sorting the entire input: the `WindowExec: No Partition
+    Defined` plan, an OOM at 100 TB).
+
+    Two-pass bucket rank:
+
+    1. bucket every row by a fixed-width range of ``sort_value`` (a
+       numeric Column monotone non-decreasing in the desired global
+       order — pass a negated measure for DESC ranks);
+    2. per-bucket counts -> cumulative offsets (a window over at most
+       ``buckets`` rows, bounded by construction regardless of input
+       size);
+    3. ``row_number`` WITHIN each bucket (WindowExec partitioned by
+       bucket, each partition ~ n/buckets rows) plus the bucket's offset
+       = the exact global rank.
+
+    ``order_cols`` must totally order rows within a bucket (include a
+    unique tiebreak) and be consistent with ``sort_value`` bucket order.
+    Output adds ``rn`` (1-based global rank) and ``n`` (total rows).
+
+    Skew note: bucket width is (max-min)/buckets of the SORT VALUE, so a
+    point mass (many rows with one identical value) degrades that one
+    bucket to the tie set's size — the inherent cost of exactly ranking
+    ties, and still a per-value (not per-table) partition. Collapse to
+    distinct values upstream when ranks over ties are not needed
+    (see value_quantiles_exact).
+    """
+    from pyspark.sql import Window
+
+    sv = F.col("__sv")
+    tagged = df.withColumn("__sv", sort_value.cast("double"))
+    stats = tagged.agg(
+        F.count(F.lit(1)).alias(n_col),
+        F.min(sv).alias("__vmin"),
+        F.max(sv).alias("__vmax"),
+    )
+    b = tagged.join(F.broadcast(stats)).withColumn(
+        "__b", fixed_width_bucket(sv, F.col("__vmin"), F.col("__vmax"), buckets)
+    )
+    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__bc"))
+    offsets = counts.withColumn(
+        "__off",
+        F.sum("__bc").over(Window.orderBy("__b")) - F.col("__bc"),
+    ).select("__b", "__off")
+    ranked = (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            rn_col,
+            F.row_number().over(Window.partitionBy("__b").orderBy(*order_cols))
+            + F.col("__off"),
+        )
+        .drop("__sv", "__b", "__off", "__vmin", "__vmax")
+    )
+    return ranked

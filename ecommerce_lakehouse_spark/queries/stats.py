@@ -19,6 +19,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ecommerce_lakehouse_spark.money import dec2, money_sum
+from ecommerce_lakehouse_spark.operators.scale import (
+    bucketed_global_row_number,
+    fixed_width_bucket,
+)
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -176,39 +180,84 @@ JOIN s shi ON shi.rn = ix.hi
 """,
 )
 def value_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles (percentile_cont semantics) written
-    out by hand: rank the values, compute the fractional index, linearly
-    interpolate between the two bracketing rows — the interpolation
-    expression is syntactically identical in Spark and the oracle, so the
-    doubles match bit-for-bit (built-in percentile()/quantile_cont() may
-    associate differently engine-to-engine). The global row_number is the
-    deliberate cost of EXACT quantiles; the scale path is
-    approx_percentile (guardrailed in tests), this query is the oracle-
-    checkable ground truth."""
+    """Exact interpolated quantiles (percentile_cont semantics), fully
+    distributed — no global-order window anywhere (the oracle's
+    row_number form is the SPEC, not the plan):
+
+    1. collapse events to (distinct value, multiplicity) — one
+       distributed agg; the value at any global rank depends only on
+       the sorted value multiset, so per-row ranks (and the oracle's
+       event_id tiebreak) never need materializing;
+    2. fixed-width bucket histogram over the distinct values ->
+       cumulative bucket offsets (a window over <= 4096 rows, bounded
+       by construction at any input size);
+    3. locate the <= 6 target ranks' buckets, and compute running
+       multiplicity totals ONLY inside those buckets (per-bucket
+       window, each ~1/4096th of the distinct values);
+    4. linearly interpolate — the expression is syntactically identical
+       to the oracle's, so the doubles match bit-for-bit (built-in
+       percentile()/quantile_cont() may associate differently
+       engine-to-engine).
+
+    The approx scale twin is ``approx_percentile`` (accuracy guardrail:
+    tests/test_plans.py::test_approx_percentile_accuracy)."""
     e = load(spark, sf_dir, "events")
-    s = e.select(
-        "value",
-        (F.row_number().over(Window.orderBy(F.asc("value"), F.asc("event_id"))) - 1).alias("rn"),
+    buckets = 4096
+    vc = e.groupBy("value").agg(F.count(F.lit(1)).alias("mult"))
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
     )
-    nn = e.agg(F.count("*").alias("n"))
+    vb = vc.join(F.broadcast(stats)).withColumn(
+        "bkt", fixed_width_bucket(F.col("value"), F.col("vmin"), F.col("vmax"), buckets)
+    ).select("value", "mult", "bkt")
+    hist = vb.groupBy("bkt").agg(F.sum("mult").alias("bcnt"))
+    offsets = hist.withColumn(
+        "boff", F.sum("bcnt").over(Window.orderBy("bkt")) - F.col("bcnt")
+    )
     p = spark.range(1).select(
         F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("pct")
     )
     idx = F.col("pct") * (F.col("n") - 1)
-    ix = (
-        p.join(F.broadcast(nn))
-        .select(
-            "pct",
-            F.floor(idx).cast("bigint").alias("lo"),
-            F.ceil(idx).cast("bigint").alias("hi"),
-            (idx - F.floor(idx)).alias("frac"),
-        )
+    ix = p.join(F.broadcast(stats.select("n"))).select(
+        "pct",
+        F.floor(idx).cast("bigint").alias("lo"),
+        F.ceil(idx).cast("bigint").alias("hi"),
+        (idx - F.floor(idx)).alias("frac"),
     )
-    slo = s.select(F.col("rn").alias("lo"), F.col("value").alias("lo_val"))
-    shi = s.select(F.col("rn").alias("hi"), F.col("value").alias("hi_val"))
+    tgt = ix.select(
+        "pct",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("which"), F.col("lo").alias("r")),
+                F.struct(F.lit("hi").alias("which"), F.col("hi").alias("r")),
+            )
+        ).alias("t"),
+    ).select("pct", "frac", F.col("t.which").alias("which"), F.col("t.r").alias("r"))
+    # Which bucket holds each 0-based target rank r: boff <= r < boff + bcnt.
+    tb = tgt.join(
+        F.broadcast(offsets),
+        (F.col("boff") <= F.col("r")) & (F.col("r") < F.col("boff") + F.col("bcnt")),
+    ).select("pct", "frac", "which", "r", "bkt", "boff")
+    cand = vb.join(F.broadcast(tb.select("bkt").distinct()), "bkt", "left_semi")
+    run = cand.withColumn(
+        "cum", F.sum("mult").over(Window.partitionBy("bkt").orderBy("value"))
+    )
+    # value at rank r: the unique row where boff + cum - mult <= r < boff + cum
+    hit = run.join(
+        F.broadcast(tb).withColumnRenamed("bkt", "tbkt"),
+        (F.col("bkt") == F.col("tbkt"))
+        & (F.col("boff") + F.col("cum") - F.col("mult") <= F.col("r"))
+        & (F.col("r") < F.col("boff") + F.col("cum")),
+    )
     return (
-        slo.join(F.broadcast(ix), "lo")
-        .join(shi, "hi")
+        hit.groupBy("pct", "frac")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("value"))).alias("lo_val"),
+            F.max(F.when(F.col("which") == "hi", F.col("value"))).alias("hi_val"),
+        )
         .select(
             "pct",
             (F.col("lo_val") + (F.col("hi_val") - F.col("lo_val")) * F.col("frac")).alias("qvalue"),
@@ -890,19 +939,34 @@ FROM d GROUP BY 1
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM-style value segmentation: rank customers into spend deciles
-    (ntile over exact-decimal lifetime spend, custkey tiebreak so equal
-    spends split deterministically) and profile each band. The
+    (ntile semantics over exact-decimal lifetime spend, custkey tiebreak
+    so equal spends split deterministically) and profile each band. The
     whale-vs-long-tail report behind every marketing segmentation.
 
-    Scale: orders pre-aggregate to one row per customer before the global
-    ntile — the single-partition window sees customers, not orders. For
-    customer counts too large for one partition, the recipe is
-    percent_rank over a distributed sort or approx_percentile cut
-    points; exact ntile is kept here for oracle checkability."""
+    Scale: no global-order window anywhere. Orders pre-aggregate to one
+    row per customer, then the global rank comes from the two-pass
+    bucketed rank operator (operators/scale.py:
+    bucketed_global_row_number — per-bucket windows plus bounded-size
+    bucket offsets), and ntile(10) is applied as its closed-form
+    formula over (rank, n): with q = n div 10, rem = n mod 10, the
+    first rem tiles take q+1 rows, the rest q. Identical output to the
+    oracle's ntile at any customer cardinality, one range-partitioned
+    window instead of one single-task sort."""
     o = load(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(F.sum(dec2("o_totalprice")).alias("spend"))
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
-    d = s.withColumn("decile", F.ntile(10).over(w))
+    ranked = bucketed_global_row_number(
+        s,
+        sort_value=-F.col("spend").cast("double"),
+        order_cols=[F.desc("spend"), F.asc("o_custkey")],
+        buckets=1024,
+    )
+    q = F.floor(F.col("n") / 10)
+    rem = F.col("n") % 10
+    head = rem * (q + 1)
+    decile = F.when(
+        F.col("rn") <= head, F.ceil(F.col("rn") / (q + 1))
+    ).otherwise(rem + F.ceil((F.col("rn") - head) / q)).cast("int")
+    d = ranked.withColumn("decile", decile)
     return d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.min("spend").cast("double").alias("min_spend"),

@@ -256,9 +256,11 @@ WHERE CAST(raw_value AS DOUBLE) >
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Important parts (Q11 adapted: no partsupp, so "stock value" is
     revenue through NATION_5's suppliers): HAVING against a global-scalar
-    subquery. Scale plan: aggregate once, take the total with a global
-    window over the small per-part result — one fact scan, no re-scan for
-    the scalar. Comparisons
+    subquery. Scale plan: aggregate once, reduce the per-part frame to a
+    one-row total with .agg() and broadcast-join it back — the scalar
+    never forces the per-part frame into a single window partition, and
+    lineitem is still scanned once per branch with no re-aggregation of
+    the fact table. Comparisons
     happen on doubles cast from exact decimal sums (deterministic both
     engines); only the reported column is rounded."""
     li = load(spark, sf_dir, "lineitem")
@@ -273,13 +275,15 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(disc_price()).alias("raw_value"),
         )
     )
-    # Global-window total over the (small, per-part) aggregate: one lineitem
-    # scan total, vs the scalar-subquery form's re-scan. The single-partition
-    # window only ever sees #parts rows.
-    total = F.sum("raw_value").over(Window.partitionBy())
+    # One-row global total, broadcast back onto the per-part frame: no
+    # single-partition window, no per-part data movement for the scalar.
+    total = pv.agg(F.sum("raw_value").alias("total_value"))
     return (
-        pv.withColumn("threshold", total.cast("double") / 500.0)
-        .filter(F.col("raw_value").cast("double") > F.col("threshold"))
+        pv.join(F.broadcast(total))
+        .filter(
+            F.col("raw_value").cast("double")
+            > F.col("total_value").cast("double") / 500.0
+        )
         .select("l_partkey", "part_value")
     )
 
@@ -370,10 +374,11 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier for a quarter: a reused CTE compared against its own
-    max — the scalar subquery becomes a global window over the small
-    per-supplier aggregate, so lineitem is scanned once (vs the naive
-    twice). Equality on the rounded-decimal-→-double revenue is exact by
-    construction."""
+    max — the scalar becomes a one-row .agg() broadcast-joined back onto
+    the per-supplier frame (the exchange under both branches is
+    identical, so Spark reuses it: lineitem is scanned once, and no
+    single-partition window ever sees the per-supplier rows). Equality
+    on the rounded-decimal-→-double revenue is exact by construction."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01 00:00:00")
         & (F.col("l_shipdate") < "1996-04-01 00:00:00")
@@ -382,12 +387,12 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(disc_price()).alias("total_revenue"))
     )
-    # Max via a global window over the per-supplier aggregate (one lineitem
-    # scan) rather than a scalar-subquery branch that re-aggregates.
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    # One-row max, broadcast back (Spark reuses the per-supplier exchange
+    # across both branches — still one lineitem scan, no global window).
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load(spark, sf_dir, "supplier")
     return (
-        rev.withColumn("mx", mx)
+        rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

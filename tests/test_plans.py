@@ -184,6 +184,69 @@ def test_no_row_at_a_time_python(spark, sf_dir, name):
     assert "PythonUDF" not in text or "ArrowEvalPython" in text or "MapInPandas" in text, name
 
 
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_global_window(spark, sf_dir, name):
+    """No query may contain a `WindowExec: No Partition Defined` over
+    raw-table-cardinality input — a single task sorting the whole input,
+    the one remaining scale-killer family VERDICT r03 flagged. Global
+    windows are allowed only over frames bounded by construction (an
+    upstream Aggregate / limit / literal relation), e.g. per-day series.
+    The former offenders (value_quantiles_exact, customer_spend_deciles,
+    tpch q11/q15) now use bucketed two-pass ranks / one-row broadcast
+    scalars (operators/scale.py:bucketed_global_row_number)."""
+    from explain_audit import unbounded_global_windows
+
+    offenders = unbounded_global_windows(REGISTRY[name](spark, sf_dir))
+    assert not offenders, f"{name}: unpartitioned window over unbounded input: {offenders}"
+
+
+def test_bucketed_global_row_number_matches_window(spark):
+    """The distributed two-pass rank must agree exactly with the
+    single-partition window form it replaces — including ties on the
+    sort value (same bucket, tiebreak ordered) and the degenerate
+    all-equal input (w=0 collapses to one bucket)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ecommerce_lakehouse_spark.operators.scale import bucketed_global_row_number
+
+    rows = [(i, float((i * 37) % 11)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = bucketed_global_row_number(
+        df, sort_value=F.col("v"), order_cols=[F.asc("v"), F.asc("id")], buckets=8
+    )
+    expect = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id")))
+    )
+    assert {(r.id, r.rn) for r in got.collect()} == {
+        (r.id, r.rn) for r in expect.collect()
+    }
+    assert got.select("n").distinct().collect()[0].n == 500
+    # degenerate: every sort value identical -> single bucket, still exact
+    const = spark.createDataFrame([(i, 1.0) for i in range(20)], "id int, v double")
+    gc = bucketed_global_row_number(
+        const, sort_value=F.col("v"), order_cols=[F.asc("v"), F.asc("id")], buckets=8
+    )
+    assert {(r.id, r.rn) for r in gc.collect()} == {(i, i + 1) for i in range(20)}
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """approx_percentile is the sanctioned 100 TB substitute for
+    value_quantiles_exact's exact path (its docstring names this test):
+    a mergeable sketch, no global rank at all. Error must stay within
+    the configured accuracy at our scales."""
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    row = e.agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75))").alias("exact"),
+        F.expr("approx_percentile(value, array(0.25, 0.5, 0.75), 10000)").alias("approx"),
+    ).first()
+    spread = max(row["exact"]) - min(row["exact"]) or 1.0
+    for ex, ap in zip(row["exact"], row["approx"]):
+        assert abs(ap - ex) / spread < 0.05, (row["exact"], row["approx"])
+
+
 def test_every_query_has_an_oracle():
     """The correctness gate is only as wide as its oracle coverage: every
     registered query must ship DuckDB oracle SQL (no silent rows-only

@@ -48,6 +48,56 @@ def audit(df) -> dict:
     }
 
 
+# Logical nodes whose output cardinality is bounded (aggregated / limited /
+# literal) regardless of input size — a global-order window over one of
+# these is a bounded sort, not a scale bug.
+_BOUNDED_NODES = {
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "LocalRelation",
+    "OneRowRelation",
+    "Range",
+    "Deduplicate",
+}
+
+
+def _children(node) -> list:
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _bounded(node) -> bool:
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDED_NODES:
+        return True
+    ch = _children(node)
+    if not ch:
+        return False  # leaf relation: raw-table cardinality
+    return all(_bounded(c) for c in ch)
+
+
+def unbounded_global_windows(df) -> list[str]:
+    """Scan the optimized logical plan for Window nodes with an EMPTY
+    partition spec whose input is raw-table cardinality (no Aggregate /
+    limit / literal relation anywhere below). Such a window executes as
+    `WindowExec: No Partition Defined` — ONE task sorting the entire
+    input, the canonical 100 TB OOM. Returns a description per offender
+    (empty list = clean)."""
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            if not all(_bounded(c) for c in _children(node)):
+                bad.append(node.simpleString(80))
+        for c in _children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("explain-audit")
