@@ -128,15 +128,59 @@ def _hive_values(rel: str) -> dict[str, str | None]:
 def _snapshot_arrow_schema(root: str):
     """Unified arrow schema of the current snapshot's data dirs (hive
     partition columns included, types by pyarrow's hive inference — the
-    same inference the read path uses, so the two always agree)."""
+    same inference the read path uses, so the two always agree).
+
+    A snapshot can have ZERO data dirs (a DELETE removed every row);
+    mirror LakeTable.read()'s fallback and infer from the most recent
+    version that still had data, instead of handing pyarrow an empty
+    unify_schemas call."""
     import pyarrow as pa
     import pyarrow.dataset as pds
 
-    m = _load_manifest(root, _latest_version(root))
+    v = _latest_version(root)
+    m = _load_manifest(root, v)
+    while not m["data_dirs"]:
+        v -= 1
+        if v < 1:
+            raise ValueError(
+                f"laketable source at {root}: no version has any data dirs — "
+                "cannot infer a stream schema from an always-empty table"
+            )
+        m = _load_manifest(root, v)
     schemas = []
     for e in m["data_dirs"]:
         schemas.append(pds.dataset(_entry_path(e), partitioning="hive").schema)
     return pa.unify_schemas(schemas)
+
+
+def _carryover_visibility_changes(m_prev: dict | None, m: dict) -> list[str]:
+    """Row-visibility changes among data dirs CARRIED OVER from the
+    previous manifest — changes with no new files for a source to emit:
+    a partition exclude-mask grow (a DELETE emptied whole partitions), a
+    mask shrink (RESTORE re-exposed them), a ``live_files`` change
+    (file-pruned DML), or a dir dropped from the manifest entirely.
+    Without this check a mask-only data commit would fall through the
+    ``no new entries`` skip and silently vanish from the stream
+    (contradicting the module contract and Delta's ignoreDeletes
+    semantics). Row-level detail for such commits lives in the batch
+    diff, lake/cdf.py."""
+    if m_prev is None:
+        return []
+    prev = {p: (e, l) for p, e, l in map(_entry_norm, m_prev["data_dirs"])}
+    cur = {p: (e, l) for p, e, l in map(_entry_norm, m["data_dirs"])}
+    changes = []
+    for p, (ep, lp) in prev.items():
+        if p not in cur:
+            changes.append(f"data dir dropped: {p}")
+            continue
+        ec, lc = cur[p]
+        if {_canon(r) for r in ep} != {_canon(r) for r in ec}:
+            changes.append(f"partition exclude mask changed: {p}")
+        elif (lp is None) != (lc is None) or (
+            lp is not None and sorted(lp) != sorted(lc)
+        ):
+            changes.append(f"live_files changed: {p}")
+    return changes
 
 
 class _LakeFilePartition(InputPartition):
@@ -224,6 +268,21 @@ class LakeTableStreamReader(DataSourceStreamReader):
                         "DELETE); a stream cannot retract rows. Set "
                         "ignoreChanges=true to skip delete-only commits, "
                         "or use the batch LakeTable.changes() API."
+                    )
+            if op not in _PHYSICAL_OPS and not new_entries:
+                # mask-only / file-list-only data commit: rows appeared or
+                # disappeared with no new dir to emit (e.g. a partitioned
+                # DELETE that emptied every touched partition, or a RESTORE
+                # that only flipped masks)
+                changed = _carryover_visibility_changes(m_prev, m)
+                if changed and (not self._ignore_changes or self._cdf):
+                    raise ValueError(
+                        f"laketable stream source at {self._root}: commit "
+                        f"v{v} ({op!r}) changed row visibility without "
+                        f"adding files ({'; '.join(changed)}); a stream "
+                        "cannot emit retractions. Set ignoreChanges=true "
+                        "to skip such commits, or use the batch "
+                        "LakeTable.changes() API."
                     )
             if not new_entries or op in _PHYSICAL_OPS:
                 continue

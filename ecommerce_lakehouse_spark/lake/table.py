@@ -571,7 +571,17 @@ class LakeTable:
         computes a violation flag per constraint (NULL-evaluating rows
         violate, matching Delta — a CHECK must be provably TRUE). At
         100 TB this is a map-side-combined boolean agg over the incoming
-        batch only, never the table."""
+        batch only, never the table.
+
+        Determinism caveat: validating a DataFrame re-evaluates its plan,
+        so for a non-deterministic input the rows checked here may differ
+        from the rows a later write materializes. The bulk-ingest paths
+        (overwrite/append) therefore validate AFTER the write via
+        ``_enforce_constraints_on_entry`` (the written bytes themselves);
+        the DML rewrite paths (merge/update/backfill) keep the pre-write
+        check and assume a deterministic source frame — their inputs are
+        table scans plus caller data, and a non-deterministic caller
+        source should be materialized (e.g. localCheckpoint) first."""
         import pyspark.sql.functions as F
 
         cons = self.constraints() if cons is None else cons
@@ -591,6 +601,39 @@ class LakeTable:
         }
         if violated:
             raise ConstraintViolationError(self.root, violated)
+
+    def _enforce_constraints_on_entry(
+        self, entry: dict, cons: dict[str, str] | None = None
+    ) -> None:
+        """Enforce CHECK constraints on the rows actually WRITTEN — a
+        re-scan of the freshly-written data dir — instead of the incoming
+        DataFrame. A non-deterministic input (rand()-derived columns, a
+        source that changed between jobs) can evaluate differently in a
+        pre-write validation job vs the write itself, letting a
+        violating row slip into the commit; Delta closes this by
+        enforcing invariants during the write, and scanning the written
+        bytes BEFORE publishing the manifest gives the same guarantee:
+        what is validated is bit-identical to what readers will see
+        (including hive-partition round-tripping). On violation the
+        orphan dir is removed and nothing is committed."""
+        cons = self.constraints() if cons is None else cons
+        if not cons:
+            return
+        d = entry["path"]
+        has_files = any(
+            name.endswith(".parquet")
+            for _, _, files in os.walk(d)
+            for name in files
+        )
+        if not has_files:  # empty batch: nothing to violate
+            return
+        try:
+            self._enforce_constraints(self.spark.read.parquet(d), cons)
+        except ConstraintViolationError:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+            raise
 
     def generated_columns(self) -> dict[str, str]:
         """Current generated-column definitions ({col: sql_expr})."""
@@ -743,10 +786,17 @@ class LakeTable:
         df = self._apply_generated(
             df, self._manifest(base).get("generated_columns", {}) if base else {}
         )
-        self._enforce_constraints(df)
-        if constraints is not None:
-            self._enforce_constraints(df, constraints)
         entry = self._write_dir_entry(df, partition_by)
+        # post-write validation (see _enforce_constraints_on_entry: checks
+        # the written bytes, immune to non-deterministic inputs); explicit
+        # same-commit constraints merge into one aggregate pass
+        self._enforce_constraints_on_entry(
+            entry,
+            {
+                **(self.constraints() if self.exists() else {}),
+                **(constraints or {}),
+            },
+        )
         return self._commit(
             [entry], "overwrite", partition_by, base_version=base, txn=txn,
             constraints=constraints,
@@ -790,8 +840,8 @@ class LakeTable:
         prior = self._manifest(self.current_version())
         partition_by = partition_by or prior["partition_by"]
         df = self._apply_generated(df, prior.get("generated_columns", {}))
-        self._enforce_constraints(df)
         entry = self._write_dir_entry(df, partition_by)
+        self._enforce_constraints_on_entry(entry)
         # Record the partitions this append wrote (filesystem walk of the
         # freshly-written dir — no extra Spark job) so OTHER writers'
         # disjointness checks see them; the append itself rebases blindly.

@@ -1039,3 +1039,35 @@ def test_delete_emptying_partitions_keeps_table_readable(spark, tmp_path):
     assert got.count() == 0 and got.columns == ["id", "v"]
     # and the feed still reports the deletions
     assert sorted(r.id for r in u.changes(2, 2).collect()) == [1, 2]
+
+
+def test_post_write_constraint_validation_checks_written_bytes(spark, tmp_path):
+    """ADVICE r03: overwrite/append validate CHECK constraints AFTER the
+    write, against the written dir itself (immune to non-deterministic
+    inputs re-evaluating differently between a pre-write check and the
+    write). A violating batch must raise, leave NO orphan data dir, and
+    not advance the version."""
+    import os
+
+    from ecommerce_lakehouse_spark.lake.table import ConstraintViolationError
+
+    root = str(tmp_path / "pw")
+    t = LakeTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], "id int, k string"),
+        constraints={"pos": "id > 0"},
+    )
+    v1 = t.current_version()
+    dirs_before = set(os.listdir(os.path.join(root, "data")))
+    with pytest.raises(ConstraintViolationError):
+        t.append(spark.createDataFrame([(-5, "b")], "id int, k string"))
+    assert set(os.listdir(os.path.join(root, "data"))) == dirs_before
+    assert t.current_version() == v1
+    # same-commit constraints on overwrite validate post-write too
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(
+            spark.createDataFrame([(0, "c")], "id int, k string"),
+            constraints={"pos": "id > 0"},
+        )
+    assert set(os.listdir(os.path.join(root, "data"))) == dirs_before
+    assert [r.id for r in t.read().collect()] == [1]

@@ -238,3 +238,57 @@ def test_stream_source_honors_masks_and_skips_zorder(spark, tmp_path):
         startingVersion="earliest",
     )
     assert got == [1, 2]  # v1 only; the zorder rewrite adds nothing
+
+
+def test_stream_source_mask_only_delete_is_loud(spark, tmp_path):
+    """ADVICE r03 (medium): a partitioned DELETE that empties every
+    touched partition produces a MASK-ONLY commit — exclude list grows,
+    no new data dir. That commit must raise (the module contract:
+    non-append data commits are loud), not silently vanish from the
+    stream; ignoreChanges=true doubles as Delta's ignoreDeletes and
+    skips it; readChangeFeed stays loud regardless. A mask-only RESTORE
+    (rows re-exposed with no new files) is equally invisible-by-files
+    and must also raise."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ecommerce_lakehouse_spark.lake.stream_source import _snapshot_arrow_schema
+
+    root = str(tmp_path / "md")
+    t = LakeTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), partition_by=["k"])
+    t.delete("k = 'a'")  # v2: exclude mask grows, new_dir omitted
+    schema = from_arrow_schema(_snapshot_arrow_schema(root))
+    reader = LakeTableStreamReader(
+        {"path": root, "startingversion": "earliest"}, schema
+    )
+    with pytest.raises(ValueError, match="row visibility"):
+        reader.partitions({"version": 1}, {"version": 2})
+    relaxed = LakeTableStreamReader(
+        {"path": root, "startingversion": "earliest", "ignorechanges": "true"},
+        schema,
+    )
+    assert relaxed.partitions({"version": 1}, {"version": 2}) == []
+    cdf = LakeTableStreamReader(
+        {"path": root, "ignorechanges": "true", "readchangefeed": "true"}, schema
+    )
+    with pytest.raises(ValueError, match="row visibility"):
+        cdf.partitions({"version": 1}, {"version": 2})
+    # mask-only RESTORE: same invisibility, same loudness
+    t.restore(1)
+    with pytest.raises(ValueError, match="row visibility"):
+        reader.partitions({"version": 2}, {"version": 3})
+
+
+def test_stream_source_schema_after_full_delete(spark, tmp_path):
+    """ADVICE r03 (low): schema() on a snapshot with zero data dirs (a
+    DELETE removed every row) must fall back to the most recent version
+    that still had data — not die inside pa.unify_schemas([])."""
+    from ecommerce_lakehouse_spark.lake.stream_source import _snapshot_arrow_schema
+
+    root = str(tmp_path / "fd")
+    t = LakeTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]).coalesce(1))
+    t.delete("id = 1")  # every row gone
+    assert t.read().count() == 0
+    sch = _snapshot_arrow_schema(root)
+    assert {"id", "k", "v"} <= set(sch.names)
