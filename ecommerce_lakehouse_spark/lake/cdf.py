@@ -41,7 +41,7 @@ def _entry_norm(e) -> tuple[str, list[dict], list[str] | None]:
 
 
 # physical-only reorganizations: no logical row change (Delta dataChange=false)
-_PHYSICAL_OPS = ("compact", "optimize", "optimize-zorder")
+_PHYSICAL_OPS = ("compact", "optimize", "optimize-zorder", "auto-compact")
 
 
 def _rel_parquet_files(d: str) -> set[str]:

@@ -58,7 +58,7 @@ def _load_manifest(root: str, version: int) -> dict:
 
 
 # physical-only reorganizations: no logical row change (Delta dataChange=false)
-_PHYSICAL_OPS = ("compact", "optimize", "optimize-zorder")
+_PHYSICAL_OPS = ("compact", "optimize", "optimize-zorder", "auto-compact")
 
 
 def _entry_path(e) -> str:

@@ -284,8 +284,14 @@ class LakeTable:
         constraints: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
         deletion_vectors: list[str] | None = None,
+        properties: dict | None = None,
     ) -> int:
         current = self.current_version() if self.exists() else 0
+        if properties is None:
+            # table properties ride every commit (Delta TBLPROPERTIES)
+            properties = (
+                self._manifest(current).get("properties", {}) if current else {}
+            )
         if constraints is None:
             # table-level metadata rides every commit (Delta: constraints
             # live in the log and survive data operations)
@@ -328,6 +334,9 @@ class LakeTable:
             # merge-on-read DELETE sidecars: parquet dirs of
             # (__file_path, __row_index) rows the snapshot excludes
             "deletion_vectors": deletion_vectors,
+            # table properties (Delta TBLPROPERTIES): auto_compact,
+            # auto_compact_min_files, target_file_bytes — see set_properties
+            "properties": properties,
             "committed_at": time.time(),
         }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -850,7 +859,7 @@ class LakeTable:
             if partition_by
             else []
         )
-        return self._commit_rebasing(
+        v = self._commit_rebasing(
             lambda head: (head["data_dirs"] if head else []) + [entry],
             "append",
             partition_by,
@@ -859,6 +868,11 @@ class LakeTable:
             txn=txn,
             blind=True,
         )
+        if self.properties().get("auto_compact"):
+            # follow-up physical-only commit; the append above is already
+            # durable and its version is what we return
+            self._auto_compact()
+        return v
 
     def merge(self, updates: DataFrame, keys: list[str], txn: dict | None = None) -> int:
         """K5/K6: MERGE upsert with create-if-absent fallback (reference
@@ -940,13 +954,16 @@ class LakeTable:
             merged = merge_upsert(target, updates, keys)
             entry = self._write_dir_entry(merged, [])
             untouched = [f for f in inventory if f not in touched]
-            return self._commit(
+            v = self._commit(
                 self._surviving_file_entries(prior, untouched) + [entry],
                 "merge",
                 pcols,
                 base_version=prior["version"],
                 txn=txn,
             )
+            if self.properties().get("auto_compact"):
+                self._auto_compact()
+            return v
 
         target = self.read()
         # Touched partitions: the updates' own partitions plus partitions
@@ -979,7 +996,7 @@ class LakeTable:
                 winners_delta.select(*keys).join(upd_keys, on=keys, how="left_semi").isEmpty()
             )
 
-        return self._commit_rebasing(
+        v = self._commit_rebasing(
             lambda head: self._carry_prior_dirs(head, touched_rows, d),
             "merge",
             pcols,
@@ -988,6 +1005,9 @@ class LakeTable:
             delta_check=_no_key_overlap,
             txn=txn,
         )
+        if self.properties().get("auto_compact"):
+            self._auto_compact()
+        return v
 
     def _touched_files_by_cond(self, prior: dict, cond) -> tuple[list, list]:
         """(touched, untouched) file inventory split for an unpartitioned
@@ -1446,6 +1466,138 @@ class LakeTable:
 
     # ---------------- maintenance (§4: OPTIMIZE / VACUUM analogues) -------
 
+    # ---------------- table properties + auto-compaction ----------------
+
+    def properties(self) -> dict:
+        """Current table properties ({key: value})."""
+        if not self.exists():
+            return {}
+        return self._manifest(self.current_version()).get("properties", {})
+
+    def set_properties(self, props: dict) -> int:
+        """Delta ``ALTER TABLE .. SET TBLPROPERTIES`` analogue (reference
+        config/settings.py:124-127 sets ``delta.autoOptimize.optimizeWrite``
+        / ``autoCompact`` plus 128-512 MB file-size targets per layer).
+        Metadata-only commit; keys merge over existing properties.
+
+        Honored keys:
+        - ``auto_compact`` (bool): after every append, partitions whose
+          live file count crossed ``auto_compact_min_files`` are folded
+          into right-sized files as a follow-up physical-only commit
+          (see _auto_compact).
+        - ``auto_compact_min_files`` (int, default 8): the trigger
+          threshold (Delta's ``minNumFiles``; default scaled to local
+          test file counts).
+        - ``target_file_bytes`` (int, default 128 MiB): output file size
+          target, the reference's bronze-layer target."""
+        prior = self._manifest(self.current_version())
+        return self._commit(
+            prior["data_dirs"],
+            "set-properties",
+            prior["partition_by"],
+            base_version=prior["version"],
+            properties={**prior.get("properties", {}), **props},
+        )
+
+    def _live_partition_file_counts(self, m: dict) -> dict[tuple, int]:
+        """{canonical partition tuple: live parquet file count} for a
+        partitioned snapshot, honoring exclude masks. Control-plane
+        filesystem walk, bounded by file count."""
+        from urllib.parse import unquote
+
+        counts: dict[tuple, int] = {}
+        for e in m["data_dirs"]:
+            d = _entry_path(e)
+            excl = e.get("exclude", []) if isinstance(e, dict) else []
+            dead = {_row_canon(x) for x in excl}
+            for base, _, names in os.walk(d):
+                for name in names:
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(base, name), d)
+                    vals: dict = {}
+                    for seg in rel.split(os.sep)[:-1]:
+                        if "=" in seg:
+                            c, v = seg.split("=", 1)
+                            vals[c] = (
+                                None
+                                if v == "__HIVE_DEFAULT_PARTITION__"
+                                else unquote(v)
+                            )
+                    key = _row_canon(vals)
+                    if key in dead:
+                        continue
+                    counts[key] = counts.get(key, 0) + 1
+        return counts
+
+    def _auto_compact(self) -> int | None:
+        """Auto-compaction (Delta ``delta.autoOptimize.autoCompact``):
+        invoked after an append when the ``auto_compact`` property is
+        set. Partitions (or, unpartitioned, the small-file set) whose
+        live file count reached ``auto_compact_min_files`` are rewritten
+        toward ``target_file_bytes`` as a SEPARATE commit with operation
+        ``auto-compact`` — a physical-only op (_PHYSICAL_OPS), so CDF and
+        the streaming source see no logical change, exactly like manual
+        compact(). Untouched partitions / right-sized files are carried
+        by name, never copied.
+
+        Best-effort janitor: an OCC race is swallowed (the data commit
+        this trails is already durable; the next append retries), and
+        outstanding deletion vectors skip it (a partial rewrite would
+        have to split DV sidecars — run compact() to purge DVs first).
+        Returns the compaction commit's version, or None if nothing to
+        do."""
+        props = self.properties()
+        minf = int(props.get("auto_compact_min_files", 8))
+        target_bytes = int(props.get("target_file_bytes", 128 << 20))
+        prior = self._manifest(self.current_version())
+        if prior.get("deletion_vectors"):
+            return None
+        pcols = prior["partition_by"]
+        import math
+
+        try:
+            if pcols:
+                counts = self._live_partition_file_counts(prior)
+                touched = [dict(k) for k, n in sorted(counts.items()) if n >= minf]
+                if not touched:
+                    return None
+                df = self.read().filter(_partition_predicate(pcols, touched))
+                # one output file per partition: rows hash to their
+                # partition's task, each task writes one file per hive dir
+                entry = self._write_dir_entry(df.repartition(*pcols), pcols)
+                entries = self._carry_prior_dirs(prior, touched, entry)
+                return self._commit(
+                    entries, "auto-compact", pcols,
+                    base_version=prior["version"], touched=touched,
+                    deletion_vectors=[],
+                )
+            inv = self._file_inventory(prior)
+            sized = [
+                (d, rel, st, os.path.getsize(os.path.join(d, rel)))
+                for d, rel, st in inv
+            ]
+            small = [x for x in sized if x[3] < target_bytes]
+            if len(small) < minf:
+                return None
+            nout = max(1, math.ceil(sum(x[3] for x in small) / target_bytes))
+            if nout >= len(small):
+                return None
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(d, rel) for d, rel, _, _ in small]
+            )
+            entry = self._write_dir_entry(df.coalesce(nout), [])
+            untouched = [
+                (d, rel, st) for d, rel, st, sz in sized if sz >= target_bytes
+            ]
+            entries = self._surviving_file_entries(prior, untouched) + [entry]
+            return self._commit(
+                entries, "auto-compact", [],
+                base_version=prior["version"], deletion_vectors=[],
+            )
+        except ConcurrentWriteError:
+            return None
+
     def compact(self, target_partitions: int | None = None) -> int:
         """OPTIMIZE analogue: rewrite current snapshot into right-sized
         files (reference docs/data_model.md:302-308's 128-512 MB targets;
@@ -1543,16 +1695,53 @@ class LakeTable:
         )
         return dest
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
-        """VACUUM analogue (reference docs/data_model.md:310-316): delete
-        data dirs unreferenced by the last ``keep_last`` versions."""
+    def vacuum(
+        self, keep_last: int = 2, retention_hours: float | None = None
+    ) -> list[str]:
+        """VACUUM analogue (reference docs/data_model.md:310-316: age-based
+        retention, 7/30/90 days for bronze/silver/gold): delete data dirs
+        (and deletion-vector sidecars) referenced by no protected version.
+
+        Protection is TIME-based when ``retention_hours`` is given — every
+        version committed within the window survives, so time travel
+        anywhere inside the retention period keeps working — with
+        ``keep_last`` as a version-count FLOOR on top (Delta posture:
+        retention governs, a floor guards against commit-frequency
+        changes silently shrinking the window's version count). Without
+        ``retention_hours`` the pre-existing version-count behavior is
+        unchanged.
+
+        A too-aggressive combination (``keep_last=0`` with a window older
+        than the current commit) raises before touching anything rather
+        than reclaiming the live snapshot."""
         import shutil
 
-        live: set[str] = set()
         cur = self.current_version()
-        versions = [m["version"] for m in self.history()]
-        for v in versions[-keep_last:] if keep_last else [cur]:
-            live.update(_entry_path(e) for e in self._manifest(v)["data_dirs"])
+        history = self.history()
+        versions = [m["version"] for m in history]
+        protected: set[int] = set(versions[-keep_last:]) if keep_last else set()
+        if retention_hours is not None:
+            cutoff = time.time() - retention_hours * 3600.0
+            protected |= {
+                m["version"]
+                for m in history
+                if m.get("committed_at", float("inf")) >= cutoff
+            }
+            if cur not in protected:
+                raise ValueError(
+                    f"vacuum(retention_hours={retention_hours}, "
+                    f"keep_last={keep_last}): the retention window excludes "
+                    f"the CURRENT version v{cur}; refusing to reclaim the "
+                    "live snapshot. Raise retention_hours or keep_last."
+                )
+        elif not keep_last:
+            protected = {cur}
+        live: set[str] = set()
+        live_dv: set[str] = set()
+        for v in sorted(protected):
+            m = self._manifest(v)
+            live.update(_entry_path(e) for e in m["data_dirs"])
+            live_dv.update(m.get("deletion_vectors", []))
         removed = []
         data_root = os.path.join(self.root, "data")
         for name in sorted(os.listdir(data_root)):
@@ -1560,11 +1749,6 @@ class LakeTable:
             if d not in live:
                 shutil.rmtree(d)
                 removed.append(d)
-        # deletion-vector sidecars age out with the manifests that
-        # reference them, exactly like data dirs
-        live_dv: set[str] = set()
-        for v in versions[-keep_last:] if keep_last else [cur]:
-            live_dv.update(self._manifest(v).get("deletion_vectors", []))
         dv_root = os.path.join(self.root, "_dv")
         if os.path.isdir(dv_root):
             for name in sorted(os.listdir(dv_root)):

@@ -190,14 +190,21 @@ def curate(
         minhash_bands_df(minhash_signatures_df(to_band.select("doc_id", "text")))
         .select("doc_id", "sig", "band_key")
         .withColumn("batch_v", batch_v)
-        .coalesce(8)
     )
+    # Small-file hygiene is POLICY, not a hard-coded coalesce (the old
+    # coalesce(8) was a fixed parallelism ceiling at real batch sizes):
+    # the auto_compact table property folds accumulated small files into
+    # target-sized ones as physical-only commits, while each batch's
+    # write keeps the cluster's natural parallelism.
     if done("band_index"):
         pass
     elif had_index:
         t["band_index"].append(new_bands, txn=txn)
     else:
         t["band_index"].overwrite(new_bands, txn=txn)
+        t["band_index"].set_properties(
+            {"auto_compact": True, "auto_compact_min_files": 16}
+        )
     if txn is not None:
         # replay-safe: this batch's bands read back from the committed
         # index (identical whether the append just ran or ran pre-crash)
@@ -237,15 +244,19 @@ def curate(
         .filter(F.col("est_jaccard") >= _EST_THRESHOLD)
         .select("doc_a", "doc_b", "est_jaccard")
     )
-    new_pairs = new_pairs.coalesce(4)
     if done("pairs"):
         pass
     elif t["pairs"].exists():
         # pairs between two already-indexed docs were found when the later
-        # one arrived; merge dedups re-discovered (new,new) pairs
+        # one arrived; merge dedups re-discovered (new,new) pairs.
+        # File-count hygiene comes from the table's auto_compact policy
+        # (replaces the old fixed coalesce(4) write ceiling).
         t["pairs"].merge(new_pairs, keys=["doc_a", "doc_b"], txn=txn)
     else:
         t["pairs"].overwrite(new_pairs, txn=txn)
+        t["pairs"].set_properties(
+            {"auto_compact": True, "auto_compact_min_files": 16}
+        )
 
     # ---- stage 5: near-dup clusters (derived; global min-label fixpoint)
     ids = t["canonical"].read().select("doc_id")

@@ -1071,3 +1071,105 @@ def test_post_write_constraint_validation_checks_written_bytes(spark, tmp_path):
         )
     assert set(os.listdir(os.path.join(root, "data"))) == dirs_before
     assert [r.id for r in t.read().collect()] == [1]
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """Reference parity (docs/data_model.md:310-316: retention by AGE).
+    Versions inside the retention window survive — time travel to them
+    still reads — while aged-out dirs are reclaimed; keep_last acts as a
+    floor; keep_last=0 with a window excluding the current commit raises
+    before reclaiming anything."""
+    import json as _json
+    import os
+    import time as _time
+
+    root = str(tmp_path / "tv")
+    t = LakeTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, k string"))  # v1
+    t.overwrite(spark.createDataFrame([(2, "b")], "id int, k string"))  # v2
+    t.overwrite(spark.createDataFrame([(3, "c")], "id int, k string"))  # v3
+
+    def _age(version, hours):
+        p = os.path.join(root, "_manifest", f"v{version:08d}.json")
+        m = _json.load(open(p))
+        m["committed_at"] = _time.time() - hours * 3600
+        _json.dump(m, open(p, "w"))
+
+    _age(1, 100)  # v1: far outside a 24h window
+    _age(2, 5)    # v2: inside
+    # keep_last=1 floor + 24h window: v2, v3 protected; v1's dir reclaimed
+    removed = t.vacuum(keep_last=1, retention_hours=24)
+    assert len(removed) == 1
+    assert [r.id for r in t.read(version=2).collect()] == [2]  # in-window time travel OK
+    assert [r.id for r in t.read().collect()] == [3]
+    with pytest.raises(Exception):  # aged-out version is genuinely gone
+        t.read(version=1).collect()
+    # floor protects even aged-out versions: nothing else reclaimable
+    assert t.vacuum(keep_last=3, retention_hours=24) == []
+    # too-aggressive: window excludes current, no floor -> loud refusal
+    _age(3, 100)
+    with pytest.raises(ValueError, match="CURRENT version"):
+        t.vacuum(keep_last=0, retention_hours=24)
+    assert [r.id for r in t.read().collect()] == [3]  # untouched
+
+
+def test_auto_compact_partitioned_policy(spark, tmp_path):
+    """Reference parity (config/settings.py:124-127: autoOptimize
+    properties + file-size targets): with the auto_compact table property
+    set, N small appends keep the per-partition live file count bounded;
+    data is unchanged; and both CDF and the streaming source see the
+    compaction commits as physical-only ops (nothing emitted)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ecommerce_lakehouse_spark.lake.stream_source import (
+        LakeTableStreamReader,
+        _snapshot_arrow_schema,
+    )
+
+    root = str(tmp_path / "ac")
+    t = LakeTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame([(0, "a"), (100, "b")], "id int, k string"),
+        partition_by=["k"],
+    )  # v1
+    t.set_properties({"auto_compact": True, "auto_compact_min_files": 3})  # v2
+    for i in range(1, 7):
+        t.append(spark.createDataFrame([(i, "a")], "id int, k string"))
+    m = t._manifest(t.current_version())
+    counts = t._live_partition_file_counts(m)
+    assert max(counts.values()) < 3 + 1, counts  # bounded, not monotone
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4, 5, 6, 100]
+    ops = [h["operation"] for h in t.history()]
+    assert "auto-compact" in ops
+    # CDF over the whole history: compactions contribute no row changes
+    ch = t.changes(starting_version=3)
+    rows = [(r.id, r._change_type) for r in ch.collect()]
+    assert sorted(rows) == [(i, "insert") for i in range(1, 7)]
+    # stream source plans only v1 + the six append files
+    schema = from_arrow_schema(_snapshot_arrow_schema(root))
+    reader = LakeTableStreamReader(
+        {"path": root, "startingversion": "earliest"}, schema
+    )
+    parts = reader.partitions(
+        {"version": 0}, {"version": t.current_version()}
+    )
+    v1_files = len(
+        [p for p in parts if p.version == 1]
+    )
+    assert len(parts) == v1_files + 6, [p.path for p in parts]
+
+
+def test_auto_compact_unpartitioned_binpack(spark, tmp_path):
+    """Unpartitioned auto-compaction bin-packs only files below
+    target_file_bytes into ~target-sized outputs; file count stays
+    bounded across many small appends and data is unchanged."""
+    root = str(tmp_path / "acu")
+    t = LakeTable(spark, root)
+    t.overwrite(spark.createDataFrame([(0, "x")], "id int, k string").coalesce(1))
+    t.set_properties({"auto_compact": True, "auto_compact_min_files": 4})
+    for i in range(1, 9):
+        t.append(spark.createDataFrame([(i, "x")], "id int, k string").coalesce(1))
+    inv = t._file_inventory(t._manifest(t.current_version()))
+    assert len(inv) <= 4, [x[1] for x in inv]
+    assert sorted(r.id for r in t.read().collect()) == list(range(9))
+    assert "auto-compact" in [h["operation"] for h in t.history()]
