@@ -29,6 +29,13 @@ from ecommerce_lakehouse_spark.quality import (
     split_valid_rejected,
     validate,
 )
+from ecommerce_lakehouse_spark.quality.alerts import (
+    ALERT_SCHEMA,
+    AlertPolicy,
+    QualityAlertError,
+    blocking,
+    evaluate_alerts,
+)
 from ecommerce_lakehouse_spark.tables import load
 
 
@@ -44,11 +51,38 @@ def _bronze(df: DataFrame, source: str) -> DataFrame:
     ).withColumn("ingestion_timestamp", F.current_timestamp())
 
 
-def run_medallion(spark: SparkSession, sf_dir: str, root: str) -> dict:
+def _record_alerts(spark, root: str, alerts: list[dict], tables: dict) -> None:
+    """Append alert rows to the ``quality_alerts`` LakeTable (the
+    reference's Email/SNS channel re-expressed as a tailable table)."""
+    keys = [f.split()[0] for f in ALERT_SCHEMA.split(", ")]
+    df = spark.createDataFrame(
+        [tuple(a[k] for k in keys) for a in alerts], ALERT_SCHEMA
+    )
+    at = LakeTable(spark, os.path.join(root, "quality_alerts"))
+    at.append(df)
+    tables["quality_alerts"] = at
+
+
+def run_medallion(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    alert_policy: AlertPolicy | None = None,
+) -> dict:
     """Run the full pipeline; returns {layer.table: LakeTable} plus
-    observed row metrics under key "metrics"."""
+    observed row metrics under key "metrics".
+
+    ``alert_policy`` (OFF by default — metric-only runs pay no extra
+    jobs): evaluate the reference's quality alert thresholds
+    (docs/data_quality.md:414-421) against each dataset's validation
+    results in one extra aggregate per dataset; every fired alert is
+    recorded in the ``quality_alerts`` LakeTable, and a blocking-severity
+    alert (default: critical = schema-level rejection rate) aborts the
+    run with :class:`QualityAlertError` AFTER recording — before the
+    offending batch reaches silver."""
     tables: dict = {}
     metrics: dict[str, dict] = {}
+    all_alerts: list[dict] = []
 
     part = load(spark, sf_dir, "part")
     orders = load(spark, sf_dir, "orders")
@@ -97,6 +131,13 @@ def run_medallion(spark: SparkSession, sf_dir: str, root: str) -> dict:
         # ---- silver: validate → split → quarantine → dedup → merge (K5)
         obs = Observation(f"{name}_valid")
         validated = validate(bt.read().drop("source_file", "ingestion_timestamp"), rules)
+        if alert_policy is not None:
+            ds_alerts = evaluate_alerts(validated, rules, alert_policy, name)
+            all_alerts.extend(ds_alerts)
+            blk = blocking(ds_alerts, alert_policy)
+            if blk:
+                _record_alerts(spark, root, all_alerts, tables)
+                raise QualityAlertError(blk)
         valid, rejected = split_valid_rejected(validated, source=src, job_name="medallion")
 
         qt = LakeTable(spark, os.path.join(root, "rejected", name))
@@ -156,6 +197,9 @@ def run_medallion(spark: SparkSession, sf_dir: str, root: str) -> dict:
         },
     )
 
+    if all_alerts:
+        # non-blocking alerts (high/medium) are recorded, never fatal
+        _record_alerts(spark, root, all_alerts, tables)
     tables["metrics"] = metrics
     return tables
 
