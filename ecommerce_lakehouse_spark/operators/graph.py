@@ -65,3 +65,64 @@ def min_label_propagation(
         "(graph diameter exceeds the bound); raise max_iters or use a "
         "pointer-jumping variant"
     )
+
+
+def incremental_components(
+    prev_labels: DataFrame, ids: DataFrame, pairs: DataFrame, max_iters: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental connected components, seeded from a previous labeling
+    (the curation pipeline's clusters table): recompute ONLY the
+    components adjacent to new work instead of the whole corpus.
+
+    Inputs are TABLE STATE (full ids + full pairs + previous labels), so
+    a crashed batch replays correctly — "new" is derived as ids absent
+    from ``prev_labels``, never from an in-memory delta.
+
+    1. new nodes  = ids - prev_labels;
+    2. new edges  = pairs with >= 1 new endpoint (the only edges the
+       incremental-LSH stage can add — old-old pairs were already merged
+       into prev_labels' components);
+    3. affected   = every member of any previous component touched by a
+       new edge's old endpoint;
+    4. the subgraph (new nodes + affected members) runs min-label
+       propagation with the previous connectivity COMPRESSED to
+       (member -> old cluster_id) star edges — prior components
+       contribute diameter <= 2, so rounds scale with the NEW data's
+       diameter, not history.
+
+    Returns ``(sub_labels, sub_ids)``: the recomputed labels (a DELTA to
+    MERGE over the previous table — untouched components never rewrite)
+    and the recomputed node set (exposed so tests and monitoring can
+    assert the incremental path touches ~batch-sized row counts).
+    Labels equal a from-scratch recompute exactly: compressed star edges
+    preserve connectivity, and min-label is connectivity-determined."""
+    prev = prev_labels.select("doc_id", "cluster_id")
+    new_ids = ids.select("doc_id").join(
+        prev.select("doc_id"), "doc_id", "left_anti"
+    )
+    na = new_ids.select(F.col("doc_id").alias("__n"))
+    pa = pairs.join(na, pairs["doc_a"] == F.col("__n"), "left_semi")
+    pb = pairs.join(na, pairs["doc_b"] == F.col("__n"), "left_semi")
+    new_edges = pa.unionAll(pb).select("doc_a", "doc_b").dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    endpoints = (
+        new_edges.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(new_edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    old_endpoints = endpoints.join(new_ids, "doc_id", "left_anti")
+    affected_clusters = (
+        prev.join(old_endpoints, "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    affected = prev.join(affected_clusters, "cluster_id", "left_semi")
+    star_edges = affected.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+    )
+    sub_ids = new_ids.unionAll(affected.select("doc_id")).distinct()
+    sub_labels = min_label_propagation(
+        sub_ids, new_edges.unionAll(star_edges), max_iters=max_iters
+    )
+    return sub_labels, sub_ids

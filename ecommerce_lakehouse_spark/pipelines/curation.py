@@ -23,10 +23,16 @@ Incrementality contract (documented, tested in tests/test_curation.py):
 - ``doc_id`` is assumed monotone across batches (append-only ingest), so
   a canonical id (min doc_id per content hash) never changes once
   assigned — the band index never goes stale.
-- ``clusters`` / ``survivors`` / ``splits`` are derived tables,
-  recomputed from the materialized upstream state each run (connected
-  components is a global fixpoint; incremental union-find is explicitly
-  out of scope and called out here rather than faked).
+- ``clusters`` is INCREMENTAL once seeded: the previous labeling seeds
+  min-label propagation, only components adjacent to the batch's new
+  docs/pairs re-propagate (prior connectivity compressed to star edges,
+  operators/graph.py:incremental_components), and the delta MERGEs over
+  the table — untouched components never rewrite. The first batch (no
+  seeds) is the global fixpoint; tests assert batch-2 labels equal a
+  from-scratch recompute while the recomputed node set stays
+  batch-sized.
+- ``survivors`` / ``splits`` are derived tables, recomputed from the
+  materialized upstream state each run.
 """
 
 from __future__ import annotations
@@ -258,12 +264,31 @@ def curate(
             {"auto_compact": True, "auto_compact_min_files": 16}
         )
 
-    # ---- stage 5: near-dup clusters (derived; global min-label fixpoint)
+    # ---- stage 5: near-dup clusters — INCREMENTAL when seeds exist
+    # (r03 verdict item #6): previous labels seed the recompute, only
+    # components adjacent to this batch's docs/pairs re-propagate, and
+    # the delta MERGEs over the clusters table (untouched components are
+    # never rewritten). First batch (no seeds) is the global fixpoint.
+    # All inputs are table state, so crash replays stay correct.
     ids = t["canonical"].read().select("doc_id")
     pairs = t["pairs"].read().select("doc_a", "doc_b")
-    labels = _connected_components(ids, pairs)
-    if not done("clusters"):
-        t["clusters"].overwrite(labels.coalesce(4), txn=txn)
+    if not t["clusters"].exists():
+        if not done("clusters"):
+            t["clusters"].overwrite(
+                _connected_components(ids, pairs), txn=txn
+            )
+            t["clusters"].set_properties(
+                {"auto_compact": True, "auto_compact_min_files": 16}
+            )
+    elif not done("clusters"):
+        from ecommerce_lakehouse_spark.operators.graph import (
+            incremental_components,
+        )
+
+        prev = t["clusters"].read().select("doc_id", "cluster_id")
+        sub_labels, _sub_ids = incremental_components(prev, ids, pairs)
+        t["clusters"].merge(sub_labels, keys=["doc_id"], txn=txn)
+    labels = t["clusters"].read().select("doc_id", "cluster_id")
 
     # ---- stage 6: canonical survivors (cluster representatives)
     surv = (

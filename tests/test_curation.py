@@ -242,3 +242,54 @@ def test_crash_mid_dag_resumes_from_first_unapplied_stage(spark, tmp_path):
     versions = {s: t[s].current_version() for s in t}
     t = curate(spark, docs, root, txn=txn)
     assert {s: t[s].current_version() for s in t} == versions
+
+
+def test_clusters_incremental_equals_full_recompute(spark, tmp_path):
+    """r03 verdict item #6: once seeded, the clusters stage recomputes
+    ONLY components adjacent to the new batch (prior connectivity
+    compressed to star edges) and MERGEs the delta — batch-2 labels must
+    equal a from-scratch recompute while the re-propagated node set
+    stays batch-sized (untouched components never re-enter)."""
+    from ecommerce_lakehouse_spark.operators.graph import incremental_components
+    from ecommerce_lakehouse_spark.pipelines.curation import _connected_components
+
+    root = str(tmp_path / "cc")
+    near1 = BASE_EN.replace("lazy", "sleepy")
+    t = curate(
+        spark,
+        _docs(spark, [(1, "en", "web", BASE_EN), (2, "en", "web", near1),
+                      (3, "fr", "web", BASE_FR)]),
+        root,
+        txn={"app_id": "cc", "version": 1},
+    )
+    assert {(r.doc_id, r.cluster_id) for r in t["clusters"].read().collect()} == {
+        (1, 1), (2, 1), (3, 3)
+    }
+    v_b1 = t["clusters"].current_version()
+
+    near2 = BASE_EN.replace("river", "ocean")  # near-dup joining component {1,2}
+    fr_new = "une phrase francaise entierement nouvelle sans rapport avec les autres textes"
+    t = curate(
+        spark,
+        _docs(spark, [(10, "en", "web", near2), (11, "fr", "web", fr_new)]),
+        root,
+        txn={"app_id": "cc", "version": 2},
+    )
+    ids = t["canonical"].read().select("doc_id")
+    pairs = t["pairs"].read().select("doc_a", "doc_b")
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in _connected_components(ids, pairs).collect()
+    }
+    got = {(r.doc_id, r.cluster_id) for r in t["clusters"].read().collect()}
+    assert got == full and (10, 1) in got and (11, 11) in got
+
+    # the incremental path touched only the adjacent component + new docs:
+    # doc 3 (untouched fr component) never re-entered propagation
+    prev = t["clusters"].read(version=v_b1).select("doc_id", "cluster_id")
+    sub_labels, sub_ids = incremental_components(prev, ids, pairs)
+    touched = {r.doc_id for r in sub_ids.collect()}
+    assert touched == {1, 2, 10, 11}
+    assert {(r.doc_id, r.cluster_id) for r in sub_labels.collect()} == {
+        (1, 1), (2, 1), (10, 1), (11, 11)
+    }
