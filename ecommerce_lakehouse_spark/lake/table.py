@@ -895,6 +895,14 @@ class LakeTable:
         scan of only the candidates finds the exactly-touched files
         (Delta's touched-file inner join); every other file passes through
         into the new manifest untouched, byte-identical.
+
+        Schema evolution (Delta ``withSchemaEvolution()`` semantics,
+        SURVEY K4): updates may carry NEW columns — merged/inserted rows
+        store them, untouched partitions/files pass through under their
+        old schema (never rewritten for a metadata change), and the read
+        path's mergeSchema/unionByName serves old rows with NULLs in the
+        new columns. Contract locked by
+        tests/test_lake_table.py::test_merge_schema_evolution_new_column.
         """
         import pyspark.sql.functions as F
 

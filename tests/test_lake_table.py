@@ -1173,3 +1173,43 @@ def test_auto_compact_unpartitioned_binpack(spark, tmp_path):
     assert len(inv) <= 4, [x[1] for x in inv]
     assert sorted(r.id for r in t.read().collect()) == list(range(9))
     assert "auto-compact" in [h["operation"] for h in t.history()]
+
+
+def test_merge_schema_evolution_new_column(spark, tmp_path):
+    """MERGE with a new column evolves the table (Delta
+    withSchemaEvolution, SURVEY K4): updated/inserted rows carry the new
+    column, untouched rows read back NULL-filled — on both the
+    unpartitioned (file-pruned) and partitioned (partition-pruned)
+    paths, where untouched files pass through under their old schema."""
+    # unpartitioned: untouched files carried by name
+    t = LakeTable(spark, str(tmp_path / "se"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ).repartition(3)
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(2, "B", "n2"), (9, "I", "n9")], "k int, v string, note string"
+        ),
+        keys=["k"],
+    )
+    got = {(r.k, r.v, r.note) for r in t.read().collect()}
+    assert got == {(1, "a", None), (2, "B", "n2"), (3, "c", None), (9, "I", "n9")}
+
+    # partitioned: untouched partitions carried behind masks
+    p = LakeTable(spark, str(tmp_path / "sep"))
+    p.overwrite(
+        spark.createDataFrame(
+            [(1, "x", "p1"), (2, "y", "p2")], "k int, v string, part string"
+        ),
+        partition_by=["part"],
+    )
+    p.merge(
+        spark.createDataFrame(
+            [(2, "Y", "p2", 7.5)], "k int, v string, part string, score double"
+        ),
+        keys=["k"],
+    )
+    got = {(r.k, r.v, r.part, r.score) for r in p.read().collect()}
+    assert got == {(1, "x", "p1", None), (2, "Y", "p2", 7.5)}
