@@ -16,6 +16,7 @@ joins broadcast their pruned key sets.
 from __future__ import annotations
 
 import os
+import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -35,6 +36,8 @@ from ecommerce_lakehouse_spark.quality.alerts import (
     QualityAlertError,
     blocking,
     evaluate_alerts,
+    metric_discrepancy_alert,
+    processing_delay_alert,
 )
 from ecommerce_lakehouse_spark.tables import load
 
@@ -121,6 +124,7 @@ def run_medallion(
     }
 
     for name, (df, pk, rules, part_by) in datasets.items():
+        t0 = time.time()
         src = os.path.join(sf_dir, f"{name}.parquet")
 
         # ---- bronze (K3 append semantics; overwrite for idempotent runs)
@@ -163,6 +167,10 @@ def run_medallion(
         st.merge(deduped, keys=pk)
         tables[f"silver.{name}"] = st
         metrics[name] = {"silver_rows": obs.get["rows"]}
+        if alert_policy is not None:
+            all_alerts.extend(
+                processing_delay_alert(time.time() - t0, alert_policy, name)
+            )
 
     # ---- gold marts from silver (E:420-450 daily_sales shape)
     so = tables["silver.orders"].read()
@@ -182,6 +190,28 @@ def run_medallion(
     gt = LakeTable(spark, os.path.join(root, "gold", "daily_sales"))
     gt.overwrite(daily)
     tables["gold.daily_sales"] = gt
+    if alert_policy is not None:
+        # reference "Metric Discrepancy": recompute the headline metric
+        # from silver and compare against the WRITTEN gold table (re-read)
+        # — catches storage-layer drift in-flight checks can't see
+        expected = (
+            sl.join(so.select("o_orderkey"), sl.l_orderkey == F.col("o_orderkey"))
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("s")
+            )
+            .first()["s"]
+            or 0.0
+        )
+        actual = (
+            gt.read().agg(F.sum("total_sales").alias("s")).first()["s"] or 0.0
+        )
+        all_alerts.extend(
+            metric_discrepancy_alert(
+                expected, actual, alert_policy, "gold.daily_sales", "total_sales"
+            )
+        )
 
     # ---- post-pipeline SQL smoke phase (reference stepfunctions/
     # delta-lake.json:147-215: three parallel Athena `SELECT * ... LIMIT 5`

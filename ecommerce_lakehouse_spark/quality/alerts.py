@@ -66,6 +66,8 @@ class AlertPolicy:
     completeness_pct: float = 1.0  # Medium: >1% missing required values
     rule_violation_pct: float = 0.5  # High: >0.5% business rule violations
     rejection_critical_pct: float = 50.0  # Critical: schema-level failure
+    metric_discrepancy_pct: float = 1.0  # High: >1% recalculated-metric drift
+    sla_seconds: float | None = None  # Medium: processing time exceeds SLA
     raise_on: tuple = ("critical",)
 
 
@@ -138,6 +140,55 @@ def evaluate_alerts(
             }
         )
     return alerts
+
+
+def metric_discrepancy_alert(
+    expected: float, actual: float, policy: AlertPolicy, dataset: str, metric: str
+) -> list[dict]:
+    """Reference "Metric Discrepancy" row (>1% difference in recalculated
+    metrics = High): compare a metric RE-READ from the written gold table
+    against its recomputation from silver — catches storage-layer drift
+    the in-flight validations cannot. Pure threshold math; the two
+    numbers each come from one aggregate the caller already ran."""
+    if expected == 0 and actual == 0:
+        return []
+    denom = abs(expected) if expected != 0 else abs(actual)
+    pct = 100.0 * abs(actual - expected) / denom
+    if pct <= policy.metric_discrepancy_pct:
+        return []
+    return [
+        {
+            "dataset": dataset,
+            "alert_type": "metric_discrepancy",
+            "rule": metric,
+            "severity": "high",
+            "n_rows": 0,
+            "n_violations": 0,
+            "violation_pct": pct,
+            "threshold_pct": policy.metric_discrepancy_pct,
+        }
+    ]
+
+
+def processing_delay_alert(
+    elapsed_seconds: float, policy: AlertPolicy, dataset: str
+) -> list[dict]:
+    """Reference "Processing Delay" row (processing time exceeds SLA =
+    Medium). Off unless the policy sets ``sla_seconds``."""
+    if policy.sla_seconds is None or elapsed_seconds <= policy.sla_seconds:
+        return []
+    return [
+        {
+            "dataset": dataset,
+            "alert_type": "processing_delay",
+            "rule": f"sla {policy.sla_seconds}s",
+            "severity": "medium",
+            "n_rows": 0,
+            "n_violations": 0,
+            "violation_pct": elapsed_seconds,
+            "threshold_pct": policy.sla_seconds,
+        }
+    ]
 
 
 def blocking(alerts: list[dict], policy: AlertPolicy) -> list[dict]:

@@ -82,3 +82,33 @@ def test_policy_off_by_default(spark, tmp_path):
     root = str(tmp_path / "lake")
     t = run_medallion(spark, d, root)
     assert "quality_alerts" not in t
+
+
+def test_processing_delay_and_metric_discrepancy(spark, tmp_path):
+    """Remaining two reference alert types: sla_seconds=0 makes every
+    dataset fire a MEDIUM processing_delay alert (recorded, never
+    blocking); the gold-vs-silver recalculated metric matches by
+    construction so no metric_discrepancy fires; the threshold math
+    itself is unit-checked."""
+    from ecommerce_lakehouse_spark.quality.alerts import (
+        AlertPolicy as P,
+        metric_discrepancy_alert,
+    )
+
+    d = str(tmp_path / "in")
+    ts = _ts(spark)
+    orders = [(i, 100 + i, 50.0 * i, ts) for i in range(1, 11)]
+    lineitem = [(1 + (i % 10), i, 1 + (i % 6), 1.0, 0.1, 99.0) for i in range(20)]
+    _write_inputs(spark, d, orders, lineitem)
+    t = run_medallion(
+        spark, d, str(tmp_path / "lake"), alert_policy=P(sla_seconds=0.0)
+    )
+    rows = [(r.dataset, r.alert_type, r.severity) for r in t["quality_alerts"].read().collect()]
+    delays = [r for r in rows if r[1] == "processing_delay"]
+    assert {r[0] for r in delays} == {"part", "orders", "lineitem"}
+    assert all(r[2] == "medium" for r in delays)
+    assert not [r for r in rows if r[1] == "metric_discrepancy"]
+
+    assert metric_discrepancy_alert(100.0, 103.0, P(), "g", "m")[0]["violation_pct"] == 3.0
+    assert metric_discrepancy_alert(100.0, 100.5, P(), "g", "m") == []
+    assert metric_discrepancy_alert(0.0, 0.0, P(), "g", "m") == []
