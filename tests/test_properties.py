@@ -430,3 +430,89 @@ def test_decoder_error_contract_under_fuzz(kind, seed):
             dec(payload)
         except (ValueError, NotImplementedError):
             pass  # the contract
+
+
+@given(
+    vs=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        min_size=1,
+        max_size=25,
+    ),
+    buckets=st.sampled_from([1, 2, 8]),
+)
+@settings(**SETTINGS)
+def test_bucketed_global_rank_law(spark, vs, buckets):
+    """bucketed_global_row_number == row_number over a global window for
+    ANY input (ties, point masses, negatives, single bucket) and any
+    bucket count — the law that makes the distributed rewrite safe."""
+    from pyspark.sql import Window
+
+    from ecommerce_lakehouse_spark.operators.scale import bucketed_global_row_number
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vs)], "id int, v double"
+    )
+    got = bucketed_global_row_number(
+        df, sort_value=F.col("v"), order_cols=[F.asc("v"), F.asc("id")],
+        buckets=buckets,
+    )
+    exp = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id")))
+    )
+    assert {(r.id, r.rn) for r in got.collect()} == {
+        (r.id, r.rn) for r in exp.collect()
+    }
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10),
+    edges1=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=8
+    ),
+    edges2=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(10, 14)), min_size=0, max_size=6
+    ),
+    extra=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_incremental_components_equals_full(spark, n, edges1, edges2, extra):
+    """incremental_components law: seeding from batch-1's labeling and
+    re-propagating only adjacent components yields EXACTLY the labels of
+    a from-scratch recompute over the union graph — for arbitrary
+    batch-1 graphs and arbitrary new edges (every new edge touches a new
+    node, the pipeline's invariant)."""
+    from ecommerce_lakehouse_spark.operators.graph import (
+        incremental_components,
+        min_label_propagation,
+    )
+
+    ids1 = list(range(n))
+    e1 = [(a, b) for a, b in edges1 if a < n and b < n and a != b]
+    new_nodes = list(range(10, 10 + max(1, extra)))
+    e2 = [(a, b) for a, b in e1[:0]] + [
+        (a, b) for a, b in edges2 if a < n and b in new_nodes
+    ]
+    ids_all = ids1 + new_nodes
+    df_ids1 = spark.createDataFrame([(i,) for i in ids1], "doc_id int")
+    df_e1 = spark.createDataFrame(e1, "doc_a int, doc_b int") if e1 else (
+        spark.createDataFrame([], "doc_a int, doc_b int")
+    )
+    prev = min_label_propagation(df_ids1, df_e1)
+    df_ids = spark.createDataFrame([(i,) for i in ids_all], "doc_id int")
+    all_e = e1 + e2
+    df_e = spark.createDataFrame(all_e, "doc_a int, doc_b int") if all_e else (
+        spark.createDataFrame([], "doc_a int, doc_b int")
+    )
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in min_label_propagation(df_ids, df_e).collect()
+    }
+    sub_labels, _ = incremental_components(prev, df_ids, df_e)
+    merged = {
+        (r.doc_id, r.cluster_id) for r in sub_labels.collect()
+    }
+    untouched = {t for t in ((r.doc_id, r.cluster_id) for r in prev.collect())
+                 if t[0] not in {d for d, _ in merged}}
+    assert untouched | merged == full
