@@ -28,7 +28,14 @@ stream start, the Kafka ``startingOffsets=latest`` posture),
 ``ignoreChanges`` (default false), ``readChangeFeed`` (default false:
 rows arrive with ``_change_type``/``_commit_version`` appended, Delta's
 streaming CDF shape; append commits only — rewrites need the diff
-compute of the batch ``LakeTable.changes()`` API and raise).
+compute of the batch ``LakeTable.changes()`` API and raise),
+``maxCommitsPerTrigger`` (int, default unlimited: Delta's
+``maxFilesPerTrigger`` analogue at this source's offset granularity —
+each microbatch advances at most N commits, so a stream catching up on
+deep history paces itself instead of loading everything into one batch;
+best-effort like Delta's, and ``Trigger.AvailableNow`` runs snapshot
+latestOffset once, so a capped availableNow drain advances N commits per
+invocation and resumes from the checkpoint on the next).
 
 Scale: offset planning is manifest-file reads on the driver; row bytes
 move only executor-side (pyarrow, one task per file). Requires storage
@@ -236,15 +243,27 @@ class LakeTableStreamReader(DataSourceStreamReader):
             # startingVersion=N means "emit commit N onward"
             self._start = max(0, int(sv) - 1)
         self._arrow_schema = to_arrow_schema(schema)
+        mct = options.get("maxcommitspertrigger")
+        self._max_commits = int(mct) if mct else None
+        self._last_end: int | None = None
 
     # -- driver-side planning ------------------------------------------
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": _latest_version(self._root)}
+        actual = _latest_version(self._root)
+        if self._max_commits is None:
+            return {"version": actual}
+        # rate limit (Delta maxFilesPerTrigger analogue, commit granule):
+        # advance at most N commits past the last planned end. After a
+        # restart the base is the configured start until the first
+        # partitions() call reveals the checkpointed position.
+        base = self._last_end if self._last_end is not None else self._start
+        return {"version": min(actual, base + self._max_commits)}
 
     def partitions(self, start: dict, end: dict):
+        self._last_end = end["version"]
         parts: list[_LakeFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _load_manifest(self._root, v)

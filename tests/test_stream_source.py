@@ -292,3 +292,53 @@ def test_stream_source_schema_after_full_delete(spark, tmp_path):
     assert t.read().count() == 0
     sch = _snapshot_arrow_schema(root)
     assert {"id", "k", "v"} <= set(sch.names)
+
+
+def test_stream_source_max_commits_per_trigger(spark, tmp_path):
+    """Rate limiting (Delta maxFilesPerTrigger analogue at commit
+    granularity): each trigger advances at most N commits. An
+    availableNow drain with cap 1 therefore takes exactly one commit per
+    invocation and resumes from the checkpoint — three drains walk three
+    appends one by one, exactly-once."""
+    register_lake_source(spark)
+    root = str(tmp_path / "rl")
+    t = LakeTable(spark, root)
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    t.append(_df(spark, [(2, "b", 2.0)]))
+    t.append(_df(spark, [(3, "c", 3.0)]))
+    ckpt = str(tmp_path / "ck")
+
+    out = str(tmp_path / "out")
+
+    def drain_once():
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", root)
+            .option("startingVersion", "earliest")
+            .option("maxCommitsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.id for r in spark.read.parquet(out).collect())
+
+    # each drain adds exactly one commit's rows; union is complete, no dups
+    assert [drain_once() for _ in range(3)] == [[1], [1, 2], [1, 2, 3]]
+
+    # unit: latestOffset is clamped to start+N until partitions() advances
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from ecommerce_lakehouse_spark.lake.stream_source import _snapshot_arrow_schema
+
+    schema = from_arrow_schema(_snapshot_arrow_schema(root))
+    r = LakeTableStreamReader(
+        {"path": root, "startingversion": "earliest", "maxcommitspertrigger": "2"},
+        schema,
+    )
+    assert r.latestOffset() == {"version": 2}
+    r.partitions({"version": 0}, {"version": 2})
+    assert r.latestOffset() == {"version": 3}
