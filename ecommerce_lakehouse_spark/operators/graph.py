@@ -4,9 +4,9 @@ pipeline's cluster stage (pipelines/curation.py).
 
 Plain neighbor-min propagation advances the minimum label ONE hop per
 iteration, so it converges in O(graph diameter) iterations — not
-log(diameter); the log-round variants (large-star/small-star, alternating
-pointer-jumping) exist for adversarially long chains but cost extra
-shuffles per round. Near-dup graphs are overwhelmingly star/clique-shaped
+log(diameter); the log-round pointer-jumping variant
+(``pointer_jump=True``: a Shiloach-Vishkin doubling join per round)
+handles adversarially long chains at one extra shuffle per round. Near-dup graphs are overwhelmingly star/clique-shaped
 (copies of a template all pair with each other), so diameter is small in
 practice; the iteration bound is a guardrail and overrunning it RAISES
 instead of silently returning half-merged clusters.
@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 
 
 def min_label_propagation(
-    ids: DataFrame, pairs: DataFrame, max_iters: int = 64
+    ids: DataFrame, pairs: DataFrame, max_iters: int = 64, pointer_jump: bool = False
 ) -> DataFrame:
     """(doc_id) x (doc_a, doc_b) -> (doc_id, cluster_id) where cluster_id
     is the minimum doc_id in the connected component.
@@ -28,8 +28,17 @@ def min_label_propagation(
     with localCheckpoint so plan size stays constant; convergence is a
     control-plane count over the cached result (no data to the driver).
     Raises RuntimeError if ``max_iters`` rounds don't converge — a graph
-    with diameter that deep needs the pointer-jumping variant, and a
-    silently wrong clustering is worse than a loud failure."""
+    with diameter that deep needs ``pointer_jump=True``, and a silently
+    wrong clustering is worse than a loud failure.
+
+    ``pointer_jump`` adds a Shiloach-Vishkin-style doubling step per
+    round (labels re-join labels: L(u) <- L(L(u))), collapsing chain
+    depth geometrically — O(log diameter) rounds at the cost of one
+    extra shuffle join each. Default off: near-dup graphs are
+    star/clique-shaped (diameter ~2-3), where the plain hop converges in
+    fewer total shuffles. The label a node converges to is identical
+    either way (the component minimum — L(u) always stays inside u's
+    component, and the minimum is the unique fixed point)."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -44,26 +53,37 @@ def min_label_propagation(
         )
         # carry the old label through the checkpoint so convergence is a
         # filter-count over the cached result — no extra join per iteration
-        cand = (
-            labels.join(neigh, labels.doc_id == neigh.n_doc, "left")
-            .select(
+        cand = labels.join(neigh, labels.doc_id == neigh.n_doc, "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("old_label"),
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        if pointer_jump:
+            # doubling: follow the label's own label (L(u) <- L(L(u))).
+            # cluster_id is always a member of u's component, so the jump
+            # stays inside it; chain depth halves per round.
+            parent = cand.select(
+                F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lab")
+            )
+            cand = cand.join(parent, cand.cluster_id == parent.p_id, "left").select(
                 "doc_id",
-                F.col("cluster_id").alias("old_label"),
+                "old_label",
                 F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    F.col("cluster_id"), F.coalesce("p_lab", "cluster_id")
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
-        )
+        cand = cand.localCheckpoint()
         changed = cand.filter(F.col("cluster_id") < F.col("old_label")).count()
         labels = cand.select("doc_id", "cluster_id")
         if changed == 0:
             return labels
     raise RuntimeError(
         f"min-label propagation did not converge in {max_iters} iterations "
-        "(graph diameter exceeds the bound); raise max_iters or use a "
-        "pointer-jumping variant"
+        "(graph diameter exceeds the bound); retry with pointer_jump=True "
+        "(O(log diameter) rounds) or raise max_iters"
     )
 
 

@@ -187,3 +187,28 @@ def test_min_label_propagation_long_chain_converges(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_propagation(ids, pairs, max_iters=3)
+
+
+def test_pointer_jump_converges_in_log_rounds(spark):
+    """pointer_jump=True (Shiloach-Vishkin doubling per round) must merge
+    a deep chain in O(log diameter) rounds: a 60-node path (diameter 59)
+    converges inside a 12-iteration cap that the plain one-hop walker
+    provably cannot meet — and produces identical labels."""
+    from ecommerce_lakehouse_spark.operators.graph import min_label_propagation
+
+    n = 60
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="pointer_jump"):
+        min_label_propagation(ids, pairs, max_iters=12)
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in min_label_propagation(
+            ids, pairs, max_iters=12, pointer_jump=True
+        ).collect()
+    }
+    assert set(labels.values()) == {0} and len(labels) == n
