@@ -1213,3 +1213,52 @@ def test_merge_schema_evolution_new_column(spark, tmp_path):
     )
     got = {(r.k, r.v, r.part, r.score) for r in p.read().collect()}
     assert got == {(1, "x", "p1", None), (2, "Y", "p2", 7.5)}
+
+
+def test_auto_compact_loses_race_silently(spark, tmp_path):
+    """The auto-compaction janitor is best-effort: when another writer
+    commits between the triggering append and the compaction commit, the
+    compaction swallows the OCC conflict (the data commit it trails is
+    already durable) and no rows are lost; the next qualifying append
+    retries it."""
+    root = str(tmp_path / "acr")
+    a = LakeTable(spark, root)
+    b = LakeTable(spark, root)
+    a.overwrite(
+        spark.createDataFrame([(0, "a")], "id int, k string"), partition_by=["k"]
+    )
+    a.set_properties({"auto_compact": True, "auto_compact_min_files": 2})
+
+    # interleave: while A's auto-compact is writing its dir (after the
+    # append committed), B lands another append — compact's base is stale
+    orig = LakeTable._write_dir_entry
+    state = {"appends": 0}
+
+    def hooked(self, df, partition_by):
+        entry = orig(self, df, partition_by)
+        # fire B's append during A's *compaction* write (the write that
+        # follows an append once the threshold is crossed)
+        if state.get("arm") and "fired" not in state:
+            state["fired"] = True
+            bdf = spark.createDataFrame([(99, "a")], "id int, k string")
+            # avoid recursive auto-compact storms in the interleaved append
+            LakeTable._write_dir_entry = orig
+            try:
+                b.append(bdf)
+            finally:
+                LakeTable._write_dir_entry = hooked
+        return entry
+
+    LakeTable._write_dir_entry = hooked
+    try:
+        a.append(spark.createDataFrame([(1, "a")], "id int, k string"))
+        state["arm"] = True  # next write call is a compaction (threshold hit)
+        a.append(spark.createDataFrame([(2, "a")], "id int, k string"))
+    finally:
+        LakeTable._write_dir_entry = orig
+
+    got = sorted(r.id for r in a.read().collect())
+    assert got == [0, 1, 2, 99]  # nothing lost, no exception surfaced
+    # a later append may compact successfully; data still intact
+    a.append(spark.createDataFrame([(3, "a")], "id int, k string"))
+    assert sorted(r.id for r in a.read().collect()) == [0, 1, 2, 3, 99]
