@@ -874,7 +874,14 @@ class LakeTable:
             self._auto_compact()
         return v
 
-    def merge(self, updates: DataFrame, keys: list[str], txn: dict | None = None) -> int:
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        txn: dict | None = None,
+        _delete_keys: DataFrame | None = None,
+        _operation: str = "merge",
+    ) -> int:
         """K5/K6: MERGE upsert with create-if-absent fallback (reference
         src/glue_etl.py:439-497, Delta ``whenMatchedUpdateAll /
         whenNotMatchedInsertAll``).
@@ -903,6 +910,12 @@ class LakeTable:
         path's mergeSchema/unionByName serves old rows with NULLs in the
         new columns. Contract locked by
         tests/test_lake_table.py::test_merge_schema_evolution_new_column.
+
+        ``_delete_keys`` (internal, used by :meth:`apply_changes`): a
+        key-columns frame whose rows are REMOVED in the same commit —
+        the touched-partition/file discovery spans both key sets, and
+        the rewritten slice is anti-joined before writing, so a CDC
+        batch of upserts + deletes lands as one pruned commit.
         """
         import pyspark.sql.functions as F
 
@@ -912,11 +925,15 @@ class LakeTable:
         self._reject_cow_with_dvs(prior, "merge")
         updates = self._apply_generated(updates, prior.get("generated_columns", {}))
         self._enforce_constraints(updates)
+        key_frame = updates.select(*keys)
+        if _delete_keys is not None:
+            key_frame = key_frame.unionByName(_delete_keys.select(*keys))
+        key_frame = key_frame.distinct()
         pcols = prior["partition_by"]
         if not pcols:
             inventory = self._file_inventory(prior)
             # key ranges of the updates: one tiny agg (collects 1 row)
-            rng = updates.agg(
+            rng = key_frame.agg(
                 *[F.min(k).alias(f"{k}__lo") for k in keys],
                 *[F.max(k).alias(f"{k}__hi") for k in keys],
             ).first()
@@ -941,7 +958,7 @@ class LakeTable:
                     .select(*keys, F.input_file_name().alias("__file"))
                 )
                 hit = (
-                    scan.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
+                    scan.join(key_frame, on=keys, how="left_semi")
                     .select("__file")
                     .distinct()
                     .collect()
@@ -960,11 +977,16 @@ class LakeTable:
                 else self.read().limit(0)
             )
             merged = merge_upsert(target, updates, keys)
+            if _delete_keys is not None:
+                merged = merged.join(_delete_keys, on=keys, how="left_anti")
             entry = self._write_dir_entry(merged, [])
             untouched = [f for f in inventory if f not in touched]
+            # a CDC batch can delete every touched row: a fileless dir
+            # must not enter the manifest (parquet schema inference fails)
+            new_entries = [entry] if entry["files"] else []
             v = self._commit(
-                self._surviving_file_entries(prior, untouched) + [entry],
-                "merge",
+                self._surviving_file_entries(prior, untouched) + new_entries,
+                _operation,
                 pcols,
                 base_version=prior["version"],
                 txn=txn,
@@ -977,7 +999,7 @@ class LakeTable:
         # Touched partitions: the updates' own partitions plus partitions
         # of target rows whose keys match (key-column-pruned semi-join —
         # one slim shuffle), so a key that moved partitions is rewritten.
-        tgt_matched = target.join(updates.select(*keys).distinct(), on=keys, how="left_semi")
+        tgt_matched = target.join(key_frame, on=keys, how="left_semi")
         touched_rows = self._touched_partitions(
             updates.select(*pcols).unionByName(tgt_matched.select(*pcols)), pcols
         )
@@ -985,8 +1007,18 @@ class LakeTable:
         merged = merge_upsert(
             target.filter(_partition_predicate(pcols, touched_rows)), updates, keys
         )
+        if _delete_keys is not None:
+            merged = merged.join(_delete_keys, on=keys, how="left_anti")
         d = self._new_data_dir()
         merged.write.mode("overwrite").partitionBy(*pcols).parquet(d)
+        # a CDC batch can delete every row of the touched partitions: a
+        # fileless dir must not enter the manifest (same hazard as DELETE)
+        if not any(
+            name.endswith(".parquet")
+            for _b, _d2, files in os.walk(d)
+            for name in files
+        ):
+            d = None
 
         # Prior dirs pass through with the touched partitions masked out;
         # read() turns the mask into a partition-pruning filter, so those
@@ -994,7 +1026,7 @@ class LakeTable:
         # On a concurrent commit: auto-rebase iff every winner touched
         # disjoint partitions and its new data contains none of our merge
         # keys (incremental scan of the winners' delta only).
-        upd_keys = updates.select(*keys).distinct()
+        upd_keys = key_frame
 
         def _no_key_overlap(winners_delta: DataFrame) -> bool:
             cols = set(winners_delta.columns)
@@ -1006,7 +1038,7 @@ class LakeTable:
 
         v = self._commit_rebasing(
             lambda head: self._carry_prior_dirs(head, touched_rows, d),
-            "merge",
+            _operation,
             pcols,
             base_version=prior["version"],
             touched=touched_rows,
@@ -1016,6 +1048,60 @@ class LakeTable:
         if self.properties().get("auto_compact"):
             self._auto_compact()
         return v
+
+    def apply_changes(
+        self,
+        cdc: DataFrame,
+        keys: list[str],
+        sequence_col: str,
+        change_type_col: str = "_change_type",
+        txn: dict | None = None,
+    ) -> int:
+        """APPLY CHANGES INTO (Delta Live Tables' CDC-apply): consume a
+        change feed — e.g. another LakeTable's ``changes()`` or the
+        ``laketable`` streaming source with ``readChangeFeed`` — into
+        this table. Closes the CDC loop this storage layer produces.
+
+        Semantics (DLT parity): per key, the row with the HIGHEST
+        ``sequence_col`` wins (out-of-order tolerant — late-arriving
+        older changes are ignored); ``update_preimage`` rows are dropped
+        before sequencing (they describe the old value; their postimage
+        twin carries the same sequence); a winning ``delete`` removes the
+        key, any other winning change upserts the row. The caller must
+        guarantee ``sequence_col`` totally orders each key's changes
+        (our CDF's ``_commit_version`` does: one change per key per
+        commit once preimages are dropped). ``change_type_col`` and
+        ``sequence_col`` are bookkeeping, not payload — both are dropped
+        before the write.
+
+        One MERGE-shaped commit (operation ``apply_changes``):
+        upserts and deletes share the touched-partition / touched-file
+        discovery, so a CDC batch lands partition- or file-pruned exactly
+        like a merge, and the commit is OCC-protected with the same
+        winner-overlap checks (delete keys included)."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        live = cdc.filter(F.col(change_type_col) != "update_preimage")
+        w = Window.partitionBy(*keys).orderBy(F.desc(sequence_col))
+        latest = (
+            live.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upserts = (
+            latest.filter(F.col(change_type_col) != "delete")
+            .drop(change_type_col, sequence_col)
+        )
+        deletes = (
+            latest.filter(F.col(change_type_col) == "delete")
+            .select(*keys)
+            .distinct()
+        )
+        return self.merge(
+            upserts, keys, txn=txn, _delete_keys=deletes,
+            _operation="apply_changes",
+        )
 
     def _touched_files_by_cond(self, prior: dict, cond) -> tuple[list, list]:
         """(touched, untouched) file inventory split for an unpartitioned

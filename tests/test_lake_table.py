@@ -1262,3 +1262,86 @@ def test_auto_compact_loses_race_silently(spark, tmp_path):
     # a later append may compact successfully; data still intact
     a.append(spark.createDataFrame([(3, "a")], "id int, k string"))
     assert sorted(r.id for r in a.read().collect()) == [0, 1, 2, 3, 99]
+
+
+def test_apply_changes_closes_cdc_loop(spark, tmp_path):
+    """APPLY CHANGES INTO: replaying one table's change feed into another
+    reproduces the source exactly — inserts, merge updates, deletes, with
+    latest-sequence-wins and preimages dropped."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ).coalesce(1)
+    )
+    src.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"), keys=["k"]
+    )
+    src.delete("k = 1")
+    feed = src.changes(starting_version=1, keys=["k"])
+    dst = LakeTable(spark, str(tmp_path / "dst"))
+    dst.apply_changes(feed, keys=["k"], sequence_col="_commit_version")
+    assert {(r.k, r.v) for r in dst.read().collect()} == {
+        (r.k, r.v) for r in src.read().collect()
+    } == {(2, "B"), (3, "c"), (4, "d")}
+    assert dst.history()[-1]["operation"] in ("overwrite",)  # created fresh
+
+    # incremental: more source DML, apply only the NEW commits
+    v = src.current_version()
+    src.merge(spark.createDataFrame([(3, "C3")], "k int, v string"), keys=["k"])
+    src.delete("k = 4")
+    dst.apply_changes(
+        src.changes(starting_version=v + 1, keys=["k"]),
+        keys=["k"],
+        sequence_col="_commit_version",
+    )
+    assert {(r.k, r.v) for r in dst.read().collect()} == {
+        (r.k, r.v) for r in src.read().collect()
+    } == {(2, "B"), (3, "C3")}
+    assert dst.history()[-1]["operation"] == "apply_changes"
+
+
+def test_apply_changes_partitioned_pruned_and_out_of_order(spark, tmp_path):
+    """A CDC batch lands partition-pruned (untouched partitions'
+    files byte-identical, masked not rewritten), latest sequence wins
+    over late-arriving older changes, and a batch that deletes every
+    touched row commits cleanly (no fileless dir)."""
+    import glob as _glob
+    import hashlib
+
+    def _hashes(pat):
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in sorted(_glob.glob(pat))
+        }
+
+    root = str(tmp_path / "p")
+    t = LakeTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "x", "p1"), (2, "y", "p2")], "k int, v string, part string"
+        ),
+        partition_by=["part"],
+    )
+    p2_before = _hashes(root + "/data/*/part=p2/*.parquet")
+    assert p2_before
+    cdc = spark.createDataFrame(
+        [
+            (1, "x-new", "p1", "update_postimage", 7),
+            (1, "x-old", "p1", "update_postimage", 5),  # late, older: ignored
+            (3, "z", "p1", "insert", 6),
+        ],
+        "k int, v string, part string, _change_type string, _commit_version int",
+    )
+    t.apply_changes(cdc, keys=["k"], sequence_col="_commit_version")
+    got = {(r.k, r.v, r.part) for r in t.read().collect()}
+    assert got == {(1, "x-new", "p1"), (2, "y", "p2"), (3, "z", "p1")}
+    assert _hashes(root + "/data/*/part=p2/*.parquet") == p2_before
+
+    # delete every row of the touched partition: no fileless dir committed
+    wipe = spark.createDataFrame(
+        [(1, None, "p1", "delete", 8), (3, None, "p1", "delete", 8)],
+        "k int, v string, part string, _change_type string, _commit_version int",
+    )
+    t.apply_changes(wipe, keys=["k"], sequence_col="_commit_version")
+    assert {(r.k, r.part) for r in t.read().collect()} == {(2, "p2")}
