@@ -848,6 +848,15 @@ class LakeTable:
             raise ValueError(f"schema_mode must be 'merge' or 'strict', got {schema_mode!r}")
         prior = self._manifest(self.current_version())
         partition_by = partition_by or prior["partition_by"]
+        if partition_by != prior["partition_by"]:
+            # Delta parity: appends cannot change the partitioning scheme
+            # (mixed hive layouts would break mask-based DML pruning);
+            # repartitioning a table is an explicit overwrite.
+            raise SchemaMismatchError(
+                f"append to {self.root}: partition_by={partition_by} differs "
+                f"from the table's {prior['partition_by']}; use overwrite() "
+                "to change partitioning"
+            )
         df = self._apply_generated(df, prior.get("generated_columns", {}))
         entry = self._write_dir_entry(df, partition_by)
         self._enforce_constraints_on_entry(entry)

@@ -1345,3 +1345,31 @@ def test_apply_changes_partitioned_pruned_and_out_of_order(spark, tmp_path):
     )
     t.apply_changes(wipe, keys=["k"], sequence_col="_commit_version")
     assert {(r.k, r.part) for r in t.read().collect()} == {(2, "p2")}
+
+
+def test_append_rejects_partition_scheme_change(spark, tmp_path):
+    """Delta parity: an append cannot silently change the partitioning
+    scheme (mixed hive layouts would corrupt mask-based DML pruning) —
+    repartitioning is an explicit overwrite."""
+    from ecommerce_lakehouse_spark.lake.table import SchemaMismatchError
+
+    t = LakeTable(spark, str(tmp_path / "ps"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a", "p1")], "k int, v string, part string"),
+        partition_by=["part"],
+    )
+    with pytest.raises(SchemaMismatchError, match="partition_by"):
+        t.append(
+            spark.createDataFrame([(2, "b", "p1")], "k int, v string, part string"),
+            partition_by=["v"],
+        )
+    flat = LakeTable(spark, str(tmp_path / "ps2"))
+    flat.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    with pytest.raises(SchemaMismatchError, match="partition_by"):
+        flat.append(
+            spark.createDataFrame([(2, "b")], "k int, v string"),
+            partition_by=["v"],
+        )
+    # same scheme still appends fine
+    t.append(spark.createDataFrame([(3, "c", "p2")], "k int, v string, part string"))
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
