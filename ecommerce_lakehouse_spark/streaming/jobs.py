@@ -384,3 +384,62 @@ def stream_backfill_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_replicate(
+    spark,
+    src_root: str,
+    dst_root: str,
+    keys: list[str],
+    checkpoint_dir: str,
+):
+    """Continuous table replication: tail ``src_root`` as a streaming
+    change feed (the ``laketable`` source with ``readChangeFeed``) and
+    APPLY CHANGES INTO ``dst_root`` per microbatch — the stream-side
+    composition of the storage layer's CDC producer and consumer.
+
+    Exactly-once: each microbatch commit records
+    ``{"app_id": replicate:<src>, "version": batch_id}``; a replayed
+    batch (crash between table commit and checkpoint commit) is detected
+    via ``last_txn`` and skipped — Delta's idempotent foreachBatch
+    pattern. Append-only sources by contract: a rewrite commit on the
+    source raises in the stream source itself (honest, not silent); for
+    tables with DML history, replicate in batch via
+    ``dst.apply_changes(src.changes(...), ...)``.
+
+    Returns the started StreamingQuery (caller picks the trigger by
+    stopping/awaiting; use ``.trigger(availableNow=True)`` semantics by
+    awaiting termination of the returned always-on query, or wrap your
+    own — this helper starts with availableNow so catch-up runs drain
+    and stop)."""
+    from ecommerce_lakehouse_spark.lake.stream_source import register_lake_source
+
+    register_lake_source(spark)
+    dst = LakeTable(spark, dst_root)
+    app_id = f"replicate:{src_root}->{dst_root}"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if dst.exists():
+            last = dst.last_txn(app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already applied
+        dst.apply_changes(
+            batch_df,
+            keys=keys,
+            sequence_col="_commit_version",
+            txn={"app_id": app_id, "version": batch_id},
+        )
+
+    return (
+        spark.readStream.format("laketable")
+        .option("path", src_root)
+        .option("startingVersion", "earliest")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -307,3 +307,41 @@ def test_available_now_backfill_drains_and_stops(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert table.current_version() == v and table.read().count() == n_batch
+
+
+def test_stream_replicate_table(spark, tmp_path):
+    """Streaming replication: the CDF stream of an append-only source,
+    applied per microbatch with apply_changes + txn idempotency,
+    reproduces the source exactly and stays correct across repeated
+    catch-up drains."""
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_replicate
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+    src = LakeTable(spark, src_root)
+    src.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").coalesce(1)
+    )
+    src.append(spark.createDataFrame([(3, "c")], "k int, v string"))
+
+    q = stream_replicate(spark, src_root, dst_root, keys=["k"], checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    dst = LakeTable(spark, dst_root)
+    same = lambda: (  # noqa: E731
+        {tuple(r) for r in dst.read().collect()}
+        == {tuple(r) for r in src.read().collect()}
+    )
+    assert same()
+
+    # incremental catch-up: new appends, re-drain from the checkpoint
+    src.append(spark.createDataFrame([(4, "d")], "k int, v string"))
+    q = stream_replicate(spark, src_root, dst_root, keys=["k"], checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    assert same()
+    # idempotent: draining again with nothing new changes nothing
+    v = dst.current_version()
+    q = stream_replicate(spark, src_root, dst_root, keys=["k"], checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    assert dst.current_version() == v and same()
