@@ -55,7 +55,7 @@ _FIRST = [
     "corpus_curation_pipeline",
     "minhash_lsh_pairs",
     "embedding_cosine_dups",
-    "exact_dedup",
+    "rfm_segments",  # r4: new — triple bucketed-rank NTILE segmentation
     "tpch_q1_pricing_summary",
     # never-gated: this round's global-window rewrites
     "value_quantiles_exact",

@@ -166,3 +166,21 @@ def bucketed_global_row_number(
         .drop("__sv", "__b", "__off", "__vmin", "__vmax")
     )
     return ranked
+
+
+def ntile_from_rank(rn, n, tiles: int):
+    """Closed-form ``ntile(tiles)`` from a 1-based global rank ``rn`` and
+    total count ``n`` (both Columns): with q = n div tiles and
+    rem = n mod tiles, the first ``rem`` tiles take q+1 rows, the rest q
+    — exactly Spark's/DuckDB's NTILE. Pairs with
+    :func:`bucketed_global_row_number` so tile assignment never needs a
+    single-partition window. Integer-exact for any realistic n (the
+    double divisions stay below 2**53)."""
+    q = F.floor(n / tiles)
+    rem = n % tiles
+    head = rem * (q + 1)
+    return (
+        F.when(rn <= head, F.ceil(rn / (q + 1)))
+        .otherwise(rem + F.ceil((rn - head) / q))
+        .cast("int")
+    )

@@ -22,6 +22,7 @@ from ecommerce_lakehouse_spark.money import dec2, money_sum
 from ecommerce_lakehouse_spark.operators.scale import (
     bucketed_global_row_number,
     fixed_width_bucket,
+    ntile_from_rank,
 )
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
@@ -960,13 +961,9 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.desc("spend"), F.asc("o_custkey")],
         buckets=1024,
     )
-    q = F.floor(F.col("n") / 10)
-    rem = F.col("n") % 10
-    head = rem * (q + 1)
-    decile = F.when(
-        F.col("rn") <= head, F.ceil(F.col("rn") / (q + 1))
-    ).otherwise(rem + F.ceil((F.col("rn") - head) / q)).cast("int")
-    d = ranked.withColumn("decile", decile)
+    d = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("rn"), F.col("n"), 10)
+    )
     return d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.min("spend").cast("double").alias("min_spend"),
@@ -1065,4 +1062,78 @@ def value_outlier_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             flagged.alias("n_outliers"),
             (flagged.cast("double") / F.max("n")).alias("outlier_rate"),
         )
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+         max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(last_d) AS max_d FROM c),
+s AS (SELECT c.*, date_diff('day', last_d, max_d) AS recency_days FROM c, mx),
+t AS (
+  SELECT o_custkey, spend,
+         ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS f_score,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS m_score
+  FROM s)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       CAST(round(sum(spend), 2) AS DOUBLE) AS total_spend
+FROM t GROUP BY 1, 2, 3
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic e-commerce marketing cube): score
+    every customer 1-4 on Recency (days since last order, fewer = 1),
+    Frequency (order count, more = 1) and Monetary (exact-decimal
+    lifetime spend, more = 1) via NTILE(4), then profile the up-to-64
+    segments. The whales/loyalists/at-risk report.
+
+    Scale: one per-customer aggregate, then THREE global quartile
+    assignments — each a bucketed two-pass rank
+    (operators/scale.py:bucketed_global_row_number + the closed-form
+    ntile_from_rank), so no metric ever funnels the customer frame into
+    a single window partition. Output collapses to segment cells; spend
+    sums stay in the exact decimal domain until the final cast."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec2("o_totalprice")).alias("spend"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    mx = c.agg(F.max("last_d").alias("max_d"))
+    s = (
+        c.join(F.broadcast(mx))
+        .withColumn("recency_days", F.datediff("max_d", "last_d"))
+        .drop("max_d")
+    )
+    for score, sort_value, order_cols in [
+        (
+            "r_score",
+            F.col("recency_days").cast("double"),
+            [F.asc("recency_days"), F.asc("o_custkey")],
+        ),
+        (
+            "f_score",
+            -F.col("n_orders").cast("double"),
+            [F.desc("n_orders"), F.asc("o_custkey")],
+        ),
+        (
+            "m_score",
+            -F.col("spend").cast("double"),
+            [F.desc("spend"), F.asc("o_custkey")],
+        ),
+    ]:
+        s = (
+            bucketed_global_row_number(s, sort_value, order_cols, buckets=1024)
+            .withColumn(score, ntile_from_rank(F.col("rn"), F.col("n"), 4))
+            .drop("rn", "n")
+        )
+    return s.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("spend"), 2).cast("double").alias("total_spend"),
     )
