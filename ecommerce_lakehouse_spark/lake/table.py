@@ -1799,7 +1799,10 @@ class LakeTable:
         return dest
 
     def vacuum(
-        self, keep_last: int = 2, retention_hours: float | None = None
+        self,
+        keep_last: int = 2,
+        retention_hours: float | None = None,
+        dry_run: bool = False,
     ) -> list[str]:
         """VACUUM analogue (reference docs/data_model.md:310-316: age-based
         retention, 7/30/90 days for bronze/silver/gold): delete data dirs
@@ -1816,7 +1819,10 @@ class LakeTable:
 
         A too-aggressive combination (``keep_last=0`` with a window older
         than the current commit) raises before touching anything rather
-        than reclaiming the live snapshot."""
+        than reclaiming the live snapshot.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): return the list
+        of dirs that WOULD be reclaimed, deleting nothing."""
         import shutil
 
         cur = self.current_version()
@@ -1850,14 +1856,16 @@ class LakeTable:
         for name in sorted(os.listdir(data_root)):
             d = os.path.join(data_root, name)
             if d not in live:
-                shutil.rmtree(d)
+                if not dry_run:
+                    shutil.rmtree(d)
                 removed.append(d)
         dv_root = os.path.join(self.root, "_dv")
         if os.path.isdir(dv_root):
             for name in sorted(os.listdir(dv_root)):
                 d = os.path.join(dv_root, name)
                 if d not in live_dv:
-                    shutil.rmtree(d)
+                    if not dry_run:
+                        shutil.rmtree(d)
                     removed.append(d)
         return removed
 

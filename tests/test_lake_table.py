@@ -1373,3 +1373,20 @@ def test_append_rejects_partition_scheme_change(spark, tmp_path):
     # same scheme still appends fine
     t.append(spark.createDataFrame([(3, "c", "p2")], "k int, v string, part string"))
     assert sorted(r.k for r in t.read().collect()) == [1, 3]
+
+
+def test_vacuum_dry_run(spark, tmp_path):
+    """VACUUM DRY RUN (Delta parity): reports reclaimable dirs, deletes
+    nothing; a subsequent real vacuum removes exactly that list."""
+    import os
+
+    t = LakeTable(spark, str(tmp_path / "dr"))
+    t.overwrite(spark.createDataFrame([(1,)], "id int"))
+    t.overwrite(spark.createDataFrame([(2,)], "id int"))
+    t.overwrite(spark.createDataFrame([(3,)], "id int"))
+    would = t.vacuum(keep_last=1, dry_run=True)
+    assert len(would) == 2
+    assert all(os.path.isdir(d) for d in would)  # nothing deleted
+    assert [r.id for r in t.read(version=1).collect()] == [1]  # still readable
+    assert t.vacuum(keep_last=1) == would
+    assert not any(os.path.isdir(d) for d in would)
