@@ -93,11 +93,17 @@ def fixed_width_bucket(col, vmin, vmax, buckets: int):
     rows that tie on ``col`` always share a bucket — the property that
     makes per-bucket windows compose into an exact global order. Being a
     pure expression (no sampling), it is consistent across recomputations
-    of the same frame, unlike ``repartitionByRange``'s sampled bounds."""
+    of the same frame, unlike ``repartitionByRange``'s sampled bounds.
+
+    NULL ``col`` maps to bucket -1 (before every real bucket) — matching
+    Spark's ASC-nulls-first sort order, and keeping NULL rows out of the
+    null-hostile equi-joins downstream instead of silently dropping
+    them."""
     w = (vmax - vmin) / F.lit(float(buckets))
     raw = F.floor((col - vmin) / w)
     return (
-        F.when(w <= F.lit(0.0), F.lit(0))
+        F.when(col.isNull(), F.lit(-1))
+        .when(w <= F.lit(0.0), F.lit(0))
         .otherwise(F.least(raw, F.lit(buckets - 1)))
         .cast("int")
     )

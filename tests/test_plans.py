@@ -255,3 +255,24 @@ def test_every_query_has_an_oracle():
 
     missing = sorted(set(REGISTRY) - set(ORACLES))
     assert not missing, f"queries without oracles: {missing}"
+
+
+def test_bucketed_global_row_number_null_sort_values(spark):
+    """NULL sort values must rank FIRST (Spark asc-nulls-first), not be
+    silently dropped by the bucket equi-joins."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ecommerce_lakehouse_spark.operators.scale import bucketed_global_row_number
+
+    rows = [(0, None), (1, 5.0), (2, None), (3, 1.0)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = bucketed_global_row_number(
+        df, sort_value=F.col("v"), order_cols=[F.asc("v"), F.asc("id")], buckets=4
+    )
+    exp = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id")))
+    )
+    assert {(r.id, r.rn) for r in got.collect()} == {
+        (r.id, r.rn) for r in exp.collect()
+    } and got.count() == 4
