@@ -1569,6 +1569,40 @@ class LakeTable:
 
     # ---------------- maintenance (§4: OPTIMIZE / VACUUM analogues) -------
 
+    def describe_detail(self) -> dict:
+        """Delta ``DESCRIBE DETAIL`` analogue: one dict of table facts —
+        location, current version, partition columns, LIVE file count and
+        byte size (exclusion masks and ``live_files`` honored, exactly
+        the files a read would open), properties, constraints, generated
+        columns, deletion-vector sidecar count, created/last-modified
+        timestamps, version count. Control-plane only: manifest reads
+        plus a filesystem walk, zero Spark jobs."""
+        from ecommerce_lakehouse_spark.lake.stream_source import _live_files
+
+        v = self.current_version()
+        m = self._manifest(v)
+        hist = self.history()
+        files = [
+            os.path.join(d, rel)
+            for e in m["data_dirs"]
+            for d, rel in _live_files(e)
+        ]
+        return {
+            "format": "laketable-parquet",
+            "location": self.root,
+            "version": v,
+            "partition_columns": m["partition_by"],
+            "num_files": len(files),
+            "size_in_bytes": sum(os.path.getsize(f) for f in files),
+            "properties": m.get("properties", {}),
+            "constraints": m.get("constraints", {}),
+            "generated_columns": m.get("generated_columns", {}),
+            "num_deletion_vector_files": len(m.get("deletion_vectors", [])),
+            "created_at": hist[0].get("committed_at"),
+            "last_modified": m.get("committed_at"),
+            "num_versions": len(hist),
+        }
+
     # ---------------- table properties + auto-compaction ----------------
 
     def properties(self) -> dict:

@@ -1390,3 +1390,23 @@ def test_vacuum_dry_run(spark, tmp_path):
     assert [r.id for r in t.read(version=1).collect()] == [1]  # still readable
     assert t.vacuum(keep_last=1) == would
     assert not any(os.path.isdir(d) for d in would)
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: live-visibility file counts (masked partitions
+    excluded), properties/constraints surfaced, zero Spark jobs (pure
+    manifest + filesystem)."""
+    t = LakeTable(spark, str(tmp_path / "dd"))
+    t.overwrite(
+        _df(spark, [(1, "a", "x"), (2, "b", "y")]), partition_by=["part"]
+    )
+    t.set_properties({"auto_compact": True})
+    t.delete("part = 'x'")  # mask-only: x's file no longer live
+    d = t.describe_detail()
+    assert d["partition_columns"] == ["part"]
+    assert d["num_files"] == 1  # only part=y remains visible
+    assert d["size_in_bytes"] > 0
+    assert d["properties"] == {"auto_compact": True}
+    assert d["version"] == t.current_version()
+    assert d["num_versions"] == 3
+    assert d["created_at"] <= d["last_modified"]
