@@ -49,7 +49,7 @@ _FIRST = [
     # proven per-family representatives
     "daily_sales",
     "customer_insights",
-    "merge_upsert_snapshot",
+    "cdc_apply_snapshot",  # r4: new — CDC loop closed (changes() -> apply_changes)
     "tumbling_window_agg",
     "cdc_change_feed",
     "corpus_curation_pipeline",

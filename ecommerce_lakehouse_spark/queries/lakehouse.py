@@ -155,3 +155,79 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+@query(
+    "cdc_apply_snapshot",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 5 = 2),
+target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(4,2)), 2) AS DOUBLE)
+           AS o_totalprice
+  FROM base WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT * FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)),
+final AS (SELECT * FROM merged WHERE NOT (o_orderkey % 15 = 2))
+SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM final GROUP BY 1
+""",
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop closed over REAL storage commits: a source LakeTable
+    takes an overwrite, a MERGE and a DELETE; its change feed
+    (``changes()``) is APPLY-CHANGES'd into a fresh replica
+    (:meth:`LakeTable.apply_changes` — latest sequence per key wins,
+    preimages dropped, winning deletes remove); the query returns the
+    REPLICA's per-status profile. The oracle recomputes the same DML
+    relationally, so any defect in the feed (missed slice, wrong
+    pre/postimage pairing) or in the apply (sequencing, delete handling,
+    pruned-commit visibility) breaks counts or sums.
+
+    Scale: the feed reads only touched slices per commit; the apply
+    lands as one merge-shaped pruned commit per batch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 2)
+    target = base.filter(F.col("o_orderdate") < "1998-01-01 00:00:00").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderdate") >= "1997-07-01 00:00:00").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(dec2("o_totalprice") * F.lit(1.10).cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_cdcapply_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = LakeTable(spark, os.path.join(root, "src"))
+    src.overwrite(target.coalesce(8))  # v1
+    src.merge(updates, keys=["o_orderkey"])  # v2
+    src.delete("o_orderkey % 15 = 2")  # v3
+    dst = LakeTable(spark, os.path.join(root, "replica"))
+    dst.apply_changes(
+        src.changes(1, keys=["o_orderkey"]),
+        keys=["o_orderkey"],
+        sequence_col="_commit_version",
+    )
+    return dst.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_price"),
+    )
