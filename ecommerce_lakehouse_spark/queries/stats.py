@@ -1128,8 +1128,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.desc("spend"), F.asc("o_custkey")],
         ),
     ]:
+        # lineage barrier between rank passes: each pass references its
+        # input from three plan branches (stats, bucket counts, join), so
+        # without the barrier the per-customer aggregate would recompute
+        # 3^passes times; materializing ~per-customer rows once per pass
+        # is far cheaper (measured 4.4 s -> ~1.5 s at sf0.1)
         s = (
-            bucketed_global_row_number(s, sort_value, order_cols, buckets=1024)
+            bucketed_global_row_number(
+                s.localCheckpoint(eager=False), sort_value, order_cols, buckets=1024
+            )
             .withColumn(score, ntile_from_rank(F.col("rn"), F.col("n"), 4))
             .drop("rn", "n")
         )
