@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _FIRST = [
     # proven per-family representatives
     "daily_sales",
-    "customer_insights",
+    "shingle_novelty_profile",  # r4: new — first-occurrence novelty scoring
     "cdc_apply_snapshot",  # r4: new — CDC loop closed (changes() -> apply_changes)
     "tumbling_window_agg",
     "cdc_change_feed",

@@ -477,3 +477,78 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_unseen").cast("double") / F.col("n_bigrams")).alias("unseen_rate"),
         F.round(F.col("__slog") / F.col("n_bigrams"), 5).alias("avg_log2_prob"),
     )
+
+
+@query(
+    "shingle_novelty_profile",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 6),
+                               i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+           AS shingle
+  FROM w WHERE len(toks) >= 8),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+fo AS (SELECT shingle, min(doc_id) AS first_doc FROM ds GROUP BY 1),
+p AS (
+  SELECT ds.doc_id, count(*) AS n_shingles,
+         count(*) FILTER (WHERE fo.first_doc = ds.doc_id) AS n_novel
+  FROM ds JOIN fo USING (shingle) GROUP BY 1)
+SELECT doc_id, n_shingles, n_novel,
+       CAST(n_novel AS DOUBLE) / n_shingles AS novelty_rate
+FROM p
+""",
+)
+def shingle_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty scoring (a standard curation signal next to
+    the dedup family): the fraction of a doc's distinct 8-gram word
+    shingles whose FIRST occurrence in the corpus (min doc_id = ingest
+    order) is this doc. Documents that are mostly re-statements of
+    earlier content score near 0; fresh content scores near 1 — the
+    contribution-weighted view exact/near dedup doesn't give (a doc can
+    be 40%% boilerplate without being anyone's near-dup).
+
+    Scale: the shingle explode collapses immediately into a map-side
+    distinct + a (shingle -> min doc) aggregate; the join back is
+    shingle-keyed with ONE row on the aggregate side per shingle, so a
+    hot boilerplate shingle joins many docs against one row — no pair
+    expansion anywhere (contrast with naive all-pairs overlap). The
+    final divide is one exact int/int IEEE op, bit-identical
+    cross-engine. Spark's sequence(1, n) includes n and DuckDB's
+    range(1, n) excludes it — bounds in the two texts differ by one on
+    purpose."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 8)
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7),"
+                " i -> array_join(slice(toks, i, 8), ' '))"
+            )
+        ).alias("shingle"),
+    )
+    ds = sh.distinct()
+    fo = ds.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ds.join(fo, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
