@@ -50,7 +50,7 @@ _FIRST = [
     "daily_sales",
     "shingle_novelty_profile",  # r4: new — first-occurrence novelty scoring
     "cdc_apply_snapshot",  # r4: new — CDC loop closed (changes() -> apply_changes)
-    "tumbling_window_agg",
+    "concat_packing_plan",  # r4: new — GPT-style concat packing plan
     "cdc_change_feed",
     "corpus_curation_pipeline",
     "minhash_lsh_pairs",

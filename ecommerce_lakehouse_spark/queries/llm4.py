@@ -552,3 +552,64 @@ def shingle_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "concat_packing_plan",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens
+            - CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) * 2048
+            AS BIGINT) AS pack_offset
+FROM c
+""",
+)
+def concat_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan for pretraining batches (GPT-style
+    concatenation packing): per source, documents are concatenated in
+    doc_id order and chunked into fixed 2048-token windows; each doc
+    gets the window id (``pack_id``) and offset where it starts — the
+    exact metadata a dataloader needs to materialize packed sequences
+    (docs may straddle windows; that's the concat-packing contract, no
+    padding waste). Deterministic across engines/retries: ingest order,
+    integer arithmetic, no sampling.
+
+    Scale: ONE window pass partitioned by source (the natural packing
+    stream; a skewed source bounds a partition at that source's doc
+    count — repartition the stream key upstream if a single source is
+    corpus-scale). Everything else is map-side token counting."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    pack = F.floor(start / F.lit(2048.0)).cast("bigint")
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            pack.alias("pack_id"),
+            (start - pack * F.lit(2048)).cast("bigint").alias("pack_offset"),
+        )
+    )
