@@ -50,6 +50,11 @@ QUERIES = [
     "embedding_cosine_dups_expanded",
     "ngram_contamination",
     "repetition_profile",
+    # novelty: 10x exact replication must drive replicas' novelty to 0 via
+    # the shingle->min-doc aggregate, never a pair expansion
+    "shingle_novelty_profile",
+    # packing plan: pure window pass, wall time ~linear in corpus size
+    "concat_packing_plan",
     # span-level dedup: output is bounded by DISTINCT duplicated spans, so
     # K× exact replication must grow wall time ~linearly (same distinct
     # spans, bigger counts), not with the pair count C(copies,2)
