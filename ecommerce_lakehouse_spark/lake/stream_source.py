@@ -263,7 +263,13 @@ class LakeTableStreamReader(DataSourceStreamReader):
         return {"version": min(actual, base + self._max_commits)}
 
     def partitions(self, start: dict, end: dict):
-        self._last_end = end["version"]
+        # rate-limit base: never below the checkpointed position we just
+        # learned (a freshly-restarted reader only knows startingVersion
+        # until the engine reveals the real start here)
+        known = max(start["version"], end["version"])
+        self._last_end = (
+            known if self._last_end is None else max(self._last_end, known)
+        )
         parts: list[_LakeFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _load_manifest(self._root, v)
