@@ -56,7 +56,7 @@ _FIRST = [
     "minhash_lsh_pairs",
     "embedding_cosine_dups",
     "rfm_segments",  # r4: new — triple bucketed-rank NTILE segmentation
-    "tpch_q1_pricing_summary",
+    "zorder_skipping_snapshot",  # r4: new — OPTIMIZE ZORDER + data skipping gated
     # never-gated: this round's global-window rewrites
     "value_quantiles_exact",
     "customer_spend_deciles",

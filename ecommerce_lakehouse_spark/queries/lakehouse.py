@@ -231,3 +231,52 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").alias("key_sum"),
         F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "zorder_skipping_snapshot",
+    oracle="""
+SELECT count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
+  AND o_custkey >= 2000 AND o_custkey <= 8000
+""",
+)
+def zorder_skipping_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER + data skipping, gated end-to-end: orders land in
+    a LakeTable, get Morton-clustered on (o_totalprice, o_custkey), and
+    the rectangle query runs through ``read_skipping`` — files whose
+    footer min/max prove no overlap are never opened, the survivors get
+    the exact row filter. The oracle is the plain relational filter, so
+    any skipping defect (file wrongly pruned, bound off by one, stats
+    missing after the rewrite) changes counts or sums.
+
+    Scale: the whole point of Z-order — both rectangle dimensions prune
+    files, not just a lexicographic leading column; row-level exactness
+    rides the same parquet filter pushdown any scan gets."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_zorder_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, os.path.join(root, "orders"))
+    t.overwrite(o.repartition(8))
+    t.optimize(zorder_by=["o_totalprice", "o_custkey"], target_partitions=8)
+    df = t.read_skipping(
+        {"o_totalprice": (50000, 150000), "o_custkey": (2000, 8000)}
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_price"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
