@@ -1112,6 +1112,96 @@ class LakeTable:
             _operation="apply_changes",
         )
 
+    def apply_changes_scd2(
+        self,
+        cdc: DataFrame,
+        keys: list[str],
+        sequence_col: str,
+        change_type_col: str = "_change_type",
+        txn: dict | None = None,
+    ) -> int:
+        """APPLY CHANGES INTO ... STORED AS SCD TYPE 2 (Delta Live
+        Tables' history-keeping CDC apply): instead of keeping only each
+        key's latest row, every change opens a new history row and closes
+        the previous one. The table carries two bookkeeping columns:
+        ``__start_at`` (the ``sequence_col`` value that opened the row)
+        and ``__end_at`` (the sequence that closed it; NULL = current).
+
+        Batch semantics: preimages are dropped (their postimage twin
+        carries the same sequence); each key's in-batch changes are
+        ordered by ``sequence_col`` and each non-delete change becomes an
+        interval ``[seq, next_seq)`` — a delete contributes no row but
+        closes the interval before it. A key's existing OPEN row joins
+        the ordering as one more event at its own ``__start_at``, so the
+        first incoming change closes it; CLOSED history rows are never
+        rewritten. Requires per-key monotone feeds: an incoming change
+        older than an affected key's recorded ``__start_at`` raises
+        rather than silently corrupting history (full retroactive
+        repair would need delete tombstones this table doesn't keep).
+
+        Lands as ONE merge-shaped commit keyed on ``keys + __start_at``
+        (operation ``apply_changes_scd2``): re-opened rows update in
+        place, new intervals insert, untouched partitions/files pass
+        through — the same pruned-commit shape as :meth:`apply_changes`.
+
+        Scale: the only shuffle beyond the merge itself is the per-key
+        ``lead()`` window — partitioned by key, so each task holds one
+        key's change count (bounded by commits per batch), never a
+        global sort."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        live = cdc.filter(F.col(change_type_col) != "update_preimage")
+        payload = [
+            c for c in live.columns if c not in (change_type_col, sequence_col)
+        ]
+        events = live.select(
+            *payload,
+            F.col(sequence_col).alias("__start_at"),
+            (F.col(change_type_col) == "delete").alias("__is_delete"),
+        )
+        if self.exists():
+            tgt = self.read()
+            affected = tgt.join(
+                events.select(*keys).distinct(), on=keys, how="left_semi"
+            )
+            # late-arriving guard: history already extends past this batch
+            late = (
+                affected.groupBy(*keys)
+                .agg(F.max("__start_at").alias("__hi"))
+                .join(events.select(*keys, "__start_at"), on=keys)
+                .filter(F.col("__start_at") < F.col("__hi"))
+            )
+            if not late.isEmpty():
+                bad = late.select(*keys, "__start_at", "__hi").first()
+                raise ValueError(
+                    "apply_changes_scd2: change older than recorded history "
+                    f"for key {[bad[k] for k in keys]} "
+                    f"(incoming {bad['__start_at']} < recorded {bad['__hi']}); "
+                    "SCD2 keeps no delete tombstones, so retroactive repair "
+                    "is not possible — feed changes in per-key order"
+                )
+            open_events = affected.filter(F.col("__end_at").isNull()).select(
+                *payload, "__start_at", F.lit(False).alias("__is_delete")
+            )
+            events = events.unionByName(open_events)
+        w = Window.partitionBy(*keys).orderBy("__start_at")
+        # (key, seq) dedupe: a replayed feed re-delivers the change that
+        # opened the current row — the incoming copy and the open-row event
+        # are identical, keep one
+        intervals = (
+            events.dropDuplicates(keys + ["__start_at"])
+            .withColumn("__end_at", F.lead("__start_at").over(w))
+            .filter(~F.col("__is_delete"))
+            .drop("__is_delete")
+        )
+        return self.merge(
+            intervals,
+            keys + ["__start_at"],
+            txn=txn,
+            _operation="apply_changes_scd2",
+        )
+
     def _touched_files_by_cond(self, prior: dict, cond) -> tuple[list, list]:
         """(touched, untouched) file inventory split for an unpartitioned
         snapshot: a file is touched iff it physically contains a row where

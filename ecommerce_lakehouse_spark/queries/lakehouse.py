@@ -234,6 +234,98 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_apply_snapshot",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 7 = 3),
+target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(4,2)), 2) AS DOUBLE)
+           AS o_totalprice
+  FROM base WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)),
+events AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         1 AS seq, 0 AS is_delete FROM target
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 2, 0 FROM updates
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 3, 1 FROM merged WHERE o_orderkey % 15 = 2),
+iv AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(seq AS BIGINT) AS start_at,
+         CAST(lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS BIGINT) AS end_at,
+         is_delete
+  FROM events)
+SELECT o_orderkey, o_orderstatus, o_totalprice, start_at, end_at
+FROM iv WHERE is_delete = 0
+""",
+)
+def scd2_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 over REAL storage commits (DLT's ``APPLY CHANGES ...
+    STORED AS SCD TYPE 2``): a source LakeTable takes an overwrite, a
+    MERGE and a DELETE; its change feed is applied history-keeping into
+    a dimension table (:meth:`LakeTable.apply_changes_scd2`) — every
+    change opens a row stamped ``__start_at`` and closes its
+    predecessor's ``__end_at``; deletes close without opening. The query
+    returns the FULL history (one row per key per validity interval).
+    The oracle rebuilds the same intervals relationally with ``lead()``
+    over the per-key event sequence, so any defect in the feed or the
+    interval construction (missed close, delete leaving a live row,
+    wrong sequencing) changes rows.
+
+    Scale: interval construction is a per-key window (bounded by commits
+    per batch) + the merge's pruned commit — no global sort, no
+    snapshot diff."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 3)
+    target = base.filter(F.col("o_orderdate") < "1998-01-01 00:00:00").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderdate") >= "1997-07-01 00:00:00").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(dec2("o_totalprice") * F.lit(1.10).cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_scd2_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = LakeTable(spark, os.path.join(root, "src"))
+    src.overwrite(target.coalesce(8))  # v1
+    src.merge(updates, keys=["o_orderkey"])  # v2
+    src.delete("o_orderkey % 15 = 2")  # v3
+    dim = LakeTable(spark, os.path.join(root, "dim"))
+    dim.apply_changes_scd2(
+        src.changes(1, keys=["o_orderkey"]),
+        keys=["o_orderkey"],
+        sequence_col="_commit_version",
+    )
+    return dim.read().select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("__start_at").cast("long").alias("start_at"),
+        F.col("__end_at").cast("long").alias("end_at"),
+    )
+
+
+@query(
     "zorder_skipping_snapshot",
     oracle="""
 SELECT count(*) AS n,

@@ -1410,3 +1410,86 @@ def test_describe_detail(spark, tmp_path):
     assert d["version"] == t.current_version()
     assert d["num_versions"] == 3
     assert d["created_at"] <= d["last_modified"]
+
+
+def test_apply_changes_scd2_history(spark, tmp_path):
+    """SCD TYPE 2 apply: every change opens a history row and closes its
+    predecessor; deletes close without opening; a later batch closes the
+    open row in place and a post-delete re-insert starts a fresh one."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ).coalesce(1)
+    )  # v1: inserts
+    src.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"), keys=["k"]
+    )  # v2: update k=2, insert k=4
+    src.delete("k = 1")  # v3
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    dim.apply_changes_scd2(
+        src.changes(1, keys=["k"]), keys=["k"], sequence_col="_commit_version"
+    )
+    hist = {
+        (r.k, r["__start_at"]): (r.v, r["__end_at"])
+        for r in dim.read().collect()
+    }
+    assert hist == {
+        (1, 1): ("a", 3),  # closed by the delete, no successor
+        (2, 1): ("b", 2),
+        (2, 2): ("B", None),
+        (3, 1): ("c", None),
+        (4, 2): ("d", None),
+    }
+
+    # incremental batch: update closes k=3's open row, re-insert revives k=1
+    v = src.current_version()
+    src.merge(
+        spark.createDataFrame([(3, "C3"), (1, "a2")], "k int, v string"),
+        keys=["k"],
+    )  # v4
+    dim.apply_changes_scd2(
+        src.changes(v + 1, keys=["k"]), keys=["k"], sequence_col="_commit_version"
+    )
+    hist2 = {
+        (r.k, r["__start_at"]): (r.v, r["__end_at"])
+        for r in dim.read().collect()
+    }
+    assert hist2[(3, 1)] == ("c", 4) and hist2[(3, 4)] == ("C3", None)
+    assert hist2[(1, 4)] == ("a2", None) and hist2[(1, 1)] == ("a", 3)
+    # closed history rows from the first apply are untouched
+    assert hist2[(2, 1)] == ("b", 2) and hist2[(2, 2)] == ("B", None)
+    assert dim.history()[-1]["operation"] == "apply_changes_scd2"
+
+    # current view = source snapshot
+    cur = {(r.k, r.v) for r in dim.read().filter("__end_at IS NULL").collect()}
+    assert cur == {(r.k, r.v) for r in src.read().collect()}
+
+
+def test_apply_changes_scd2_late_change_raises(spark, tmp_path):
+    """A change older than a key's recorded history raises instead of
+    silently corrupting intervals (no delete tombstones = no repair),
+    while replaying the exact feed that built the table is idempotent."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))  # v1
+    src.merge(spark.createDataFrame([(1, "A")], "k int, v string"), keys=["k"])
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    feed = src.changes(1, keys=["k"])
+    dim.apply_changes_scd2(feed, keys=["k"], sequence_col="_commit_version")
+    before = {
+        (r.k, r["__start_at"], r.v, r["__end_at"]) for r in dim.read().collect()
+    }
+    # replay: the re-delivered change matches the open row -> no-op result
+    dim.apply_changes_scd2(
+        src.changes(2, keys=["k"]), keys=["k"], sequence_col="_commit_version"
+    )
+    assert {
+        (r.k, r["__start_at"], r.v, r["__end_at"]) for r in dim.read().collect()
+    } == before
+
+    late = spark.createDataFrame(
+        [(1, "old", "update_postimage", 1)],
+        "k int, v string, _change_type string, _commit_version int",
+    )
+    with pytest.raises(ValueError, match="older than recorded history"):
+        dim.apply_changes_scd2(late, keys=["k"], sequence_col="_commit_version")
