@@ -234,6 +234,90 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mv_incremental_refresh",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 6 = 1),
+target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(4,2)), 2) AS DOUBLE)
+           AS o_totalprice
+  FROM base WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)),
+final AS (SELECT * FROM merged WHERE NOT (o_orderkey % 15 = 2))
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM final GROUP BY 1
+""",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over REAL storage
+    commits (lake/mv.py — the reference recomputes its gold marts from
+    full silver scans each run, src/glue_etl.py; this keeps one fresh
+    from the change feed instead): a revenue-by-status mart is
+    bootstrapped after the initial load, then two source commits — a
+    MERGE that MOVES every matched row to a new group plus inserts, and
+    a DELETE — are folded in as signed CDF deltas (+insert/postimage,
+    −delete/preimage), each refresh one merge-shaped pruned commit. The
+    query returns the maintained mart; the oracle recomputes the
+    aggregate from the final relational state, so any defect in the
+    delta signing, group migration (old group must shrink, new group
+    grow), zero-count row removal, or cursor bookkeeping shows up as
+    wrong counts or sums. Measures accumulate in DECIMAL, so the
+    incremental path is bit-identical to recompute, not just close.
+
+    Scale: each refresh reads only the commit's CDF slice and shuffles
+    one (group, delta) frame — gold stays fresh without re-scanning
+    silver."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.mv import MaterializedAggregate
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 6 == 1)
+    target = base.filter(F.col("o_orderdate") < "1998-01-01 00:00:00").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderdate") >= "1997-07-01 00:00:00").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(dec2("o_totalprice") * F.lit(1.10).cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_mv_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = LakeTable(spark, os.path.join(root, "src"))
+    mart = LakeTable(spark, os.path.join(root, "mart"))
+    mv = MaterializedAggregate(
+        src, mart, ["o_orderstatus"], {"revenue": "o_totalprice"}
+    )
+    src.overwrite(target.coalesce(8))  # v1
+    mv.refresh()  # bootstrap at v1
+    src.merge(updates, keys=["o_orderkey"])  # v2: group-moving updates
+    mv.refresh()  # incremental
+    src.delete("o_orderkey % 15 = 2")  # v3
+    mv.refresh()  # incremental
+    return mart.read().select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+@query(
     "scd2_apply_snapshot",
     oracle="""
 WITH base AS (

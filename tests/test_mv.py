@@ -1,0 +1,91 @@
+"""Incremental materialized-aggregate maintenance (lake/mv.py):
+incremental refresh must be indistinguishable from recompute."""
+
+import pyspark.sql.functions as F
+
+from ecommerce_lakehouse_spark.lake import LakeTable
+from ecommerce_lakehouse_spark.lake.mv import MaterializedAggregate
+
+
+def _state(t):
+    return {
+        (r.g, r.n_rows, str(r.revenue)) for r in t.read().collect()
+    }
+
+
+def _recompute(src):
+    return {
+        (r.g, r.n_rows, str(r.revenue))
+        for r in src.read()
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("amt").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+
+
+def test_mv_incremental_equals_recompute(spark, tmp_path):
+    """Bootstrap, then fold a merge (including a group-moving update) and
+    a delete incrementally: state is bit-identical to a from-scratch
+    recompute at every step, and an emptied group's row disappears."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    dst = LakeTable(spark, str(tmp_path / "mv"))
+    mv = MaterializedAggregate(src, dst, ["g"], {"revenue": "amt"})
+
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.50), (2, "a", 4.25), (3, "b", 7.00), (4, "c", 1.00)],
+            "k int, g string, amt double",
+        ).coalesce(1)
+    )
+    assert mv.refresh() == src.current_version()  # bootstrap
+    assert _state(dst) == _recompute(src)
+
+    # merge: k=2 moves group a->b (CDF delete+insert), k=5 inserts into b
+    src.merge(
+        spark.createDataFrame(
+            [(2, "b", 4.25), (5, "b", 2.75)], "k int, g string, amt double"
+        ),
+        keys=["k"],
+    )
+    assert mv.refresh() == src.current_version()
+    assert _state(dst) == _recompute(src)
+    assert dst.history()[-1]["operation"] == "mv_refresh"
+
+    # delete empties group c entirely: its MV row must vanish
+    src.delete("g = 'c'")
+    mv.refresh()
+    assert _state(dst) == _recompute(src)
+    assert {r.g for r in dst.read().collect()} == {"a", "b"}
+
+    # already current: no-op, no new version
+    v = dst.current_version()
+    assert mv.refresh() is None
+    assert dst.current_version() == v
+
+
+def test_mv_cursor_survives_reconstruction(spark, tmp_path):
+    """The refresh cursor lives in the TABLE (txn metadata), not the
+    Python object: a fresh MaterializedAggregate over the same tables
+    resumes incrementally instead of re-bootstrapping."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    dst = LakeTable(spark, str(tmp_path / "mv"))
+    MaterializedAggregate(src, dst, ["g"], {"revenue": "amt"})
+    src.overwrite(
+        spark.createDataFrame([(1, "a", 1.00)], "k int, g string, amt double")
+    )
+    MaterializedAggregate(src, dst, ["g"], {"revenue": "amt"}).refresh()
+    ops_before = [m["operation"] for m in dst.history()]
+    src.merge(
+        spark.createDataFrame([(2, "a", 2.00)], "k int, g string, amt double"),
+        keys=["k"],
+    )
+    mv2 = MaterializedAggregate(src, dst, ["g"], {"revenue": "amt"})
+    mv2.refresh()
+    ops = [m["operation"] for m in dst.history()]
+    assert ops == ops_before + ["mv_refresh"]  # incremental, not overwrite
+    assert _state(dst) == _recompute(src)
