@@ -44,6 +44,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm3,
     llm4,
     llm5,
+    llm6,
     media,
     quality,
     relational,
