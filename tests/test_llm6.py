@@ -1,0 +1,59 @@
+"""Wave-6 operators: the stupid-backoff chain must route each trigram
+through the right tier, with scores matching an independent hand
+computation under the same nano-bit rounding."""
+
+import hashlib
+import math
+import os
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+
+def _mini_corpus(spark, tmp_path, rows):
+    d = str(tmp_path / "mini")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_trigram_backoff_all_tiers(spark, tmp_path):
+    """One held-out doc whose four trigrams hit tiers 1-4 exactly once
+    each; score checked against an independent Python recomputation."""
+    train_id = next(i for i in range(1000) if _bucket(i) < 80)
+    held_id = next(i for i in range(1000) if _bucket(i) >= 80)
+
+    # train: tokens [a b c a b c] -> t3: (a,b,c)x2 (b,c,a) (c,a,b);
+    # b2: (a,b)x2 (b,c)x2 (c,a); u1: a=2 b=2 c=2; N=6
+    # held: [a b c q a b] -> (a,b,c) tier1; (b,c,q) tier4 (q OOV);
+    #       (c,q,a) tier3; (q,a,b) tier2
+    rows = [
+        (train_id, "a b c a b c", "en", "s0", 0),
+        (held_id, "a b c q a b", "en", "s0", 0),
+    ]
+    d = _mini_corpus(spark, tmp_path, rows)
+    from ecommerce_lakehouse_spark.queries.llm6 import trigram_backoff_scores
+
+    got = {r.doc_id: r for r in trigram_backoff_scores(spark, d).collect()}
+    h = got[held_id]
+    assert h.n_trigrams == 4 and h.n_backoff == 3 and h.n_oov == 1
+
+    # independent recomputation, same nano-bit integer contract
+    ps = [
+        2 / 2,  # tier 1: c123(a,b,c)=2 / c12(a,b)=2
+        0.16 / 6,  # tier 4: OOV floor
+        0.16 * 2 / 6,  # tier 3: unigram a
+        0.4 * 2 / 2,  # tier 2: bigram (a,b) / unigram a
+    ]
+    pos = sum(-round(math.log2(p) * 1e9) for p in ps)
+    expected = ((2 * pos + 4) // 8) / 1e9
+    assert h.bits_per_trigram == expected
+
+    # the fully-in-train doc scores all tier-1
+    t = got[train_id]
+    assert t.n_trigrams == 4 and t.n_backoff == 0 and t.n_oov == 0
