@@ -774,6 +774,52 @@ class LakeTable:
         w.parquet(d)
         return {"path": d, "files": _collect_file_stats(d)}
 
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_by: list[str] | None = None,
+    ) -> "LakeTable":
+        """CONVERT TO DELTA (in-place, zero-copy): promote an existing
+        plain-parquet directory to a LakeTable by writing a v1 manifest
+        that REFERENCES the files where they lie — no byte is copied or
+        rewritten. Footer min/max stats are collected during the convert
+        (one footer read per file, Delta's convert does the same), so
+        data skipping and file-pruned DML work immediately; every DML /
+        time-travel / CDF / streaming capability then applies on top.
+
+        ``partition_by`` must name the hive layout the directory already
+        uses (Delta's ``CONVERT TO DELTA ... PARTITIONED BY`` contract);
+        it is validated against the actual paths — a mismatch raises
+        before any manifest is written.
+
+        The manifest pins the CURRENT file list (``live_files``): files
+        dropped into the directory after the convert are invisible, the
+        same isolation Delta's log gives. Later commits write under
+        ``<path>/data`` as usual; vacuum never reclaims the original
+        directory itself (it only sweeps ``data/``) — the converted
+        files are simply aged out of manifests when superseded."""
+        t = cls(spark, path)
+        if t.exists():
+            raise ValueError(f"{path} is already a LakeTable (manifest present)")
+        stats = _collect_file_stats(path)
+        if not stats:
+            raise ValueError(f"{path} contains no parquet files to convert")
+        pcols = partition_by or []
+        for rel in stats:
+            segs = rel.split(os.sep)[:-1]
+            hive = [s.split("=", 1)[0] for s in segs if "=" in s]
+            if hive != pcols:
+                raise ValueError(
+                    f"convert_from_parquet(partition_by={pcols}): file "
+                    f"{rel!r} has hive layout {hive} — pass the directory's "
+                    "actual partition columns"
+                )
+        entry = {"path": path, "live_files": sorted(stats), "files": stats}
+        t._commit([entry], "convert", pcols)
+        return t
+
     def overwrite(
         self,
         df: DataFrame,
@@ -1496,11 +1542,17 @@ class LakeTable:
         dfs = []
         for e in entries:
             if isinstance(e, dict) and e.get("live_files") is not None:
-                # file-pruned DML carried these files forward by name
+                # file-pruned DML carried these files forward by name;
+                # basePath recovers hive partition columns when the entry
+                # points into a partitioned layout (converted tables)
                 paths = [os.path.join(e["path"], rel) for rel in e["live_files"]]
                 if not paths:
                     continue
-                df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+                df = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", e["path"])
+                    .parquet(*paths)
+                )
             else:
                 df = self.spark.read.option("mergeSchema", "true").parquet(_entry_path(e))
             if dvs or _with_rowids:
@@ -1977,6 +2029,8 @@ class LakeTable:
             live_dv.update(m.get("deletion_vectors", []))
         removed = []
         data_root = os.path.join(self.root, "data")
+        if not os.path.isdir(data_root):
+            return removed  # converted table with no post-convert commits
         for name in sorted(os.listdir(data_root)):
             d = os.path.join(data_root, name)
             if d not in live:

@@ -234,6 +234,82 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "convert_parquet_snapshot",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 9 = 4),
+target AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+updates AS (
+  SELECT o_orderkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(4,2)), 2) AS DOUBLE)
+           AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM base WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)),
+final AS (SELECT * FROM merged WHERE NOT (o_orderkey % 15 = 2))
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM final GROUP BY 1
+""",
+)
+def convert_parquet_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA gated end-to-end: a plain hive-partitioned
+    parquet directory (written by a vanilla ``df.write.partitionBy``)
+    is promoted IN PLACE to a LakeTable
+    (:meth:`LakeTable.convert_from_parquet` — zero copy, manifest
+    references the existing files, footer stats collected at convert);
+    then a partition-MOVING MERGE (updates re-status to 'U') and a
+    DELETE run on top, and the query returns the per-status profile.
+    The oracle recomputes the DML relationally, so a defect in the
+    convert (missed file, broken hive-column recovery via basePath,
+    stats that mis-prune) or in DML-over-converted-entries changes
+    counts or sums.
+
+    Scale: the convert is footer-only I/O (one read per file, no data
+    movement) — exactly how Delta converts a petabyte directory without
+    rewriting it; subsequent DML is partition-pruned as usual."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 4)
+    target = base.filter(F.col("o_orderdate") < "1998-01-01 00:00:00").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = base.filter(F.col("o_orderdate") >= "1997-07-01 00:00:00").select(
+        "o_orderkey",
+        F.round(dec2("o_totalprice") * F.lit(1.10).cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_convert_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    plain = os.path.join(root, "plain")
+    target.coalesce(4).write.partitionBy("o_orderstatus").parquet(plain)
+    t = LakeTable.convert_from_parquet(spark, plain, partition_by=["o_orderstatus"])
+    t.merge(updates, keys=["o_orderkey"])
+    t.delete("o_orderkey % 15 = 2")
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_price"),
+    )
+
+
+@query(
     "mv_incremental_refresh",
     oracle="""
 WITH base AS (

@@ -1493,3 +1493,73 @@ def test_apply_changes_scd2_late_change_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="older than recorded history"):
         dim.apply_changes_scd2(late, keys=["k"], sequence_col="_commit_version")
+
+
+def test_convert_from_parquet_zero_copy(spark, tmp_path):
+    """CONVERT TO DELTA: an existing parquet dir becomes a LakeTable
+    in place — no data copied, stats collected, DML and time travel
+    work on top, and files dropped in after the convert are invisible."""
+    import glob as _glob
+
+    src = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    ).coalesce(1).write.parquet(src)
+    before = set(_glob.glob(src + "/**/*.parquet", recursive=True))
+
+    t = LakeTable.convert_from_parquet(spark, src)
+    assert t.current_version() == 1
+    assert t.history()[-1]["operation"] == "convert"
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "b"), (3, "c")}
+    # zero-copy: exactly the original files, nothing written but manifest
+    assert set(_glob.glob(src + "/**/*.parquet", recursive=True)) == before
+    # footer stats landed -> skipping works immediately
+    assert t.read_skipping({"k": (10, 20)}).count() == 0
+
+    # a file dropped in after the convert is NOT part of the table
+    spark.createDataFrame([(9, "z")], "k int, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert t.read().count() == 3
+
+    # DML on top: merge updates/inserts, old snapshot still serves
+    t.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"), keys=["k"]
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d")
+    }
+    assert t.read(version=1).count() == 3
+    assert t.vacuum(dry_run=True) == []  # original dir never swept
+
+
+def test_convert_from_parquet_partitioned(spark, tmp_path):
+    """Partitioned convert: the declared layout is validated against the
+    actual hive paths, partition columns come back on read, and a merge
+    afterwards is partition-pruned as usual."""
+    src = str(tmp_path / "phive")
+    spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2")], "k int, v string, part string"
+    ).write.partitionBy("part").parquet(src)
+
+    with pytest.raises(ValueError, match="hive layout"):
+        LakeTable.convert_from_parquet(spark, src)  # layout not declared
+    with pytest.raises(ValueError, match="hive layout"):
+        LakeTable.convert_from_parquet(spark, src, partition_by=["wrong"])
+
+    t = LakeTable.convert_from_parquet(spark, src, partition_by=["part"])
+    assert {(r.k, r.v, r.part) for r in t.read().collect()} == {
+        (1, "x", "p1"), (2, "y", "p2")
+    }
+    t.merge(
+        spark.createDataFrame([(1, "X", "p1")], "k int, v string, part string"),
+        keys=["k"],
+    )
+    assert {(r.k, r.v, r.part) for r in t.read().collect()} == {
+        (1, "X", "p1"), (2, "y", "p2")
+    }
+
+    with pytest.raises(ValueError, match="already a LakeTable"):
+        LakeTable.convert_from_parquet(spark, src, partition_by=["part"])
+    with pytest.raises(ValueError, match="no parquet files"):
+        LakeTable.convert_from_parquet(spark, str(tmp_path / "empty"))
