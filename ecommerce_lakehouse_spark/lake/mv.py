@@ -95,12 +95,30 @@ class MaterializedAggregate:
             return self.bootstrap()
         if head <= cursor:
             return None
+        self.fold(
+            self.src.changes(cursor + 1, head),
+            txn={"app_id": self.app_id, "version": head},
+        )
+        return head
 
-        feed = self.src.changes(cursor + 1, head)
+    def fold(self, feed: DataFrame, txn: dict) -> None:
+        """Fold ONE change-feed slice into the view — the shared core of
+        :meth:`refresh` (which slices by cursor) and of streaming
+        callers (``streaming.jobs.stream_mv_refresh`` folds each
+        microbatch with ``version=batch_id``). A mart must be maintained
+        by ONE mode — the two record incompatible txn cursors (source
+        version vs batch id) and mixing them double-counts."""
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
         delta = feed.groupBy(*self.group_cols).agg(*self._measures(sign))
+        if not self.dst.exists():
+            # first slice IS the initial state (a from-earliest feed
+            # starts with the v1 inserts)
+            self.dst.overwrite(
+                delta.filter(F.col(self.count_col) > 0), txn=txn
+            )
+            return
 
         # slim read-modify-write: only groups present in the delta
         tgt = self.dst.read().join(
@@ -134,11 +152,10 @@ class MaterializedAggregate:
         self.dst.merge(
             upserts,
             self.group_cols,
-            txn={"app_id": self.app_id, "version": head},
+            txn=txn,
             _delete_keys=dead,
             _operation="mv_refresh",
         )
-        return head
 
 
 def os_basename(p: str) -> str:

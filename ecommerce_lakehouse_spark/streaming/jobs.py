@@ -443,3 +443,58 @@ def stream_replicate(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_mv_refresh(
+    spark,
+    src_root: str,
+    mart_root: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    checkpoint_dir: str,
+):
+    """Continuously-maintained materialized aggregate: tail ``src_root``
+    as a streaming change feed and fold each microbatch's signed deltas
+    into the mart (``lake/mv.py::MaterializedAggregate.fold``) — the
+    streaming face of incremental view maintenance, i.e. Databricks'
+    "materialized view refresh" running as a Structured Streaming job.
+
+    Exactly-once: each fold commits ``{"app_id": mv-stream:<src>,
+    "version": batch_id}``; replayed microbatches (crash between mart
+    commit and checkpoint commit) are detected via ``last_txn`` and
+    skipped. The mart must be maintained by THIS mode only — the batch
+    ``refresh()`` records source versions, not batch ids, and mixing
+    the two double-counts (see MaterializedAggregate.fold).
+
+    Starts with availableNow (drain pending commits, then stop);
+    re-invoke on a schedule or wrap your own trigger for always-on."""
+    from ecommerce_lakehouse_spark.lake.mv import MaterializedAggregate
+    from ecommerce_lakehouse_spark.lake.stream_source import register_lake_source
+
+    register_lake_source(spark)
+    src = LakeTable(spark, src_root)
+    mart = LakeTable(spark, mart_root)
+    mv = MaterializedAggregate(src, mart, group_cols, sum_cols)
+    app_id = f"mv-stream:{src_root}->{mart_root}"
+    mv.app_id = app_id
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if mart.exists():
+            last = mart.last_txn(app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already folded
+        mv.fold(batch_df, txn={"app_id": app_id, "version": batch_id})
+
+    return (
+        spark.readStream.format("laketable")
+        .option("path", src_root)
+        .option("startingVersion", "earliest")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
