@@ -84,6 +84,14 @@ def _read_slice(
         df = reader.parquet(*[os.path.join(path, rel) for rel in sorted(files)])
     else:
         df = table.spark.read.option("mergeSchema", "true").parquet(path)
+    # serve the feed under the CURRENT logical schema (Delta CDF does the
+    # same for column-mapped tables): pre-rename slices union cleanly
+    # with post-rename ones
+    from ecommerce_lakehouse_spark.lake.table import _apply_column_mapping
+
+    df = _apply_column_mapping(
+        df, table.column_mapping(), table.dropped_columns()
+    )
     if minus_mask:
         df = df.filter(~_partition_predicate(pcols, minus_mask))
     if only_mask is not None:

@@ -273,6 +273,17 @@ class LakeTableStreamReader(DataSourceStreamReader):
         parts: list[_LakeFilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _load_manifest(self._root, v)
+            if m.get("column_mapping") or m.get("dropped_columns"):
+                # this source serves files under their PHYSICAL schema
+                # (pyarrow reads, no mapping layer): streaming across a
+                # rename/drop would mix schemas mid-stream. Honest raise;
+                # consume column-mapped tables via changes()/read().
+                raise ValueError(
+                    f"laketable streaming source: {self._root} uses column "
+                    "mapping (rename/drop without rewrite) from "
+                    f"v{m['version']}; the file-level stream cannot serve "
+                    "renamed columns — use batch changes() or read()"
+                )
             m_prev = _load_manifest(self._root, v - 1) if v > 1 else None
             prev_dirs = (
                 {_entry_path(e) for e in m_prev["data_dirs"]} if m_prev else set()

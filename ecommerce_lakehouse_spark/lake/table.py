@@ -168,6 +168,34 @@ def _dir_partition_tuples(path: str, pcols: list[str]) -> set[tuple]:
     return found
 
 
+def _apply_column_mapping(df, mapping: dict, dropped: list):
+    """Serve a physical frame under the table's LOGICAL schema (Delta
+    column mapping): each logical column is the newest-first COALESCE of
+    whatever names (logical + physical aliases) the frame carries —
+    a mergeSchema scan spanning pre- and post-rename files holds BOTH
+    vintages' columns, null-filled per row by file vintage, so coalesce
+    reassembles exactly one value per row. Single-name frames reduce to
+    a rename. Dead (dropped) names are hidden. Pure projection."""
+    import pyspark.sql.functions as F
+
+    for logical, aliases in mapping.items():
+        cols = set(df.columns)
+        present = [c for c in [logical] + list(aliases) if c in cols]
+        if not present or present == [logical]:
+            continue
+        if len(present) == 1:
+            df = df.withColumnRenamed(present[0], logical)
+        else:
+            keep = [c for c in df.columns if c not in present]
+            df = df.select(
+                *keep, F.coalesce(*[F.col(c) for c in present]).alias(logical)
+            )
+    dead = [c for c in dropped if c in df.columns]
+    if dead:
+        df = df.drop(*dead)
+    return df
+
+
 def _collect_file_stats(d: str) -> dict:
     """Per-file column min/max from parquet FOOTERS (footer-only I/O — the
     local analogue of Delta's data-skipping stats, which are likewise
@@ -285,12 +313,24 @@ class LakeTable:
         generated: dict[str, str] | None = None,
         deletion_vectors: list[str] | None = None,
         properties: dict | None = None,
+        column_mapping: dict[str, list[str]] | None = None,
+        dropped_columns: list[str] | None = None,
     ) -> int:
         current = self.current_version() if self.exists() else 0
         if properties is None:
             # table properties ride every commit (Delta TBLPROPERTIES)
             properties = (
                 self._manifest(current).get("properties", {}) if current else {}
+            )
+        if column_mapping is None:
+            # column-mapping metadata rides every commit (Delta column
+            # mapping: renames/drops live in the log, not the files)
+            column_mapping = (
+                self._manifest(current).get("column_mapping", {}) if current else {}
+            )
+        if dropped_columns is None:
+            dropped_columns = (
+                self._manifest(current).get("dropped_columns", []) if current else []
             )
         if constraints is None:
             # table-level metadata rides every commit (Delta: constraints
@@ -337,6 +377,12 @@ class LakeTable:
             # table properties (Delta TBLPROPERTIES): auto_compact,
             # auto_compact_min_files, target_file_bytes — see set_properties
             "properties": properties,
+            # Delta column mapping: {logical: [physical aliases,
+            # newest-first]} applied at read; renames never rewrite files
+            "column_mapping": column_mapping,
+            # dead names (DROP COLUMN): hidden from every read; a dropped
+            # name stays dead — see drop_column's contract
+            "dropped_columns": dropped_columns,
             "committed_at": time.time(),
         }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -719,6 +765,94 @@ class LakeTable:
                 df = df.withColumn(c, F.expr(e))
         return df
 
+    def column_mapping(self) -> dict[str, list[str]]:
+        """Current {logical: [physical aliases]} rename mapping."""
+        if not self.exists():
+            return {}
+        return self._manifest(self.current_version()).get("column_mapping", {})
+
+    def dropped_columns(self) -> list[str]:
+        """Names hidden by DROP COLUMN (dead names — see drop_column)."""
+        if not self.exists():
+            return []
+        return self._manifest(self.current_version()).get("dropped_columns", [])
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN`` without rewriting a byte (Delta
+        column mapping, name mode): a metadata-only commit records
+        ``new -> [old, ...older aliases]``; every read — snapshot, time
+        travel within this version, CDF — serves existing files' physical
+        ``old`` under the logical ``new``, and new writes use ``new``
+        directly. Old data and post-rename data coexist; a later frame
+        carrying BOTH names keeps them distinct (the alias rename only
+        applies when the logical name is absent).
+
+        Partition columns are refused: their name is baked into hive
+        paths and every partition-pruning mask — renaming one is a
+        rewrite, not metadata. Time travel to pre-rename versions shows
+        the old name (the mapping lives in the manifest it was committed
+        to, exactly like Delta)."""
+        if not self.exists():
+            raise ValueError("rename_column: table does not exist yet")
+        prior = self._manifest(self.current_version())
+        if old in prior["partition_by"]:
+            raise ValueError(
+                f"rename_column({old!r}): partition columns are baked into "
+                "hive paths and pruning masks; rewrite the table instead"
+            )
+        cur_cols = self.read().columns
+        if old not in cur_cols:
+            raise ValueError(f"rename_column: no column {old!r} in {cur_cols}")
+        mapping = {k: list(v) for k, v in prior.get("column_mapping", {}).items()}
+        dropped = prior.get("dropped_columns", [])
+        reserved = (
+            set(cur_cols)
+            | set(dropped)
+            | set(mapping)
+            | {a for als in mapping.values() for a in als}
+        )
+        if new in reserved:
+            raise ValueError(f"rename_column: name {new!r} already in use")
+        mapping[new] = [old] + mapping.pop(old, [])
+        return self._commit(
+            prior["data_dirs"],
+            "rename-column",
+            prior["partition_by"],
+            base_version=prior["version"],
+            column_mapping=mapping,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` without rewriting a byte: a
+        metadata-only commit adds the name (and its rename aliases) to
+        the dead list; reads hide it everywhere. CONTRACT: a dropped
+        name stays dead — re-introducing it via schema evolution is
+        hidden too (this engine maps columns by NAME, not by Delta's
+        field ids, so resurfacing old bytes under a recycled name cannot
+        be told apart from the dropped column; dead-forever is the safe
+        semantics and it is enforced rather than documented away).
+        Pick a fresh name instead."""
+        if not self.exists():
+            raise ValueError("drop_column: table does not exist yet")
+        prior = self._manifest(self.current_version())
+        if name in prior["partition_by"]:
+            raise ValueError(f"drop_column({name!r}): cannot drop a partition column")
+        cur_cols = self.read().columns
+        if name not in cur_cols:
+            raise ValueError(f"drop_column: no column {name!r} in {cur_cols}")
+        mapping = {k: list(v) for k, v in prior.get("column_mapping", {}).items()}
+        dead = [name] + mapping.pop(name, [])
+        dropped = list(prior.get("dropped_columns", []))
+        dropped += [c for c in dead if c not in dropped]
+        return self._commit(
+            prior["data_dirs"],
+            "drop-column",
+            prior["partition_by"],
+            base_version=prior["version"],
+            column_mapping=mapping,
+            dropped_columns=dropped,
+        )
+
     def add_constraint(self, name: str, expr: str) -> int:
         """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: validates all
         EXISTING rows first (as Delta does), then commits a metadata-only
@@ -1007,11 +1141,13 @@ class LakeTable:
             touched_paths: set[str] = set()
             if candidates:
                 cand_paths = [os.path.join(d_, rel) for d_, rel, _ in candidates]
-                scan = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*cand_paths)
-                    .select(*keys, F.input_file_name().alias("__file"))
-                )
+                scan = _apply_column_mapping(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *cand_paths
+                    ),
+                    prior.get("column_mapping", {}),
+                    prior.get("dropped_columns", []),
+                ).select(*keys, F.input_file_name().alias("__file"))
                 hit = (
                     scan.join(key_frame, on=keys, how="left_semi")
                     .select("__file")
@@ -1025,8 +1161,12 @@ class LakeTable:
                 if os.path.abspath(os.path.join(f[0], f[1])) in touched_paths
             ]
             target = (
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(d_, rel) for d_, rel, _ in touched]
+                _apply_column_mapping(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(d_, rel) for d_, rel, _ in touched]
+                    ),
+                    prior.get("column_mapping", {}),
+                    prior.get("dropped_columns", []),
                 )
                 if touched
                 else self.read().limit(0)
@@ -1260,11 +1400,11 @@ class LakeTable:
         if not inventory:
             return [], []
         paths = [os.path.join(d_, rel) for d_, rel, _ in inventory]
-        scan = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*paths)
-            .withColumn("__file", F.input_file_name())
-        )
+        scan = _apply_column_mapping(
+            self.spark.read.option("mergeSchema", "true").parquet(*paths),
+            prior.get("column_mapping", {}),
+            prior.get("dropped_columns", []),
+        ).withColumn("__file", F.input_file_name())
         hit = (
             scan.filter(F.coalesce(cond, F.lit(False)))
             .select("__file")
@@ -1445,8 +1585,12 @@ class LakeTable:
             if not touched:
                 return self.current_version()
             rewritten = apply(
-                self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(d_, rel) for d_, rel, _ in touched]
+                _apply_column_mapping(
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(d_, rel) for d_, rel, _ in touched]
+                    ),
+                    prior.get("column_mapping", {}),
+                    prior.get("dropped_columns", []),
                 )
             )
             self._enforce_constraints(rewritten)
@@ -1555,6 +1699,11 @@ class LakeTable:
                 )
             else:
                 df = self.spark.read.option("mergeSchema", "true").parquet(_entry_path(e))
+            # logical schema (column mapping AS OF the version being read:
+            # time travel before a rename shows the old name, like Delta)
+            df = _apply_column_mapping(
+                df, m.get("column_mapping", {}), m.get("dropped_columns", [])
+            )
             if dvs or _with_rowids:
                 # stable row identity for merge-on-read DELETE (Delta
                 # deletion vectors): parquet-native, no data rewrite
@@ -1637,7 +1786,11 @@ class LakeTable:
         ]
         if not keep:
             return bound_filter(self.read(version=v)).limit(0)
-        df = self.spark.read.option("mergeSchema", "true").parquet(*keep)
+        df = _apply_column_mapping(
+            self.spark.read.option("mergeSchema", "true").parquet(*keep),
+            manifest.get("column_mapping", {}),
+            manifest.get("dropped_columns", []),
+        )
         return bound_filter(df)
 
     def _read_skipping_partitioned(self, manifest, bounds, bound_filter, v):
@@ -1695,6 +1848,11 @@ class LakeTable:
                     .option("basePath", dpath)
                     .parquet(*keep)
                 )
+            df = _apply_column_mapping(
+                df,
+                manifest.get("column_mapping", {}),
+                manifest.get("dropped_columns", []),
+            )
             if excl:
                 df = df.filter(~_partition_predicate(pcols, excl))
             dfs.append(df)

@@ -1563,3 +1563,143 @@ def test_convert_from_parquet_partitioned(spark, tmp_path):
         LakeTable.convert_from_parquet(spark, src, partition_by=["part"])
     with pytest.raises(ValueError, match="no parquet files"):
         LakeTable.convert_from_parquet(spark, str(tmp_path / "empty"))
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """Column mapping: rename without rewriting a byte — old files serve
+    the new name, writes after the rename mix in cleanly, time travel
+    shows the old name, chains resolve, and the feed uses current names."""
+    import glob as _glob
+
+    root = str(tmp_path / "cm")
+    t = LakeTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, amt double"))
+    files_before = sorted(_glob.glob(root + "/data/**/*.parquet", recursive=True))
+    v_data = t.current_version()
+
+    t.rename_column("amt", "revenue")
+    assert t.history()[-1]["operation"] == "rename-column"
+    # zero rewrite, logical schema served from old bytes
+    assert sorted(_glob.glob(root + "/data/**/*.parquet", recursive=True)) == files_before
+    assert {(r.k, r.revenue) for r in t.read().collect()} == {(1, 10.0), (2, 20.0)}
+    # time travel BEFORE the rename keeps the old name
+    assert "amt" in t.read(version=v_data).columns
+
+    # post-rename write uses the new name; merge spans both vintages
+    t.merge(
+        spark.createDataFrame([(2, 25.0), (3, 30.0)], "k int, revenue double"),
+        keys=["k"],
+    )
+    assert {(r.k, r.revenue) for r in t.read().collect()} == {
+        (1, 10.0), (2, 25.0), (3, 30.0)
+    }
+    # chain: revenue -> rev2 resolves through both aliases
+    t.rename_column("revenue", "rev2")
+    assert {(r.k, r.rev2) for r in t.read().collect()} == {
+        (1, 10.0), (2, 25.0), (3, 30.0)
+    }
+    # the change feed serves CURRENT logical names for old slices
+    feed = t.changes(1, keys=["k"])
+    assert "rev2" in feed.columns and "amt" not in feed.columns
+
+    with pytest.raises(ValueError, match="already in use"):
+        t.rename_column("k", "rev2")
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("ghost", "g2")
+
+
+def test_rename_partition_column_refused(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "cmp"))
+    t.overwrite(
+        spark.createDataFrame([(1, "p1")], "k int, part string"),
+        partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        t.rename_column("part", "region")
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("part")
+
+
+def test_drop_column_dead_name(spark, tmp_path):
+    """DROP COLUMN hides the name everywhere — including data written
+    later under the recycled name (name-mapped tables can't tell the
+    vintages apart, so dead-forever is enforced)."""
+    t = LakeTable(spark, str(tmp_path / "cmd"))
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0, "x")], "k int, amt double, note string")
+    )
+    t.drop_column("note")
+    assert t.read().columns == ["k", "amt"]
+    # recycled name in a later append stays hidden
+    t.append(
+        spark.createDataFrame([(2, 20.0, "y")], "k int, amt double, note string")
+    )
+    assert sorted(t.read().columns) == ["amt", "k"]
+    assert t.read().count() == 2
+    # a rename CANNOT take a dead name
+    with pytest.raises(ValueError, match="already in use"):
+        t.rename_column("amt", "note")
+
+
+def test_stream_source_refuses_column_mapped_table(spark, tmp_path):
+    from ecommerce_lakehouse_spark.lake.stream_source import register_lake_source
+
+    register_lake_source(spark)
+    root = str(tmp_path / "cms")
+    t = LakeTable(spark, root)
+    t.overwrite(spark.createDataFrame([(1, 10.0)], "k int, amt double"))
+    t.rename_column("amt", "revenue")
+    t.append(spark.createDataFrame([(2, 20.0)], "k int, revenue double"))
+    q = (
+        spark.readStream.format("laketable")
+        .option("path", root)
+        .option("startingVersion", "earliest")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="column mapping"):
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "stream did not fail")
+
+
+def test_dml_on_renamed_key_column(spark, tmp_path):
+    """MERGE keyed on a RENAMED column and DELETE filtering it: the
+    touched-file discovery scans physical files under the logical
+    schema, and footer stats recorded under the old name cannot
+    mis-prune (missing logical stats keep the file a candidate)."""
+    t = LakeTable(spark, str(tmp_path / "cmk"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "old_id int, v string"
+        ).coalesce(1)
+    )
+    t.rename_column("old_id", "id")
+    t.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "id int, v string"),
+        keys=["id"],
+    )
+    assert {(r.id, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c"), (4, "d")
+    }
+    t.delete("id = 1")
+    assert {(r.id, r.v) for r in t.read().collect()} == {
+        (2, "B"), (3, "c"), (4, "d")
+    }
+
+
+def test_read_skipping_on_renamed_column(spark, tmp_path):
+    """read_skipping with bounds on a renamed column: old-name footer
+    stats cannot prove disjointness for the logical name (file kept),
+    and the row filter applies on the logical schema — exact results."""
+    t = LakeTable(spark, str(tmp_path / "cms2"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k int, old_amt double"
+        ).repartition(4)
+    )
+    t.rename_column("old_amt", "amt")
+    got = {r.k for r in t.read_skipping({"amt": (10.0, 12.0)}).collect()}
+    assert got == {10, 11, 12}
