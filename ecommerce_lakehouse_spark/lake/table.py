@@ -354,6 +354,10 @@ class LakeTable:
                 "since this operation read it; re-read and retry"
             )
         version = current + 1
+        txns = self._txn_map(current)
+        if txn:
+            a, tv = txn["app_id"], txn["version"]
+            txns[a] = tv if a not in txns else max(txns[a], tv)
         os.makedirs(self._manifest_dir, exist_ok=True)
         manifest = {
             "version": version,
@@ -367,6 +371,8 @@ class LakeTable:
             # Delta txn pattern: {"app_id", "version"} for idempotent
             # replays (streaming foreachBatch records its batch id here).
             "txn": txn,
+            # accumulated SetTransaction state: O(1) last_txn lookups
+            "txns": txns,
             # CHECK constraints: {name: sql_expr}, enforced on every write
             "constraints": constraints,
             # generated columns: {col: sql_expr}, computed/validated on write
@@ -405,13 +411,43 @@ class LakeTable:
 
     def last_txn(self, app_id: str) -> int | None:
         """Highest transaction version committed for ``app_id`` (Delta's
-        ``txnAppId``/``txnVersion`` idempotent-write pattern), or None."""
+        ``txnAppId``/``txnVersion`` idempotent-write pattern), or None.
+
+        O(1): every commit carries the accumulated {app_id: version} map
+        (Delta's SetTransaction state, which its checkpoints exist to
+        serve) — a streaming writer's replay check reads ONE manifest,
+        never the whole log; at 100k commits the walk this replaces is
+        the difference between a microbatch and a pause. Tables whose
+        head predates the map fall back to the walk once."""
+        if not self.exists():
+            return None
+        m = self._manifest(self.current_version())
+        if "txns" in m:
+            return m["txns"].get(app_id)
         last = None
-        for m in self.history():
-            t = m.get("txn")
+        for h in self.history():
+            t = h.get("txn")
             if t and t.get("app_id") == app_id:
                 last = t["version"] if last is None else max(last, t["version"])
         return last
+
+    def _txn_map(self, current: int) -> dict:
+        """Accumulated SetTransaction state as of ``current`` (building it
+        by one walk for pre-map tables)."""
+        if not current:
+            return {}
+        m = self._manifest(current)
+        if "txns" in m:
+            return dict(m["txns"])
+        txns: dict[str, int] = {}
+        for h in self.history():
+            if h["version"] > current:
+                break
+            t = h.get("txn")
+            if t:
+                a, v = t["app_id"], t["version"]
+                txns[a] = v if a not in txns else max(txns[a], v)
+        return txns
 
     def _commit_rebasing(
         self,

@@ -1703,3 +1703,41 @@ def test_read_skipping_on_renamed_column(spark, tmp_path):
     t.rename_column("old_amt", "amt")
     got = {r.k for r in t.read_skipping({"amt": (10.0, 12.0)}).collect()}
     assert got == {10, 11, 12}
+
+
+def test_last_txn_constant_time_map(spark, tmp_path):
+    """last_txn reads ONE manifest (the accumulated SetTransaction map),
+    never the log: the map carries forward across unrelated commits,
+    keeps per-app maxima, and pre-map tables fall back to the walk."""
+    t = LakeTable(spark, str(tmp_path / "tx"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        txn={"app_id": "loader", "version": 3},
+    )
+    t.append(spark.createDataFrame([(2, "b")], "k int, v string"))  # no txn
+    t.merge(
+        spark.createDataFrame([(3, "c")], "k int, v string"),
+        keys=["k"],
+        txn={"app_id": "stream", "version": 7},
+    )
+    assert t.last_txn("loader") == 3  # carried across txn-less commits
+    assert t.last_txn("stream") == 7
+    assert t.last_txn("ghost") is None
+    m = t._manifest(t.current_version())
+    assert m["txns"] == {"loader": 3, "stream": 7}
+
+    # an older replayed version never lowers the recorded maximum
+    t.append(
+        spark.createDataFrame([(4, "d")], "k int, v string"),
+        txn={"app_id": "stream", "version": 5},
+    )
+    assert t.last_txn("stream") == 7
+
+    # pre-map manifests (simulated by stripping the key): walk fallback
+    import json as _json
+
+    p = t._manifest_dir + f"/v{t.current_version():08d}.json"
+    m = _json.load(open(p))
+    del m["txns"]
+    _json.dump(m, open(p, "w"))
+    assert t.last_txn("loader") == 3

@@ -63,6 +63,10 @@ QUERIES = [
     # rewrite shuffles text once (id-keyed join); at 10x duplication most
     # tokens are covered by duplicated windows, the adversarial direction
     "span_dedup_rewrite",
+    # trigram LM: model tables are vocabulary-bounded (replication adds
+    # counts, not rows), doc scoring joins per-doc DISTINCT trigrams —
+    # wall time must grow ~linearly with the corpus, model cost ~flat
+    "trigram_backoff_scores",
 ]
 
 _BOILERPLATE = (
