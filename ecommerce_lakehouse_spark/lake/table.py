@@ -2071,20 +2071,55 @@ class LakeTable:
         except ConcurrentWriteError:
             return None
 
-    def compact(self, target_partitions: int | None = None) -> int:
-        """OPTIMIZE analogue: rewrite current snapshot into right-sized
-        files (reference docs/data_model.md:302-308's 128-512 MB targets;
-        here AQE coalescing + optional repartition pick the file count)."""
+    def compact(
+        self, target_partitions: int | None = None, where: str | None = None
+    ) -> int:
+        """OPTIMIZE analogue: rewrite the snapshot into right-sized files
+        (reference docs/data_model.md:302-308's 128-512 MB targets; here
+        AQE coalescing + optional repartition pick the file count).
+
+        ``where`` (Delta ``OPTIMIZE ... WHERE``): compact ONLY the
+        partitions matching the predicate — at 100 TB you optimize
+        yesterday's partition, never the table; untouched partitions'
+        files pass through the manifest byte-identical behind an
+        exclusion mask, the same pruned-commit shape as MERGE. Deletion
+        vectors are carried (new files have new paths, so DVs can't
+        name rows in them; rows DVs removed from rewritten files stay
+        removed because read() applied them before the rewrite);
+        full-table compaction still materializes DVs (Delta PURGE)."""
         prior = self._manifest(self.current_version())
+        pcols = prior["partition_by"]
+        if where is not None:
+            if not pcols:
+                raise ValueError(
+                    "compact(where=...): partition-scoped compaction needs a "
+                    "partitioned table; use plain compact() instead"
+                )
+            target = self.read()
+            touched_rows = self._touched_partitions(target.filter(where), pcols)
+            if not touched_rows:
+                return self.current_version()
+            df = target.filter(_partition_predicate(pcols, touched_rows))
+            if target_partitions:
+                df = df.repartition(target_partitions, *pcols)
+            d = self._new_data_dir()
+            df.write.mode("overwrite").partitionBy(*pcols).parquet(d)
+            return self._commit(
+                self._carry_prior_dirs(prior, touched_rows, d),
+                "compact",
+                pcols,
+                base_version=prior["version"],
+                touched=touched_rows,
+            )
         df = self.read()
         if target_partitions:
-            df = df.repartition(target_partitions, *(prior["partition_by"] or []))
-        entry = self._write_dir_entry(df, prior["partition_by"])
+            df = df.repartition(target_partitions, *(pcols or []))
+        entry = self._write_dir_entry(df, pcols)
         # DVs may have deleted every row: a fileless dir must not enter
         # the manifest (same hazard the cow delete path guards)
         return self._commit(
             [entry] if entry["files"] else [],
-            "compact", prior["partition_by"], base_version=prior["version"],
+            "compact", pcols, base_version=prior["version"],
             deletion_vectors=[],  # rewrite via read() materializes DVs (Delta PURGE)
         )
 

@@ -1741,3 +1741,46 @@ def test_last_txn_constant_time_map(spark, tmp_path):
     del m["txns"]
     _json.dump(m, open(p, "w"))
     assert t.last_txn("loader") == 3
+
+
+def test_compact_where_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only matching partitions are rewritten —
+    untouched partitions' files stay byte-identical behind the mask,
+    data unchanged, and CDF/streams see a physical-only commit."""
+    import glob as _glob
+    import hashlib
+
+    def _hashes(pat):
+        return {
+            f: hashlib.md5(open(f, "rb").read()).hexdigest()
+            for f in sorted(_glob.glob(pat))
+        }
+
+    root = str(tmp_path / "ow")
+    t = LakeTable(spark, root)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}", "p1" if i % 2 else "p2") for i in range(20)],
+            "k int, v string, part string",
+        ).repartition(6),
+        partition_by=["part"],
+    )
+    before = {(r.k, r.v, r.part) for r in t.read().collect()}
+    p2_before = _hashes(root + "/data/*/part=p2/*.parquet")
+    n_p1_files = len(_hashes(root + "/data/*/part=p1/*.parquet"))
+    assert n_p1_files > 1
+
+    t.compact(target_partitions=1, where="part = 'p1'")
+    assert t.history()[-1]["operation"] == "compact"
+    assert {(r.k, r.v, r.part) for r in t.read().collect()} == before
+    assert _hashes(root + "/data/*/part=p2/*.parquet") == p2_before
+    # the feed sees nothing (physical-only op)
+    assert t.changes(t.current_version(), keys=["k"]).count() == 0
+    # no-match predicate: no-op, no commit
+    v = t.current_version()
+    assert t.compact(where="part = 'zzz'") == v
+
+    unp = LakeTable(spark, str(tmp_path / "unp"))
+    unp.overwrite(spark.createDataFrame([(1,)], "k int"))
+    with pytest.raises(ValueError, match="partitioned table"):
+        unp.compact(where="k = 1")
