@@ -2176,30 +2176,60 @@ class LakeTable:
             base_version=prior["version"], deletion_vectors=[]
         )
 
-    def clone_to(self, dest_root: str, version: int | None = None) -> "LakeTable":
+    def clone_to(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> "LakeTable":
         """SHALLOW CLONE (Delta ``CREATE TABLE .. SHALLOW CLONE src
         [VERSION AS OF n]``): a new table whose first commit references
         this table's data dirs at ``version`` by absolute path — zero
-        bytes copied, metadata (constraints, generated columns) carried.
-        The clone is independent from then on: DML copy-on-writes into
-        its OWN data dirs (shared dirs are only carried/masked, never
-        rewritten in place), and its vacuum() walks only its own data
-        root, so it can never reclaim source files. Delta's caveat
-        carries over unchanged: vacuum() on the SOURCE may remove files
-        a shallow clone still references."""
+        bytes copied, metadata (constraints, generated columns, table
+        properties, column mapping) carried. The clone is independent
+        from then on: DML copy-on-writes into its OWN data dirs (shared
+        dirs are only carried/masked, never rewritten in place), and its
+        vacuum() walks only its own data root, so it can never reclaim
+        source files. Delta's caveat carries over unchanged: vacuum() on
+        the SOURCE may remove files a shallow clone still references.
+
+        ``deep=True`` (Delta DEEP CLONE): the snapshot is MATERIALIZED
+        into the clone's own data dir — self-contained, survives source
+        vacuum. Implemented as a rewrite of the logical snapshot rather
+        than a file-by-file copy: deletion vectors are applied (their
+        row addresses name SOURCE file paths and would dangle against
+        copies), files come out right-sized, and column-mapped tables
+        materialize under their logical schema (dead names stay
+        reserved). At 100 TB a deep clone is a full copy either way."""
         v = version if version is not None else self.current_version()
         m = self._manifest(v)
         dest = LakeTable(self.spark, dest_root)
         if dest.exists():
             raise ValueError(f"clone destination {dest_root!r} already exists")
         os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
+        meta = dict(
+            constraints=m.get("constraints", {}),
+            generated=m.get("generated_columns", {}),
+            properties=m.get("properties", {}),
+            column_mapping=m.get("column_mapping", {}),
+            dropped_columns=m.get("dropped_columns", []),
+        )
+        if deep:
+            entry = dest._write_dir_entry(self.read(version=v), m["partition_by"])
+            dest._commit(
+                [entry] if entry["files"] else [],
+                "clone-deep",
+                m["partition_by"],
+                deletion_vectors=[],  # applied by read(): rows already gone
+                **meta,
+            )
+            return dest
         dest._commit(
             m["data_dirs"],
             "clone",
             m["partition_by"],
-            constraints=m.get("constraints", {}),
-            generated=m.get("generated_columns", {}),
             deletion_vectors=m.get("deletion_vectors", []),
+            **meta,
         )
         return dest
 

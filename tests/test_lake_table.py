@@ -1784,3 +1784,37 @@ def test_compact_where_partition_scoped(spark, tmp_path):
     unp.overwrite(spark.createDataFrame([(1,)], "k int"))
     with pytest.raises(ValueError, match="partitioned table"):
         unp.compact(where="k = 1")
+
+
+def test_deep_clone_self_contained(spark, tmp_path):
+    """DEEP CLONE materializes the snapshot (DVs applied, metadata +
+    column mapping carried) and survives source vacuum; a shallow clone
+    of a renamed table serves the LOGICAL schema."""
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, old_amt double"
+        ).coalesce(1)
+    )
+    src.rename_column("old_amt", "amt")
+    src.delete("k = 2", mode="merge-on-read")  # leaves a deletion vector
+    before = {(r.k, r.amt) for r in src.read().collect()}
+    assert before == {(1, 10.0), (3, 30.0)}
+
+    # shallow clone of a column-mapped table serves logical names
+    sh = src.clone_to(str(tmp_path / "shallow"))
+    assert {(r.k, r.amt) for r in sh.read().collect()} == before
+
+    deep = src.clone_to(str(tmp_path / "deep"), deep=True)
+    assert deep.history()[-1]["operation"] == "clone-deep"
+    assert {(r.k, r.amt) for r in deep.read().collect()} == before
+    assert deep._manifest(deep.current_version())["deletion_vectors"] == []
+    # the dead old name stays reserved in the deep clone
+    with pytest.raises(ValueError, match="already in use"):
+        deep.rename_column("amt", "old_amt")
+
+    # nuke the source entirely: the deep clone still reads, files are its own
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "src"))
+    assert {(r.k, r.amt) for r in deep.read().collect()} == before
