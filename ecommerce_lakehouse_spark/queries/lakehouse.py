@@ -310,6 +310,79 @@ def convert_parquet_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rename_column_snapshot",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 11 = 6),
+target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(4,2)), 2) AS DOUBLE)
+           AS revenue
+  FROM base WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, revenue FROM updates
+  UNION ALL
+  SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice AS revenue FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey))
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(round(sum(CAST(revenue AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue_total
+FROM merged GROUP BY 1
+""",
+)
+def rename_column_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping gated end-to-end (Delta's zero-rewrite RENAME
+    COLUMN): a snapshot lands in a LakeTable under ``o_totalprice``,
+    the column is renamed to ``revenue`` as a metadata-only commit (the
+    original files are never touched), and a MERGE then writes NEW
+    files under the new name — so the final read spans both vintages,
+    reassembled by the mapping's newest-first coalesce, and the merge's
+    own touched-file discovery had to scan old-named files under the
+    logical schema. The oracle recomputes the same DML relationally
+    with the rename applied as a projection, so a mapping defect (alias
+    not resolved, vintage values lost in the coalesce, key discovery
+    against the wrong name) changes counts or sums.
+
+    Scale: the rename costs one manifest write regardless of table
+    size — the 100 TB schema-evolution story; the read-side mapping is
+    pure projection on top of unchanged scans."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 6)
+    target = base.filter(F.col("o_orderdate") < "1998-01-01 00:00:00").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderdate") >= "1997-07-01 00:00:00").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(dec2("o_totalprice") * F.lit(1.10).cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_rename_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, os.path.join(root, "t"))
+    t.overwrite(target.coalesce(8))  # v1: files under o_totalprice
+    t.rename_column("o_totalprice", "revenue")  # v2: metadata only
+    t.merge(updates, keys=["o_orderkey"])  # v3: new files under revenue
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(F.sum(dec2("revenue")), 2).cast("double").alias("revenue_total"),
+    )
+
+
+@query(
     "mv_incremental_refresh",
     oracle="""
 WITH base AS (
