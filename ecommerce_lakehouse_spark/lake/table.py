@@ -460,6 +460,7 @@ class LakeTable:
         delta_check=None,
         blind: bool = False,
         max_retries: int = 5,
+        properties: dict | None = None,
     ) -> int:
         """Commit with Delta-style logical conflict auto-resolution.
 
@@ -485,6 +486,7 @@ class LakeTable:
                     base_version=base,
                     touched=touched,
                     txn=txn,
+                    properties=properties,
                 )
             except ConcurrentWriteError as err:
                 last_err = err
@@ -506,11 +508,14 @@ class LakeTable:
                         w.get("constraints", {}) != base_meta.get("constraints", {})
                         or w.get("generated_columns", {})
                         != base_meta.get("generated_columns", {})
+                        or (w.get("properties") or {}).get("identity")
+                        != (base_meta.get("properties") or {}).get("identity")
                     ):
                         raise ConcurrentWriteError(
                             f"{operation}: a concurrent commit changed table "
-                            "metadata (constraints/generated columns); re-read "
-                            "and retry so the write is validated against it"
+                            "metadata (constraints/generated columns/identity "
+                            "watermark); re-read and retry so the write is "
+                            "validated/allocated against it"
                         ) from err
                 if not blind:
                     if touched is None:
@@ -801,6 +806,100 @@ class LakeTable:
                 df = df.withColumn(c, F.expr(e))
         return df
 
+    def set_identity(self, col: str, start: int = 1, step: int = 1) -> int:
+        """``GENERATED BY DEFAULT AS IDENTITY`` (Delta identity columns):
+        writes fill ``col`` wherever it is NULL or absent with fresh
+        64-bit values, allocated monotonically above a high-watermark
+        kept in table properties. BY DEFAULT semantics: explicitly
+        supplied values pass through (Delta's GENERATED ALWAYS variant
+        forbids them; the BY DEFAULT variant is what CDC/backfill flows
+        need). Values are UNIQUE and ascending across commits but NOT
+        dense — allocation is map-side (``monotonically_increasing_id``
+        ranges per partition, exactly why Delta documents identity gaps),
+        and the watermark advances from the written files' footer stats,
+        so generation costs zero extra Spark jobs.
+
+        Concurrency: the watermark is table metadata — two writers
+        allocating from the same base would mint the same ids, so a
+        concurrent identity-watermark change conflicts with EVERYTHING
+        (the rebase protocol's metadata check); the loser re-reads and
+        re-allocates. If the table already has data in ``col``, the
+        watermark starts above the existing maximum."""
+        if not self.exists():
+            raise ValueError("set_identity: table does not exist yet")
+        if step < 1:
+            raise ValueError("set_identity: step must be a positive integer")
+        prior = self._manifest(self.current_version())
+        props = dict(prior.get("properties", {}))
+        if props.get("identity"):
+            raise ValueError(
+                f"set_identity: identity already configured on "
+                f"{props['identity']['col']!r}"
+            )
+        hwm = start
+        if col in self.read().columns:
+            import pyspark.sql.functions as F
+
+            row = self.read().agg(F.max(col).alias("m")).first()
+            if row["m"] is not None:
+                hwm = max(start, int(row["m"]) + step)
+        props["identity"] = {
+            "col": col,
+            "start": start,
+            "step": step,
+            "high_watermark": hwm,
+        }
+        return self._commit(
+            prior["data_dirs"],
+            "set-identity",
+            prior["partition_by"],
+            base_version=prior["version"],
+            properties=props,
+        )
+
+    def _apply_identity(self, df: DataFrame, prior: dict) -> DataFrame:
+        """Fill the identity column's NULL/absent slots with fresh values
+        above the watermark (map-side, no shuffle, no extra job)."""
+        ident = (prior.get("properties") or {}).get("identity")
+        if not ident:
+            return df
+        import pyspark.sql.functions as F
+
+        col, step, base = ident["col"], ident["step"], ident["high_watermark"]
+        gen = (
+            F.lit(base).cast("long")
+            + F.lit(step).cast("long") * F.monotonically_increasing_id()
+        )
+        if col not in df.columns:
+            return df.withColumn(col, gen)
+        return df.withColumn(
+            col, F.coalesce(F.col(col).cast("long"), gen)
+        )
+
+    def _identity_props_after(self, prior: dict, new_dirs: list[str]) -> dict | None:
+        """Post-write properties with the identity watermark advanced past
+        every value in ``new_dirs`` — read from parquet FOOTERS (same
+        control-plane walk the stats collector does), never the data.
+        None when no identity is configured (callers pass it straight to
+        _commit, where None means carry-forward)."""
+        props = dict(prior.get("properties", {}))
+        ident = props.get("identity")
+        if not ident:
+            return None
+        col, step = ident["col"], ident["step"]
+        hi = ident["high_watermark"]
+        observed = None
+        for d in new_dirs:
+            for stats in _collect_file_stats(d).values():
+                fs = stats.get(col)
+                if fs and fs[1] is not None:
+                    v = int(fs[1])
+                    observed = v if observed is None else max(observed, v)
+        if observed is not None:
+            hi = max(hi, observed + step)
+        props["identity"] = {**ident, "high_watermark": hi}
+        return props
+
     def column_mapping(self) -> dict[str, list[str]]:
         """Current {logical: [physical aliases]} rename mapping."""
         if not self.exists():
@@ -1008,9 +1107,9 @@ class LakeTable:
         the table once per constraint and burn a commit each."""
         partition_by = partition_by or []
         base = self.current_version() if self.exists() else 0
-        df = self._apply_generated(
-            df, self._manifest(base).get("generated_columns", {}) if base else {}
-        )
+        base_m = self._manifest(base) if base else {}
+        df = self._apply_generated(df, base_m.get("generated_columns", {}))
+        df = self._apply_identity(df, base_m)
         entry = self._write_dir_entry(df, partition_by)
         # post-write validation (see _enforce_constraints_on_entry: checks
         # the written bytes, immune to non-deterministic inputs); explicit
@@ -1026,6 +1125,7 @@ class LakeTable:
             [entry], "overwrite", partition_by, base_version=base, txn=txn,
             constraints=constraints,
             deletion_vectors=[],
+            properties=self._identity_props_after(base_m, [entry["path"]]),
         )
 
     def append(
@@ -1074,6 +1174,7 @@ class LakeTable:
                 "to change partitioning"
             )
         df = self._apply_generated(df, prior.get("generated_columns", {}))
+        df = self._apply_identity(df, prior)
         entry = self._write_dir_entry(df, partition_by)
         self._enforce_constraints_on_entry(entry)
         # Record the partitions this append wrote (filesystem walk of the
@@ -1092,6 +1193,7 @@ class LakeTable:
             touched=touched,
             txn=txn,
             blind=True,
+            properties=self._identity_props_after(prior, [entry["path"]]),
         )
         if self.properties().get("auto_compact"):
             # follow-up physical-only commit; the append above is already
@@ -1149,6 +1251,21 @@ class LakeTable:
         prior = self._manifest(self.current_version())
         self._reject_cow_with_dvs(prior, "merge")
         updates = self._apply_generated(updates, prior.get("generated_columns", {}))
+        if (prior.get("properties") or {}).get("identity"):
+            # MERGE + identity: matched keys must KEEP the target row's id
+            # (the update payload usually omits it), only true inserts
+            # allocate — so carry target ids over by key first, then fill
+            ident = prior["properties"]["identity"]
+            icol = ident["col"]
+            tgt_ids = self.read().select(*keys, F.col(icol).alias("__tgt_id"))
+            if icol not in updates.columns:
+                updates = updates.withColumn(icol, F.lit(None).cast("long"))
+            updates = (
+                updates.join(tgt_ids, on=keys, how="left")
+                .withColumn(icol, F.coalesce(F.col(icol).cast("long"), F.col("__tgt_id")))
+                .drop("__tgt_id")
+            )
+            updates = self._apply_identity(updates, prior)
         self._enforce_constraints(updates)
         key_frame = updates.select(*keys)
         if _delete_keys is not None:
@@ -1221,6 +1338,7 @@ class LakeTable:
                 pcols,
                 base_version=prior["version"],
                 txn=txn,
+                properties=self._identity_props_after(prior, [entry["path"]]),
             )
             if self.properties().get("auto_compact"):
                 self._auto_compact()
@@ -1275,6 +1393,7 @@ class LakeTable:
             touched=touched_rows,
             delta_check=_no_key_overlap,
             txn=txn,
+            properties=self._identity_props_after(prior, [d] if d else []),
         )
         if self.properties().get("auto_compact"):
             self._auto_compact()

@@ -1818,3 +1818,51 @@ def test_deep_clone_self_contained(spark, tmp_path):
 
     shutil.rmtree(str(tmp_path / "src"))
     assert {(r.k, r.amt) for r in deep.read().collect()} == before
+
+
+def test_identity_column_allocation(spark, tmp_path):
+    """GENERATED BY DEFAULT AS IDENTITY: appends fill missing/NULL ids
+    uniquely above the watermark (gaps allowed, Delta semantics),
+    explicit values pass through, MERGE keeps matched rows' ids and
+    allocates only for true inserts, and the watermark only climbs."""
+    t = LakeTable(spark, str(tmp_path / "idt"))
+    t.overwrite(spark.createDataFrame([("a",), ("b",)], "v string"))
+    t.set_identity("id", start=100)
+    assert t.history()[-1]["operation"] == "set-identity"
+
+    t.append(spark.createDataFrame([("c",), ("d",)], "v string"))
+    rows = {r.v: r.id for r in t.read().collect()}
+    assert rows["a"] is None and rows["b"] is None  # pre-identity rows
+    assert rows["c"] != rows["d"] and min(rows["c"], rows["d"]) >= 100
+    hwm1 = t.properties()["identity"]["high_watermark"]
+    assert hwm1 > max(rows["c"], rows["d"])
+
+    # second append: ids strictly above everything allocated before
+    t.append(spark.createDataFrame([("e",)], "v string"))
+    rows = {r.v: r.id for r in t.read().collect()}
+    assert rows["e"] >= hwm1
+    assert len({rows["c"], rows["d"], rows["e"]}) == 3
+
+    # explicit id passes through (BY DEFAULT, not ALWAYS)
+    t.append(spark.createDataFrame([(7, "x")], "id long, v string"))
+    rows = {r.v: r.id for r in t.read().collect()}
+    assert rows["x"] == 7
+
+    # MERGE: matched key keeps its id, insert allocates
+    t2 = LakeTable(spark, str(tmp_path / "idm"))
+    t2.overwrite(spark.createDataFrame([("k1", "old")], "k string, v string"))
+    t2.set_identity("id", start=1)
+    t2.append(spark.createDataFrame([("k2", "two")], "k string, v string"))
+    id_k2 = {r.k: r.id for r in t2.read().collect()}["k2"]
+    t2.merge(
+        spark.createDataFrame([("k2", "TWO"), ("k3", "three")], "k string, v string"),
+        keys=["k"],
+    )
+    rows = {r.k: (r.v, r.id) for r in t2.read().collect()}
+    assert rows["k2"] == ("TWO", id_k2)  # kept
+    assert rows["k3"][1] is not None and rows["k3"][1] != id_k2  # allocated
+    assert t2.properties()["identity"]["high_watermark"] > rows["k3"][1]
+
+    # a second identity declaration is refused
+    with pytest.raises(ValueError, match="already configured"):
+        t2.set_identity("id2")
