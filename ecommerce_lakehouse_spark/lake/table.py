@@ -244,6 +244,30 @@ def _collect_file_stats(d: str) -> dict:
     return files
 
 
+_BLOOM_SIDECAR = "_bloom.json"
+
+
+def _bloom_size(n_keys: int, fpp: float) -> tuple[int, int]:
+    """Classic Bloom sizing: m bits and k hashes for ``n_keys`` expected
+    distinct keys at false-positive rate ``fpp`` (same formula Delta's
+    bloom index uses from its ``numItems``/``fpp`` table properties)."""
+    import math
+
+    m = max(64, int(math.ceil(-n_keys * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64  # whole 64-bit words
+    k = max(1, min(16, round(m / n_keys * math.log(2))))
+    return m, k
+
+
+def _bloom_test(b64: str, positions: list[int]) -> bool:
+    """Membership test: True unless some probe bit is UNSET (definitely
+    absent). All-set means "maybe present" — never a false negative."""
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
 def _ranges_intersect(file_stats: dict | None, key_ranges: dict) -> bool:
     """True unless the footer stats PROVE the file cannot contain any key
     in ``key_ranges`` (missing stats → must assume intersecting)."""
@@ -900,6 +924,163 @@ class LakeTable:
         props["identity"] = {**ident, "high_watermark": hi}
         return props
 
+    # ---------------- bloom filter indexes ----------------
+
+    def create_bloom_index(
+        self, col: str, fpp: float = 0.01, max_keys_per_file: int = 100_000
+    ) -> int:
+        """CREATE BLOOMFILTER INDEX (Databricks Delta parity): point
+        lookups on high-entropy columns (uuids, hashed keys) where min/max
+        footer stats prune nothing — every file's [min,max] spans the
+        whole domain — get file-level skipping from a per-file Bloom
+        filter instead.
+
+        Semantics match Delta's: the index is table metadata; files
+        written AFTER creation carry blooms (a ``_bloom.json`` sidecar
+        inside each data dir — Spark's scan ignores ``_``-prefixed files),
+        pre-existing files stay bloom-less and simply aren't pruned;
+        ``compact()``/``optimize()`` rewrites are the backfill path.
+        Equality bounds in :meth:`read_skipping` consult the blooms after
+        min/max. Native parquet row-group blooms are also enabled for the
+        column at write time, so files that survive file-level skipping
+        still row-group-skip inside the scan.
+
+        Scale: the bitmap is sized from ``fpp``/``max_keys_per_file``
+        (Delta's ``fpp``/``numItems``), built by one distributed pass over
+        the written files (hash positions map-side, one bitmap per file
+        assembled in an Arrow-batched group), and stored at m/8 bytes per
+        file — the same write-amortized cost model as Delta's index files."""
+        if not self.exists():
+            raise ValueError("create_bloom_index: table does not exist yet")
+        if not (0.0 < fpp < 1.0):
+            raise ValueError("create_bloom_index: fpp must be in (0, 1)")
+        prior = self._manifest(self.current_version())
+        if col in (prior.get("partition_by") or []):
+            raise ValueError(
+                "create_bloom_index: partition columns are pruned by "
+                "partition values already; a bloom adds nothing"
+            )
+        props = dict(prior.get("properties", {}))
+        idx = dict(props.get("bloom_index", {}))
+        if col in idx:
+            raise ValueError(f"create_bloom_index: {col!r} already indexed")
+        m, k = _bloom_size(max_keys_per_file, fpp)
+        idx[col] = {"fpp": fpp, "m": m, "k": k}
+        props["bloom_index"] = idx
+        return self._commit(
+            prior["data_dirs"],
+            "create-bloom-index",
+            prior["partition_by"],
+            base_version=prior["version"],
+            properties=props,
+        )
+
+    def _bloom_config(self) -> dict:
+        """{col: {fpp,m,k}} for the current version ({} pre-creation)."""
+        if not self.exists():
+            return {}
+        return (
+            self._manifest(self.current_version())
+            .get("properties", {})
+            .get("bloom_index", {})
+        )
+
+    def _write_bloom_sidecar(self, d: str, cols: list[str]) -> None:
+        """Build per-file Bloom bitmaps for every indexed column present
+        in the freshly-written dir ``d`` and drop them in a ``_bloom.json``
+        sidecar (lives inside the dir: vacuum reclaims it with the data,
+        shallow clones see it, Spark scans ignore it).
+
+        One Spark job: positions are map-side (k seeded xxhash64 of the
+        value's string form — string so the read-side literal probe casts
+        identically regardless of the literal's Python type), bitmaps
+        assemble per (file, col) group in Arrow batches, and only the
+        m/8-byte base64 strings come back to the driver."""
+        import base64
+
+        import pyspark.sql.functions as F
+
+        cfg = {c: p for c, p in self._bloom_config().items() if c in cols}
+        if not cfg:
+            return
+        back = self.spark.read.parquet(d)
+        parts = []
+        for c, p in cfg.items():
+            if c not in back.columns:
+                continue
+            pos = [
+                F.pmod(
+                    F.xxhash64(F.col(c).cast("string"), F.lit(i)), F.lit(p["m"])
+                )
+                for i in range(p["k"])
+            ]
+            parts.append(
+                back.filter(F.col(c).isNotNull()).select(
+                    F.col("_metadata.file_path").alias("f"),
+                    F.lit(c).alias("col"),
+                    F.explode(F.array(*pos)).alias("pos"),
+                )
+            )
+        if not parts:
+            return
+        union = parts[0]
+        for extra in parts[1:]:
+            union = union.unionByName(extra)
+        m_by_col = {c: p["m"] for c, p in cfg.items()}
+
+        def build(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            m = m_by_col[key[1]]
+            arr = np.zeros((m + 7) // 8, dtype=np.uint8)
+            pp = pdf["pos"].to_numpy(dtype=np.int64)
+            np.bitwise_or.at(arr, pp >> 3, (1 << (pp & 7)).astype(np.uint8))
+            return pd.DataFrame(
+                {
+                    "f": [key[0]],
+                    "col": [key[1]],
+                    "b64": [base64.b64encode(arr.tobytes()).decode()],
+                }
+            )
+
+        rows = (
+            union.groupBy("f", "col")
+            .applyInPandas(build, "f string, col string, b64 string")
+            .collect()
+        )
+        files: dict[str, dict] = {}
+        for r in rows:
+            rel = os.path.relpath(_local_path(r["f"]), d)
+            files.setdefault(rel, {})[r["col"]] = r["b64"]
+        sidecar = {"cols": cfg, "files": files}
+        with open(os.path.join(d, _BLOOM_SIDECAR), "w") as f:
+            json.dump(sidecar, f)
+
+    def _load_bloom(self, d: str) -> dict | None:
+        try:
+            with open(os.path.join(d, _BLOOM_SIDECAR)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def _bloom_probe_positions(self, cfg: dict, value) -> list[int]:
+        """The k bit positions the write side set for ``value`` — computed
+        with the SAME Spark expressions (xxhash64 over the string cast) in
+        a 1-row control-plane job, so engine hash semantics can't drift
+        between writer and prober."""
+        import pyspark.sql.functions as F
+
+        exprs = [
+            F.pmod(
+                F.xxhash64(F.lit(value).cast("string"), F.lit(i)),
+                F.lit(cfg["m"]),
+            ).alias(f"p{i}")
+            for i in range(cfg["k"])
+        ]
+        row = self.spark.range(1).select(*exprs).first()
+        return [row[f"p{i}"] for i in range(cfg["k"])]
+
     def column_mapping(self) -> dict[str, list[str]]:
         """Current {logical: [physical aliases]} rename mapping."""
         if not self.exists():
@@ -1038,9 +1219,20 @@ class LakeTable:
         stay stats-less; reads fall back to plain filters there.)"""
         d = self._new_data_dir()
         w = df.write.mode("overwrite")
+        bloom_cols = [c for c in self._bloom_config() if c in df.columns]
+        for c in bloom_cols:
+            # native parquet row-group blooms ride along for free: scans
+            # that survive file-level skipping still skip row groups on
+            # pushed-down equality predicates
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(d)
+        if bloom_cols and not partition_by:
+            # file-level bloom sidecar (unpartitioned dirs only — the
+            # partitioned read path prunes on partition values; its
+            # interior columns keep the row-group blooms above)
+            self._write_bloom_sidecar(d, bloom_cols)
         return {"path": d, "files": _collect_file_stats(d)}
 
     @classmethod
@@ -1935,10 +2127,40 @@ class LakeTable:
             return self._read_skipping_partitioned(manifest, bounds, bound_filter, v)
         inventory = self._file_inventory(manifest)
         keep = [
-            os.path.join(d, rel)
+            (d, rel)
             for d, rel, stats in inventory
             if _ranges_intersect(stats, bounds)
         ]
+        # bloom skipping: equality bounds on indexed columns test each
+        # surviving file's bitmap — an unset probe bit proves absence
+        # (false positives only cost an extra file read, never a row)
+        eq = {
+            c: lo
+            for c, (lo, hi) in bounds.items()
+            if lo is not None and lo == hi
+        }
+        bloom_cfg = manifest.get("properties", {}).get("bloom_index", {})
+        if keep and eq and any(c in bloom_cfg for c in eq):
+            probes = {
+                c: self._bloom_probe_positions(bloom_cfg[c], v)
+                for c, v in eq.items()
+                if c in bloom_cfg
+            }
+            sidecars: dict[str, dict | None] = {}
+            kept = []
+            for d, rel in keep:
+                if d not in sidecars:
+                    sidecars[d] = self._load_bloom(d)
+                sc = sidecars[d]
+                fb = (sc or {}).get("files", {}).get(rel, {})
+                if any(
+                    c in fb and not _bloom_test(fb[c], pos)
+                    for c, pos in probes.items()
+                ):
+                    continue  # proven absent from this file
+                kept.append((d, rel))
+            keep = kept
+        keep = [os.path.join(d, rel) for d, rel in keep]
         if not keep:
             return bound_filter(self.read(version=v)).limit(0)
         df = _apply_column_mapping(

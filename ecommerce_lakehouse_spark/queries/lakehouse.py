@@ -605,3 +605,71 @@ def zorder_skipping_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_price"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@query(
+    "bloom_skipping_snapshot",
+    oracle="""
+WITH probes AS (
+  SELECT max(o_orderkey) AS key FROM orders WHERE o_orderkey % 32 = 7
+  UNION ALL
+  SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 32 = 19
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+       o.o_totalprice AS total_price
+FROM orders o JOIN probes p ON o.o_orderkey = p.key
+ORDER BY o.o_orderkey
+""",
+)
+def bloom_skipping_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter index point lookups, gated end-to-end: orders land in
+    a LakeTable hash-repartitioned into 8 files — every file spans the
+    whole o_orderkey range, so min/max footer stats prune NOTHING — then
+    two point probes run through ``read_skipping``, where the per-file
+    Bloom sidecars prove absence for ~7 of 8 files each. The oracle is
+    the plain relational lookup, so a wrong bit position, a hash drift
+    between writer and prober, or an over-eager prune changes the rows.
+
+    Scale: this is the uuid/hashed-key case data skipping exists for —
+    min/max helps range-clustered columns (see zorder_skipping_snapshot),
+    blooms cover high-entropy equality at m/8 bytes per file, with
+    parquet row-group blooms inside surviving files. Probe keys are
+    derived by deterministic rules (max/min over a residue class), each
+    a 1-row control-plane scalar, never a data collect."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    k1 = o.filter(F.col("o_orderkey") % 32 == 7).agg(
+        F.max("o_orderkey")
+    ).first()[0]
+    k2 = o.filter(F.col("o_orderkey") % 32 == 19).agg(
+        F.min("o_orderkey")
+    ).first()[0]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_bloom_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, os.path.join(root, "orders"))
+    t.overwrite(o.limit(0))  # v1: establish the table, then index it
+    t.create_bloom_index("o_orderkey", fpp=0.001, max_keys_per_file=200_000)
+    t.overwrite(o.repartition(8))  # blooms built for all 8 files
+    hits = [
+        t.read_skipping({"o_orderkey": (k, k)})
+        for k in (k1, k2)
+        if k is not None
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out.unionByName(h)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("total_price"),
+    ).orderBy("o_orderkey")

@@ -1866,3 +1866,66 @@ def test_identity_column_allocation(spark, tmp_path):
     # a second identity declaration is refused
     with pytest.raises(ValueError, match="already configured"):
         t2.set_identity("id2")
+
+
+def test_bloom_index_file_skipping(spark, tmp_path):
+    """CREATE BLOOMFILTER INDEX: equality reads skip files the bitmap
+    proves absent, even when every file's min/max spans the probe (the
+    exact case footer stats can't prune); pre-index files are never
+    pruned; results always equal the plain filtered read (no false
+    negatives); compaction rewrites carry blooms (backfill path)."""
+    t = LakeTable(spark, str(tmp_path / "bl"))
+
+    def batch(keys, tag):
+        # sentinels 0 and 10^6 give every file the same [min,max] span
+        rows = [(k, f"{tag}{k}") for k in [0, 1_000_000, *keys]]
+        return spark.createDataFrame(rows, "k long, s string").coalesce(1)
+
+    t.overwrite(batch([11, 12], "pre"))  # v1: written BEFORE the index
+    t.create_bloom_index("k", fpp=0.001, max_keys_per_file=1000)
+    t.create_bloom_index("s", fpp=0.001, max_keys_per_file=1000)
+    with pytest.raises(ValueError, match="already indexed"):
+        t.create_bloom_index("k")
+    t.append(batch([501, 502], "a"))
+    t.append(batch([901, 902], "b"))
+
+    import os as _os
+
+    dirs = [e["path"] if isinstance(e, dict) else e
+            for e in t._manifest(t.current_version())["data_dirs"]]
+    with_sidecar = [d for d in dirs
+                    if _os.path.exists(_os.path.join(d, "_bloom.json"))]
+    assert len(dirs) == 3 and len(with_sidecar) == 2  # pre-index dir bare
+
+    # probe a key only in batch "a": batch "b"'s file is bloom-pruned,
+    # the pre-index file survives (no bloom -> cannot prune)
+    got = t.read_skipping({"k": (501, 501)})
+    assert [(r.k, r.s) for r in got.collect()] == [(501, "a501")]
+    assert len(got.inputFiles()) == 2  # pre-index file + batch-a file
+
+    # string-column probe: min/max prunes the pre-index file (its tag
+    # prefix sorts after "b..."), the bloom prunes batch "a" — only the
+    # one true file opens
+    got_s = t.read_skipping({"s": ("b902", "b902")})
+    assert [(r.k, r.s) for r in got_s.collect()] == [(902, "b902")]
+    assert len(got_s.inputFiles()) == 1
+
+    # no false negatives: every present key returns exactly its row
+    for key, tag in [(11, "pre"), (502, "a"), (901, "b")]:
+        rows = t.read_skipping({"k": (key, key)}).collect()
+        assert [(r.k, r.s) for r in rows] == [(key, f"{tag}{key}")]
+
+    # absent key: zero rows whether or not every file was pruned
+    assert t.read_skipping({"k": (777, 777)}).count() == 0
+
+    # range (non-equality) bounds ignore blooms but stay exact
+    assert t.read_skipping({"k": (500, 903)}).count() == 4
+
+    # compaction is the backfill path: the single rewritten dir carries
+    # a sidecar and probes keep working
+    t.compact(target_partitions=1)
+    d = [e["path"] if isinstance(e, dict) else e
+         for e in t._manifest(t.current_version())["data_dirs"]]
+    assert len(d) == 1 and _os.path.exists(_os.path.join(d[0], "_bloom.json"))
+    rows = t.read_skipping({"k": (12, 12)}).collect()
+    assert [(r.k, r.s) for r in rows] == [(12, "pre12")]
