@@ -673,3 +673,84 @@ def bloom_skipping_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").alias("total_price"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "identity_snapshot",
+    oracle="""
+WITH pre AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 3 = 0),
+post AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 3 = 1),
+ins AS (SELECT count(*) AS n FROM customer WHERE c_custkey % 3 = 2)
+SELECT CAST(pre.n + post.n + ins.n AS BIGINT) AS n_total,
+       CAST(pre.n AS BIGINT) AS pre_identity_nulls,
+       CAST(post.n + ins.n AS BIGINT) AS n_with_id,
+       CAST(post.n + ins.n AS BIGINT) AS n_distinct_ids,
+       TRUE AS min_id_ok,
+       CAST(0 AS BIGINT) AS merge_reassigned,
+       TRUE AS watermark_ok
+FROM pre, post, ins
+""",
+)
+def identity_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (GENERATED BY DEFAULT AS IDENTITY), gated
+    end-to-end: a LakeTable of one customer slice gets an identity
+    column declared, a second slice appended (ids allocated), and a
+    MERGE that updates half the appended rows and inserts a third slice
+    — then the snapshot's identity INVARIANTS are checked against
+    relationally-derived expectations: pre-identity rows stay NULL,
+    every post-identity row has an id, ids are UNIQUE (distinct count
+    equals row count — the invariant a duplicate allocation breaks),
+    all at-or-above the declared start, matched rows KEPT their ids
+    across the merge (a reallocation shows up as merge_reassigned > 0),
+    and the stored high-watermark strictly exceeds every allocated id.
+    The id VALUES are engine-chosen (Delta documents identity gaps), so
+    the oracle checks the algebra of the guarantee, not the literals.
+
+    Scale: allocation is map-side (per-partition monotonic ranges above
+    the watermark — zero extra jobs, no shuffle, no coordination); the
+    watermark advance reads parquet FOOTERS of the files just written,
+    and concurrent allocators conflict-and-rebase rather than mint
+    duplicates."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ident_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, os.path.join(root, "cust"))
+    t.overwrite(c.filter(F.col("c_custkey") % 3 == 0))
+    t.set_identity("row_id", start=1000)
+    t.append(c.filter(F.col("c_custkey") % 3 == 1))
+    before = t.read().filter(F.col("row_id").isNotNull()).select(
+        "c_custkey", F.col("row_id").alias("row_id_before")
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 1).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1
+    )
+    inserts = c.filter(F.col("c_custkey") % 3 == 2)
+    t.merge(updates.unionByName(inserts), keys=["c_custkey"])
+    snap = t.read()
+    hwm = t.properties()["identity"]["high_watermark"]
+    reassigned = (
+        snap.join(before, on="c_custkey")
+        .filter(F.col("row_id") != F.col("row_id_before"))
+        .count()
+    )
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("row_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("pre_identity_nulls"),
+        F.count("row_id").alias("n_with_id"),
+        F.countDistinct("row_id").alias("n_distinct_ids"),
+        (F.min("row_id") >= F.lit(1000)).alias("min_id_ok"),
+        F.lit(reassigned).cast("long").alias("merge_reassigned"),
+        (F.max("row_id") < F.lit(hwm)).alias("watermark_ok"),
+    )

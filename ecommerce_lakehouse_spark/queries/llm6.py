@@ -309,3 +309,261 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kmv_estimate"),
     )
+
+
+@query(
+    "dsir_importance_scores",
+    oracle=f"""
+WITH d AS (SELECT doc_id, lang, {_TOKENIZE_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM d
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM d WHERE len(t) >= 2),
+feat AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 256 AS b,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2, 3),
+tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM feat WHERE lang = 'en' GROUP BY b),
+raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM feat WHERE lang <> 'en' GROUP BY b),
+tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM tgt) AS tp,
+               (SELECT CAST(sum(c) AS BIGINT) FROM raw) AS tq),
+lr AS (
+  SELECT bs.b,
+         CAST(round(ln((coalesce(t.c, 0) + 1.0) / (tot.tp + 256)) * 1e9, 0) AS BIGINT)
+       - CAST(round(ln((coalesce(r.c, 0) + 1.0) / (tot.tq + 256)) * 1e9, 0) AS BIGINT)
+           AS l
+  FROM (SELECT DISTINCT b FROM feat) bs
+  LEFT JOIN tgt t USING (b) LEFT JOIN raw r USING (b) CROSS JOIN tot)
+SELECT f.doc_id,
+       CAST(sum(f.c) AS BIGINT) AS n_grams,
+       CAST(sum(f.c * lr.l) AS BIGINT) AS logw_nanos
+FROM feat f JOIN lr USING (b)
+WHERE f.lang <> 'en'
+GROUP BY f.doc_id
+ORDER BY logw_nanos DESC, f.doc_id
+LIMIT 50
+""",
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two bag-of-hashed-
+    ngram unigram models — target p on the English slice, raw q on the
+    rest — over unigram+bigram features hashed into 256 buckets, then
+    score every raw document log w(d) = Σ_b c_db·(ln p_b − ln q_b) with
+    add-1 smoothing and return the top-50 candidates for promotion into
+    the target mixture (the deterministic top-k variant of the paper's
+    Gumbel-top-k resample; seeded Gumbel noise is a rand()-free add-on).
+
+    Cross-engine determinism: features hash with md5 (the one hash both
+    engines compute identically); each bucket's ln is rounded ONCE into
+    integer nanos, per-doc totals are exact BIGINT sums of
+    count×nano-ratio — no float association anywhere.
+
+    Scale: the model is a FIXED 256-row table regardless of corpus size
+    (that's the point of hashed features) — built with one fixed-width
+    shuffle, broadcast back to score; per-doc feature counts are a
+    (doc_id, bucket) groupBy with bucket fan-out ≤ 256 per doc; the
+    top-50 is TakeOrdered (per-partition heads, no global sort)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+            lambda x: x != "",
+        ).alias("t"),
+    )
+    uni = toks.select("doc_id", "lang", F.explode("t").alias("g"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("g"),
+    )
+    feat = (
+        uni.unionByName(bi)
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long"),
+                F.lit(256),
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_tgt = F.col("lang") == "en"
+    model = (
+        feat.groupBy("b")
+        .agg(
+            F.sum(F.when(is_tgt, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tc"),
+            F.sum(F.when(~is_tgt, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rc"),
+        )
+    )
+    totals = model.agg(
+        F.sum("tc").cast("long").alias("tp"), F.sum("rc").cast("long").alias("tq")
+    )
+    nanos = lambda cnt, tot: F.round(  # noqa: E731
+        F.log((F.col(cnt) + F.lit(1.0)) / (F.col(tot) + F.lit(256))) * F.lit(1e9),
+        0,
+    ).cast("long")
+    lr = model.crossJoin(F.broadcast(totals)).select(
+        "b", (nanos("tc", "tp") - nanos("rc", "tq")).alias("l")
+    )
+    return (
+        feat.filter(~is_tgt)
+        .join(F.broadcast(lr), on="b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("l")).cast("long").alias("logw_nanos"),
+        )
+        .orderBy(F.desc("logw_nanos"), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "bpe_merge_steps",
+    oracle=f"""
+WITH w0 AS (
+  SELECT u AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKENIZE_SQL}) AS u FROM documents) GROUP BY 1),
+s0 AS (SELECT word, freq,
+              ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seq
+       FROM w0),
+p1 AS (
+  SELECT l || ' ' || r AS pair, l || r AS token, CAST(sum(freq) AS BIGINT) AS wc
+  FROM (SELECT freq, unnest(list_transform(range(1, len(t)), i ->
+               {{'l': t[i], 'r': t[i+1]}})) AS u
+        FROM (SELECT freq, list_filter(string_split(seq, ' '), x -> x <> '') AS t
+              FROM s0) WHERE len(t) >= 2)
+       , LATERAL (SELECT u.l AS l, u.r AS r) z
+  GROUP BY 1, 2),
+t1 AS (SELECT pair, token, wc FROM p1 ORDER BY wc DESC, token LIMIT 1),
+s1 AS (SELECT word, freq,
+              replace(seq, ' ' || (SELECT pair FROM t1) || ' ',
+                      ' ' || (SELECT token FROM t1) || ' ') AS seq FROM s0),
+p2 AS (
+  SELECT l || ' ' || r AS pair, l || r AS token, CAST(sum(freq) AS BIGINT) AS wc
+  FROM (SELECT freq, unnest(list_transform(range(1, len(t)), i ->
+               {{'l': t[i], 'r': t[i+1]}})) AS u
+        FROM (SELECT freq, list_filter(string_split(seq, ' '), x -> x <> '') AS t
+              FROM s1) WHERE len(t) >= 2)
+       , LATERAL (SELECT u.l AS l, u.r AS r) z
+  GROUP BY 1, 2),
+t2 AS (SELECT pair, token, wc FROM p2 ORDER BY wc DESC, token LIMIT 1),
+s2 AS (SELECT word, freq,
+              replace(seq, ' ' || (SELECT pair FROM t2) || ' ',
+                      ' ' || (SELECT token FROM t2) || ' ') AS seq FROM s1),
+p3 AS (
+  SELECT l || ' ' || r AS pair, l || r AS token, CAST(sum(freq) AS BIGINT) AS wc
+  FROM (SELECT freq, unnest(list_transform(range(1, len(t)), i ->
+               {{'l': t[i], 'r': t[i+1]}})) AS u
+        FROM (SELECT freq, list_filter(string_split(seq, ' '), x -> x <> '') AS t
+              FROM s2) WHERE len(t) >= 2)
+       , LATERAL (SELECT u.l AS l, u.r AS r) z
+  GROUP BY 1, 2),
+t3 AS (SELECT pair, token, wc FROM p3 ORDER BY wc DESC, token LIMIT 1)
+SELECT 1 AS step, pair, token, wc FROM t1
+UNION ALL SELECT 2, pair, token, wc FROM t2
+UNION ALL SELECT 3, pair, token, wc FROM t3
+ORDER BY step
+""",
+)
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 3 merges (Sennrich et al. 2016 — the
+    GPT/Llama vocab-construction algorithm): pre-tokenize to words, count
+    word frequencies ONCE, split words to character symbols, then
+    iteratively (a) count adjacent symbol pairs weighted by word
+    frequency, (b) merge the most frequent pair corpus-wide (ties break
+    lexicographically), (c) apply the merge left-to-right non-overlapping
+    to every word. Returns the learned merge table (step, pair, token,
+    weighted count) — the artifact a tokenizer ships.
+
+    Scale: THE trick is that BPE never touches the corpus after the
+    first pass — each iteration runs over the distinct-WORD frequency
+    table (vocabulary-bounded: millions of rows at 100 TB, not
+    trillions), so a 50k-merge vocab is 50k tiny jobs over a table that
+    fits in a fraction of one executor; the chosen merge joins back via
+    a 1-row broadcast, never a collect of data rows. Symbol sequences
+    ride as padded strings so the merge apply is a single JVM
+    ``replace`` (left-to-right non-overlapping in both engines — greedy
+    BPE order)."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
+                ),
+                lambda x: x != "",
+            )
+        ).alias("word")
+    )
+    words = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.expr("regexp_extract_all(word, '(.)', 1)"), " "),
+                F.lit(" "),
+            ).alias("seq"),
+        )
+        .localCheckpoint()  # vocabulary-bounded; each merge re-reads it
+    )
+
+    def top_merge(wf: DataFrame) -> DataFrame:
+        t = F.filter(F.split("seq", " "), lambda x: x != "")
+        return (
+            wf.select("freq", t.alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(t, 1, size(t)-1), slice(t, 2,"
+                        " size(t)-1), (a, b) -> struct(a AS l, b AS r))"
+                    )
+                ).alias("g"),
+            )
+            .groupBy(
+                F.concat("g.l", F.lit(" "), "g.r").alias("pair"),
+                F.concat("g.l", "g.r").alias("token"),
+            )
+            .agg(F.sum("freq").cast("long").alias("wc"))
+            .orderBy(F.desc("wc"), "token")
+            .limit(1)
+        )
+
+    out = None
+    wf = words
+    for step in (1, 2, 3):
+        top = top_merge(wf).select(
+            F.lit(step).cast("int").alias("step"), "pair", "token", "wc"
+        )
+        out = top if out is None else out.unionByName(top)
+        wf = wf.crossJoin(
+            F.broadcast(top.select("pair", "token"))
+        ).select(
+            "freq",
+            F.replace(
+                F.col("seq"),
+                F.concat(F.lit(" "), "pair", F.lit(" ")),
+                F.concat(F.lit(" "), "token", F.lit(" ")),
+            ).alias("seq"),
+        )
+    return out.orderBy("step")
