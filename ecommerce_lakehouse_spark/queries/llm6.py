@@ -311,9 +311,9 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dsir_importance_scores",
-    oracle=f"""
+# DSIR hashed-ngram model, shared by the scoring and resampling queries:
+# per-doc bucket counts + the 256-row smoothed log-ratio table
+_DSIR_CTE = f"""
 WITH d AS (SELECT doc_id, lang, {_TOKENIZE_SQL} AS t FROM documents),
 grams AS (
   SELECT doc_id, lang, unnest(t) AS g FROM d
@@ -337,36 +337,12 @@ lr AS (
            AS l
   FROM (SELECT DISTINCT b FROM feat) bs
   LEFT JOIN tgt t USING (b) LEFT JOIN raw r USING (b) CROSS JOIN tot)
-SELECT f.doc_id,
-       CAST(sum(f.c) AS BIGINT) AS n_grams,
-       CAST(sum(f.c * lr.l) AS BIGINT) AS logw_nanos
-FROM feat f JOIN lr USING (b)
-WHERE f.lang <> 'en'
-GROUP BY f.doc_id
-ORDER BY logw_nanos DESC, f.doc_id
-LIMIT 50
-""",
-)
-def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance scores (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): fit two bag-of-hashed-
-    ngram unigram models — target p on the English slice, raw q on the
-    rest — over unigram+bigram features hashed into 256 buckets, then
-    score every raw document log w(d) = Σ_b c_db·(ln p_b − ln q_b) with
-    add-1 smoothing and return the top-50 candidates for promotion into
-    the target mixture (the deterministic top-k variant of the paper's
-    Gumbel-top-k resample; seeded Gumbel noise is a rand()-free add-on).
+"""
 
-    Cross-engine determinism: features hash with md5 (the one hash both
-    engines compute identically); each bucket's ln is rounded ONCE into
-    integer nanos, per-doc totals are exact BIGINT sums of
-    count×nano-ratio — no float association anywhere.
 
-    Scale: the model is a FIXED 256-row table regardless of corpus size
-    (that's the point of hashed features) — built with one fixed-width
-    shuffle, broadcast back to score; per-doc feature counts are a
-    (doc_id, bucket) groupBy with bucket fan-out ≤ 256 per doc; the
-    top-50 is TakeOrdered (per-partition heads, no global sort)."""
+def _dsir_feat_lr(spark: SparkSession, sf_dir: str):
+    """(feat, lr): per-(doc, lang, bucket) counts and the 256-row
+    broadcastable nano-log-ratio model — the Spark twin of _DSIR_CTE."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -401,29 +377,68 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     is_tgt = F.col("lang") == "en"
-    model = (
-        feat.groupBy("b")
-        .agg(
-            F.sum(F.when(is_tgt, F.col("c")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("tc"),
-            F.sum(F.when(~is_tgt, F.col("c")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("rc"),
-        )
+    model = feat.groupBy("b").agg(
+        F.sum(F.when(is_tgt, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tc"),
+        F.sum(F.when(~is_tgt, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rc"),
     )
     totals = model.agg(
         F.sum("tc").cast("long").alias("tp"), F.sum("rc").cast("long").alias("tq")
     )
-    nanos = lambda cnt, tot: F.round(  # noqa: E731
-        F.log((F.col(cnt) + F.lit(1.0)) / (F.col(tot) + F.lit(256))) * F.lit(1e9),
-        0,
-    ).cast("long")
+
+    def nanos(cnt, tot):
+        return F.round(
+            F.log((F.col(cnt) + F.lit(1.0)) / (F.col(tot) + F.lit(256)))
+            * F.lit(1e9),
+            0,
+        ).cast("long")
+
     lr = model.crossJoin(F.broadcast(totals)).select(
         "b", (nanos("tc", "tp") - nanos("rc", "tq")).alias("l")
     )
+    return feat, lr
+
+
+@query(
+    "dsir_importance_scores",
+    oracle=_DSIR_CTE
+    + """
+SELECT f.doc_id,
+       CAST(sum(f.c) AS BIGINT) AS n_grams,
+       CAST(sum(f.c * lr.l) AS BIGINT) AS logw_nanos
+FROM feat f JOIN lr USING (b)
+WHERE f.lang <> 'en'
+GROUP BY f.doc_id
+ORDER BY logw_nanos DESC, f.doc_id
+LIMIT 50
+""",
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two bag-of-hashed-
+    ngram unigram models — target p on the English slice, raw q on the
+    rest — over unigram+bigram features hashed into 256 buckets, then
+    score every raw document log w(d) = Σ_b c_db·(ln p_b − ln q_b) with
+    add-1 smoothing and return the top-50 candidates for promotion into
+    the target mixture (the deterministic top-k variant of the paper's
+    Gumbel-top-k resample; seeded Gumbel noise is a rand()-free add-on).
+
+    Cross-engine determinism: features hash with md5 (the one hash both
+    engines compute identically); each bucket's ln is rounded ONCE into
+    integer nanos, per-doc totals are exact BIGINT sums of
+    count×nano-ratio — no float association anywhere.
+
+    Scale: the model is a FIXED 256-row table regardless of corpus size
+    (that's the point of hashed features) — built with one fixed-width
+    shuffle, broadcast back to score; per-doc feature counts are a
+    (doc_id, bucket) groupBy with bucket fan-out ≤ 256 per doc; the
+    top-50 is TakeOrdered (per-partition heads, no global sort)."""
+    feat, lr = _dsir_feat_lr(spark, sf_dir)
     return (
-        feat.filter(~is_tgt)
+        feat.filter(F.col("lang") != "en")
         .join(F.broadcast(lr), on="b")
         .groupBy("doc_id")
         .agg(
@@ -567,3 +582,75 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
         )
     return out.orderBy("step")
+
+
+@query(
+    "dsir_gumbel_resample",
+    oracle=_DSIR_CTE
+    + """,
+scores AS (
+  SELECT f.doc_id, CAST(sum(f.c * lr.l) AS BIGINT) AS logw_nanos
+  FROM feat f JOIN lr USING (b)
+  WHERE f.lang <> 'en' GROUP BY f.doc_id),
+noisy AS (
+  SELECT doc_id, logw_nanos,
+         logw_nanos + CAST(round(-ln(-ln(
+             (CAST('0x' || substr(md5('gumbel|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) + 0.5) / 1152921504606846976.0
+         )) * 1e9, 0) AS BIGINT) AS key_nanos
+  FROM scores)
+SELECT doc_id, logw_nanos, key_nanos
+FROM noisy
+ORDER BY key_nanos DESC, doc_id
+LIMIT 30
+""",
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection step — Gumbel-top-k importance
+    RESAMPLING (Xie et al. 2023 §2.2; Vieira 2014's Gumbel-max trick):
+    sampling k documents without replacement with probability ∝ w(d)
+    equals taking the top-k of log w(d) + G_d where G_d is standard
+    Gumbel noise. The noise is SEEDED, not rand(): u_d from a salted
+    md5 of the doc id mapped into (0,1) — (h + 0.5)/2^60 over the
+    60-bit hash so u is never 0 or 1 — then G = −ln(−ln u). The same
+    doc draws the same noise in both engines, on every retry, and
+    after any repartition: reproducible sampling is a pipeline
+    requirement, not a nicety (compare hash_sample_stratified).
+
+    Cross-engine determinism: the Gumbel transform's two lns run on
+    bit-identical double inputs and round ONCE into nanos; the noisy
+    key is then exact BIGINT addition on the nano-unit importance
+    score from the shared 256-bucket model.
+
+    Scale: noise is map-side arithmetic on the already-aggregated
+    per-doc score rows; top-30 is TakeOrdered. Nothing here adds a
+    shuffle beyond the scoring aggregation itself."""
+    feat, lr = _dsir_feat_lr(spark, sf_dir)
+    scores = (
+        feat.filter(F.col("lang") != "en")
+        .join(F.broadcast(lr), on="b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("l")).cast("long").alias("logw_nanos"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gumbel|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(1152921504606846976.0)
+    gumbel_nanos = F.round(-F.log(-F.log(u)) * F.lit(1e9), 0).cast("long")
+    return (
+        scores.select(
+            "doc_id",
+            "logw_nanos",
+            (F.col("logw_nanos") + gumbel_nanos).alias("key_nanos"),
+        )
+        .orderBy(F.desc("key_nanos"), "doc_id")
+        .limit(30)
+    )

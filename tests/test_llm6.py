@@ -57,3 +57,37 @@ def test_trigram_backoff_all_tiers(spark, tmp_path):
     # the fully-in-train doc scores all tier-1
     t = got[train_id]
     assert t.n_trigrams == 4 and t.n_backoff == 0 and t.n_oov == 0
+
+
+def test_dsir_gumbel_resample_seeded_noise(spark, sf_dir):
+    """The noisy key must equal logw + an independently recomputed
+    seeded Gumbel draw for every returned doc, and the scores must
+    agree with dsir_importance_scores' model (same shared CTE)."""
+    from ecommerce_lakehouse_spark.queries.llm6 import (
+        dsir_gumbel_resample,
+        dsir_importance_scores,
+    )
+
+    rows = dsir_gumbel_resample(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        h = int(
+            hashlib.md5(f"gumbel|{r.doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 0.5) / 1152921504606846976.0
+        g = int(round(-math.log(-math.log(u)) * 1e9))
+        assert r.key_nanos == r.logw_nanos + g, r.doc_id
+
+    # keys strictly ordered desc (ties broken by doc_id in the query)
+    keys = [r.key_nanos for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+    # same underlying model: logw agrees with the scoring query
+    scored = {
+        r.doc_id: r.logw_nanos
+        for r in dsir_importance_scores(spark, sf_dir).collect()
+    }
+    overlap = [r for r in rows if r.doc_id in scored]
+    assert overlap, "top-50 scores and top-30 noisy keys share no docs"
+    for r in overlap:
+        assert scored[r.doc_id] == r.logw_nanos
