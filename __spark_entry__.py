@@ -39,22 +39,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-4 rotation (verdict r03 item #2): the 40 names the driver has
 # never gated (concentrated in tpch2 q2-q22 and stats) all enter the
-# window — if r04 passes, every registered query will have been
-# driver-gated at least once across r01-r04. The other 10 slots keep one
-# proven representative per family (gold marts, MERGE, streaming, CDF,
-# curation DAG, LSH dedup, cosine dedup, exact dedup, TPC-H q1, text
-# stats). This round's rewrites (value_quantiles_exact deciles q11 q15 —
-# the de-single-partitioned window family) are all in the fresh set.
+# window. The other 10 slots hold this round's new features plus two
+# regression anchors (the flagship mart and the most complex DAG);
+# three r03-green reps (cdc_change_feed, minhash_lsh_pairs,
+# embedding_cosine_dups) rotated OUT late-round for three never-gated
+# round-4 features — their families stay represented via
+# cdc_apply_snapshot (drives changes()), band_skew_profile +
+# corpus_curation_pipeline (LSH), and the curation DAG's dedup stages.
+# This round's rewrites (value_quantiles_exact deciles q11 q15 — the
+# de-single-partitioned window family) are all in the fresh set.
 _FIRST = [
-    # proven per-family representatives
+    # regression anchors + round-4 features
     "daily_sales",
     "shingle_novelty_profile",  # r4: new — first-occurrence novelty scoring
     "cdc_apply_snapshot",  # r4: new — CDC loop closed (changes() -> apply_changes)
     "concat_packing_plan",  # r4: new — GPT-style concat packing plan
-    "cdc_change_feed",
+    "scd2_apply_snapshot",  # r4: new — SCD2 dimension history via MERGE
     "corpus_curation_pipeline",
-    "minhash_lsh_pairs",
-    "embedding_cosine_dups",
+    "mv_incremental_refresh",  # r4: new — materialized aggregate, cursor=last_txn
+    "dsir_importance_scores",  # r4: new — DSIR hashed-ngram importance scoring
     "rfm_segments",  # r4: new — triple bucketed-rank NTILE segmentation
     "zorder_skipping_snapshot",  # r4: new — OPTIMIZE ZORDER + data skipping gated
     # never-gated: this round's global-window rewrites
