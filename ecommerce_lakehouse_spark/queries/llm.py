@@ -215,3 +215,114 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              AS BIGINT) AS sum_word_len,
+         n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+              AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+              AS BIGINT) AS n_ellipsis_end,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                              s -> list_contains(toks, s))) AS BIGINT) AS n_req_sw
+  FROM t)
+SELECT doc_id, n_words,
+       n_words BETWEEN 50 AND 100000 AS rule_word_count,
+       sum_word_len BETWEEN 3 * n_words AND 10 * n_words AS rule_mean_word_len,
+       10 * n_symbols < n_words AS rule_symbol_ratio,
+       10 * n_bullet < 9 * n_lines AS rule_bullet_lines,
+       10 * n_ellipsis_end < 3 * n_lines AS rule_ellipsis_lines,
+       5 * n_alpha >= 4 * n_words AS rule_alpha_words,
+       n_req_sw >= 2 AS rule_stopwords,
+       (n_words BETWEEN 50 AND 100000)
+         AND sum_word_len BETWEEN 3 * n_words AND 10 * n_words
+         AND 10 * n_symbols < n_words
+         AND 10 * n_bullet < 9 * n_lines
+         AND 10 * n_ellipsis_end < 3 * n_lines
+         AND 5 * n_alpha >= 4 * n_words
+         AND n_req_sw >= 2 AS passes_gopher
+FROM m
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A —
+    the published rule set most curation pipelines start from), one
+    boolean flag per rule plus the combined verdict: word count in
+    [50, 100k]; mean word length in [3, 10]; symbol-to-word ratio
+    ('#' + '...') < 0.1; < 90% of lines bullet-led; < 30% of lines
+    ellipsis-terminated; >= 80% of words containing an alphabetic
+    char; >= 2 of the 8 required stopwords present. Per-rule flags
+    (not just the verdict) are the point: a curation run audits WHICH
+    rule rejected how many documents before tuning thresholds.
+
+    Cross-engine determinism: every threshold is evaluated in exact
+    integer arithmetic (10*symbols < n_words, 5*alpha >= 4*n_words,
+    3n <= sum_len <= 10n) — no float ratio ever materializes, so no
+    rounding boundary can disagree between engines.
+
+    Scale: pure map-side array/string expressions per document — zero
+    shuffles, zero UDFs, whole-stage codegen end to end; composes
+    with the curation DAG as a quality gate (pipelines/curation.py)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(toks).cast("long")
+    sum_word_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_symbols = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda line: line.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda line: line.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    req = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_req_sw = sum(
+        (F.array_contains(toks, s).cast("long") for s in req), F.lit(0).cast("long")
+    )
+    r_wc = n_words.between(50, 100000)
+    r_mwl = sum_word_len.between(3 * n_words, 10 * n_words)
+    r_sym = (10 * n_symbols) < n_words
+    r_bul = (10 * n_bullet) < (9 * n_lines)
+    r_ell = (10 * n_ellipsis) < (3 * n_lines)
+    r_alp = (5 * n_alpha) >= (4 * n_words)
+    r_sw = n_req_sw >= 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_bul.alias("rule_bullet_lines"),
+        r_ell.alias("rule_ellipsis_lines"),
+        r_alp.alias("rule_alpha_words"),
+        r_sw.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_sym & r_bul & r_ell & r_alp & r_sw).alias("passes_gopher"),
+    )

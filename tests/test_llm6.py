@@ -117,3 +117,37 @@ def test_cms_heavy_hitters_never_underestimates(spark, sf_dir):
     }
     assert len(buckets) >= 1  # well-formed, in range
     assert all(0 <= b < 1024 for b in buckets)
+
+
+def test_gopher_quality_flags_each_rule(spark, tmp_path):
+    """A crafted corpus where each document fails exactly the intended
+    rule(s); the one well-formed English doc passes everything."""
+    from ecommerce_lakehouse_spark.queries.llm import gopher_quality_flags
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and then "
+        "wanders off to find some food that it can have with water. "
+    ) * 5  # ~110 words, English, has the/to/of-like stopwords
+    rows = [
+        (1, good, "en", "web", len(good)),
+        (2, "short text only", "en", "web", 15),  # fails word count
+        (3, " ".join(["supercalifragilistic"] * 60), "en", "web", 60),
+        #    ^ mean word length > 10, and no required stopwords
+        (4, good + " " + "### " * 30, "en", "web", 10),  # symbol ratio
+        (5, good + "\n" + "\n".join(["- item"] * 40), "en", "web", 10),
+        #    ^ >90% of lines bullet-led
+        (6, good + "\n" + "\n".join(["trailing..."] * 40), "en", "web", 10),
+        #    ^ >30% of lines ellipsis-terminated
+        (7, " ".join(["12345"] * 60) + " the be to", "en", "web", 10),
+        #    ^ <80% alphabetic words (stopwords present, count ok)
+    ]
+    d = _mini_corpus(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in gopher_quality_flags(spark, d).collect()}
+
+    assert got[1].passes_gopher, got[1]
+    assert not got[2].rule_word_count and not got[2].passes_gopher
+    assert not got[3].rule_mean_word_len and not got[3].rule_stopwords
+    assert not got[4].rule_symbol_ratio and got[4].rule_word_count
+    assert not got[5].rule_bullet_lines and got[5].rule_symbol_ratio
+    assert not got[6].rule_ellipsis_lines and got[6].rule_bullet_lines
+    assert not got[7].rule_alpha_words and got[7].rule_stopwords
