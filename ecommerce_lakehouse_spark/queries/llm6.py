@@ -760,3 +760,110 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_cnt"), "o_custkey")
         .limit(20)
     )
+
+
+@query(
+    "source_overlap_kmv",
+    oracle=r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         CAST('0x' || substr(md5(u), 1, 15) AS BIGINT) AS h
+  FROM (SELECT source,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u
+        FROM toks WHERE len(t) >= 3)),
+rk AS (SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h) AS r
+       FROM sh),
+sk AS (SELECT source, list_sort(list(h)) AS sig
+       FROM rk WHERE r <= 128 GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         a.sig AS sa, b.sig AS sb
+  FROM sk a JOIN sk b ON a.source < b.source),
+m AS (
+  SELECT src_a, src_b, sa, sb,
+         list_sort(list_distinct(sa || sb))[1:128] AS merged
+  FROM pairs)
+SELECT src_a, src_b,
+       CAST(len(merged) AS BIGINT) AS k_used,
+       CAST(len(list_filter(merged,
+            x -> list_contains(sa, x) AND list_contains(sb, x)))
+            AS BIGINT) AS n_shared,
+       CAST(len(list_filter(merged,
+            x -> list_contains(sa, x) AND list_contains(sb, x)))
+            AS DOUBLE) / len(merged) AS jaccard_est
+FROM m
+ORDER BY src_a, src_b
+""",
+)
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix via KMV set sketches (Beyer et
+    al. 2007) — the Dolma-style 'which sources duplicate each other'
+    corpus audit: each source is summarized by its 128 smallest md5
+    shingle hashes (3-gram shingles), and every source pair's shingle
+    Jaccard is estimated from the k smallest of the sketch union —
+    |union-head ∩ A ∩ B| / |union-head|, the standard KMV estimator.
+
+    Scale: the exact alternative (self-join distinct (source, shingle)
+    on shingle) is O(sum over shingles of source-pairs) and explodes on
+    hot shingles; the sketch path touches raw text once map-side,
+    reduces each source to a FIXED 128 values (per-source rank is a
+    partitioned window, never global), and the pairwise stage operates
+    on sources^2/2 rows of 128-length int arrays — independent of
+    corpus size. The jaccard_est division is a single IEEE op on exact
+    integer inputs, emitted UNROUNDED (bit-identical cross-engine; a
+    round() at a half boundary would not be).
+
+    Distinct from source_fuzzy_pairs (label-string similarity of source
+    NAMES) and normalized_dedup_groups (corpus-level dup accounting):
+    this is content overlap between source pairs."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    grams = d.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size(t) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i + 1), F.element_at(t, i + 2),
+                        F.element_at(t, i + 3)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    )
+    sh = grams.select(
+        "source",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    rk = sh.withColumn(
+        "r", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    ).filter(F.col("r") <= 128)
+    sk = rk.groupBy("source").agg(F.sort_array(F.collect_list("h")).alias("sig"))
+    a = sk.select(F.col("source").alias("src_a"), F.col("sig").alias("sa"))
+    b = sk.select(F.col("source").alias("src_b"), F.col("sig").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    merged = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, 128)
+    shared = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains("sa", x) & F.array_contains("sb", x),
+        )
+    ).cast("long")
+    return (
+        pairs.select(
+            "src_a",
+            "src_b",
+            F.size(merged).cast("long").alias("k_used"),
+            shared.alias("n_shared"),
+            (shared.cast("double") / F.size(merged)).alias("jaccard_est"),
+        )
+        .orderBy("src_a", "src_b")
+    )

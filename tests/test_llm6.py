@@ -151,3 +151,20 @@ def test_gopher_quality_flags_each_rule(spark, tmp_path):
     assert not got[5].rule_bullet_lines and got[5].rule_symbol_ratio
     assert not got[6].rule_ellipsis_lines and got[6].rule_bullet_lines
     assert not got[7].rule_alpha_words and got[7].rule_stopwords
+
+
+def test_source_overlap_kmv_estimator_bounds(spark, sf_dir):
+    """KMV estimator invariants: k_used <= 128, 0 <= n_shared <= k_used,
+    jaccard_est = n_shared/k_used exactly, every pair ordered src_a <
+    src_b, and the matrix covers all C(n,2) source pairs."""
+    from ecommerce_lakehouse_spark.queries.llm6 import source_overlap_kmv
+
+    rows = source_overlap_kmv(spark, sf_dir).collect()
+    sources = {r.src_a for r in rows} | {r.src_b for r in rows}
+    n = len(sources)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.k_used <= 128
+        assert 0 <= r.n_shared <= r.k_used
+        assert r.jaccard_est == r.n_shared / r.k_used
