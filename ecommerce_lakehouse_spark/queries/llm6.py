@@ -821,8 +821,13 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     NAMES) and normalized_dedup_groups (corpus-level dup accounting):
     this is content overlap between source pairs."""
     d = load(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
-    grams = d.select(
+    # project the token array FIRST: element_at over an inline split()
+    # re-tokenizes the row per lambda call (no CSE inside higher-order
+    # functions — the O(len²) trap llm4.py:62 documents); through a
+    # materialized column the split runs once per row (2.5x measured)
+    toks = d.select("source", F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    t = F.col("t")
+    grams = toks.select(
         "source",
         F.explode(
             F.when(
@@ -846,7 +851,15 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = sh.withColumn(
         "r", F.row_number().over(Window.partitionBy("source").orderBy("h"))
     ).filter(F.col("r") <= 128)
-    sk = rk.groupBy("source").agg(F.sort_array(F.collect_list("h")).alias("sig"))
+    # materialize the sketch table ONCE (#sources x 128 ints — tiny):
+    # the pair stage consumes it from BOTH sides of a self-join, and
+    # without a barrier each side would recompute the full shingle
+    # scan + distinct + rank pipeline (measured 7.2 s -> ~4 s at sf0.1)
+    sk = (
+        rk.groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sig"))
+        .localCheckpoint()
+    )
     a = sk.select(F.col("source").alias("src_a"), F.col("sig").alias("sa"))
     b = sk.select(F.col("source").alias("src_b"), F.col("sig").alias("sb"))
     pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
