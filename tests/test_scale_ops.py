@@ -212,3 +212,44 @@ def test_pointer_jump_converges_in_log_rounds(spark):
         ).collect()
     }
     assert set(labels.values()) == {0} and len(labels) == n
+
+
+def test_pagerank_copurchase_matches_python_recompute(spark):
+    """The 5-round integer-nano PageRank must agree exactly with a pure-
+    Python recomputation of the same integer recurrence at sf0.001."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from ecommerce_lakehouse_spark.queries.stats import pagerank_copurchase
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    per_order = defaultdict(set)
+    for ok, pk in zip(t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist()):
+        per_order[ok].add(pk)
+    pairs = {
+        (a, b)
+        for parts in per_order.values()
+        for a, b in combinations(sorted(parts), 2)
+    }
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    rank = {n: 1_000_000_000 for n in adj}
+    for _ in range(5):
+        out = {n: rank[n] // len(adj[n]) for n in adj}
+        nxt = defaultdict(int)
+        for n, nbrs in adj.items():
+            for m in nbrs:
+                nxt[m] += out[n]
+        rank = {n: 150_000_000 + (85 * s) // 100 for n, s in nxt.items()}
+    expect = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+
+    got = [
+        (r.p_partkey, r.rank_nanos)
+        for r in pagerank_copurchase(spark, sf).collect()
+    ]
+    assert got == expect
