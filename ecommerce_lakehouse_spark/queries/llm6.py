@@ -747,7 +747,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.min("cell").cast("long").alias("est_cnt"),
-            F.first("exact_cnt").alias("exact_cnt"),
+            # constant within each o_custkey group; max() rather than
+            # first() so determinism is by construction, not by argument
+            F.max("exact_cnt").alias("exact_cnt"),
         )
     )
     return (
@@ -854,7 +856,8 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the sketch table ONCE (#sources x 128 ints — tiny):
     # the pair stage consumes it from BOTH sides of a self-join, and
     # without a barrier each side would recompute the full shingle
-    # scan + distinct + rank pipeline (measured 7.2 s -> ~4 s at sf0.1)
+    # scan + distinct + rank pipeline (together with the token
+    # projection above: 7.2 s -> 1.6 s in the sf0.1 full-bench run)
     sk = (
         rk.groupBy("source")
         .agg(F.sort_array(F.collect_list("h")).alias("sig"))
