@@ -844,3 +844,92 @@ def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("norm_hash").alias("n_unique_normalized"),
         (F.count("*") - F.countDistinct("norm_hash")).alias("n_dup_docs"),
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, u.i, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings,
+       unnest(list_transform(range(1, len(embedding) + 1),
+              i -> {'i': i, 'x': embedding[i]})) AS t(u)),
+stats AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1),
+q AS (
+  SELECT d.vec_id, d.i, d.x, s.mn, s.mx,
+         CASE WHEN s.mx > s.mn
+              THEN least(255, CAST(floor((d.x - s.mn) / (s.mx - s.mn) * 255)
+                              AS BIGINT))
+              ELSE 0 END AS code
+  FROM dims d JOIN stats s USING (i)),
+e AS (
+  SELECT vec_id, code,
+         x - (mn + code * (mx - mn) / 255) AS err
+  FROM q)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(CAST(floor(err * err * 1e12) AS BIGINT)) AS BIGINT)
+         AS sq_err_picos
+FROM e GROUP BY vec_id
+ORDER BY vec_id
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 scalar quantization of the embedding
+    table — the 4x memory cut every large-scale vector store applies
+    before ANN (FAISS SQ8): per-dim [min, max] over the corpus, code =
+    floor((x-min)/(max-min)*255) clamped to [0,255], plus a per-vector
+    reconstruction-error audit (the number that tells you whether SQ8
+    is safe for your recall target before you commit the index).
+
+    Cross-engine determinism: floor (never round — a half-up boundary
+    on a double quotient is engine-divergent, see memory/money.py
+    policy) on bit-identical IEEE arithmetic; the squared error is
+    floored into integer picos PER DIMENSION and summed in BIGINT, so
+    no float association order exists anywhere.
+
+    Scale: per-dim stats are a fixed-width groupBy (64 groups whatever
+    the corpus size) broadcast back; everything else is map-side
+    per-element arithmetic; output is one row per vector. The explode
+    is 64x fan-out into immediately-partial-aggregated rows — the same
+    shape token_frequencies relies on."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    stats = dims.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = dims.join(F.broadcast(stats), on="i").select(
+        "vec_id",
+        "x",
+        "mn",
+        "mx",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(255).cast("long"),
+                F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("code"),
+    )
+    err = (
+        F.col("x")
+        - (F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / 255)
+    )
+    return (
+        q.select("vec_id", "code", err.alias("err"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum("code").cast("long").alias("code_sum"),
+            F.sum(F.floor(F.col("err") * F.col("err") * 1e12).cast("long"))
+            .cast("long")
+            .alias("sq_err_picos"),
+        )
+        .orderBy("vec_id")
+    )

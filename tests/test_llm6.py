@@ -168,3 +168,37 @@ def test_source_overlap_kmv_estimator_bounds(spark, sf_dir):
         assert 0 < r.k_used <= 128
         assert 0 <= r.n_shared <= r.k_used
         assert r.jaccard_est == r.n_shared / r.k_used
+
+
+def test_embedding_quantize_int8_matches_numpy(spark):
+    """Quantization codes and the pico-floored error sums must equal an
+    independent numpy recomputation of the same IEEE expressions."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ecommerce_lakehouse_spark.queries.llm3 import embedding_quantize_int8
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_pylist()
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    span = mx - mn
+    expect = {}
+    for vid, row in zip(ids, X):
+        code_sum = 0
+        err_picos = 0
+        for j in range(len(row)):
+            if span[j] > 0:
+                c = min(255, math.floor((row[j] - mn[j]) / span[j] * 255))
+            else:
+                c = 0
+            code_sum += c
+            e = row[j] - (mn[j] + c * span[j] / 255)
+            err_picos += math.floor(e * e * 1e12)
+        expect[vid] = (len(row), code_sum, err_picos)
+
+    for r in embedding_quantize_int8(spark, sf).collect():
+        assert (r.n_dims, r.code_sum, r.sq_err_picos) == expect[r.vec_id], r.vec_id
