@@ -613,3 +613,137 @@ def concat_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (start - pack * F.lit(2048)).cast("bigint").alias("pack_offset"),
         )
     )
+
+
+@query(
+    "sq8_recall_eval",
+    oracle=f"""
+WITH knn AS ({_ORACLES['embedding_knn_bruteforce']}),
+dims AS (
+  SELECT vec_id, u.i, CAST(u.x AS DOUBLE) AS x
+  FROM embeddings,
+       unnest(list_transform(range(1, len(embedding) + 1),
+              i -> {{'i': i, 'x': embedding[i]}})) AS t(u)),
+stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY 1),
+dqd AS (
+  SELECT d.vec_id, d.i,
+         s.mn + (CASE WHEN s.mx > s.mn
+                      THEN least(255, CAST(floor((d.x - s.mn) / (s.mx - s.mn)
+                                                 * 255) AS BIGINT))
+                      ELSE 0 END) * (s.mx - s.mn) / 255 AS dq
+  FROM dims d JOIN stats s USING (i)),
+dq AS (SELECT vec_id, list(dq ORDER BY i) AS emb FROM dqd GROUP BY 1),
+dqn AS (
+  SELECT vec_id, emb,
+         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+  FROM dq),
+qv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+              'sum')) AS nrm
+  FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_aggregate(list_transform(range(1, len(qv.emb) + 1),
+                        i -> qv.emb[i] * c.emb[i]), 'sum')
+           / (qv.nrm * c.nrm) AS sim
+  FROM qv, dqn c WHERE c.vec_id != qv.vec_id),
+sq8 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM pairs) WHERE rn <= 5),
+hits AS (
+  SELECT s.query_id,
+         CASE WHEN k.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM sq8 s LEFT JOIN knn k
+    ON s.query_id = k.query_id AND s.neighbor_id = k.neighbor_id)
+SELECT count(*) AS n_pairs,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_5
+FROM hits
+""",
+)
+def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does int8 scalar quantization hurt retrieval? Asymmetric-distance
+    evaluation (FAISS ADC): queries stay full-precision, the candidate
+    side is SQ8 dequantized (the same per-dim affine codes
+    embedding_quantize_int8 audits), brute-force cosine top-5 on the
+    quantized index is compared against the exact full-precision top-5
+    and reported as recall@5 — the accept/reject number for the 4x
+    memory cut BEFORE the index ships. Composes three registered
+    operators; the oracle composes their oracle SQLs as CTEs, so the
+    engines cross-check each other end to end.
+
+    Cross-engine determinism: codes use floor on bit-identical IEEE
+    inputs; the dequantized array reassembles in dimension order (DuckDB
+    list(... ORDER BY i) == Spark sort_array(collect_list(struct(i,
+    dq)))); dot products are positional in-row folds. Ranking ties break
+    by neighbor_id, so no rounding is needed anywhere.
+
+    Scale: per-dim stats are a fixed 64-row broadcast; the dequantized
+    table is one map-side reassembly; the top-k is the knn query's
+    broadcast-queries shape (queries x corpus streamed, per-query window
+    top-5); the recall join is rows = queries x k."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select("vec_id", F.posexplode("embedding").alias("i0", "xf")).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = dims.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(255).cast("long"),
+            F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    dqd = dims.join(F.broadcast(stats), on="i").select(
+        "vec_id",
+        "i",
+        (F.col("mn") + code * (F.col("mx") - F.col("mn")) / 255).alias("dq"),
+    )
+    sq = lambda v: F.aggregate(  # noqa: E731
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    dqn = (
+        dqd.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "dq"))), lambda s: s["dq"]
+            ).alias("emb")
+        )
+        .withColumn("nrm", F.sqrt(sq(F.col("emb"))))
+    )
+    qv = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("q_emb"))
+        .filter(F.col("vec_id") < 10)
+        .withColumn("q_nrm", F.sqrt(sq(F.col("q_emb"))))
+        .select(F.col("vec_id").alias("query_id"), "q_emb", "q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    pairs = dqn.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id")).withColumn(
+        "sim", dot / (F.col("q_nrm") * F.col("nrm"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    sq8 = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    knn = _knn(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = sq8.join(knn, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*")
+        ).alias("recall_at_5"),
+    )
