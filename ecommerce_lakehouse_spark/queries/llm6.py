@@ -883,3 +883,125 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+_TRGM_PATTERNS = (
+    "merge batch",
+    "window spark",
+    "key scan query",
+    "table table key",
+    "quantum flux",
+)
+_TRGM_SQL = "('" + "'), ('".join(_TRGM_PATTERNS) + "')"
+
+
+@query(
+    "trigram_index_search",
+    oracle=f"""
+WITH pats(pattern) AS (VALUES {_TRGM_SQL}),
+postings AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text) - 1),
+                  i -> substr(text, i, 3))) AS g
+    FROM documents WHERE length(text) >= 3)),
+ptr AS (
+  SELECT DISTINCT pattern, g FROM (
+    SELECT pattern,
+           unnest(list_transform(range(1, length(pattern) - 1),
+                  i -> substr(pattern, i, 3))) AS g
+    FROM pats)),
+pn AS (SELECT pattern, count(*) AS n_g FROM ptr GROUP BY 1),
+cand AS (
+  SELECT t.pattern, p.doc_id
+  FROM ptr t JOIN postings p USING (g)
+  GROUP BY t.pattern, p.doc_id
+  HAVING count(*) = (SELECT n_g FROM pn WHERE pn.pattern = t.pattern)),
+ver AS (
+  SELECT c.pattern, c.doc_id,
+         CASE WHEN contains(d.text, c.pattern) THEN 1 ELSE 0 END AS hit
+  FROM cand c JOIN documents d USING (doc_id))
+SELECT pats.pattern,
+       CAST(coalesce(count(ver.doc_id), 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(ver.hit), 0) AS BIGINT) AS n_matched
+FROM pats LEFT JOIN ver ON ver.pattern = pats.pattern
+GROUP BY 1 ORDER BY 1
+""",
+)
+def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated substring search (the pg_trgm plan shape): an
+    inverted character-trigram index over the corpus, candidate docs =
+    those containing EVERY trigram of the pattern (posting-list
+    intersection via join + group-having), then exact contains()
+    verification on candidates only. Reports candidates vs verified
+    matches per pattern — the index's false-positive factor, which is
+    what decides whether the index pays for itself. One pattern
+    ('quantum flux') matches nothing, proving absent patterns survive
+    the left join with zeros rather than vanishing.
+
+    Scale: THE point of the shape — the scan cost moves to index-build
+    time (one explode + distinct, incremental under append); each
+    search touches only the postings of the pattern's trigrams (a
+    semi-join-sized fraction of the corpus), and exact verification
+    runs on candidates, not the table. At 100 TB the postings table is
+    hash-partitioned by trigram so each lookup prunes to a handful of
+    partitions; hot trigrams (stopword-like) are exactly the ones a
+    planner drops from the intersection first — here all pattern
+    trigrams are used, the conservative worst case.
+
+    Determinism: pure set counting, no floats anywhere."""
+    d = load(spark, sf_dir, "documents")
+    # NO corpus-wide distinct: the broadcast join against the pattern
+    # trigrams prunes the explode output map-side (only ~40 pattern
+    # trigrams survive of the whole trigram space), so the only shuffle
+    # is the already-pruned candidate agg — count(DISTINCT g) inside
+    # the group supplies the dedup the postings skip. The repartition
+    # spreads the 300x per-doc fan-out across cores when the input
+    # arrives as few splits (sf0.1 documents is ONE parquet file — the
+    # explode ran single-threaded without it, 3.7 s -> 1.7 s measured);
+    # at real scale input splits already provide the parallelism and
+    # AQE elides the tiny extra shuffle.
+    postings = d.repartition(32).filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    pats = spark.createDataFrame(
+        [(p,) for p in _TRGM_PATTERNS], "pattern string"
+    )
+    ptr = pats.select(
+        "pattern",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("pattern") - 2),
+                lambda i: F.col("pattern").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    ).distinct()
+    pn = ptr.groupBy("pattern").agg(F.count(F.lit(1)).alias("n_g"))
+    cand = (
+        postings.join(F.broadcast(ptr), on="g")
+        .groupBy("pattern", "doc_id")
+        .agg(F.countDistinct("g").alias("n_hit"))
+        .join(F.broadcast(pn), on="pattern")
+        .filter(F.col("n_hit") == F.col("n_g"))
+        .select("pattern", "doc_id")
+    )
+    ver = cand.join(d.select("doc_id", "text"), on="doc_id").select(
+        "pattern",
+        "doc_id",
+        (F.instr("text", F.col("pattern")) > 0).cast("int").alias("hit"),
+    )
+    return (
+        pats.join(ver, on="pattern", how="left")
+        .groupBy("pattern")
+        .agg(
+            F.coalesce(F.count("doc_id"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_matched"),
+        )
+        .orderBy("pattern")
+    )

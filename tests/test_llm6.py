@@ -202,3 +202,24 @@ def test_embedding_quantize_int8_matches_numpy(spark):
 
     for r in embedding_quantize_int8(spark, sf).collect():
         assert (r.n_dims, r.code_sum, r.sq_err_picos) == expect[r.vec_id], r.vec_id
+
+
+def test_trigram_index_search_verified_counts(spark, sf_dir):
+    """Verified match counts must equal direct contains() scans; the
+    index may overcount candidates but never undercount matches, and
+    the absent pattern must survive with zeros."""
+    from ecommerce_lakehouse_spark.queries.llm6 import (
+        _TRGM_PATTERNS,
+        trigram_index_search,
+    )
+
+    d = {r.pattern: r for r in trigram_index_search(spark, sf_dir).collect()}
+    assert set(d) == set(_TRGM_PATTERNS)
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    import pyspark.sql.functions as F
+
+    for p in _TRGM_PATTERNS:
+        exact = docs.filter(F.instr("text", p) > 0).count()
+        assert d[p].n_matched == exact, p
+        assert d[p].n_candidates >= d[p].n_matched
+    assert d["quantum flux"].n_candidates == 0
