@@ -64,6 +64,21 @@ def _gen_image_payloads(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema="doc_id bigint, payload binary")
 
 
+def _doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id spine for payload generation, spread across cores: the
+    small-SF documents parquet arrives as ONE input split, which would
+    run every Arrow codec batch of the CPU-bound encode/decode stages
+    on a single core (measured 5.7 s -> 1.7 s on
+    jpeg_progressive_features at sf0.1). The repartition shuffles only
+    8-byte doc_id rows; at real scale input splits already provide the
+    parallelism and this becomes a cheap no-op-sized exchange."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 @query(
     "image_decode_features",
     oracle=f"""
@@ -88,12 +103,13 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel means. The oracle recomputes the means in closed form
     over a generated pixel grid — byte-level codec errors cannot pass.
 
-    Scale: generation+decode+featurize run in ONE mapInPandas stage (no
-    shuffle, fully parallel per partition); channel sums are exact integer
-    sums so results are partitioning-independent."""
+    Scale: generation+decode+featurize run in ONE mapInPandas stage
+    (no data shuffle beyond the _doc_ids spine spread, fully parallel
+    per partition); channel sums are exact integer sums so results are
+    partitioning-independent."""
     from ecommerce_lakehouse_spark.operators.multimodal import image_feature_extract
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     return image_feature_extract(_gen_image_payloads(docs))
 
 
@@ -130,7 +146,7 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emit integer-exact features (PCM energy = sum of squares,
     zero-crossing count) plus exact duration.
 
-    Scale: one mapInPandas stage, no shuffle; features are
+    Scale: one mapInPandas stage, no data shuffle beyond the _doc_ids spine spread; features are
     order-independent integer sums."""
     import numpy as np
 
@@ -148,7 +164,7 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_wav(k / 1024.0, _AUDIO_RATE))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
     return audio_feature_extract(payloads)
 
@@ -185,7 +201,7 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     -order bug breaks the hash. JPEG/GIF still raise honestly.
 
     Scale: generation+encode+decode+featurize in ONE mapInPandas stage,
-    no shuffle; integer-exact channel sums are partitioning-independent."""
+    no data shuffle beyond the _doc_ids spine spread; integer-exact channel sums are partitioning-independent."""
     import numpy as np
 
     from ecommerce_lakehouse_spark.operators.media import encode_png
@@ -210,7 +226,7 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(img))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
     return image_feature_extract_rgba(payloads)
 
@@ -244,7 +260,7 @@ def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the channel means in closed form; an LZW, palette, or framing bug
     breaks the hash. JPEG is now the only format still raising.
 
-    Scale: one mapInPandas stage, no shuffle, integer-exact sums."""
+    Scale: one mapInPandas stage, no data shuffle beyond the _doc_ids spine spread, integer-exact sums."""
     import numpy as np
 
     from ecommerce_lakehouse_spark.operators.media import encode_gif
@@ -261,7 +277,7 @@ def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_gif(np.repeat(gray[:, :, None], 3, axis=2)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
     return image_feature_extract(payloads)
 
@@ -296,7 +312,7 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     color) is locked by unit tests with error bounds instead, where
     exactness is mathematically unavailable.
 
-    Scale: one mapInPandas stage, no shuffle, integer-exact sums."""
+    Scale: one mapInPandas stage, no data shuffle beyond the _doc_ids spine spread, integer-exact sums."""
     import numpy as np
 
     from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg
@@ -319,7 +335,7 @@ def jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_lum"].append(int(img.astype(np.int64).sum()) / (hh * ww))
             yield pd.DataFrame(out)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     return docs.mapInPandas(
         run, schema="doc_id bigint, width int, height int, channels int, mean_lum double"
     )
@@ -343,7 +359,7 @@ def image_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     query locks the distributed pipeline shape and output sizing."""
     from ecommerce_lakehouse_spark.operators.multimodal import resize_images
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     out = resize_images(_gen_image_payloads(docs), 4, 4)
     return out.select("doc_id", "width", "height", "n_bytes")
 
@@ -373,7 +389,7 @@ def mjpeg_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     path breaks the hash.
 
     Scale: generation and decode are both single mapInPandas stages with
-    no shuffle; only slim per-frame feature rows leave the scan."""
+    no data shuffle beyond the _doc_ids spine spread; only slim per-frame feature rows leave the scan."""
     import numpy as np
 
     from ecommerce_lakehouse_spark.operators.avi import encode_mjpeg_avi
@@ -402,7 +418,7 @@ def mjpeg_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_mjpeg_avi(frames, 16, 16, fps=10))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     videos = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
     return sample_avi_frames(videos, every_n=2)
 
@@ -436,7 +452,7 @@ def mulaw_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula, sign handling, byte inversion, fact-chunk trimming, and WAV
     framing are all under the hash.
 
-    Scale: one generate + one decode mapInPandas stage, no shuffle;
+    Scale: one generate + one decode mapInPandas stage, no data shuffle beyond the _doc_ids spine spread;
     integer-exact energy so results hash identically across engines."""
     import numpy as np
 
@@ -469,7 +485,7 @@ def mulaw_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["peak"].append(int(np.abs(pcm).max()))
             yield pd.DataFrame(out)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     wavs = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
     return wavs.mapInPandas(
         feats,
@@ -556,7 +572,7 @@ def image_dedup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_b"].append(img[:, :, 2].sum() / (w * h))
             yield pd.DataFrame(out)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
     hashed = payloads.select("doc_id", "payload", F.sha2("payload", 256).alias("h"))
     canon = (
@@ -598,7 +614,7 @@ def jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequencing, coefficient accumulation, refinement bits, or EOB-run
     bugs all break the hash.
 
-    Scale: one mapInPandas stage, no shuffle."""
+    Scale: one mapInPandas stage, no data shuffle beyond the _doc_ids spine spread."""
     import numpy as np
 
     from ecommerce_lakehouse_spark.operators.jpeg import encode_jpeg_progressive
@@ -620,7 +636,7 @@ def jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mean_lum"].append(int(img.astype(np.int64).sum()) / (hh * ww))
             yield pd.DataFrame(out)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = _doc_ids(spark, sf_dir)
     return docs.mapInPandas(
         run, schema="doc_id bigint, width int, height int, mean_lum double"
     )
