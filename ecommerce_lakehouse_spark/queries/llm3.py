@@ -933,3 +933,105 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "pq_encode_eval",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+samp AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) AS BIGINT) AS sid,
+         emb AS s_emb
+  FROM v QUALIFY sid <= 16),
+sub AS (SELECT unnest(range(0, 8)) AS k),
+dists AS (
+  SELECT v.vec_id, sub.k, samp.sid,
+         list_aggregate(list_transform(range(1, 9),
+             i -> (v.emb[sub.k * 8 + i] - samp.s_emb[sub.k * 8 + i])
+                  * (v.emb[sub.k * 8 + i] - samp.s_emb[sub.k * 8 + i])),
+             'sum') AS dist
+  FROM v CROSS JOIN sub CROSS JOIN samp),
+best AS (
+  SELECT vec_id, k, sid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, k
+                                 ORDER BY dist ASC, sid ASC) AS rn
+    FROM dists) WHERE rn = 1)
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_sub,
+       CAST(sum(k * 16 + sid) AS BIGINT) AS code_checksum,
+       CAST(sum(CAST(floor(dist * 1e12) AS BIGINT)) AS BIGINT)
+         AS sq_err_picos
+FROM best GROUP BY vec_id
+ORDER BY vec_id
+""",
+)
+def pq_encode_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode + error audit (Jégou et al. 2011):
+    split each 64-dim vector into 8 subvectors of 8 dims, encode each
+    against a 16-centroid per-subspace codebook (64 dims × 4 bytes →
+    8 × 4-bit codes = 32× compression), report the per-vector
+    reconstruction error — the next rung of the compression ladder
+    after embedding_quantize_int8's 4×, with the same pico-exact error
+    column so the SQ8-vs-PQ tradeoff reads straight off the two query
+    outputs.
+
+    The codebook is HASH-SAMPLED, not k-means-trained (the 16 vectors
+    with smallest md5(vec_id) serve as centroids): deterministic across
+    engines/retries by construction, and the honest no-training
+    baseline — a trained codebook only lowers the reported error, it
+    does not change the pipeline shape.
+
+    Cross-engine determinism: subspace distances are positional in-row
+    folds on bit-identical doubles; argmin ties break by sample id;
+    per-subspace errors floor into integer picos BEFORE the per-vector
+    sum, so no float association exists.
+
+    Scale: the codebook is 16 rows broadcast; encoding is
+    vectors × 8 × 16 map-side distance rows collapsed by a
+    (vec_id, subspace)-partitioned window — no corpus-sized shuffle;
+    at 100 TB swap the argmin window for a groupBy min(struct(dist,
+    sid)) if the 128× fan-out ever dominates (same result, pure
+    partial-agg)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # TakeOrdered (per-partition heads) picks the 16 hash-smallest
+    # vectors WITHOUT a global-order window over the raw table; the
+    # row_number that assigns sids then runs on the bounded 16-row frame
+    samp16 = (
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("m"), "vec_id", "emb"
+        )
+        .orderBy("m", "vec_id")
+        .limit(16)
+    )
+    samp = samp16.select(
+        F.row_number()
+        .over(Window.orderBy("m", "vec_id"))
+        .cast("long")
+        .alias("sid"),
+        F.col("emb").alias("s_emb"),
+    )
+    sub = spark.range(0, 8).select(F.col("id").alias("k"))
+    pairs = e.crossJoin(F.broadcast(sub)).crossJoin(F.broadcast(samp))
+    sl = lambda c: F.slice(c, (F.col("k") * 8 + 1).cast("int"), 8)  # noqa: E731
+    dist = F.aggregate(
+        F.zip_with(sl(F.col("emb")), sl(F.col("s_emb")), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dists = pairs.select("vec_id", "k", "sid", dist.alias("dist"))
+    w = Window.partitionBy("vec_id", "k").orderBy(F.asc("dist"), F.asc("sid"))
+    best = dists.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sub"),
+            F.sum(F.col("k") * 16 + F.col("sid")).cast("long").alias("code_checksum"),
+            F.sum(F.floor(F.col("dist") * 1e12).cast("long"))
+            .cast("long")
+            .alias("sq_err_picos"),
+        )
+        .orderBy("vec_id")
+    )

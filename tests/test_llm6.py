@@ -223,3 +223,35 @@ def test_trigram_index_search_verified_counts(spark, sf_dir):
         assert d[p].n_matched == exact, p
         assert d[p].n_candidates >= d[p].n_matched
     assert d["quantum flux"].n_candidates == 0
+
+
+def test_pq_encode_eval_matches_numpy(spark):
+    """PQ codes (via checksum) and pico-floored error sums must equal an
+    independent numpy recomputation: hash-sampled codebook, per-subspace
+    argmin with sid tiebreak."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ecommerce_lakehouse_spark.queries.llm3 import pq_encode_eval
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    X = {v: np.array(e, dtype=np.float64) for v, e in zip(ids, t["embedding"].to_pylist())}
+    order = sorted(ids, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))
+    book = {sid + 1: X[v] for sid, v in enumerate(order[:16])}
+    expect = {}
+    for v, emb in X.items():
+        checksum = 0
+        picos = 0
+        for k in range(8):
+            best = None
+            for sid in sorted(book):
+                d = float(((emb[k * 8:(k + 1) * 8] - book[sid][k * 8:(k + 1) * 8]) ** 2).sum())
+                if best is None or d < best[0]:
+                    best = (d, sid)
+            checksum += k * 16 + best[1]
+            picos += math.floor(best[0] * 1e12)
+        expect[v] = (8, checksum, picos)
+    for r in pq_encode_eval(spark, sf).collect():
+        assert (r.n_sub, r.code_checksum, r.sq_err_picos) == expect[r.vec_id], r.vec_id
