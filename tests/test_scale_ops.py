@@ -253,3 +253,43 @@ def test_pagerank_copurchase_matches_python_recompute(spark):
         for r in pagerank_copurchase(spark, sf).collect()
     ]
     assert got == expect
+
+
+def test_triangle_copurchase_matches_python_recompute(spark):
+    """Per-node triangle counts must equal a pure-Python recomputation
+    (support>=2 edges, degree-ordered orientation) at sf0.01."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from ecommerce_lakehouse_spark.queries.stats import triangle_copurchase
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    per_order = defaultdict(set)
+    for ok, pk in zip(t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist()):
+        per_order[ok].add(pk)
+    support = Counter(
+        pair
+        for parts in per_order.values()
+        for pair in combinations(sorted(parts), 2)
+    )
+    edges = {p for p, c in support.items() if c >= 2}
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    out = defaultdict(set)  # lo -> {hi} under (degree, id) order
+    for a, b in edges:
+        lo, hi = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+        out[lo].add(hi)
+    tri = Counter()
+    for lo, his in out.items():
+        for b, c in combinations(sorted(his), 2):
+            if c in out.get(b, ()):
+                tri[lo] += 1
+                tri[b] += 1
+                tri[c] += 1
+    got = {r.p_partkey: r.n_triangles for r in triangle_copurchase(spark, sf).collect()}
+    assert got == dict(tri)
