@@ -2412,6 +2412,84 @@ class LakeTable:
         except ConcurrentWriteError:
             return None
 
+    def fsck(self, dry_run: bool = True) -> dict:
+        """FSCK REPAIR TABLE (Delta parity): find manifest references to
+        data files that no longer exist in storage and, with
+        ``dry_run=False``, commit a repair that drops them.
+
+        The repair surface is exactly the file references the manifest
+        carries BY NAME: ``live_files`` entries (from file-pruned DML /
+        clones) and whole data dirs — a plain directory entry lists
+        storage at read time, so a file deleted from it disappears from
+        reads on its own, like a directory-listing table. Deletion
+        vectors are the one reference class that REFUSES repair: dropping
+        a missing DV would resurrect the rows it deleted, which is data
+        corruption, not repair — restore a backup or RESTORE to a
+        version before the delete instead.
+
+        The repair is a DATA commit (op ``fsck-repair``, rows vanish):
+        streaming tails raise on it unless ignoreChanges (a source
+        cannot retract), and a change feed crossing it raises because
+        the pre-image of vanished files is unreadable by definition.
+
+        Returns {"missing_files": [(dir, rel)...], "missing_dirs": [...],
+        "missing_dvs": [...], "repaired_version": int | None}.
+        Control-plane only: existence checks against the file inventory,
+        no Spark job."""
+        prior = self._manifest(self.current_version())
+        missing_files: list[tuple] = []
+        missing_dirs: list[str] = []
+        repaired: list = []
+        for e in prior["data_dirs"]:
+            dpath = _entry_path(e)
+            if not os.path.isdir(dpath):
+                missing_dirs.append(dpath)
+                continue
+            if isinstance(e, dict) and e.get("live_files") is not None:
+                gone = {
+                    r
+                    for r in e["live_files"]
+                    if not os.path.exists(os.path.join(dpath, r))
+                }
+                if gone:
+                    missing_files.extend((dpath, r) for r in sorted(gone))
+                    e2 = dict(e)
+                    e2["live_files"] = [
+                        r for r in e["live_files"] if r not in gone
+                    ]
+                    e2["files"] = {
+                        r: st
+                        for r, st in (e.get("files") or {}).items()
+                        if r not in gone
+                    }
+                    if e2["live_files"]:
+                        repaired.append(e2)
+                    continue
+            repaired.append(e)
+        dvs = prior.get("deletion_vectors", [])
+        missing_dvs = [p for p in dvs if not os.path.exists(p)]
+        report = {
+            "missing_files": missing_files,
+            "missing_dirs": missing_dirs,
+            "missing_dvs": missing_dvs,
+            "repaired_version": None,
+        }
+        if dry_run or not (missing_files or missing_dirs or missing_dvs):
+            return report
+        if missing_dvs:
+            raise ValueError(
+                f"fsck: deletion vectors missing from storage {missing_dvs}; "
+                "dropping them would resurrect deleted rows — restore the "
+                "files or RESTORE the table to a version before the delete"
+            )
+        report["repaired_version"] = self._commit(
+            repaired,
+            "fsck-repair",
+            prior["partition_by"],
+            base_version=prior["version"],
+        )
+        return report
+
     def compact(
         self, target_partitions: int | None = None, where: str | None = None
     ) -> int:

@@ -1929,3 +1929,85 @@ def test_bloom_index_file_skipping(spark, tmp_path):
     assert len(d) == 1 and _os.path.exists(_os.path.join(d[0], "_bloom.json"))
     rows = t.read_skipping({"k": (12, 12)}).collect()
     assert [(r.k, r.s) for r in rows] == [(12, "pre12")]
+
+
+def test_fsck_repairs_missing_live_files(spark, tmp_path):
+    """A live_files entry naming a vanished file breaks reads; fsck
+    dry-run reports it, repair drops it, remaining rows survive, and a
+    clean table fscks as a no-op."""
+    import os as _os
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(60)], "k int, s string"
+        ).repartition(3)
+    )
+    # file-pruned DML leaves live_files entries naming files
+    t.delete("k = 0")
+    m = t._manifest(t.current_version())
+    entry = next(
+        e for e in m["data_dirs"]
+        if isinstance(e, dict) and e.get("live_files")
+    )
+    assert t.fsck() == {
+        "missing_files": [],
+        "missing_dirs": [],
+        "missing_dvs": [],
+        "repaired_version": None,
+    }
+
+    victim = entry["live_files"][0]
+    vpath = _os.path.join(entry["path"], victim)
+    surviving = {
+        r.k for r in spark.read.parquet(*[
+            _os.path.join(entry["path"], rel)
+            for rel in entry["live_files"][1:]
+        ]).collect()
+    } if len(entry["live_files"]) > 1 else set()
+    _os.remove(vpath)
+
+    report = t.fsck()  # dry run: reported, nothing committed
+    assert (entry["path"], victim) in report["missing_files"]
+    assert report["repaired_version"] is None
+
+    v_before = t.current_version()
+    report = t.fsck(dry_run=False)
+    assert report["repaired_version"] == v_before + 1
+    got = {r.k for r in t.read().collect()}
+    assert surviving <= got and 0 not in got  # delete still applied
+    # repaired manifest no longer names the victim anywhere
+    m2 = t._manifest(t.current_version())
+    for e in m2["data_dirs"]:
+        if isinstance(e, dict) and e.get("live_files"):
+            assert victim not in e["live_files"] or e["path"] != entry["path"]
+    # idempotent: nothing further to repair
+    assert t.fsck(dry_run=False)["repaired_version"] is None
+
+
+def test_fsck_refuses_missing_deletion_vector(spark, tmp_path):
+    """A vanished DV parquet must refuse repair (dropping it would
+    resurrect deleted rows) while the dry run still reports it."""
+    import os as _os
+
+    import pytest as _pytest
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(i, i % 5) for i in range(50)], "k int, g int")
+    )
+    t.delete("g = 2", mode="merge-on-read")
+    dvs = t._manifest(t.current_version()).get("deletion_vectors", [])
+    assert dvs, "merge-on-read delete must record a deletion vector"
+    # DV paths are dirs or files; remove whichever exists
+    target = dvs[0]
+    if _os.path.isdir(target):
+        import shutil as _shutil
+
+        _shutil.rmtree(target)
+    else:
+        _os.remove(target)
+    report = t.fsck()
+    assert report["missing_dvs"] == [target]
+    with _pytest.raises(ValueError, match="resurrect"):
+        t.fsck(dry_run=False)
