@@ -311,3 +311,67 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(step(t2, "2_click"))
         .unionByName(step(t3, "3_purchase"))
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+t AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       ft.from_total,
+       CAST(t.n AS DOUBLE) / ft.from_total AS p_transition
+FROM t JOIN ft USING (from_type)
+ORDER BY from_type, to_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (the clickstream 'what happens after a view' estimator): consecutive
+    event-type pairs within each user's ts-ordered stream, counted and
+    row-normalized into transition probabilities. Complements the FIXED
+    view->click->purchase funnel (funnel_view_click_purchase) with the
+    full event_types x event_types estimate.
+
+    Cross-engine determinism: ordering ties broken by event_id;
+    p_transition is a single IEEE division of exact BIGINT inputs,
+    emitted UNROUNDED (bit-identical; round() at a half boundary would
+    not be).
+
+    Scale: lead() runs in per-user partitions (never a global window);
+    only (from, to) pairs shuffle after the map-side pair extraction;
+    the row-normalizing join is |event_types|-sized and broadcast. The
+    matrix itself is event-type-cardinality-bounded however large the
+    stream."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    ft = t.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("from_total")
+    )
+    return (
+        t.join(F.broadcast(ft), on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "from_total",
+            (F.col("n_transitions").cast("double") / F.col("from_total")).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -255,3 +255,24 @@ def test_pq_encode_eval_matches_numpy(spark):
         expect[v] = (8, checksum, picos)
     for r in pq_encode_eval(spark, sf).collect():
         assert (r.n_sub, r.code_checksum, r.sq_err_picos) == expect[r.vec_id], r.vec_id
+
+
+def test_event_transition_matrix_probabilities(spark, sf_dir):
+    """Rows per from_type must sum to from_total with probabilities
+    summing to ~1, and every count must be positive."""
+    from collections import defaultdict
+
+    from ecommerce_lakehouse_spark.queries.events import event_transition_matrix
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_from = defaultdict(list)
+    for r in rows:
+        assert r.n_transitions > 0
+        assert r.p_transition == r.n_transitions / r.from_total
+        by_from[r.from_type].append(r)
+    for ft, rs in by_from.items():
+        total = rs[0].from_total
+        assert all(r.from_total == total for r in rs)
+        assert sum(r.n_transitions for r in rs) == total
+        assert abs(sum(r.p_transition for r in rs) - 1.0) < 1e-9
