@@ -31,3 +31,47 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) >= {"order_date", "order_count", "total_sales"}
+
+
+def test_comparator_catches_corruption():
+    """Canary for the gate itself: compare_frames must FAIL on a changed
+    value, a dropped row, a renamed column, and an int->float type
+    change — and must PASS on a pure row-order permutation (order
+    insensitivity is the one intended equivalence). A comparator bug
+    here would silently bless every query above."""
+    import pandas as pd
+
+    from ecommerce_lakehouse_spark.testing import compare_frames
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+
+    ok, _ = compare_frames(base, base.copy())
+    assert ok
+
+    shuffled = base.iloc[[2, 0, 1]].reset_index(drop=True)
+    ok, _ = compare_frames(base, shuffled)
+    assert ok, "row order must not matter"
+
+    changed = base.copy()
+    changed.loc[1, "v"] = 21
+    ok, msg = compare_frames(base, changed)
+    assert not ok and "differing row" in msg
+
+    dropped = base.iloc[:2].reset_index(drop=True)
+    ok, msg = compare_frames(base, dropped)
+    assert not ok and "row count" in msg
+
+    renamed = base.rename(columns={"v": "w"})
+    ok, msg = compare_frames(base, renamed)
+    assert not ok and "column mismatch" in msg
+
+    floated = base.copy()
+    floated["v"] = floated["v"].astype(float)
+    ok, msg = compare_frames(base, floated)
+    assert not ok, "int64 vs float64 cells must not canonicalize equal"
+
+    # NULL and NaN are the same absent-value token across engines
+    a = pd.DataFrame({"x": [None]})
+    b = pd.DataFrame({"x": [float("nan")]})
+    ok, _ = compare_frames(a, b)
+    assert ok
