@@ -375,3 +375,131 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "sax_series_profile",
+    oracle="""
+WITH s AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS j,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+u AS (
+  SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+         CAST(sum(v) AS DOUBLE) / max(n) AS mu,
+         sqrt((CAST(sum(v * v) AS DOUBLE)
+               - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / max(n))
+              / max(n)) AS sigma
+  FROM s GROUP BY user_id),
+seg AS (
+  SELECT s.user_id, (s.j * 8) // s.n AS sg,
+         CAST(sum(s.v) AS DOUBLE) AS seg_sum,
+         CAST(count(*) AS BIGINT) AS seg_cnt
+  FROM s GROUP BY 1, 2),
+paa AS (
+  SELECT seg.user_id, seg.sg,
+         CASE WHEN u.sigma > 0
+              THEN (seg.seg_sum - seg.seg_cnt * u.mu)
+                   / (seg.seg_cnt * u.sigma)
+              ELSE 0 END AS z
+  FROM seg JOIN u USING (user_id)),
+sym AS (
+  SELECT user_id, sg,
+         substr('abcd',
+                CAST(CASE WHEN z < -0.6745 THEN 0
+                          WHEN z < 0 THEN 1
+                          WHEN z < 0.6745 THEN 2
+                          ELSE 3 END AS INT) + 1, 1) AS c
+  FROM paa)
+SELECT sym.user_id, u.n_events,
+       string_agg(sym.c, '' ORDER BY sym.sg) AS sax_word
+FROM sym JOIN u USING (user_id)
+GROUP BY sym.user_id, u.n_events
+ORDER BY sym.user_id
+""",
+)
+def sax_series_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each user's event-value series (Lin et al.
+    2003, the indexable time-series similarity representation behind
+    distributed trajectory/series search engines): z-normalize per
+    user, piecewise-aggregate into 8 segments, map each segment mean
+    onto a 4-letter Gaussian-breakpoint alphabet — one 8-char word per
+    user, the blocking key under which similar series collide for
+    cheap candidate generation (two users with equal words are
+    near-identical in shape up to the PAA resolution).
+
+    Cross-engine determinism for a FLOAT-normalizing op: all sums run
+    as exact DECIMAL(18,2) (value has 2dp) — association-proof — and
+    mean/std/PAA-z compose from those exact sums in ONE fixed
+    expression order, so every intermediate double is bit-identical;
+    breakpoint comparisons on identical doubles cannot disagree.
+    Constant series (sigma=0) map to symbol chain of z=0 explicitly.
+    Segment assignment is integer math: segment = (j*8) DIV n.
+
+    Scale: the per-user rank and count are partitioned windows; the
+    stats and segment sums are two groupBys over slim (user, decimal)
+    rows; the word assembles from 8 rows per user via an in-row sorted
+    fold — nothing global anywhere."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    s = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.row_number().over(w) - 1).alias("j"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    u = s.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        (F.sum("v").cast("double") / F.max("n")).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("v") * F.col("v")).cast("double")
+                - F.sum("v").cast("double") * F.sum("v").cast("double") / F.max("n")
+            )
+            / F.max("n")
+        ).alias("sigma"),
+    )
+    seg = s.groupBy("user_id", F.expr("(j * 8) DIV n").alias("sg")).agg(
+        F.sum("v").cast("double").alias("seg_sum"),
+        F.count(F.lit(1)).cast("long").alias("seg_cnt"),
+    )
+    paa = seg.join(u, on="user_id").select(
+        "user_id",
+        "sg",
+        F.when(
+            F.col("sigma") > 0,
+            (F.col("seg_sum") - F.col("seg_cnt") * F.col("mu"))
+            / (F.col("seg_cnt") * F.col("sigma")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    sym = paa.select(
+        "user_id",
+        "sg",
+        F.substring(
+            F.lit("abcd"),
+            F.when(F.col("z") < -0.6745, 0)
+            .when(F.col("z") < 0, 1)
+            .when(F.col("z") < 0.6745, 2)
+            .otherwise(3)
+            .cast("int")
+            + 1,
+            1,
+        ).alias("c"),
+    )
+    word = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sg", "c"))), lambda x: x["c"]
+        ),
+        "",
+    )
+    return (
+        sym.join(u.select("user_id", "n_events"), on="user_id")
+        .groupBy("user_id", "n_events")
+        .agg(word.alias("sax_word"))
+        .orderBy("user_id")
+    )

@@ -276,3 +276,55 @@ def test_event_transition_matrix_probabilities(spark, sf_dir):
         assert all(r.from_total == total for r in rs)
         assert sum(r.n_transitions for r in rs) == total
         assert abs(sum(r.p_transition for r in rs) - 1.0) < 1e-9
+
+
+def test_sax_series_profile_matches_python(spark, sf_dir):
+    """SAX words must equal an independent Python recomputation using
+    exact-decimal sums and the same fixed expression order."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from ecommerce_lakehouse_spark.queries.events import sax_series_profile
+
+    t = pq.read_table(
+        sf_dir + "/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    rows = sorted(
+        zip(
+            t["user_id"].to_pylist(),
+            t["ts"].to_pylist(),
+            t["event_id"].to_pylist(),
+            t["value"].to_pylist(),
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    series = defaultdict(list)
+    for uid, _, _, v in rows:
+        series[uid].append(Decimal(str(v)).quantize(Decimal("0.01")))
+    expect = {}
+    for uid, vs in series.items():
+        n = len(vs)
+        sv = sum(vs)
+        svv = sum(v * v for v in vs)
+        mu = float(sv) / n
+        sigma = math.sqrt((float(svv) - float(sv) * float(sv) / n) / n)
+        segs = defaultdict(lambda: [Decimal(0), 0])
+        for j, v in enumerate(vs):
+            sg = (j * 8) // n
+            segs[sg][0] += v
+            segs[sg][1] += 1
+        word = ""
+        for sg in sorted(segs):
+            ssum, scnt = segs[sg]
+            z = (
+                (float(ssum) - scnt * mu) / (scnt * sigma) if sigma > 0 else 0.0
+            )
+            word += "abcd"[0 if z < -0.6745 else 1 if z < 0 else 2 if z < 0.6745 else 3]
+        expect[uid] = (n, word)
+    got = {
+        r.user_id: (r.n_events, r.sax_word)
+        for r in sax_series_profile(spark, sf_dir).collect()
+    }
+    assert got == expect
