@@ -276,3 +276,26 @@ def test_bucketed_global_row_number_null_sort_values(spark):
     assert {(r.id, r.rn) for r in got.collect()} == {
         (r.id, r.rn) for r in exp.collect()
     } and got.count() == 4
+
+
+def test_query_layer_never_materializes_to_driver():
+    """Source-level guard: no registered query may collect(), toPandas()
+    or toLocalIterator() — a query that iterates driver-side isn't
+    distributed. Control-plane collects live in lake/ and pipelines/
+    (bounded by partition/file counts), never in queries/."""
+    import os
+
+    import ecommerce_lakehouse_spark.queries as qpkg
+
+    qdir = os.path.dirname(qpkg.__file__)
+    banned = (".collect(", ".toPandas(", ".toLocalIterator(")
+    hits = []
+    for name in sorted(os.listdir(qdir)):
+        if not name.endswith(".py"):
+            continue
+        with open(os.path.join(qdir, name)) as f:
+            for i, line in enumerate(f, 1):
+                code = line.split("#", 1)[0]
+                if any(b in code for b in banned):
+                    hits.append(f"{name}:{i}: {line.strip()}")
+    assert not hits, "driver materialization in the query layer:\n" + "\n".join(hits)
