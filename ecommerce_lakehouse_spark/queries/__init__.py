@@ -45,6 +45,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm4,
     llm5,
     llm6,
+    llm7,
     media,
     quality,
     relational,
