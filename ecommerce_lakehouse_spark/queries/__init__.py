@@ -46,6 +46,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm5,
     llm6,
     llm7,
+    llm8,
     media,
     quality,
     relational,

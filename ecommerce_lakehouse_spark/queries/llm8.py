@@ -1,0 +1,474 @@
+"""Training-data curation operators, wave 8: distribution audits
+(per-source KL divergence against the corpus token distribution, Benford
+first-digit conformance of money amounts, MAD-based robust outlier
+rates) and weighted graph distance (bounded-hop Bellman-Ford over the
+co-purchase graph — the weighted companion of `bfs_hops_copurchase`).
+
+Cross-engine float rules (SNIPPETS.md / BASELINE.md): ln/log10 are the
+only transcendentals — each is rounded ONCE into integer nano-units (or
+embedded as a Python-repr literal both engines parse identically) before
+any reuse; cross-row accumulation of scores happens in exact BIGINT,
+never a float sum whose association order differs between engines;
+divisions of exact inputs ride unrounded (IEEE division is
+bit-identical); medians are SELECTION statistics over running BIGINT
+counts, so the only float ops are one addition and one halving of two
+selected doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# per-source KL divergence vs the corpus unigram distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_kl_divergence",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c_st
+       FROM tok GROUP BY 1, 2),
+s_tot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+          FROM st GROUP BY 1),
+t_tot AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM s_tot),
+term AS (
+  SELECT st.source,
+         st.c_st * CAST(round(ln((CAST(st.c_st AS DOUBLE) * CAST(tot.n AS DOUBLE))
+             / (CAST(s_tot.n_s AS DOUBLE) * CAST(t_tot.c_t AS DOUBLE))) * 1e9, 0)
+             AS BIGINT) AS contrib_n
+  FROM st JOIN s_tot USING (source) JOIN t_tot USING (token) CROSS JOIN tot)
+SELECT s_tot.source, s_tot.n_s AS n_tokens, s_tot.n_distinct,
+       CAST(k.kl_n AS BIGINT) AS kl_nanos,
+       (CAST(k.kl_n AS DOUBLE) / CAST(s_tot.n_s AS DOUBLE)) / 1e9 AS kl_divergence
+FROM (SELECT source, sum(contrib_n) AS kl_n FROM term GROUP BY 1) k
+JOIN s_tot USING (source)
+""",
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram token distribution from the
+    corpus-wide distribution: KL(p_source || p_corpus) = Σ_t p_s(t) ·
+    ln(p_s(t)/p(t)) — the domain-shift diagnostic behind mixture design
+    (a source with near-zero KL adds no distributional diversity; a
+    high-KL source shifts the training mix). Complements
+    `temperature_mixture_weights` (which reweights by SIZE, blind to
+    content) and `dsir_importance_scores` (per-DOC scores against a
+    target; this is per-SOURCE against the corpus itself).
+
+    Determinism: the ln argument is built from exact BIGINT counts in a
+    fixed operand order — (c_st · N) / (n_s · c_t) — so both engines see
+    the identical double; ln is rounded ONCE into nanos; each token's
+    contribution c_st · ln_nanos is exact BIGINT arithmetic, and the
+    per-source sum is a BIGINT sum (order-independent). Only the final
+    normalization divides (IEEE-identical). Every token of every source
+    appears in the corpus distribution by construction, so no zero-q
+    smoothing is needed.
+
+    Scale: explode collapses immediately into (source, token) partial
+    counts — only distinct pairs shuffle; s_tot/t_tot/N derive from that
+    collapsed frame (no second corpus scan); the stats joins broadcast
+    (sources × vocab is catalog-sized next to the corpus). BIGINT
+    headroom: c_st · ln_nanos < 9.2e18 holds while c_st < ~2e9 per
+    (source, token); past that, accumulate in DECIMAL(38,0)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    t_tot = st.groupBy("token").agg(F.sum("c_st").cast("long").alias("c_t"))
+    tot = s_tot.agg(F.sum("n_s").cast("long").alias("n"))
+    term = (
+        st.join(F.broadcast(s_tot.select("source", "n_s")), "source")
+        .join(F.broadcast(t_tot), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                F.col("c_st")
+                * F.expr(
+                    "CAST(round(ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE))"
+                    " / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))) * 1e9, 0)"
+                    " AS BIGINT)"
+                )
+            ).alias("contrib_n"),
+        )
+    )
+    k = term.groupBy("source").agg(F.sum("contrib_n").cast("long").alias("kl_n"))
+    return k.join(F.broadcast(s_tot), "source").select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "n_distinct",
+        F.col("kl_n").alias("kl_nanos"),
+        (
+            (F.col("kl_n").cast("double") / F.col("n_s").cast("double"))
+            / F.lit(1e9)
+        ).alias("kl_divergence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier rate
+# ---------------------------------------------------------------------------
+
+
+def _freq_median(grouped: DataFrame, key: str, val: str, out: str) -> DataFrame:
+    """Exact per-group median from a (key, value, cnt) frequency frame:
+    running BIGINT count over the DISTINCT values of each group selects
+    the one or two middle values; their mean is the median. The window
+    partitions by group and runs over distinct values only — bounded by
+    the value DOMAIN (2-decimal amounts here), not the row count, which
+    is the 'pre-aggregate to (key, value, freq) first' scale recipe
+    grouped_median_doclen's docstring names. Returns (key, out, n)."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(key)
+    c = grouped.select(
+        key,
+        val,
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    mid_lo = ((F.col("n") + 1) / 2).cast("long")
+    mid_hi = ((F.col("n") + 2) / 2).cast("long")
+    return c.groupBy(key).agg(
+        (
+            (
+                F.min(F.when(F.col("cum") >= mid_lo, F.col(val)))
+                + F.min(F.when(F.col("cum") >= mid_hi, F.col(val)))
+            )
+            / 2.0
+        ).alias(out),
+        F.max("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "value_mad_outliers",
+    oracle="""
+WITH c1 AS (
+  SELECT event_type, value, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+m1 AS (
+  SELECT event_type,
+         (min(CASE WHEN cum >= (n + 1) // 2 THEN value END)
+          + min(CASE WHEN cum >= (n + 2) // 2 THEN value END)) / 2.0 AS med,
+         max(n) AS n
+  FROM (SELECT event_type, value,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM c1)
+  GROUP BY 1),
+d1 AS (
+  SELECT c1.event_type, abs(c1.value - m1.med) AS dev,
+         CAST(sum(c1.cnt) AS BIGINT) AS cnt
+  FROM c1 JOIN m1 USING (event_type) GROUP BY 1, 2),
+m2 AS (
+  SELECT event_type,
+         (min(CASE WHEN cum >= (n + 1) // 2 THEN dev END)
+          + min(CASE WHEN cum >= (n + 2) // 2 THEN dev END)) / 2.0 AS mad
+  FROM (SELECT event_type, dev,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM d1)
+  GROUP BY 1)
+SELECT m1.event_type, CAST(m1.n AS BIGINT) AS n, m1.med AS median_value,
+       m2.mad,
+       CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_outliers,
+       CAST(coalesce(o.n_out, 0) AS DOUBLE) / m1.n AS outlier_rate
+FROM m1 JOIN m2 USING (event_type)
+LEFT JOIN (
+  SELECT c1.event_type, sum(c1.cnt) AS n_out
+  FROM c1 JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+  WHERE abs(c1.value - m1.med) > 3.0 * m2.mad
+  GROUP BY 1) o ON o.event_type = m1.event_type
+""",
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier rate via median absolute deviation:
+    |value − median| > 3·MAD. The robust complement of
+    `value_outlier_rate`'s 3σ z-score — a z-score's mean AND sigma are
+    themselves dragged by the outliers being hunted (masking), while
+    median/MAD have a 50% breakdown point; the pair is the standard
+    before/after for heavy-tailed quality metrics.
+
+    Determinism needs NO rounding anywhere: medians are selections over
+    running BIGINT counts (the only float ops are one + and one /2 of
+    two selected doubles, IEEE-identical), deviations are single
+    subtractions, the 3·MAD threshold is one multiplication, and the
+    rate divides two exact integers.
+
+    Scale: everything runs on the (event_type, value) collapsed frame —
+    the two median windows partition by type over DISTINCT values, so
+    the per-partition bound is the value DOMAIN (2-decimal amounts:
+    range-bounded however many raw rows exist), not the table. Raw rows
+    shuffle once, into the collapse. The deviation median reuses the
+    same collapsed frame joined to 5 broadcast medians."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    c1 = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    c1 = c1.localCheckpoint(eager=False)  # reused by both medians + the rate
+    m1 = _freq_median(c1, "event_type", "value", "med")
+    d1 = (
+        c1.join(F.broadcast(m1.select("event_type", "med")), "event_type")
+        .groupBy("event_type", F.abs(F.col("value") - F.col("med")).alias("dev"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    m2 = _freq_median(d1, "event_type", "dev", "mad").select("event_type", "mad")
+    base = m1.join(m2, "event_type")
+    out = (
+        c1.join(F.broadcast(base), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("n_out"))
+    )
+    return base.join(out, "event_type", "left").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("med").alias("median_value"),
+        "mad",
+        F.coalesce("n_out", F.lit(0)).cast("long").alias("n_outliers"),
+        (
+            F.coalesce("n_out", F.lit(0)).cast("double") / F.col("n")
+        ).alias("outlier_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) embedded as Python-repr shortest round-trip literals so
+# both engines parse the identical double — no engine evaluates log10.
+_BENFORD = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+def _benford_case(col: str) -> str:
+    return (
+        f"CASE {col} "
+        + " ".join(
+            f"WHEN {d} THEN CAST({v} AS DOUBLE)" for d, v in _BENFORD.items()
+        )
+        + " END"
+    )
+
+
+_BENFORD_CASE = _benford_case("digit")
+
+
+@query(
+    "benford_first_digit",
+    oracle=f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0),
+obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM cents GROUP BY 1),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+spine AS (SELECT unnest(range(1, 10)) AS digit)
+SELECT CAST(spine.digit AS INT) AS digit,
+       CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(coalesce(obs.n_obs, 0) AS DOUBLE) / tot.n AS obs_share,
+       {_benford_case("spine.digit")} AS benford_share,
+       (CAST(coalesce(obs.n_obs, 0) AS DOUBLE) / tot.n) / ({_benford_case("spine.digit")})
+         AS share_ratio
+FROM spine LEFT JOIN obs ON obs.digit = spine.digit CROSS JOIN tot
+""",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order amounts: the
+    observed digit distribution of o_totalprice against log10(1+1/d) —
+    the classic fabricated-or-truncated-data screen for money columns
+    (synthetic generators and capped fields bend the curve; organic
+    multiplicative amounts follow it).
+
+    Determinism: amounts become exact integer CENTS once (round of an
+    IEEE-identical multiply); the first digit comes from the INTEGER's
+    decimal rendering (integer→string is unambiguous in both engines —
+    never render a double, whose formatting is engine-specific, and
+    never floor(log10(x)), whose last-ulp can misplace exact powers of
+    ten); the Benford shares are Python-repr literals both engines parse
+    to the identical double, so shares and ratios are bit-exact. Output
+    is one row PER DIGIT — no cross-row float sum (a chi-square scalar
+    would sum 9 doubles in engine-dependent order; the per-digit ratios
+    carry the same information exactly).
+
+    Scale: one map-side digit extraction, a 9-group aggregate, a 1-row
+    total broadcast back, and a 9-row literal spine outer join so absent
+    digits report 0 rather than vanishing."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    obs = (
+        o.select(
+            F.substring(
+                F.expr("CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS STRING)"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    return (
+        spine.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            (F.coalesce("n_obs", F.lit(0)).cast("double") / F.col("n")).alias(
+                "obs_share"
+            ),
+            F.expr(_BENFORD_CASE).alias("benford_share"),
+            (
+                (F.coalesce("n_obs", F.lit(0)).cast("double") / F.col("n"))
+                / F.expr(_BENFORD_CASE)
+            ).alias("share_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded-hop weighted shortest paths (Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle() -> str:
+    """Unrolled Bellman-Ford relaxation rounds; every multi-referenced
+    CTE is MATERIALIZED (plain CTEs inline, re-evaluating the edge build
+    2^rounds times — the measured >80 GB spill from the BFS oracle)."""
+    parts = []
+    for k in range(1, _SSSP_ROUNDS + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (\n"
+            f"  SELECT node, min(dist) AS dist FROM (\n"
+            f"    SELECT node, dist FROM d{k-1}\n"
+            f"    UNION ALL\n"
+            f"    SELECT e.d AS node, d{k-1}.dist + e.w AS dist\n"
+            f"    FROM edges e JOIN d{k-1} ON e.s = d{k-1}.node)\n"
+            f"  GROUP BY 1)"
+        )
+    last = f"d{_SSSP_ROUNDS}"
+    return (
+        """
+WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS s, b.l_partkey AS d,
+         CAST((100 + count(*) - 1) // count(*) AS BIGINT) AS w
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT s, d, w FROM pr UNION ALL SELECT d, s, w FROM pr),
+d0 AS MATERIALIZED (
+  SELECT min(s) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+"""
+        + ",\n".join(parts)
+        + f""",
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n_reached FROM {last})
+SELECT CAST(node AS BIGINT) AS node, dist, n_reached
+FROM {last} CROSS JOIN nr
+ORDER BY dist, node LIMIT 20
+"""
+    )
+
+
+@query("sssp_copurchase", oracle=_sssp_oracle())
+def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (Bellman-Ford, 4 relaxation
+    rounds) from the minimum part key over the co-purchase graph, edge
+    cost = ceil(100 / co-purchase support) — strong associations are
+    cheap to traverse, so the 20 nearest parts are the "association
+    neighborhood" ranked by path strength, not hop count. The weighted
+    companion of `bfs_hops_copurchase` (hops) and the distance member of
+    the graph family (pagerank = importance, triangles = density,
+    neardup_clusters = components). The K-round contract is explicit:
+    dist(v) = cheapest path using ≤ K edges — deterministic whether or
+    not K reaches the graph's diameter.
+
+    Determinism: supports, weights, and distances are all exact BIGINT
+    (ceil division is (100 + n − 1) DIV n); min() needs no tiebreak.
+
+    Scale: each round joins EDGES to the CURRENT distance frontier and
+    folds with a groupBy-min — never an all-pairs product; the distance
+    table is broadcast per round (node ids + one BIGINT: catalog-sized;
+    swap for a shuffle join past broadcast limits); per-round
+    localCheckpoint truncates lineage, without which round k re-executes
+    the whole edge build k times (measured on pagerank_copurchase).
+    Edge weights come from the in-row pair expansion + one groupBy —
+    one shuffle, no self-join."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS s, y AS d))))"
+        )
+    ).alias("p")
+    pr = (
+        per_order.select(pair)
+        .groupBy(F.col("p.s").alias("s"), F.col("p.d").alias("d"))
+        .agg(
+            F.expr("CAST((100 + count(1) - 1) DIV count(1) AS BIGINT)").alias("w")
+        )
+        .localCheckpoint()
+    )
+    edges = pr.union(pr.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
+    dist = (
+        edges.agg(F.min("s").alias("node"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            edges.join(
+                F.broadcast(dist.select(F.col("node").alias("s"), "dist")), "s"
+            )
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    nr = dist.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+    return (
+        dist.crossJoin(F.broadcast(nr))
+        .select(F.col("node").cast("long").alias("node"), "dist", "n_reached")
+        .orderBy("dist", "node")
+        .limit(20)
+    )

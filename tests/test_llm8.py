@@ -1,0 +1,156 @@
+"""Wave-8 operators: MAD / Benford / KL against independent Python
+recomputations under the same exactness contracts; Bellman-Ford on a
+graph built so the cheapest path is NOT the fewest-hop path."""
+
+import math
+import os
+from collections import Counter
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+LI_SCHEMA = "l_orderkey bigint, l_partkey bigint"
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    d = str(tmp_path / "mini")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def _median(sorted_vals):
+    n = len(sorted_vals)
+    return (sorted_vals[(n - 1) // 2] + sorted_vals[n // 2]) / 2.0
+
+
+def test_value_mad_outliers_matches_python(spark, sf_dir):
+    """Median, MAD, and the 3-MAD outlier count recomputed exactly from
+    the raw parquet — no rounding anywhere means equality is exact."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    by_type = {}
+    for ty, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        if v is not None:
+            by_type.setdefault(ty, []).append(v)
+
+    from ecommerce_lakehouse_spark.queries.llm8 import value_mad_outliers
+
+    got = {r.event_type: r for r in value_mad_outliers(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for ty, vals in by_type.items():
+        med = _median(sorted(vals))
+        mad = _median(sorted(abs(v - med) for v in vals))
+        n_out = sum(1 for v in vals if abs(v - med) > 3.0 * mad)
+        r = got[ty]
+        assert (r.n, r.median_value, r.mad, r.n_outliers) == (
+            len(vals),
+            med,
+            mad,
+            n_out,
+        )
+        assert r.outlier_rate == n_out / len(vals)
+
+
+def test_benford_matches_python(spark, sf_dir):
+    """First digits from exact integer cents; shares and ratios exact."""
+    import pyarrow.parquet as pq
+
+    prices = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    ).column("o_totalprice").to_pylist()
+    digits = Counter(
+        int(str(int(round(p * 100, 0)))[0]) for p in prices if p > 0
+    )
+    n = sum(digits.values())
+
+    from ecommerce_lakehouse_spark.queries.llm8 import benford_first_digit
+
+    rows = benford_first_digit(spark, sf_dir).collect()
+    assert [r.digit for r in sorted(rows, key=lambda r: r.digit)] == list(
+        range(1, 10)
+    )
+    for r in rows:
+        exp_share = math.log10(1.0 + 1.0 / r.digit)
+        assert r.n_obs == digits.get(r.digit, 0)
+        assert r.obs_share == digits.get(r.digit, 0) / n
+        assert r.benford_share == exp_share
+        assert r.share_ratio == r.obs_share / exp_share
+
+
+def test_source_kl_matches_python(spark, tmp_path):
+    """Nano-contract KL recomputed by hand on a corpus where one source
+    matches the corpus mix and one diverges hard."""
+    texts = {
+        1: ("a b a b", "s0"),
+        2: ("a b a b", "s0"),
+        3: ("a a a a", "s1"),
+        4: ("a a a a", "s1"),
+    }
+    rows = [(i, t, "en", s, 0) for i, (t, s) in texts.items()]
+    d = _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+
+    st = Counter()
+    for t, s in texts.values():
+        for w in t.split():
+            st[(s, w)] += 1
+    n_s = Counter()
+    c_t = Counter()
+    for (s, w), c in st.items():
+        n_s[s] += c
+        c_t[w] += c
+    n = sum(n_s.values())
+    expected = {}
+    for s in n_s:
+        kl_n = sum(
+            c * int(round(math.log((c * n) / (n_s[s] * c_t[w])) * 1e9))
+            for (s2, w), c in st.items()
+            if s2 == s
+        )
+        expected[s] = (
+            n_s[s],
+            len([1 for (s2, _) in st if s2 == s]),
+            kl_n,
+            (kl_n / n_s[s]) / 1e9,
+        )
+
+    from ecommerce_lakehouse_spark.queries.llm8 import source_kl_divergence
+
+    got = {
+        r.source: (r.n_tokens, r.n_distinct, r.kl_nanos, r.kl_divergence)
+        for r in source_kl_divergence(spark, d).collect()
+    }
+    assert got == expected
+    assert got["s1"][3] > got["s0"][3]  # the divergent source scores higher
+
+
+def test_sssp_prefers_cheap_two_hop_over_direct_edge(spark, tmp_path):
+    """Edge cost = ceil(100/support): 50 co-purchases make 1-2 and 2-3
+    cost 2 each, one co-purchase makes the direct 1-3 edge cost 100, so
+    dist(3) must be 4 via the two-hop path; an island pair stays out of
+    n_reached."""
+    rows = []
+    ok = 1
+    for _ in range(50):
+        rows += [(ok, 1), (ok, 2)]
+        ok += 1
+    for _ in range(50):
+        rows += [(ok, 2), (ok, 3)]
+        ok += 1
+    rows += [(ok, 1), (ok, 3)]
+    ok += 1
+    rows += [(ok, 10), (ok, 11)]
+    d = _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+
+    from ecommerce_lakehouse_spark.queries.llm8 import sssp_copurchase
+
+    got = [
+        (r.node, r.dist, r.n_reached)
+        for r in sssp_copurchase(spark, d).collect()
+    ]
+    assert got == [(1, 0, 3), (2, 2, 3), (3, 4, 3)]
