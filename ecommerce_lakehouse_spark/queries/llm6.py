@@ -450,48 +450,41 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bpe_merge_steps",
-    oracle=f"""
-WITH w0 AS (
+def _bpe_train_sql(steps: int = 3) -> str:
+    """Shared oracle prefix: BPE training CTEs w0/s0 then
+    p{k}/t{k}/s{k} per merge step (s{k} = the word table with merge k
+    applied). Consumers append their own final SELECT; unreferenced
+    trailing CTEs are never evaluated by DuckDB."""
+    parts = [
+        f"""WITH w0 AS (
   SELECT u AS word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest({_TOKENIZE_SQL}) AS u FROM documents) GROUP BY 1),
 s0 AS (SELECT word, freq,
               ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' ' AS seq
-       FROM w0),
-p1 AS (
+       FROM w0)"""
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""p{k} AS (
   SELECT l || ' ' || r AS pair, l || r AS token, CAST(sum(freq) AS BIGINT) AS wc
   FROM (SELECT freq, unnest(list_transform(range(1, len(t)), i ->
                {{'l': t[i], 'r': t[i+1]}})) AS u
         FROM (SELECT freq, list_filter(string_split(seq, ' '), x -> x <> '') AS t
-              FROM s0) WHERE len(t) >= 2)
+              FROM s{k-1}) WHERE len(t) >= 2)
        , LATERAL (SELECT u.l AS l, u.r AS r) z
   GROUP BY 1, 2),
-t1 AS (SELECT pair, token, wc FROM p1 ORDER BY wc DESC, token LIMIT 1),
-s1 AS (SELECT word, freq,
-              replace(seq, ' ' || (SELECT pair FROM t1) || ' ',
-                      ' ' || (SELECT token FROM t1) || ' ') AS seq FROM s0),
-p2 AS (
-  SELECT l || ' ' || r AS pair, l || r AS token, CAST(sum(freq) AS BIGINT) AS wc
-  FROM (SELECT freq, unnest(list_transform(range(1, len(t)), i ->
-               {{'l': t[i], 'r': t[i+1]}})) AS u
-        FROM (SELECT freq, list_filter(string_split(seq, ' '), x -> x <> '') AS t
-              FROM s1) WHERE len(t) >= 2)
-       , LATERAL (SELECT u.l AS l, u.r AS r) z
-  GROUP BY 1, 2),
-t2 AS (SELECT pair, token, wc FROM p2 ORDER BY wc DESC, token LIMIT 1),
-s2 AS (SELECT word, freq,
-              replace(seq, ' ' || (SELECT pair FROM t2) || ' ',
-                      ' ' || (SELECT token FROM t2) || ' ') AS seq FROM s1),
-p3 AS (
-  SELECT l || ' ' || r AS pair, l || r AS token, CAST(sum(freq) AS BIGINT) AS wc
-  FROM (SELECT freq, unnest(list_transform(range(1, len(t)), i ->
-               {{'l': t[i], 'r': t[i+1]}})) AS u
-        FROM (SELECT freq, list_filter(string_split(seq, ' '), x -> x <> '') AS t
-              FROM s2) WHERE len(t) >= 2)
-       , LATERAL (SELECT u.l AS l, u.r AS r) z
-  GROUP BY 1, 2),
-t3 AS (SELECT pair, token, wc FROM p3 ORDER BY wc DESC, token LIMIT 1)
+t{k} AS (SELECT pair, token, wc FROM p{k} ORDER BY wc DESC, token LIMIT 1),
+s{k} AS (SELECT word, freq,
+              replace(seq, ' ' || (SELECT pair FROM t{k}) || ' ',
+                      ' ' || (SELECT token FROM t{k}) || ' ') AS seq FROM s{k-1})"""
+        )
+    return ",\n".join(parts)
+
+
+@query(
+    "bpe_merge_steps",
+    oracle=_bpe_train_sql()
+    + """
 SELECT 1 AS step, pair, token, wc FROM t1
 UNION ALL SELECT 2, pair, token, wc FROM t2
 UNION ALL SELECT 3, pair, token, wc FROM t3
@@ -517,6 +510,42 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride as padded strings so the merge apply is a single JVM
     ``replace`` (left-to-right non-overlapping in both engines — greedy
     BPE order)."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    return merges.orderBy("step")
+
+
+def _bpe_top_merge(wf: DataFrame) -> DataFrame:
+    """Most frequent adjacent symbol pair, corpus-weighted, lexicographic
+    tiebreak — one tiny job over the vocabulary-bounded word table."""
+    t = F.filter(F.split("seq", " "), lambda x: x != "")
+    return (
+        wf.select("freq", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2,"
+                    " size(t)-1), (a, b) -> struct(a AS l, b AS r))"
+                )
+            ).alias("g"),
+        )
+        .groupBy(
+            F.concat("g.l", F.lit(" "), "g.r").alias("pair"),
+            F.concat("g.l", "g.r").alias("token"),
+        )
+        .agg(F.sum("freq").cast("long").alias("wc"))
+        .orderBy(F.desc("wc"), "token")
+        .limit(1)
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, steps: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Run BPE training: returns (merge table, final word table). The
+    word table keeps the raw ``word`` column so consumers can map any
+    word to its post-merge symbol sequence (the encode path)."""
     toks = load(spark, sf_dir, "documents").select(
         F.explode(
             F.filter(
@@ -527,10 +556,11 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("word")
     )
-    words = (
+    wf = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(
+            "word",
             "freq",
             F.concat(
                 F.lit(" "),
@@ -540,40 +570,16 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # vocabulary-bounded; each merge re-reads it
     )
-
-    def top_merge(wf: DataFrame) -> DataFrame:
-        t = F.filter(F.split("seq", " "), lambda x: x != "")
-        return (
-            wf.select("freq", t.alias("t"))
-            .filter(F.size("t") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(t, 1, size(t)-1), slice(t, 2,"
-                        " size(t)-1), (a, b) -> struct(a AS l, b AS r))"
-                    )
-                ).alias("g"),
-            )
-            .groupBy(
-                F.concat("g.l", F.lit(" "), "g.r").alias("pair"),
-                F.concat("g.l", "g.r").alias("token"),
-            )
-            .agg(F.sum("freq").cast("long").alias("wc"))
-            .orderBy(F.desc("wc"), "token")
-            .limit(1)
-        )
-
     out = None
-    wf = words
-    for step in (1, 2, 3):
-        top = top_merge(wf).select(
+    for step in range(1, steps + 1):
+        top = _bpe_top_merge(wf).select(
             F.lit(step).cast("int").alias("step"), "pair", "token", "wc"
         )
         out = top if out is None else out.unionByName(top)
         wf = wf.crossJoin(
             F.broadcast(top.select("pair", "token"))
         ).select(
+            "word",
             "freq",
             F.replace(
                 F.col("seq"),
@@ -581,7 +587,78 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(" "), "token", F.lit(" ")),
             ).alias("seq"),
         )
-    return out.orderBy("step")
+    return out, wf
+
+
+@query(
+    "bpe_encode_stats",
+    oracle=_bpe_train_sql()
+    + f""",
+dw AS (
+  SELECT doc_id, u AS word
+  FROM (SELECT doc_id, unnest({_TOKENIZE_SQL}) AS u FROM documents)),
+wt AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(seq, ' '), x -> x <> ''))
+              AS BIGINT) AS n_sym,
+         CAST(len(word) AS BIGINT) AS n_chr
+  FROM s3)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.n_chr) AS BIGINT) AS n_chars,
+       CAST(sum(wt.n_sym) AS BIGINT) AS n_tokens,
+       CAST(sum(wt.n_chr) AS DOUBLE) / sum(wt.n_sym) AS chars_per_token
+FROM dw JOIN wt USING (word)
+GROUP BY 1
+""",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the tokenizer `bpe_merge_steps` trains:
+    per-document word/char/BPE-token counts and the chars-per-token
+    compression ratio after 3 learned merges — the fertility metric that
+    decides whether a vocabulary is worth shipping, and the token
+    accounting a training-data pipeline bills by.
+
+    Scale (the reason encoding is a JOIN, not a fold): after training,
+    every distinct WORD already carries its final symbol sequence in the
+    vocabulary-bounded word table, so encoding the corpus is explode →
+    hash-join to that table (broadcast at dictionary sizes) → per-doc
+    aggregate. No per-token iteration ever touches corpus rows, and the
+    merge loop itself stays vocabulary-bounded (bpe_merge_steps'
+    docstring). Counts are exact BIGINTs; the single ratio is one IEEE
+    division. Docs with zero alphabetic words have no token accounting
+    row, by contract."""
+    _, wf = _bpe_train(spark, sf_dir)
+    wt = wf.select(
+        "word",
+        F.size(F.filter(F.split("seq", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_sym"),
+        F.length("word").cast("long").alias("n_chr"),
+    )
+    dw = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
+                ),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    )
+    return (
+        dw.join(F.broadcast(wt), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chr").cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            (F.sum("n_chr").cast("double") / F.sum("n_sym")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
 
 
 @query(

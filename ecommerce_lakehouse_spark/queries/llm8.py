@@ -357,6 +357,122 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# reciprocal-rank-fusion hybrid retrieval (BM25 x embedding KNN)
+# ---------------------------------------------------------------------------
+
+from ecommerce_lakehouse_spark.queries import ORACLES as _ORACLES  # noqa: E402
+
+_RRF_K = 60  # the standard Cormack/Clarke fusion constant
+_RRF_TOPN = 20
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_nanos DESC, doc_id) AS INT)
+           AS lex_rank
+  FROM ({_ORACLES["bm25_search"]})),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+              'sum')) AS nrm
+  FROM embeddings),
+q AS (SELECT emb, nrm FROM v WHERE vec_id = 0),
+sim AS (
+  SELECT c.vec_id AS doc_id,
+         list_aggregate(list_transform(range(1, len(q.emb) + 1),
+                                       i -> q.emb[i] * c.emb[i]), 'sum')
+           / (q.nrm * c.nrm) AS sim
+  FROM v c CROSS JOIN q WHERE c.vec_id != 0),
+sem AS (
+  SELECT doc_id, CAST(rn AS INT) AS sem_rank
+  FROM (SELECT doc_id,
+               row_number() OVER (ORDER BY sim DESC, doc_id) AS rn
+        FROM sim)
+  WHERE rn <= {_RRF_TOPN})
+SELECT CAST(coalesce(lex.doc_id, sem.doc_id) AS BIGINT) AS doc_id,
+       lex.lex_rank, sem.sem_rank,
+       coalesce(1.0 / (CAST({_RRF_K} AS DOUBLE) + lex.lex_rank), CAST(0 AS DOUBLE))
+         + coalesce(1.0 / (CAST({_RRF_K} AS DOUBLE) + sem.sem_rank), CAST(0 AS DOUBLE))
+         AS rrf_score
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+"""
+
+
+@query("rrf_hybrid_search", oracle=_rrf_oracle())
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack, Clarke &
+    Buettcher 2009, k=60): fuse the top-20 LEXICAL ranking
+    (`bm25_search`'s fixed 3-term query) with the top-20 SEMANTIC
+    ranking (cosine against the embedding of doc 0 — vec_id ≡ doc_id by
+    the testdata's id convention) as Σ 1/(k + rank), ranks missing from
+    a list contributing 0. RRF is the production hybrid-search default
+    (Elasticsearch/Vespa/Azure AI Search) precisely because it composes
+    incomparable score scales using only ranks — which also makes it
+    cross-engine exact: ranks are integers, each reciprocal is one IEEE
+    division, and the fusion adds two such doubles in written order.
+
+    Scale: both constituent rankings end in TakeOrdered top-20 (the
+    BM25 plan is documented at `bm25_search`; the cosine scan is one
+    broadcast-query pass like `embedding_knn_bruteforce`) — the only
+    windows run over the ≤20-row fused frames, bounded by construction.
+    The fusion itself is a full outer join of two 20-row lists."""
+    from ecommerce_lakehouse_spark.queries.llm7 import bm25_search
+
+    w_lex = Window.orderBy(F.desc("bm25_nanos"), "doc_id")
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("lex_rank")
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sq = F.aggregate(
+        F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    withn = e.withColumn("nrm", F.sqrt(sq))
+    qv = withn.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    topsem = (
+        withn.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    w_sem = Window.orderBy(F.desc("sim"), "doc_id")
+    sem = topsem.select(
+        "doc_id", F.row_number().over(w_sem).cast("int").alias("sem_rank")
+    )
+    rk = F.lit(float(_RRF_K))
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (rk + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (rk + F.col("sem_rank")), F.lit(0.0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # bounded-hop weighted shortest paths (Bellman-Ford rounds)
 # ---------------------------------------------------------------------------
 

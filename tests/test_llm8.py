@@ -154,3 +154,79 @@ def test_sssp_prefers_cheap_two_hop_over_direct_edge(spark, tmp_path):
         for r in sssp_copurchase(spark, d).collect()
     ]
     assert got == [(1, 0, 3), (2, 2, 3), (3, 4, 3)]
+
+
+def _bpe_py(word_freq, steps=3):
+    """Reference BPE trainer mirroring the padded-string replace
+    convention (leftmost non-overlapping, like both engines' replace)."""
+    seqs = {w: " " + " ".join(w) + " " for w in word_freq}
+    merges = []
+    for _ in range(steps):
+        pairs = {}
+        for w, s in seqs.items():
+            t = s.split()
+            for a, b in zip(t, t[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + word_freq[w]
+        (a, b), wc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + kv[0][1])
+        )
+        merges.append((a + " " + b, a + b, wc))
+        seqs = {
+            w: s.replace(f" {a} {b} ", f" {a}{b} ") for w, s in seqs.items()
+        }
+    return merges, seqs
+
+
+def test_bpe_encode_stats_matches_python(spark, tmp_path):
+    """Per-doc token accounting after 3 merges recomputed by a reference
+    Python BPE that mirrors the padded-string replace convention."""
+    texts = {
+        1: "banana bandana",
+        2: "banana banana ban",
+        3: "an and band 123",
+        4: "...",  # no alphabetic words -> no row
+    }
+    rows = [(i, t, "en", "s0", 0) for i, t in texts.items()]
+    d = _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+
+    import re
+
+    wf = Counter()
+    doc_words = {}
+    for i, t in texts.items():
+        ws = [w for w in re.sub("[^a-z]+", " ", t.lower()).split() if w]
+        doc_words[i] = ws
+        wf.update(ws)
+    _, seqs = _bpe_py(wf)
+    expected = {}
+    for i, ws in doc_words.items():
+        if not ws:
+            continue
+        n_tok = sum(len(seqs[w].split()) for w in ws)
+        n_chr = sum(len(w) for w in ws)
+        expected[i] = (len(ws), n_chr, n_tok, n_chr / n_tok)
+
+    from ecommerce_lakehouse_spark.queries.llm6 import bpe_encode_stats
+
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_tokens, r.chars_per_token)
+        for r in bpe_encode_stats(spark, d).collect()
+    }
+    assert got == expected
+
+
+def test_rrf_consistency(spark, sf_dir):
+    """Each constituent list contributes ranks 1..20 exactly once; every
+    fused score equals the closed form of its ranks."""
+    from ecommerce_lakehouse_spark.queries.llm8 import rrf_hybrid_search
+
+    rows = rrf_hybrid_search(spark, sf_dir).collect()
+    lex = sorted(r.lex_rank for r in rows if r.lex_rank is not None)
+    sem = sorted(r.sem_rank for r in rows if r.sem_rank is not None)
+    assert lex == list(range(1, len(lex) + 1))
+    assert sem == list(range(1, 21))
+    for r in rows:
+        want = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert r.rrf_score == want
