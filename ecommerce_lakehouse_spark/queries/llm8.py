@@ -588,3 +588,292 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap of the mean (hash-seeded, resample-free)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+# Poisson(1) CDF as shortest-round-trip literals (both engines parse the
+# identical doubles; no engine ever evaluates exp()). Inverse-CDF lookup
+# caps the weight at 10 (P(X > 9) < 1.2e-7).
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+    "0.999998874797402",
+    "0.9999998885745216",
+)
+
+
+def _pois_w(u: str) -> str:
+    """Inverse Poisson(1) CDF of a (0,1) uniform, as a CASE ladder."""
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} < CAST({c} AS DOUBLE) THEN {k}"
+            for k, c in enumerate(_POIS_CDF)
+        )
+        + " ELSE 10 END"
+    )
+
+
+_BOOT_U = (
+    "(CAST({h} AS BIGINT) + 0.5) / 1152921504606846976.0"
+)
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+WITH fan AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, r
+  FROM orders CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS r)),
+wtd AS (
+  SELECT r, price,
+         {_pois_w(_BOOT_U.format(h="('0x' || substr(md5('boot|' || CAST(r AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT"))}
+           AS w
+  FROM fan),
+reps AS (
+  SELECT CAST(r AS INT) AS replicate,
+         CAST(sum(w) AS BIGINT) AS n_eff,
+         CAST(CAST(sum(CAST(w AS DECIMAL(2,0)) * price) AS DOUBLE)
+              / sum(w) AS DOUBLE) AS mean_value
+  FROM wtd GROUP BY r),
+point AS (
+  SELECT CAST(0 AS INT) AS replicate,
+         CAST(count(*) AS BIGINT) AS n_eff,
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              / count(*) AS DOUBLE) AS mean_value
+  FROM orders)
+SELECT * FROM point UNION ALL SELECT * FROM reps
+""",
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of mean order value (Chamandy et al. 2012,
+    Google's resample-free bootstrap): instead of materializing B
+    resamples, each row contributes a hash-seeded Poisson(1) weight to
+    each of B=32 replicates in ONE pass — replicate means' spread IS the
+    sampling distribution of the mean, the uncertainty quantification
+    every corpus metric should ship with. Replicate 0 is the point
+    estimate.
+
+    Determinism: the uniform is the house (md5+0.5)/2^60 convention
+    keyed 'boot|replicate|orderkey' (same draw on every engine, retry,
+    and ingest order); the inverse-CDF ladder compares against
+    Poisson(1) CDF repr literals (no engine evaluates exp); weighted
+    sums are exact DECIMAL(18,2)·DECIMAL(2,0) products (weight ≤ 10 —
+    one digit, so the product precision stays well under 38 and the
+    scale is preserved; see the long×decimal precision-loss trap in
+    BASELINE.md); each mean is one exact-input IEEE division.
+
+    Scale: the B-way explode multiplies CPU, not shuffle — partial
+    aggregation collapses every task to ≤ B rows before the exchange,
+    so the wire carries B·partitions tiny rows however big the table
+    is. (The explode can be rewritten as B parallel agg columns +
+    unpivot to also skip the CPU fan-out; at B=32 the explode is
+    clearer and the hash dominates either way.)"""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    fan = o.select(
+        "o_orderkey",
+        "price",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("r"),
+    )
+    h = (
+        "CAST(conv(substr(md5(concat('boot|', CAST(r AS STRING), '|',"
+        " CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    wtd = fan.select(
+        "r", "price", F.expr(_pois_w(_BOOT_U.format(h=h))).alias("w")
+    )
+    reps = wtd.groupBy("r").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        (
+            F.sum(F.col("w").cast("decimal(2,0)") * F.col("price"))
+            .cast("double")
+            / F.sum("w")
+        ).cast("double").alias("mean_value"),
+    ).select(F.col("r").cast("int").alias("replicate"), "n_eff", "mean_value")
+    point = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eff"),
+        (F.sum("price").cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("mean_value"),
+    ).select(F.lit(0).cast("int").alias("replicate"), "n_eff", "mean_value")
+    return point.unionByName(reps)
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence cross-tab
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "priority_status_independence",
+    oracle="""
+WITH obs AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1, 2),
+rm AS (SELECT priority, CAST(sum(n_obs) AS BIGINT) AS n_row FROM obs GROUP BY 1),
+cm AS (SELECT status, CAST(sum(n_obs) AS BIGINT) AS n_col FROM obs GROUP BY 1),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+SELECT obs.priority, obs.status, obs.n_obs,
+       CAST(rm.n_row * cm.n_col AS DOUBLE) / tot.n AS expected,
+       (obs.n_obs - CAST(rm.n_row * cm.n_col AS DOUBLE) / tot.n)
+         * (obs.n_obs - CAST(rm.n_row * cm.n_col AS DOUBLE) / tot.n)
+         / (CAST(rm.n_row * cm.n_col AS DOUBLE) / tot.n) AS chi2_term
+FROM obs JOIN rm USING (priority) JOIN cm USING (status) CROSS JOIN tot
+""",
+)
+def priority_status_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cross-tab of order priority × status: each
+    cell's observed count, expected count under independence
+    (row·col/N), and chi-square contribution — the categorical-drift /
+    association screen (a training-data pipeline runs the same shape
+    over source × language, split × label, ...). Per-CELL output keeps
+    everything cross-engine exact: margins are BIGINT, row·col stays
+    integer-exact, expected is one IEEE division, and the contribution
+    is the same three fixed-order float ops in both engines — summing
+    the terms into one chi-square scalar would instead add doubles in
+    engine-dependent order (the reader can sum the ≤|priorities×statuses|
+    terms; the decision threshold is theirs anyway).
+
+    Scale: one grouped count of the fact table (map-side combined);
+    margins derive from the tiny cell table, never a second scan; all
+    joins broadcast."""
+    o = load(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    obs = obs.localCheckpoint(eager=False)  # margins + cells reuse it
+    rm = obs.groupBy("priority").agg(F.sum("n_obs").cast("long").alias("n_row"))
+    cm = obs.groupBy("status").agg(F.sum("n_obs").cast("long").alias("n_col"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = F.expr("CAST(n_row * n_col AS DOUBLE) / n")
+    return (
+        obs.join(F.broadcast(rm), "priority")
+        .join(F.broadcast(cm), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "status",
+            "n_obs",
+            exp.alias("expected"),
+            (
+                (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
+            ).alias("chi2_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# trimmed (winsorized-tail) mean
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_trimmed_mean",
+    oracle="""
+WITH c1 AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+r AS (
+  SELECT event_type, cents, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM c1),
+inc AS (
+  SELECT event_type, cents, cnt, cum, n, n * 5 // 100 AS trim,
+         greatest(CAST(0 AS BIGINT),
+                  least(cum, n - (n * 5 // 100))
+                  - greatest(cum - cnt, n * 5 // 100)) AS took
+  FROM r)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(trim) AS BIGINT) AS n_trimmed_each_side,
+       (CAST(sum(cents * took) AS DOUBLE) / (max(n) - 2 * max(trim))) / 100.0
+         AS trimmed_mean,
+       (CAST(sum(cents * cnt) AS DOUBLE) / max(n)) / 100.0 AS raw_mean
+FROM inc GROUP BY 1
+""",
+)
+def value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-per-tail trimmed mean of event values per type, next to the raw
+    mean — the robust location estimate between `value_mad_outliers`
+    (detection) and a plain average (contamination-blind): how much do
+    the tails move the number? Values are cent-quantized by contract
+    (the testdata's are exactly 2dp; the round is a no-op there and the
+    documented contract elsewhere), so every sum is exact BIGINT
+    cents·count arithmetic — no float sums at all, and the two means
+    are fixed-order divisions of exact integers.
+
+    Trim semantics: drop exactly floor(0.05·n) rows from each end of
+    the per-type order; a boundary VALUE's multiplicity is taken
+    partially (took = overlap of the value's [cum−cnt, cum] rank span
+    with the kept [trim, n−trim] span) — exact row semantics on a
+    collapsed table.
+
+    Scale: identical shape to value_mad_outliers — one collapse shuffle,
+    then windows over DISTINCT (type, cents) rows, bounded by the value
+    domain, not the row count."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+    )
+    c1 = ev.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    r = c1.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    trim = (F.col("n") * 5 / 100).cast("long")
+    took = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - trim)
+        - F.greatest(F.col("cum") - F.col("cnt"), trim),
+    )
+    inc = r.select(
+        "event_type", "cents", "cnt", "n", trim.alias("trim"), took.alias("took")
+    )
+    return inc.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("trim").cast("long").alias("n_trimmed_each_side"),
+        (
+            (
+                F.sum(F.col("cents") * F.col("took")).cast("double")
+                / (F.max("n") - 2 * F.max("trim"))
+            )
+            / 100.0
+        ).alias("trimmed_mean"),
+        (
+            (F.sum(F.col("cents") * F.col("cnt")).cast("double") / F.max("n"))
+            / 100.0
+        ).alias("raw_mean"),
+    )

@@ -230,3 +230,112 @@ def test_rrf_consistency(spark, sf_dir):
             1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0
         )
         assert r.rrf_score == want
+
+
+def test_bootstrap_mean_ci_matches_python(spark, sf_dir):
+    """Replicate means recomputed from the same md5-seeded Poisson
+    weights and cent-exact decimal sums; replicate spread brackets the
+    point estimate."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    keys = t.column("o_orderkey").to_pylist()
+    prices = [
+        Decimal(p).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        for p in t.column("o_totalprice").to_pylist()
+    ]
+    from ecommerce_lakehouse_spark.queries.llm8 import _POIS_CDF
+
+    cdf = [float(c) for c in _POIS_CDF]
+
+    def w(r, k):
+        h = int(hashlib.md5(f"boot|{r}|{k}".encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / 1152921504606846976.0
+        for i, c in enumerate(cdf):
+            if u < c:
+                return i
+        return 10
+
+    from ecommerce_lakehouse_spark.queries.llm8 import bootstrap_mean_ci
+
+    got = {r.replicate: r for r in bootstrap_mean_ci(spark, sf_dir).collect()}
+    assert got[0].n_eff == len(keys)
+    assert got[0].mean_value == float(sum(prices)) / len(keys)
+    for r in (1, 7, 32):
+        ws = [w(r, k) for k in keys]
+        n_eff = sum(ws)
+        s = sum(p * wt for p, wt in zip(prices, ws))
+        assert got[r].n_eff == n_eff
+        assert got[r].mean_value == float(s) / n_eff
+    reps = [got[r].mean_value for r in range(1, 33)]
+    assert min(reps) < got[0].mean_value < max(reps)
+
+
+def test_chi2_crosstab_matches_python(spark, sf_dir):
+    """Cells, margins, expected and per-cell chi-square terms recomputed
+    exactly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderstatus"],
+    )
+    cells = Counter(
+        zip(
+            t.column("o_orderpriority").to_pylist(),
+            t.column("o_orderstatus").to_pylist(),
+        )
+    )
+    rm = Counter()
+    cm = Counter()
+    for (p, s), c in cells.items():
+        rm[p] += c
+        cm[s] += c
+    n = sum(cells.values())
+
+    from ecommerce_lakehouse_spark.queries.llm8 import (
+        priority_status_independence,
+    )
+
+    rows = priority_status_independence(spark, sf_dir).collect()
+    assert len(rows) == len(cells)
+    for r in rows:
+        exp = (rm[r.priority] * cm[r.status]) / n
+        assert r.n_obs == cells[(r.priority, r.status)]
+        assert r.expected == exp
+        assert r.chi2_term == (r.n_obs - exp) * (r.n_obs - exp) / exp
+
+
+def test_trimmed_mean_matches_python(spark, sf_dir):
+    """Exact row-rank trim semantics recomputed over sorted cent values."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    by_type = {}
+    for ty, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        if v is not None:
+            by_type.setdefault(ty, []).append(int(round(v * 100)))
+
+    from ecommerce_lakehouse_spark.queries.llm8 import value_trimmed_mean
+
+    got = {r.event_type: r for r in value_trimmed_mean(spark, sf_dir).collect()}
+    for ty, cents in by_type.items():
+        cents.sort()
+        n = len(cents)
+        trim = n * 5 // 100
+        kept = cents[trim : n - trim]
+        r = got[ty]
+        assert (r.n, r.n_trimmed_each_side) == (n, trim)
+        assert r.trimmed_mean == (sum(kept) / len(kept)) / 100.0
+        assert r.raw_mean == (sum(cents) / n) / 100.0
+        assert r.trimmed_mean != r.raw_mean  # the tails do move the number
