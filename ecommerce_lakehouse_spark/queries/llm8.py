@@ -877,3 +877,263 @@ def value_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("raw_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exponential smoothing over the monthly revenue series
+# ---------------------------------------------------------------------------
+
+_SES_ALPHA = "0.3"  # literal in both engines
+
+
+@query(
+    "exp_smoothing_revenue",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(
+           list_sort(list({{'month': month, 'rev': revenue}})),
+           x -> {{'month': x.month, 'rev': x.rev, 's': x.rev}}) AS a
+  FROM m),
+folded AS (
+  SELECT list_reduce(
+           list_transform(a, x -> [x]),
+           (acc, e) -> list_append(acc,
+             {{'month': e[1].month, 'rev': e[1].rev,
+               's': CAST({_SES_ALPHA} AS DOUBLE) * e[1].rev
+                    + (1.0 - CAST({_SES_ALPHA} AS DOUBLE)) * acc[-1].s}})) AS a
+  FROM arr)
+SELECT u.month, u.rev AS revenue, u.s AS smoothed
+FROM (SELECT unnest(a) AS u FROM folded)
+""",
+)
+def exp_smoothing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing (alpha = 0.3) over the monthly
+    revenue series: s_1 = x_1, s_t = alpha·x_t + (1−alpha)·s_{t−1} — the
+    level component every operational forecast starts from (s_T is the
+    one-step-ahead forecast), and the missing member of the time-series
+    family next to `monthly_revenue_growth` (derivative),
+    `rolling_7day_revenue` (uniform window) and `sax_series_profile`
+    (symbolic shape).
+
+    Determinism: a recursion is order-dependent by nature, so it runs as
+    ONE array fold over the month-sorted series — both engines execute
+    the identical sequence of IEEE multiply-adds (alpha is a shared
+    literal; monthly revenues are exact-decimal sums cast once), so the
+    smoothed values agree bit-for-bit with no rounding.
+
+    Scale: the corpus collapses map-side to one exact-decimal row per
+    MONTH; only the ~months-long array is folded (driver-free, inside
+    one task) — the standard big-data shape for any bounded recursion:
+    reduce to the bounded series first, then recurse inside a row."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.sort_array(F.collect_list(F.struct("month", "revenue"))).alias("a")
+    )
+    a = _SES_ALPHA
+    folded = arr.select(
+        F.expr(
+            f"""
+aggregate(
+  slice(a, 2, size(a) - 1),
+  array(struct(a[0].month AS month, a[0].revenue AS rev,
+               a[0].revenue AS s)),
+  (acc, x) -> concat(acc, array(struct(
+    x.month AS month, x.revenue AS rev,
+    CAST({a} AS DOUBLE) * x.revenue
+      + (1.0 - CAST({a} AS DOUBLE)) * element_at(acc, -1).s AS s))))
+""".strip()
+        ).alias("a")
+    )
+    u = folded.select(F.explode("a").alias("u"))
+    return u.select(
+        F.col("u.month").alias("month"),
+        F.col("u.rev").alias("revenue"),
+        F.col("u.s").alias("smoothed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer lifetime spend
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_spend_gini",
+    oracle="""
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i
+  FROM s),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS tot,
+         CAST(sum(i * cents) AS BIGINT) AS wsum
+  FROM r)
+SELECT n AS n_customers,
+       CAST(tot AS DOUBLE) / 100.0 AS total_spend,
+       (2.0 * wsum) / (CAST(n AS DOUBLE) * tot)
+         - (CAST(n + 1 AS DOUBLE) / n) AS gini
+FROM agg
+""",
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the inequality
+    single-number behind `customer_spend_deciles`' distribution view
+    (and the whale-dependence metric: revenue Gini near 1 = a few
+    customers carry the business; the same statistic audits token-count
+    concentration across corpus sources). Computed by the rank formula
+    G = 2·Σ i·x_i / (n·Σx) − (n+1)/n over spends sorted ascending.
+
+    Determinism: spends are exact-decimal sums turned integer CENTS; the
+    global rank is total-ordered with a custkey tiebreak; Σ i·x_i and Σx
+    are exact BIGINT sums, so the final two divisions and one
+    subtraction are the only float ops, in identical order. BIGINT
+    headroom: Σ i·cents < 9.2e18 holds to ~10M customers at these spend
+    levels; swap the two sums to DECIMAL(38,0) beyond.
+
+    Scale: the global rank uses operators/scale.py's
+    bucketed_global_row_number (fixed-width bucket counts → broadcast
+    prefix offsets → per-bucket row_number) — no single-partition
+    window anywhere, per the registry-wide plan guard."""
+    from ecommerce_lakehouse_spark.operators.scale import (
+        bucketed_global_row_number,
+    )
+
+    s = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    r = bucketed_global_row_number(
+        s,
+        sort_value=F.col("cents"),
+        order_cols=[F.asc("cents"), F.asc("o_custkey")],
+        rn_col="i",
+        n_col="n_total",
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("wsum"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        (F.col("tot").cast("double") / 100.0).alias("total_spend"),
+        (
+            (2.0 * F.col("wsum")) / (F.col("n").cast("double") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# association rules over the co-purchase pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lp),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM lp GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM lp a JOIN lp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+top AS (
+  SELECT * FROM pair ORDER BY c_ab DESC, part_a, part_b LIMIT 20)
+SELECT t.part_a, t.part_b, t.c_ab AS n_both,
+       ia.c AS n_a, ib.c AS n_b,
+       CAST(t.c_ab AS DOUBLE) / ia.c AS confidence_ab,
+       CAST(t.c_ab AS DOUBLE) / ib.c AS confidence_ba,
+       (CAST(n_ord.n AS DOUBLE) * t.c_ab) / (CAST(ia.c AS DOUBLE) * ib.c)
+         AS lift
+FROM top t JOIN item ia ON t.part_a = ia.l_partkey
+           JOIN item ib ON t.part_b = ib.l_partkey
+           CROSS JOIN n_ord
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics for the 20 most co-purchased part pairs:
+    support counts, both directed confidences, and lift = N·c_ab/(c_a·c_b)
+    (Agrawal & Srikant's Apriori output stage) — `part_cooccurrence`
+    surfaces WHICH pairs co-occur; this scores whether each pair
+    co-occurs MORE than its items' popularity predicts (lift > 1), the
+    number a recommender actually thresholds on.
+
+    Determinism: all three supports are exact BIGINT counts; confidences
+    and lift are fixed-order arithmetic on exact inputs — no rounding.
+
+    Scale: pair supports reuse the in-row sorted-set expansion (one
+    shuffle, no self-join); top-20 is TakeOrdered; item supports join
+    onto 20 rows broadcast-side. The oracle's a<b self-join form is the
+    relational statement of the same pair set."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lp = li.distinct().localCheckpoint(eager=False)  # reused 3x
+    n_ord = lp.agg(F.countDistinct("l_orderkey").cast("long").alias("n"))
+    item = lp.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_order = lp.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (x, i) -> "
+            "transform(slice(parts, i + 2, size(parts)), "
+            "y -> struct(x AS s, y AS d))))"
+        )
+    ).alias("p")
+    top = (
+        per_order.select(pair)
+        .groupBy(F.col("p.s").alias("part_a"), F.col("p.d").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(20)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))
+    return (
+        top.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (F.col("n_both").cast("double") / F.col("n_a")).alias(
+                "confidence_ab"
+            ),
+            (F.col("n_both").cast("double") / F.col("n_b")).alias(
+                "confidence_ba"
+            ),
+            (
+                (F.col("n").cast("double") * F.col("n_both"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

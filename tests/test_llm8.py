@@ -339,3 +339,105 @@ def test_trimmed_mean_matches_python(spark, sf_dir):
         assert r.trimmed_mean == (sum(kept) / len(kept)) / 100.0
         assert r.raw_mean == (sum(cents) / n) / 100.0
         assert r.trimmed_mean != r.raw_mean  # the tails do move the number
+
+
+def test_exp_smoothing_matches_python(spark, sf_dir):
+    """The fold must equal the sequential recursion bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    m = {}
+    for d, p in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        key = (d.year, d.month)
+        m[key] = m.get(key, Decimal(0)) + Decimal(p).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    series = [float(m[k]) for k in sorted(m)]
+    smoothed = [series[0]]
+    for x in series[1:]:
+        smoothed.append(0.3 * x + (1.0 - 0.3) * smoothed[-1])
+
+    from ecommerce_lakehouse_spark.queries.llm8 import exp_smoothing_revenue
+
+    rows = sorted(exp_smoothing_revenue(spark, sf_dir).collect(),
+                  key=lambda r: r.month)
+    assert [r.revenue for r in rows] == series
+    assert [r.smoothed for r in rows] == smoothed
+
+
+def test_gini_matches_python_and_bounds(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    spend = {}
+    for k, p in zip(
+        t.column("o_custkey").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        spend[k] = spend.get(k, Decimal(0)) + Decimal(p).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    cents = sorted(int(v * 100) for v in spend.values())
+    n = len(cents)
+    tot = sum(cents)
+    wsum = sum((i + 1) * x for i, x in enumerate(cents))
+    gini = (2.0 * wsum) / (float(n) * tot) - float(n + 1) / n
+
+    from ecommerce_lakehouse_spark.queries.llm8 import customer_spend_gini
+
+    r = customer_spend_gini(spark, sf_dir).collect()[0]
+    assert r.n_customers == n
+    assert r.total_spend == tot / 100.0
+    assert r.gini == gini
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_association_rules_matches_python(spark, tmp_path):
+    """Hand basket set with a positively associated pair (lift > 1) and
+    a popularity-only pair (lift < 1)."""
+    baskets = {
+        1: [1, 2],
+        2: [1, 2],
+        3: [1, 2],
+        4: [1, 3],
+        5: [2, 3],
+        6: [3, 4],
+        7: [1, 2, 3],
+    }
+    rows = [(ok, p) for ok, parts in baskets.items() for p in parts]
+    d = _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+
+    item = Counter(p for parts in baskets.values() for p in set(parts))
+    pairs = Counter()
+    for parts in baskets.values():
+        ps = sorted(set(parts))
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                pairs[(a, b)] += 1
+    n = len(baskets)
+
+    from ecommerce_lakehouse_spark.queries.llm8 import basket_association_rules
+
+    got = {
+        (r.part_a, r.part_b): r
+        for r in basket_association_rules(spark, d).collect()
+    }
+    assert set(got) == set(pairs)
+    for (a, b), r in got.items():
+        assert (r.n_both, r.n_a, r.n_b) == (pairs[(a, b)], item[a], item[b])
+        assert r.confidence_ab == pairs[(a, b)] / item[a]
+        assert r.confidence_ba == pairs[(a, b)] / item[b]
+        assert r.lift == (n * pairs[(a, b)]) / (item[a] * item[b])
+    assert got[(1, 2)].lift > 1.0
+    assert got[(2, 3)].lift < 1.0
