@@ -680,9 +680,14 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     is. (The explode can be rewritten as B parallel agg columns +
     unpivot to also skip the CPU fan-out; at B=32 the explode is
     clearer and the hash dominates either way.)"""
+    # The slim (key, price) spine is repartitioned before the fan-out:
+    # the B x md5 work is the whole cost of this query, and a small-SF
+    # single-file parquet scan would otherwise run it in ONE task
+    # (measured 8.4 s -> 1.7 s at sf0.1). The shuffle moves ~16 bytes/row
+    # once; on a many-split cluster scan it is harmless.
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
-    )
+    ).repartition(32)
     fan = o.select(
         "o_orderkey",
         "price",
