@@ -1142,3 +1142,100 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival time statistics per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_interarrival_stats",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap
+  FROM events),
+c1 AS (
+  SELECT event_type, gap, CAST(count(*) AS BIGINT) AS cnt
+  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+r AS (
+  SELECT event_type, gap, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY gap
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM c1)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(sum(gap * cnt) AS DOUBLE) / max(n) AS mean_gap_s,
+       (min(CASE WHEN cum >= (n + 1) // 2 THEN gap END)
+        + min(CASE WHEN cum >= (n + 2) // 2 THEN gap END)) / 2.0
+         AS median_gap_s,
+       CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap END) AS BIGINT)
+         AS p90_gap_s
+FROM r GROUP BY 1
+""",
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: gaps between a
+    user's consecutive events of the same type, reduced to mean, exact
+    median, and exact p90 (rank-ceil semantics) — the temporal-behavior
+    profile behind session-timeout tuning (is 30 min the right gap?),
+    bot detection (machine-regular gaps), and arrival-process modeling.
+
+    Determinism: gaps are exact BIGINT second-floored epoch differences
+    (the user_session_stats convention — Spark long cast ≡ DuckDB
+    epoch()); the mean divides two exact integers; median and p90 are
+    SELECTIONS over running BIGINT counts (p90 = the value at rank
+    ceil(0.9·n), integer arithmetic (9n+9) DIV 10) — the only float op
+    is the median's halving of two selected integers.
+
+    Scale: the lag window partitions by (user, type) — per-user sorted
+    streams, one shuffle; gaps then collapse to (type, gap) frequency
+    rows, so the quantile windows run over the gap DOMAIN (bounded by
+    the observation window in seconds), not the event count."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    g = e.select(
+        "event_type", (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    c1 = g.groupBy("event_type", "gap").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    r = c1.select(
+        "event_type",
+        "gap",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    mid_lo = ((F.col("n") + 1) / 2).cast("long")
+    mid_hi = ((F.col("n") + 2) / 2).cast("long")
+    p90_rank = ((9 * F.col("n") + 9) / 10).cast("long")
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        (
+            F.sum(F.col("gap") * F.col("cnt")).cast("double") / F.max("n")
+        ).alias("mean_gap_s"),
+        (
+            (
+                F.min(F.when(F.col("cum") >= mid_lo, F.col("gap")))
+                + F.min(F.when(F.col("cum") >= mid_hi, F.col("gap")))
+            )
+            / 2.0
+        ).alias("median_gap_s"),
+        F.min(F.when(F.col("cum") >= p90_rank, F.col("gap")))
+        .cast("long")
+        .alias("p90_gap_s"),
+    )

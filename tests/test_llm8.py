@@ -441,3 +441,38 @@ def test_association_rules_matches_python(spark, tmp_path):
         assert r.lift == (n * pairs[(a, b)]) / (item[a] * item[b])
     assert got[(1, 2)].lift > 1.0
     assert got[(2, 3)].lift < 1.0
+
+
+def test_interarrival_matches_python(spark, sf_dir):
+    """Gaps, mean, median and p90 recomputed from floored epochs."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    ).to_pylist()
+    seqs = {}
+    for r in t:
+        key = (r["user_id"], r["event_type"])
+        seqs.setdefault(key, []).append(
+            (r["ts"], r["event_id"], int(r["ts"].timestamp() // 1))
+        )
+    gaps = {}
+    for (u, ty), evs in seqs.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        for a, b in zip(evs, evs[1:]):
+            gaps.setdefault(ty, []).append(b[2] - a[2])
+
+    from ecommerce_lakehouse_spark.queries.llm8 import event_interarrival_stats
+
+    got = {r.event_type: r for r in event_interarrival_stats(spark, sf_dir).collect()}
+    assert set(got) == set(gaps)
+    for ty, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        med = (gs[(n - 1) // 2] + gs[n // 2]) / 2.0
+        r = got[ty]
+        assert r.n_gaps == n
+        assert r.mean_gap_s == sum(gs) / n
+        assert r.median_gap_s == med
+        assert r.p90_gap_s == gs[(9 * n + 9) // 10 - 1]

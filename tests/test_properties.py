@@ -516,3 +516,57 @@ def test_incremental_components_equals_full(spark, n, edges1, edges2, extra):
     untouched = {t for t in ((r.doc_id, r.cluster_id) for r in prev.collect())
                  if t[0] not in {d for d, _ in merged}}
     assert untouched | merged == full
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_prefix_similarity_join_equals_bruteforce(spark, tmp_path_factory, docs, data):
+    """The AllPairs prefix-filter lemma must lose NOTHING: for arbitrary
+    small corpora over a colliding vocabulary, shingle_similarity_join's
+    row set equals literal all-pairs Jaccard enumeration (after the
+    exact-text collapse)."""
+    import itertools
+    import os
+
+    rows = [
+        (i, " ".join(words), "en", "s0", 0) for i, words in enumerate(docs)
+    ]
+    d = str(tmp_path_factory.mktemp("simprop"))
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    canon = {}
+    for i, words in enumerate(docs):
+        canon.setdefault(" ".join(words), i)
+    sh = {}
+    for t, i in canon.items():
+        toks = t.strip().split()
+        if len(toks) >= 3:
+            sh[i] = {" ".join(toks[k : k + 3]) for k in range(len(toks) - 2)}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        c = len(sh[a] & sh[b])
+        u = len(sh[a] | sh[b])
+        if u and c / u >= 0.5:
+            expected.add((a, b, c, u))
+
+    from ecommerce_lakehouse_spark.queries.llm7 import shingle_similarity_join
+
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_union)
+        for r in shingle_similarity_join(spark, d).collect()
+    }
+    assert got == expected
