@@ -1239,3 +1239,185 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test analysis over a deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_lift",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM u GROUP BY 1),
+w AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+         max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+         max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+         max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+  FROM arms)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       CAST(ca AS DOUBLE) / na AS rate_a,
+       CAST(cb AS DOUBLE) / nb AS rate_b,
+       (CAST(cb AS DOUBLE) / nb) / (CAST(ca AS DOUBLE) / na) - 1.0
+         AS relative_lift,
+       ((CAST(cb AS DOUBLE) / nb) - (CAST(ca AS DOUBLE) / na))
+         / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 / na + 1.0 / nb)) AS z_score
+FROM w
+""",
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B analysis over a deterministic hash split of the
+    user base: arm = md5(user)%2, conversion = ever made a purchase with value > 150; reports
+    per-arm rates, relative lift, and the pooled two-proportion z-score
+    — experiment readout as a query (and, on a null split like this
+    one, an A/A test: |z| should be small, which is itself the check
+    that the hash splitter is unbiased).
+
+    Determinism: arm assignment is the salted-md5 split convention
+    (reproducible across engines/retries/ingest order); counts are exact
+    BIGINT; rates/lift/z are a fixed-order chain of IEEE ops (sqrt is
+    IEEE-exact) on exact inputs — no rounding anywhere.
+
+    Scale: one grouped pass per user (map-side combined max), a 4-group
+    aggregate, then a 1-row pivot; nothing else moves."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id",
+        F.expr(
+            "CASE WHEN conv(substr(md5(concat('ab|', CAST(user_id AS STRING))),"
+            " 1, 8), 16, 10) % 2 = 0 THEN 'A' ELSE 'B' END"
+        ).alias("arm"),
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        ra.alias("rate_a"),
+        rb.alias("rate_b"),
+        (rb / ra - 1.0).alias("relative_lift"),
+        (
+            (rb - ra)
+            / F.sqrt(
+                pooled
+                * (1.0 - pooled)
+                * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            )
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy profile of the categorical columns
+# ---------------------------------------------------------------------------
+
+_ENTROPY_COLS = (
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+)
+
+
+def _entropy_oracle() -> str:
+    parts = []
+    for tbl, col in _ENTROPY_COLS:
+        parts.append(
+            f"""
+SELECT '{tbl}.{col}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(-sum(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9, 0)
+                          AS BIGINT)) AS BIGINT) AS ent_sum_n,
+       CAST(-sum(c * CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9, 0)
+                          AS BIGINT)) AS DOUBLE) / sum(c) / 1e9 AS entropy_nats
+FROM (SELECT c, sum(c) OVER () AS n
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM {tbl} GROUP BY {col}))
+"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("column_entropy_profile", oracle=_entropy_oracle())
+def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of every low-cardinality categorical column
+    — the one-number distribution fingerprint that drift monitoring
+    diffs across batches (an entropy drop means a value started
+    dominating; a rise means new values appeared). Profiles priority,
+    status, event type, language, and source in one result.
+
+    Determinism: per-value ln(p) is nano-rounded once from a
+    fixed-operand-order exact division; the Σ c·ln_nano accumulates in
+    BIGINT; the final normalization is two IEEE divisions. (The oracle's
+    OVER () total runs over the handful of DISTINCT values, not rows.)
+
+    Scale: each column costs one map-side-combined grouped count; the
+    entropy reduction runs over the value domain (constant-ish). The
+    five frames union into one result — one job, five tiny aggregates."""
+    out = None
+    for tbl, col in _ENTROPY_COLS:
+        c = (
+            load(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        tot = c.agg(F.sum("c").cast("long").alias("n"))
+        ent = (
+            c.crossJoin(F.broadcast(tot))
+            .select(
+                F.col("c"),
+                F.col("n"),
+                (
+                    F.col("c")
+                    * F.expr(
+                        "CAST(round(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+                        " * 1e9, 0) AS BIGINT)"
+                    )
+                ).alias("term"),
+            )
+            .agg(
+                F.lit(f"{tbl}.{col}").alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum("c").cast("long").alias("n_rows"),
+                (-F.sum("term")).cast("long").alias("ent_sum_n"),
+                (
+                    (-F.sum("term")).cast("double") / F.sum("c") / F.lit(1e9)
+                ).alias("entropy_nats"),
+            )
+        )
+        out = ent if out is None else out.unionByName(ent)
+    return out

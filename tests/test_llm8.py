@@ -476,3 +476,78 @@ def test_interarrival_matches_python(spark, sf_dir):
         assert r.mean_gap_s == sum(gs) / n
         assert r.median_gap_s == med
         assert r.p90_gap_s == gs[(9 * n + 9) // 10 - 1]
+
+
+def test_ab_test_lift_matches_python(spark, sf_dir):
+    """Arms, conversions, rates and z recomputed from the same hash
+    split; the A/A design means |z| should be modest."""
+    import hashlib
+    import math as m
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    ).to_pylist()
+    conv = {}
+    for r in t:
+        u = r["user_id"]
+        arm = (
+            "A"
+            if int(hashlib.md5(f"ab|{u}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else "B"
+        )
+        key = (u, arm)
+        hit = 1 if (
+            r["event_type"] == "purchase"
+            and r["value"] is not None
+            and r["value"] > 150.0
+        ) else 0
+        conv[key] = max(conv.get(key, 0), hit)
+    na = sum(1 for (_, a) in conv if a == "A")
+    nb = sum(1 for (_, a) in conv if a == "B")
+    ca = sum(v for (_, a), v in conv.items() if a == "A")
+    cb = sum(v for (_, a), v in conv.items() if a == "B")
+
+    from ecommerce_lakehouse_spark.queries.llm8 import ab_test_lift
+
+    r = ab_test_lift(spark, sf_dir).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (na, ca, nb, cb)
+    assert r.rate_a == ca / na and r.rate_b == cb / nb
+    assert r.relative_lift == (cb / nb) / (ca / na) - 1.0
+    pooled = (ca + cb) / (na + nb)
+    assert r.z_score == ((cb / nb) - (ca / na)) / m.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb)
+    )
+    assert abs(r.z_score) < 4.0  # A/A: the splitter is unbiased
+
+
+def test_column_entropy_matches_python(spark, sf_dir):
+    import math as m
+
+    import pyarrow.parquet as pq
+
+    from ecommerce_lakehouse_spark.queries.llm8 import (
+        _ENTROPY_COLS,
+        column_entropy_profile,
+    )
+
+    got = {
+        r.column_name: r for r in column_entropy_profile(spark, sf_dir).collect()
+    }
+    assert set(got) == {f"{t}.{c}" for t, c in _ENTROPY_COLS}
+    for tbl, col in _ENTROPY_COLS:
+        vals = Counter(
+            pq.read_table(
+                os.path.join(sf_dir, f"{tbl}.parquet"), columns=[col]
+            ).column(col).to_pylist()
+        )
+        n = sum(vals.values())
+        ent_sum = -sum(
+            c * int(round(m.log(c / n) * 1e9)) for c in vals.values()
+        )
+        r = got[f"{tbl}.{col}"]
+        assert (r.n_distinct, r.n_rows, r.ent_sum_n) == (len(vals), n, ent_sum)
+        assert r.entropy_nats == ent_sum / n / 1e9
+        assert 0.0 <= r.entropy_nats <= m.log(len(vals)) + 1e-9
