@@ -67,6 +67,16 @@ QUERIES = [
     # counts, not rows), doc scoring joins per-doc DISTINCT trigrams —
     # wall time must grow ~linearly with the corpus, model cost ~flat
     "trigram_backoff_scores",
+    # exact prefix-filtered similarity join: collapse-first, so K× exact
+    # replication must NOT grow the posting index (same canonical set:
+    # measured 2.3 s / 5.6k pairs at K=10, same as unreplicated). Under
+    # --poison the N shared-prefix docs genuinely ARE pairwise near-dups,
+    # so the TRUE answer is C(N,2) pairs — the exact join is output-bound
+    # by contract (measured 13.9 s / 2.0M verified pairs at N=2000, no
+    # candidate inflation beyond the true result); when the true pair set
+    # itself is quadratic, the cluster representation (neardup_clusters)
+    # is the right operator, not pair enumeration
+    "shingle_similarity_join",
 ]
 
 _BOILERPLATE = (
