@@ -264,7 +264,13 @@ def table_changes(
     matched delete+insert pairs to update_preimage/update_postimage."""
     import pyspark.sql.functions as F
 
+    from ecommerce_lakehouse_spark.lake.table import check_table_features
+
     end = ending_version if ending_version is not None else table.current_version()
+    # the feed decodes DV sidecars / mapped columns — gate like a read
+    check_table_features(
+        table._manifest(table.current_version()), for_write=False, where=table.root
+    )
     if starting_version < 1 or end > table.current_version() or starting_version > end:
         raise ValueError(
             f"change feed range [{starting_version}, {end}] outside table "

@@ -144,8 +144,13 @@ def _snapshot_arrow_schema(root: str):
     import pyarrow as pa
     import pyarrow.dataset as pds
 
+    from ecommerce_lakehouse_spark.lake.table import check_table_features
+
     v = _latest_version(root)
     m = _load_manifest(root, v)
+    # the stream decodes snapshot bytes like any reader — gate on
+    # protocol features before serving a schema for them
+    check_table_features(m, for_write=False, where=root)
     while not m["data_dirs"]:
         v -= 1
         if v < 1:

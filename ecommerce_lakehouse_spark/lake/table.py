@@ -68,6 +68,50 @@ class ConstraintViolationError(RuntimeError):
         )
 
 
+class UnsupportedTableFeatureError(RuntimeError):
+    """The manifest lists a protocol feature this build does not implement
+    (Delta's table-features / minReaderVersion contract): refuse LOUDLY
+    instead of proceeding — a reader that ignored 'deletion-vectors'
+    would resurrect deleted rows; one that ignored 'column-mapping'
+    would serve physical column names; a writer that ignored an unknown
+    writer feature could corrupt invariants it cannot see."""
+
+
+# Protocol features this build implements. Features are recorded in the
+# manifest the first time a commit exercises the capability and are
+# carried forward monotonically (Delta: once a feature is on the table,
+# every client must support it). READER features change what bytes mean;
+# WRITER features only constrain how commits are produced, so an
+# unknown writer feature still permits reads (Delta's reader/writer
+# split).
+SUPPORTED_READER_FEATURES = frozenset({"deletion-vectors", "column-mapping"})
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {"check-constraints", "generated-columns", "auto-compaction"}
+)
+
+
+def check_table_features(manifest: dict, *, for_write: bool, where: str) -> None:
+    """Gate an operation on the manifest's protocol features. Reads need
+    the reader set; writes need BOTH sets (a writer must preserve reader
+    features' invariants in the files it produces)."""
+    feats = manifest.get("features") or {}
+    unknown = set(feats.get("reader", [])) - SUPPORTED_READER_FEATURES
+    if for_write:
+        unknown |= (
+            set(feats.get("writer", []))
+            - SUPPORTED_WRITER_FEATURES
+            - SUPPORTED_READER_FEATURES
+        )
+    if unknown:
+        mode = "write to" if for_write else "read of"
+        raise UnsupportedTableFeatureError(
+            f"{mode} {where} requires table feature(s) "
+            f"{sorted(unknown)} this build does not implement "
+            f"(manifest v{manifest.get('version')}); upgrade the engine "
+            "or use a client that supports them"
+        )
+
+
 def _part_key(v):
     """JSON-safe canonical form of a partition value (dates/timestamps
     become strings; comparison happens through a string cast on read)."""
@@ -377,6 +421,27 @@ class LakeTable:
                 f"{operation}: table advanced v{base_version} -> v{current} "
                 "since this operation read it; re-read and retry"
             )
+        # protocol features: gate on what the table already requires, then
+        # record (monotonically) what this commit starts requiring
+        prior_feats = (
+            self._manifest(current).get("features", {}) if current else {}
+        )
+        if current:
+            check_table_features(
+                self._manifest(current), for_write=True, where=self.root
+            )
+        reader_feats = set(prior_feats.get("reader", []))
+        writer_feats = set(prior_feats.get("writer", []))
+        if deletion_vectors:
+            reader_feats.add("deletion-vectors")
+        if column_mapping or dropped_columns:
+            reader_feats.add("column-mapping")
+        if constraints:
+            writer_feats.add("check-constraints")
+        if generated:
+            writer_feats.add("generated-columns")
+        if properties.get("auto_compact"):
+            writer_feats.add("auto-compaction")
         version = current + 1
         txns = self._txn_map(current)
         if txn:
@@ -413,6 +478,13 @@ class LakeTable:
             # dead names (DROP COLUMN): hidden from every read; a dropped
             # name stays dead — see drop_column's contract
             "dropped_columns": dropped_columns,
+            # protocol features (Delta table-features analogue): reader =
+            # "these bytes mean something extra", writer = "commits must
+            # uphold an invariant"; monotone — see check_table_features
+            "features": {
+                "reader": sorted(reader_feats),
+                "writer": sorted(writer_feats),
+            },
             "committed_at": time.time(),
         }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
@@ -2013,6 +2085,7 @@ class LakeTable:
             version = self.version_as_of(as_of_timestamp)
         v = version if version is not None else self.current_version()
         m = self._manifest(v)
+        check_table_features(m, for_write=False, where=self.root)
         entries = m["data_dirs"]
         pcols = m["partition_by"]
         dvs = m.get("deletion_vectors", [])
@@ -2108,6 +2181,7 @@ class LakeTable:
 
         v = version if version is not None else self.current_version()
         manifest = self._manifest(v)
+        check_table_features(manifest, for_write=False, where=self.root)
 
         def bound_filter(df: DataFrame) -> DataFrame:
             for c, (lo, hi) in bounds.items():

@@ -2011,3 +2011,103 @@ def test_fsck_refuses_missing_deletion_vector(spark, tmp_path):
     assert report["missing_dvs"] == [target]
     with _pytest.raises(ValueError, match="resurrect"):
         t.fsck(dry_run=False)
+
+
+def test_protocol_features_recorded_and_monotone(spark, tmp_path):
+    """Commits record the features they exercise; the sets only grow
+    (Delta table-features monotonicity), and ordinary tables carry none."""
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "feat"))
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "x")]))
+    m = t._manifest(t.current_version())
+    assert m["features"] == {"reader": [], "writer": []}
+
+    t.add_constraint("k_pos", "k > 0")
+    assert t._manifest(t.current_version())["features"]["writer"] == [
+        "check-constraints"
+    ]
+
+    t.delete(F.col("k") == 1, mode="merge-on-read")
+    m = t._manifest(t.current_version())
+    assert m["features"]["reader"] == ["deletion-vectors"]
+    assert m["features"]["writer"] == ["check-constraints"]
+
+    # a later plain append must carry both forward even though it
+    # exercises neither
+    t.append(_df(spark, [(3, "c", "y")]))
+    m = t._manifest(t.current_version())
+    assert m["features"]["reader"] == ["deletion-vectors"]
+    assert m["features"]["writer"] == ["check-constraints"]
+    assert {r.k for r in t.read().collect()} == {2, 3}
+
+
+def test_unknown_reader_feature_blocks_reads_and_writes(spark, tmp_path):
+    """A manifest demanding a reader feature this build lacks must refuse
+    reads (snapshot, skipping, CDF, stream schema) AND writes, loudly and
+    by name — never silently mis-decode."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ecommerce_lakehouse_spark.lake.cdf import table_changes
+    from ecommerce_lakehouse_spark.lake.stream_source import (
+        _snapshot_arrow_schema,
+    )
+    from ecommerce_lakehouse_spark.lake.table import (
+        LakeTable,
+        UnsupportedTableFeatureError,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "future"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    t.append(_df(spark, [(2, "b", "y")]))
+    v = t.current_version()
+    mpath = os.path.join(t._manifest_dir, f"v{v:08d}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["features"]["reader"] = ["row-encryption-v9"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    with _pytest.raises(UnsupportedTableFeatureError, match="row-encryption-v9"):
+        t.read()
+    with _pytest.raises(UnsupportedTableFeatureError, match="row-encryption-v9"):
+        t.read_skipping({"k": (0, 10)})
+    with _pytest.raises(UnsupportedTableFeatureError, match="row-encryption-v9"):
+        table_changes(t, 1)
+    with _pytest.raises(UnsupportedTableFeatureError, match="row-encryption-v9"):
+        _snapshot_arrow_schema(t.root)
+    with _pytest.raises(UnsupportedTableFeatureError, match="row-encryption-v9"):
+        t.append(_df(spark, [(3, "c", "z")]))
+    # time travel to a version BEFORE the feature appeared still works
+    assert {r.k for r in t.read(version=1).collect()} == {1}
+
+
+def test_unknown_writer_feature_blocks_writes_only(spark, tmp_path):
+    """Writer features constrain commit production, not byte decoding:
+    reads keep working, writes refuse (Delta's reader/writer split)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ecommerce_lakehouse_spark.lake.table import (
+        LakeTable,
+        UnsupportedTableFeatureError,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "wfeat"))
+    t.overwrite(_df(spark, [(1, "a", "x")]))
+    v = t.current_version()
+    mpath = os.path.join(t._manifest_dir, f"v{v:08d}.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["features"]["writer"] = ["row-tracking-v9"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    assert {r.k for r in t.read().collect()} == {1}
+    with _pytest.raises(UnsupportedTableFeatureError, match="row-tracking-v9"):
+        t.append(_df(spark, [(2, "b", "y")]))
