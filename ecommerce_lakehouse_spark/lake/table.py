@@ -383,6 +383,7 @@ class LakeTable:
         properties: dict | None = None,
         column_mapping: dict[str, list[str]] | None = None,
         dropped_columns: list[str] | None = None,
+        features_override: tuple[set, set] | None = None,
     ) -> int:
         current = self.current_version() if self.exists() else 0
         if properties is None:
@@ -430,8 +431,18 @@ class LakeTable:
             check_table_features(
                 self._manifest(current), for_write=True, where=self.root
             )
-        reader_feats = set(prior_feats.get("reader", []))
-        writer_feats = set(prior_feats.get("writer", []))
+        if features_override is not None:
+            # drop_feature path: start from the caller's sets; the
+            # exercise-based additions below still run, so a feature the
+            # commit STILL exercises silently re-adds itself (a drop can
+            # never leave the manifest lying about its own content)
+            reader_feats, writer_feats = (
+                set(features_override[0]),
+                set(features_override[1]),
+            )
+        else:
+            reader_feats = set(prior_feats.get("reader", []))
+            writer_feats = set(prior_feats.get("writer", []))
         if deletion_vectors:
             reader_feats.add("deletion-vectors")
         if column_mapping or dropped_columns:
@@ -1276,6 +1287,52 @@ class LakeTable:
             prior["partition_by"],
             base_version=prior["version"],
             constraints={k: v for k, v in cons.items() if k != name},
+        )
+
+    def drop_feature(self, name: str) -> int:
+        """``ALTER TABLE DROP FEATURE`` (Delta 3.x): remove a protocol
+        feature so old clients can use the table again — allowed only
+        when the CURRENT snapshot no longer exercises the capability
+        (deletion vectors compacted away, column mapping absent, ...);
+        a drop that would make the manifest lie about its own content is
+        refused (and the commit path would silently re-add it anyway —
+        see ``_commit``'s features_override).
+
+        Historical versions keep requiring the feature: time travel to
+        them stays gated. Delta resolves the same problem by truncating
+        history at drop time; keeping the history but keeping it gated
+        is strictly more informative (the data is still there for a
+        capable client)."""
+        if not self.exists():
+            raise ValueError("drop_feature: table does not exist yet")
+        prior = self._manifest(self.current_version())
+        feats = prior.get("features", {})
+        reader = set(feats.get("reader", []))
+        writer = set(feats.get("writer", []))
+        if name not in reader | writer:
+            raise ValueError(f"table does not carry feature {name!r}")
+        exercised = {
+            "deletion-vectors": bool(prior.get("deletion_vectors")),
+            "column-mapping": bool(
+                prior.get("column_mapping") or prior.get("dropped_columns")
+            ),
+            "check-constraints": bool(prior.get("constraints")),
+            "generated-columns": bool(prior.get("generated_columns")),
+            "auto-compaction": bool(
+                (prior.get("properties") or {}).get("auto_compact")
+            ),
+        }
+        if exercised.get(name):
+            raise ValueError(
+                f"cannot drop feature {name!r}: the current snapshot still "
+                "exercises it (compact/purge or remove the metadata first)"
+            )
+        return self._commit(
+            prior["data_dirs"],
+            "drop_feature",
+            prior["partition_by"],
+            base_version=prior["version"],
+            features_override=(reader - {name}, writer - {name}),
         )
 
     # ---------------- writers (K1-K6) ----------------

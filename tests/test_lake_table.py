@@ -2111,3 +2111,41 @@ def test_unknown_writer_feature_blocks_writes_only(spark, tmp_path):
     assert {r.k for r in t.read().collect()} == {1}
     with _pytest.raises(UnsupportedTableFeatureError, match="row-tracking-v9"):
         t.append(_df(spark, [(2, "b", "y")]))
+
+
+def test_drop_feature_lifecycle(spark, tmp_path):
+    """DROP FEATURE is refused while the snapshot still exercises the
+    capability, succeeds once it doesn't, and later commits stay clean."""
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "dropf"))
+    t.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")]))
+    t.delete(F.col("k") == 1, mode="merge-on-read")
+    assert t._manifest(t.current_version())["features"]["reader"] == [
+        "deletion-vectors"
+    ]
+    with pytest.raises(ValueError, match="still exercises"):
+        t.drop_feature("deletion-vectors")
+
+    t.compact()  # PURGE: materializes the DV, clears the sidecar list
+    v_drop = t.drop_feature("deletion-vectors")
+    m = t._manifest(v_drop)
+    assert m["operation"] == "drop_feature"
+    assert m["features"] == {"reader": [], "writer": []}
+    assert {r.k for r in t.read().collect()} == {2, 3}
+
+    # a later plain append must NOT resurrect the dropped feature
+    t.append(_df(spark, [(4, "d", "z")]))
+    assert t._manifest(t.current_version())["features"]["reader"] == []
+
+    # unknown / absent features are refused by name
+    with pytest.raises(ValueError, match="does not carry"):
+        t.drop_feature("deletion-vectors")
+
+    # writer-feature lifecycle: constraints on -> refused; off -> drops
+    t.add_constraint("k_pos", "k > 0")
+    with pytest.raises(ValueError, match="still exercises"):
+        t.drop_feature("check-constraints")
+    t.drop_constraint("k_pos")
+    t.drop_feature("check-constraints")
+    assert t._manifest(t.current_version())["features"]["writer"] == []
