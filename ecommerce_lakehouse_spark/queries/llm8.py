@@ -1421,3 +1421,111 @@ def column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ent if out is None else out.unionByName(ent)
     return out
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the monthly revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 3
+
+
+def _acf_oracle() -> str:
+    lag_rows = []
+    for k in range(0, _ACF_LAGS + 1):
+        lag_rows.append(
+            f"""
+SELECT {k} AS lag, n,
+       list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, n - {k} + 1),
+                          i -> (a[i] - mu) * (a[i + {k}] - mu))),
+         (s, x) -> s + x) / denom AS acf
+FROM base"""
+        )
+    return (
+        """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({'month': month, 'rev': revenue})),
+                        x -> x.rev) AS a
+  FROM m),
+mean AS (
+  SELECT a, len(a) AS n,
+         list_reduce(a, (s, x) -> s + x) / len(a) AS mu
+  FROM arr),
+base AS (
+  SELECT a, n, mu,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(a, x -> (x - mu) * (x - mu))),
+           (s, x) -> s + x) AS denom
+  FROM mean)"""
+        + "\nUNION ALL".join(lag_rows)
+    )
+
+
+@query("revenue_autocorrelation", oracle=_acf_oracle())
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of monthly revenue at lags 0-3 (lag 0 = 1 by
+    construction — the self-check row): is this series momentum, noise,
+    or seasonality? The diagnostic that decides whether
+    `exp_smoothing_revenue`'s level model suffices or a seasonal term is
+    needed, completing the time-series family (level, derivative,
+    rolling window, symbolic shape, now memory structure).
+
+    Determinism: like the smoothing query, every cross-month sum is an
+    ORDERED fold over the month-sorted array — both engines execute the
+    identical (x_i − μ)(x_{i+k} − μ) multiply-add sequence, so the
+    doubles agree bit-for-bit with no rounding; μ and each acf are
+    fixed-order divisions. The index-based lag products use
+    element_at over a PROJECTED array column (never an inline
+    recompute — the HOF-CSE rule).
+
+    Scale: the corpus collapses map-side to one exact-decimal row per
+    month; everything after is one task folding a ~months-long array —
+    the bounded-recursion-inside-a-row shape again."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(month, revenue))),"
+            " x -> x.revenue)"
+        ).alias("a")
+    )
+    base = arr.selectExpr(
+        "a",
+        "size(a) AS n",
+        "aggregate(a, CAST(0 AS DOUBLE), (s, x) -> s + x) / size(a) AS mu",
+    ).selectExpr(
+        "a",
+        "n",
+        "mu",
+        "aggregate(transform(a, x -> (x - mu) * (x - mu)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x) AS denom",
+    )
+    out = None
+    for k in range(0, _ACF_LAGS + 1):
+        row = base.selectExpr(
+            f"{k} AS lag",
+            "n",
+            f"aggregate(transform(sequence(1, n - {k}),"
+            f" i -> (element_at(a, i) - mu) * (element_at(a, i + {k}) - mu)),"
+            " CAST(0 AS DOUBLE), (s, x) -> s + x) / denom AS acf",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        "acf",
+    )

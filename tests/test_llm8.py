@@ -551,3 +551,46 @@ def test_column_entropy_matches_python(spark, sf_dir):
         assert (r.n_distinct, r.n_rows, r.ent_sum_n) == (len(vals), n, ent_sum)
         assert r.entropy_nats == ent_sum / n / 1e9
         assert 0.0 <= r.entropy_nats <= m.log(len(vals)) + 1e-9
+
+
+def test_acf_matches_python(spark, sf_dir):
+    """Lag products recomputed with the identical sequential fold order;
+    lag 0 must be exactly 1."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    m = {}
+    for d, p in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        key = (d.year, d.month)
+        m[key] = m.get(key, Decimal(0)) + Decimal(p).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    a = [float(m[k]) for k in sorted(m)]
+    n = len(a)
+    mu_s = 0.0
+    for x in a:
+        mu_s += x
+    mu = mu_s / n
+    denom = 0.0
+    for x in a:
+        denom += (x - mu) * (x - mu)
+
+    from ecommerce_lakehouse_spark.queries.llm8 import revenue_autocorrelation
+
+    got = {r.lag: r for r in revenue_autocorrelation(spark, sf_dir).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for k in range(0, 4):
+        num = 0.0
+        for i in range(n - k):
+            num += (a[i] - mu) * (a[i + k] - mu)
+        assert got[k].n == n
+        assert got[k].acf == num / denom
+    assert got[0].acf == 1.0
+    assert all(abs(got[k].acf) < 1.0 for k in (1, 2, 3))
