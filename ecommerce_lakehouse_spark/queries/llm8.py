@@ -1529,3 +1529,215 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         "acf",
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_cusum_changepoint",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+        FROM d),
+s AS (
+  SELECT day,
+         sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM d),
+c AS (
+  SELECT day,
+         (CAST(cum AS DOUBLE)
+          - CAST(i AS DOUBLE) * (CAST(tot.t AS DOUBLE) / tot.n)) / 100.0
+           AS cusum
+  FROM s CROSS JOIN tot)
+SELECT c.day AS changepoint_day, c.cusum AS cusum_at_peak,
+       abs(c.cusum) AS max_abs_cusum,
+       tot.n AS n_days,
+       (CAST(tot.t AS DOUBLE) / tot.n) / 100.0 AS mean_daily
+FROM c CROSS JOIN tot
+ORDER BY abs(c.cusum) DESC, c.day LIMIT 1
+""",
+)
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue: the day where the
+    cumulative deviation from the global daily mean peaks — the classic
+    single-change-point estimator (Page 1954; the argmax of |CUSUM| is
+    the most likely level-shift location), and the batch face of drift
+    monitoring next to `column_entropy_profile`'s distribution
+    fingerprints.
+
+    Determinism: daily sums are exact integer cents (from DECIMAL
+    totals); the running sum is an exact BIGINT window over the
+    day-level aggregate; each CUSUM value is two fixed-order IEEE ops
+    (cum − i·μ) on exact inputs, so the argmax (day tiebreak) is
+    identical cross-engine.
+
+    Scale: the corpus collapses map-side to one row per DAY; the ordered
+    window and the top-1 selection run over that bounded frame
+    (aggregate-bounded global windows are the sanctioned class)."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = d.select(
+        "day",
+        F.sum("cents").over(w).alias("cum"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+    )
+    c = s.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            (
+                F.col("cum").cast("double")
+                - F.col("i").cast("double")
+                * (F.col("t").cast("double") / F.col("n"))
+            )
+            / 100.0
+        ).alias("cusum"),
+        "n",
+        ((F.col("t").cast("double") / F.col("n")) / 100.0).alias("mean_daily"),
+    )
+    return (
+        c.orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("cusum").alias("cusum_at_peak"),
+            F.abs(F.col("cusum")).alias("max_abs_cusum"),
+            F.col("n").alias("n_days"),
+            "mean_daily",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve of customer engagement lifetimes
+# ---------------------------------------------------------------------------
+
+_KM_CHURN_DAYS = 90
+
+
+@query(
+    "customer_survival_km",
+    oracle=f"""
+WITH c AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(min(o_orderdate) AS DATE),
+                   CAST(max(o_orderdate) AS DATE)) AS t
+  FROM orders GROUP BY 1),
+g AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+obs AS (
+  SELECT c.t,
+         CASE WHEN (SELECT mx FROM g) - INTERVAL {_KM_CHURN_DAYS} DAY
+                   > (SELECT CAST(max(o_orderdate) AS DATE) FROM orders o2
+                      WHERE o2.o_custkey = c.o_custkey)
+              THEN 1 ELSE 0 END AS churned
+  FROM c),
+lt AS (
+  SELECT t, CAST(sum(churned) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c_all
+  FROM obs GROUP BY 1),
+r AS (
+  SELECT t, d, c_all,
+         sum(c_all) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           AS n_risk
+  FROM lt),
+arr AS (
+  SELECT list_sort(list({{'t': t, 'd': d, 'n': n_risk}})) AS a
+  FROM r WHERE d > 0),
+folded AS (
+  SELECT list_reduce(
+           list_transform(a, x -> [{{'t': x.t, 'd': x.d, 'n': x.n,
+             's': 1.0 - CAST(x.d AS DOUBLE) / x.n}}]),
+           (acc, e) -> list_append(acc,
+             {{'t': e[1].t, 'd': e[1].d, 'n': e[1].n,
+               's': acc[-1].s * (1.0 - CAST(e[1].d AS DOUBLE) / e[1].n)}})) AS a
+  FROM arr)
+SELECT CAST(u.t AS BIGINT) AS t_days, CAST(u.n AS BIGINT) AS n_at_risk,
+       u.d AS n_events, u.s AS survival
+FROM (SELECT unnest(a) AS u FROM folded)
+""",
+)
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer engagement lifetimes
+    (first-to-last-order span; a customer whose last order is more than
+    90 days before the dataset's end is a churn EVENT, later actives are
+    right-CENSORED — the estimator exists precisely to use them without
+    bias): S(t) = Π_{{t_i ≤ t}} (1 − d_i/n_i) at each churn time. The
+    retention curve behind LTV math, and the survival member of the
+    statistics family (location: medians; spread: MAD; uncertainty:
+    bootstrap; memory: ACF; now duration).
+
+    Determinism: lifetimes and the 90-day churn rule are integer day
+    arithmetic; n_at_risk is a reverse running BIGINT sum over the
+    collapsed lifetime table; the survival product is an ORDERED fold
+    over the ≤|distinct-lifetimes| array (each step one IEEE divide and
+    multiply in identical sequence — the exp_smoothing pattern; never a
+    per-row exp(sum(log)) whose transcendentals differ).
+
+    Scale: one grouped pass per customer, a collapse to distinct
+    lifetimes (day-range-bounded), a window over that bounded frame, and
+    a single-task fold — corpus rows never enter a window or fold."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.max("o_orderdate")), F.to_date(F.min("o_orderdate"))
+        )
+        .cast("long")
+        .alias("t"),
+        F.to_date(F.max("o_orderdate")).alias("last_day"),
+    )
+    g = o.agg(F.to_date(F.max("o_orderdate")).alias("mx"))
+    obs = c.crossJoin(F.broadcast(g)).select(
+        "t",
+        F.when(
+            F.col("last_day") < F.date_sub(F.col("mx"), _KM_CHURN_DAYS), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    lt = obs.groupBy("t").agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+    )
+    wr = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    r = lt.select(
+        "t", "d", "c_all", F.sum("c_all").over(wr).alias("n_risk")
+    ).filter(F.col("d") > 0)
+    arr = r.agg(
+        F.expr(
+            "sort_array(collect_list(struct(t, d, n_risk AS n)))"
+        ).alias("a")
+    )
+    folded = arr.selectExpr(
+        """
+aggregate(
+  slice(a, 2, size(a) - 1),
+  array(struct(a[0].t AS t, a[0].d AS d, a[0].n AS n,
+               1.0 - CAST(a[0].d AS DOUBLE) / a[0].n AS s)),
+  (acc, x) -> concat(acc, array(struct(
+    x.t AS t, x.d AS d, x.n AS n,
+    element_at(acc, -1).s * (1.0 - CAST(x.d AS DOUBLE) / x.n) AS s)))) AS a
+""".strip()
+    )
+    u = folded.select(F.explode("a").alias("u"))
+    return u.select(
+        F.col("u.t").cast("long").alias("t_days"),
+        F.col("u.n").cast("long").alias("n_at_risk"),
+        F.col("u.d").alias("n_events"),
+        F.col("u.s").alias("survival"),
+    )

@@ -594,3 +594,94 @@ def test_acf_matches_python(spark, sf_dir):
         assert got[k].acf == num / denom
     assert got[0].acf == 1.0
     assert all(abs(got[k].acf) < 1.0 for k in (1, 2, 3))
+
+
+def test_cusum_matches_python(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    daily = {}
+    for d, p in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        key = d.date()
+        daily[key] = daily.get(key, Decimal(0)) + Decimal(p).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    days = sorted(daily)
+    cents = [int(daily[k] * 100) for k in days]
+    n, tot = len(cents), sum(cents)
+    best = None
+    cum = 0
+    for i, (day, c) in enumerate(zip(days, cents), start=1):
+        cum += c
+        s = (float(cum) - float(i) * (float(tot) / n)) / 100.0
+        if best is None or abs(s) > abs(best[1]):
+            best = (day, s)
+
+    from ecommerce_lakehouse_spark.queries.llm8 import revenue_cusum_changepoint
+
+    r = revenue_cusum_changepoint(spark, sf_dir).collect()[0]
+    assert r.changepoint_day == best[0]
+    assert r.cusum_at_peak == best[1]
+    assert r.max_abs_cusum == abs(best[1])
+    assert r.n_days == n
+    assert r.mean_daily == (float(tot) / n) / 100.0
+
+
+def test_km_matches_python(spark, sf_dir):
+    """Survival products recomputed with the identical ordered fold;
+    curve must be non-increasing in (0, 1]."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    span = {}
+    for k, d in zip(
+        t.column("o_custkey").to_pylist(), t.column("o_orderdate").to_pylist()
+    ):
+        day = d.date()
+        lo, hi = span.get(k, (day, day))
+        span[k] = (min(lo, day), max(hi, day))
+    mx = max(hi for _, hi in span.values())
+    import datetime as dt
+
+    cutoff = mx - dt.timedelta(days=90)
+    lt = {}
+    for lo, hi in span.values():
+        tdays = (hi - lo).days
+        d, c = lt.get(tdays, (0, 0))
+        lt[tdays] = (d + (1 if hi < cutoff else 0), c + 1)
+    times = sorted(lt)
+    n_risk = {}
+    acc = 0
+    for tdays in reversed(times):
+        acc += lt[tdays][1]
+        n_risk[tdays] = acc
+    expected = {}
+    s = 1.0
+    for tdays in times:
+        d = lt[tdays][0]
+        if d > 0:
+            s = s * (1.0 - d / n_risk[tdays]) if expected else (
+                1.0 - d / n_risk[tdays]
+            )
+            expected[tdays] = (n_risk[tdays], d, s)
+
+    from ecommerce_lakehouse_spark.queries.llm8 import customer_survival_km
+
+    got = {
+        r.t_days: (r.n_at_risk, r.n_events, r.survival)
+        for r in customer_survival_km(spark, sf_dir).collect()
+    }
+    assert got == expected
+    curve = [got[tdays][2] for tdays in sorted(got)]
+    assert all(0.0 < v <= 1.0 for v in curve)
+    assert all(a >= b for a, b in zip(curve, curve[1:]))
