@@ -1741,3 +1741,98 @@ aggregate(
         F.col("u.d").alias("n_events"),
         F.col("u.s").alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive training-pair construction (anchor + hash-mined negatives)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4  # negatives per anchor
+_NEG_OVERSAMPLE = 64  # expected survivors of the stage-1 hash filter
+
+
+def _neg_oracle() -> str:
+    bm25 = _ORACLES["bm25_search"]
+    return f"""
+WITH anchors AS (SELECT doc_id AS anchor_id FROM ({bm25})),
+scored AS (
+  SELECT doc_id FROM ({bm25})),
+pool AS (
+  SELECT doc_id AS neg_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM scored)),
+pn AS (SELECT CAST(count(*) AS BIGINT) AS n_pool FROM pool),
+cand AS (
+  SELECT a.anchor_id, p.neg_id,
+         (CAST(('0x' || substr(md5('neg|' || CAST(a.anchor_id AS VARCHAR)
+             || '|' || CAST(p.neg_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+          + 0.5) / 1152921504606846976.0 AS u
+  FROM anchors a CROSS JOIN pool p),
+kept AS (
+  SELECT anchor_id, neg_id, u
+  FROM cand CROSS JOIN pn
+  WHERE u < CAST({_NEG_OVERSAMPLE} AS DOUBLE) / pn.n_pool),
+ranked AS (
+  SELECT anchor_id, neg_id,
+         CAST(row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY u, neg_id) AS INT) AS neg_rank
+  FROM kept)
+SELECT anchor_id, neg_id, neg_rank
+FROM ranked WHERE neg_rank <= {_NEG_K}
+"""
+
+
+@query("contrastive_negatives", oracle=_neg_oracle())
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair construction: for each of the 20 BM25
+    anchors, mine 4 deterministic random negatives from the pool
+    of documents that match NO query term — the (anchor, negative) pairs
+    a reranker / embedding model trains on (the positive side is the
+    BM25 ranking itself). Negative choice is the salted-hash convention
+    (md5('neg|anchor|candidate')), so the same pairs come out of every
+    engine, retry, and ingest order — resampling-free dataset
+    construction, like the bootstrap.
+
+    Scale (the two-stage filter is the point): ranking the whole pool
+    per anchor would put |pool| rows in each anchor's partition. Stage 1
+    keeps a candidate only when its uniform < OVERSAMPLE/|pool|
+    (expected ~64 survivors per anchor, a broadcast
+    1-row count); stage 2's per-anchor window then ranks a few dozen
+    rows however large the corpus is. P(fewer than 4 survive) is
+    negligible at the 64x oversample, and small pools
+    (threshold >= 1) keep everything, so the output is never silently
+    short."""
+    from ecommerce_lakehouse_spark.queries.llm7 import bm25_search
+
+    anchors = bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    scored = bm25_search(spark, sf_dir).select("doc_id")
+    pool = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("neg_id"))
+        .join(scored, F.col("neg_id") == F.col("doc_id"), "left_anti")
+    )
+    pn = pool.agg(F.count(F.lit(1)).cast("long").alias("n_pool"))
+    u = (
+        "(CAST(conv(substr(md5(concat('neg|', CAST(anchor_id AS STRING), '|',"
+        " CAST(neg_id AS STRING))), 1, 15), 16, 10) AS DOUBLE) + 0.5)"
+        " / 1152921504606846976.0"
+    )
+    cand = (
+        pool.crossJoin(F.broadcast(anchors))
+        .select("anchor_id", "neg_id", F.expr(u).alias("u"))
+        .crossJoin(F.broadcast(pn))
+        .filter(
+            F.col("u")
+            < F.lit(float(_NEG_OVERSAMPLE)) / F.col("n_pool").cast("double")
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("u", "neg_id")
+    return (
+        cand.select(
+            "anchor_id",
+            "neg_id",
+            F.row_number().over(w).cast("int").alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= _NEG_K)
+    )

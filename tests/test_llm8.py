@@ -685,3 +685,41 @@ def test_km_matches_python(spark, sf_dir):
     curve = [got[tdays][2] for tdays in sorted(got)]
     assert all(0.0 < v <= 1.0 for v in curve)
     assert all(a >= b for a, b in zip(curve, curve[1:]))
+
+
+def test_contrastive_negatives_matches_python(spark, sf_dir):
+    """Pairs recomputed from the same salted-hash ranking: 4 negatives
+    per BM25 anchor, none of them a scored (positive-side) doc."""
+    import hashlib
+
+    from ecommerce_lakehouse_spark.queries.llm7 import bm25_search
+    from ecommerce_lakehouse_spark.queries.llm8 import contrastive_negatives
+
+    anchors = [r.doc_id for r in bm25_search(spark, sf_dir).collect()]
+    import pyarrow.parquet as pq
+
+    all_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    pool = [i for i in all_ids if i not in set(anchors)]
+
+    def u(a, n):
+        h = int(hashlib.md5(f"neg|{a}|{n}".encode()).hexdigest()[:15], 16)
+        return (h + 0.5) / 1152921504606846976.0
+
+    thr = 64.0 / len(pool)
+    expected = set()
+    for a in anchors:
+        kept = sorted(
+            ((u(a, n), n) for n in pool if u(a, n) < thr)
+        )[:4]
+        for rank, (_, n) in enumerate(kept, start=1):
+            expected.add((a, n, rank))
+
+    got = {
+        (r.anchor_id, r.neg_id, r.neg_rank)
+        for r in contrastive_negatives(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(got) == 4 * len(anchors)
+    assert not {n for _, n, _ in got} & set(anchors)
