@@ -1,8 +1,14 @@
-"""Training-data curation operators, wave 8: distribution audits
-(per-source KL divergence against the corpus token distribution, Benford
-first-digit conformance of money amounts, MAD-based robust outlier
-rates) and weighted graph distance (bounded-hop Bellman-Ford over the
-co-purchase graph — the weighted companion of `bfs_hops_copurchase`).
+"""Training-data curation operators, wave 8 — the statistics/analytics
+wave: distribution audits (per-source KL divergence, Benford first-digit
+conformance, chi-square independence, per-column Shannon entropy),
+robust & resampling statistics (MAD outlier rates, trimmed means, the
+Poisson bootstrap, the spend Gini), experimentation (hash-split A/B
+readout), time series (exponential smoothing, autocorrelation, CUSUM
+change-point, inter-arrival profiles), survival analysis (Kaplan-Meier
+with right-censoring), weighted graph distance (bounded-hop
+Bellman-Ford), hybrid retrieval (reciprocal rank fusion of BM25 and
+embedding rankings), market-basket association rules, and contrastive
+training-pair construction.
 
 Cross-engine float rules (SNIPPETS.md / BASELINE.md): ln/log10 are the
 only transcendentals — each is rounded ONCE into integer nano-units (or
@@ -10,9 +16,10 @@ embedded as a Python-repr literal both engines parse identically) before
 any reuse; cross-row accumulation of scores happens in exact BIGINT,
 never a float sum whose association order differs between engines;
 divisions of exact inputs ride unrounded (IEEE division is
-bit-identical); medians are SELECTION statistics over running BIGINT
-counts, so the only float ops are one addition and one halving of two
-selected doubles.
+bit-identical); medians/quantiles are SELECTION statistics over running
+BIGINT counts; bounded recursions (smoothing, ACF, survival products)
+run as ORDERED array folds after map-side collapse, so both engines
+execute the identical IEEE op sequence.
 """
 
 from __future__ import annotations
