@@ -1843,3 +1843,63 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("neg_rank") <= _NEG_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonality profile: month x ISO-weekday order/revenue shares
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_seasonality",
+    oracle="""
+WITH c AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS month,
+         CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_weekday,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2),
+t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS tot FROM c)
+SELECT c.month, c.iso_weekday, c.n_orders,
+       CAST(c.cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(c.n_orders AS DOUBLE) / t.n AS order_share,
+       CAST(c.cents AS DOUBLE) / t.tot AS revenue_share
+FROM c CROSS JOIN t
+""",
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × ISO-weekday seasonality fingerprint of order volume and
+    revenue — the calendar structure `revenue_autocorrelation` detects
+    and `exp_smoothing_revenue`'s level model ignores; diffing two
+    batches' profiles is the calendar face of drift monitoring.
+    ISO weekday (Mon=1..Sun=7) because the engines' default dayofweek
+    numberings disagree (Spark Sun=1, DuckDB Sun=0) — Spark side is
+    weekday()+1, oracle side isodow(), both ISO.
+
+    Determinism: counts and integer-cent sums are exact; shares divide
+    exact integers (fixed order). Scale: one map-side grouped pass to
+    ≤84 cells, a 1-row total broadcast back."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("month"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_weekday"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    t = c.agg(
+        F.sum("n_orders").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "month",
+        "iso_weekday",
+        "n_orders",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.col("n_orders").cast("double") / F.col("n")).alias("order_share"),
+        (F.col("cents").cast("double") / F.col("tot")).alias("revenue_share"),
+    )

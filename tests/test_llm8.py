@@ -723,3 +723,41 @@ def test_contrastive_negatives_matches_python(spark, sf_dir):
     assert got == expected
     assert len(got) == 4 * len(anchors)
     assert not {n for _, n, _ in got} & set(anchors)
+
+
+def test_seasonality_matches_python(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    cells = {}
+    for d, p in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        key = (d.month, d.isoweekday())
+        n, c = cells.get(key, (0, Decimal(0)))
+        cells[key] = (
+            n + 1,
+            c + Decimal(p).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP),
+        )
+    ntot = sum(n for n, _ in cells.values())
+    ctot = sum(int(c * 100) for _, c in cells.values())
+
+    from ecommerce_lakehouse_spark.queries.llm8 import orders_seasonality
+
+    got = {
+        (r.month, r.iso_weekday): r
+        for r in orders_seasonality(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for key, (n, c) in cells.items():
+        r = got[key]
+        cents = int(c * 100)
+        assert r.n_orders == n
+        assert r.revenue == cents / 100.0
+        assert r.order_share == n / ntot
+        assert r.revenue_share == float(cents) / ctot
