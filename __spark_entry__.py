@@ -37,73 +37,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # stats, TPC-H, LLM dedup/ANN/text) — remaining entries follow in their
 # registration order.
 #
-# Round-4 rotation (verdict r03 item #2): the 40 names the driver has
-# never gated (concentrated in tpch2 q2-q22 and stats) all enter the
-# window. The other 10 slots hold this round's new features plus two
-# regression anchors (the flagship mart and the most complex DAG);
-# three r03-green reps (cdc_change_feed, minhash_lsh_pairs,
-# embedding_cosine_dups) rotated OUT late-round for three never-gated
-# round-4 features — their families stay represented via
-# cdc_apply_snapshot (drives changes()), band_skew_profile +
-# corpus_curation_pipeline (LSH), and the curation DAG's dedup stages.
-# This round's rewrites (value_quantiles_exact deciles q11 q15 — the
-# de-single-partitioned window family) are all in the fresh set.
+# Rotation history: r02 gated the relational/gold core, r03 the lakehouse
+# DML + dedup families, r04 the TPC-H tail + round-4 features (each
+# round's _FIRST held only names never gated before, plus a few anchors).
 _FIRST = [
-    # regression anchors + round-4 features
+    # Round-5 rotation (VERDICT r04 item #1): ALL 44 queries the driver has
+    # never gated (union of CORRECTNESS_r01-r04 covers the other 143) enter
+    # the window, plus 6 regression anchors spanning the family axes:
+    # flagship mart, curation DAG, gold rollup, lakehouse MERGE, LSH dedup,
+    # media decode. A green CORRECTNESS_r05 means every registry query has
+    # a driver-gated row in some round.
+    # anchors
     "daily_sales",
-    "shingle_novelty_profile",  # r4: new — first-occurrence novelty scoring
-    "cdc_apply_snapshot",  # r4: new — CDC loop closed (changes() -> apply_changes)
-    "concat_packing_plan",  # r4: new — GPT-style concat packing plan
-    "scd2_apply_snapshot",  # r4: new — SCD2 dimension history via MERGE
     "corpus_curation_pipeline",
-    "mv_incremental_refresh",  # r4: new — materialized aggregate, cursor=last_txn
-    "dsir_importance_scores",  # r4: new — DSIR hashed-ngram importance scoring
-    "rfm_segments",  # r4: new — triple bucketed-rank NTILE segmentation
-    "zorder_skipping_snapshot",  # r4: new — OPTIMIZE ZORDER + data skipping gated
-    # never-gated: this round's global-window rewrites
-    "value_quantiles_exact",
-    "customer_spend_deciles",
-    "tpch_q11_important_parts",
-    "tpch_q15_top_supplier",
-    # never-gated: remaining TPC-H
-    "tpch_q2_top_supplier_by_region",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipping_delay",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_part_variety",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_volume_suppliers",
-    "tpch_q22_dormant_customers",
-    # never-gated: stats / relational tail
-    "value_histogram",
-    "value_outlier_rate",
-    "order_status_journey",
-    "monthly_revenue_growth",
-    "customers_all_quarters",
-    "latest_order_value",
-    "date_spine_fill",
-    "key_skew_profile",
-    "null_safe_join_sizes",
-    "orphan_audit_full_outer",
-    "revenue_share_by_priority",
-    "unpivot_priority_metrics",
-    "grouped_median_doclen",
-    # never-gated: LLM / text tail
-    "band_skew_profile",
-    "bigram_lm_score",
-    "corpus_curation_funnel",
+    "product_performance",
+    "merge_upsert_snapshot",
+    "minhash_lsh_pairs",
     "jpeg_decode_features",
-    "lang_id_confusion",
-    "source_fuzzy_pairs",
-    "token_frequencies",
+    # never-gated tail (stats / sketches / graph / retrieval / storage)
+    "ab_test_lift",
+    "basket_association_rules",
+    "benford_first_digit",
+    "bfs_hops_copurchase",
+    "bloom_skipping_snapshot",
+    "bm25_search",
+    "bootstrap_mean_ci",
+    "bpe_encode_stats",
+    "bpe_merge_steps",
+    "cms_heavy_hitters",
+    "column_entropy_profile",
+    "contrastive_negatives",
+    "convert_parquet_snapshot",
+    "customer_spend_gini",
+    "customer_survival_km",
+    "dsir_gumbel_resample",
+    "embedding_quantize_int8",
+    "event_interarrival_stats",
+    "event_transition_matrix",
+    "exp_smoothing_revenue",
+    "gopher_quality_flags",
+    "hll_distinct_sketch",
+    "identity_snapshot",
+    "kmv_distinct_sketch",
+    "lsh_recall_eval",
+    "orders_seasonality",
+    "pagerank_copurchase",
+    "pq_encode_eval",
+    "priority_status_independence",
+    "rename_column_snapshot",
+    "revenue_autocorrelation",
+    "revenue_cusum_changepoint",
+    "rrf_hybrid_search",
+    "sax_series_profile",
+    "shingle_similarity_join",
+    "source_kl_divergence",
+    "source_overlap_kmv",
+    "sq8_recall_eval",
+    "sssp_copurchase",
+    "triangle_copurchase",
+    "trigram_backoff_scores",
+    "trigram_index_search",
+    "value_mad_outliers",
+    "value_trimmed_mean",
 ]
 
 
