@@ -52,7 +52,8 @@ _FIRST = [
     "corpus_curation_pipeline",
     "product_performance",
     "merge_upsert_snapshot",
-    "minhash_lsh_pairs",
+    "semantic_cluster_dups",  # r5: new — SemDeDup k-means semantic dedup
+    # (takes the dedup-anchor slot: minhash_lsh_pairs was gated r02/r03)
     "jpeg_decode_features",
     # never-gated tail (stats / sketches / graph / retrieval / storage)
     "ab_test_lift",

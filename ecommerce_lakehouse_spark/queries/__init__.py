@@ -47,6 +47,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm6,
     llm7,
     llm8,
+    llm9,
     media,
     quality,
     relational,

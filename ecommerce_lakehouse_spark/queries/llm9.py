@@ -1,0 +1,324 @@
+"""LLM training-data pipeline, phase 9: SemDeDup-style semantic
+deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication") — deterministic k-means over
+the embedding corpus, then within-cluster cosine dedup with the
+farthest-from-centroid keep rule.
+
+This is the missing member of the dedup ladder next to the hyperplane-LSH
+path (queries/llm3.py): LSH finds pairs that are near in *angle bucket*;
+SemDeDup partitions the space globally (k-means) and only compares within
+a cluster, which catches paraphrase-level duplicates that never collide
+in any LSH band while keeping candidate generation bounded by cluster
+size, never corpus size.
+
+Cross-engine determinism for an ITERATIVE float algorithm (the same
+discipline as pagerank_copurchase, queries/stats.py): every vector is
+quantized ONCE into shifted integer micro-units (round((x + 1.0) * 1e6)
+— the +1.0 shift keeps every component non-negative so half-up integer
+division needs no sign handling; k-means is translation-invariant so the
+shift changes no assignment), centroid init is the K md5-smallest
+canonical vectors (the hash-sampled idiom of pq_encode_eval), Lloyd
+assignment/update runs in pure BIGINT arithmetic (squared-L2 in integer
+units; centroid components via exact half-up division
+(2*sum + n) DIV (2*n)), and argmin ties break by cluster id. Both
+engines therefore agree to the last digit after any number of rounds;
+the oracle unrolls the same rounds as MATERIALIZED CTEs.
+
+Exact-copy handling is collapse-first (the embedding_cosine_dups
+discipline): identical vectors are grouped before clustering, k-means and
+pair expansion run on canonical vectors only, and the disposition is
+expanded back to members at the end (copies beyond the group's min id are
+dropped by construction: an exact copy has equal centroid distance and a
+smaller surviving id). 10x exact replication therefore cannot grow the
+candidate pair set (tools/scale_smoke.py entry).
+
+Reference parity: the reference pipeline dedups on business keys only
+(/root/reference/src/processing/silver_layer.py — dropDuplicates); the
+semantic family is the training-data extension this engine adds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+_DIM = 64
+_SD_K = 16  # cluster count: literal shared with the oracle. At warehouse
+# scale set K ~ N / target_cluster_size (SemDeDup uses 11k clusters for
+# LAION-440M); the plan shape is K-independent.
+_SD_ROUNDS = 4  # fixed Lloyd budget, matching the oracle's unrolled CTEs
+_SD_TAU = 0.30  # cosine threshold for "semantic duplicate"
+_SD_CAP = 2048  # skew guard: clusters larger than this (canonical
+# vectors) skip pair expansion, loudly (cluster_capped=true) — the
+# _BUCKET_CAP policy of queries/llm2.py applied to clusters.
+
+_U_SQL = "list_transform(e, x -> CAST(round((x + 1.0) * 1000000) AS BIGINT))"
+
+_SD_DIST = (
+    "list_aggregate(list_transform(range(1, {dim} + 1),"
+    " i -> (v.u[i] - c.c[i]) * (v.u[i] - c.c[i])), 'sum')"
+).format(dim=_DIM)
+
+
+def _sd_assign_sql(prev_c: str, name: str) -> str:
+    """One Lloyd assignment: nearest centroid by integer squared-L2,
+    ties by cluster id."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, cid, u, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn FROM (
+      SELECT v.vec_id, c.cid, v.u, {_SD_DIST} AS dist
+      FROM v CROSS JOIN {prev_c} c)) WHERE rn = 1)"""
+
+
+def _sd_update_sql(asg: str, prev_c: str, name: str) -> str:
+    """One Lloyd update: per-dimension mean in exact half-up integer
+    division; a cluster that lost every vector keeps its old centroid."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM {prev_c} p LEFT JOIN (
+    SELECT cid, list(comp ORDER BY i) AS c FROM (
+      SELECT a.cid, dims.i,
+             CAST((2 * sum(a.u[dims.i]) + count(*))
+                  // (2 * count(*)) AS BIGINT) AS comp
+      FROM {asg} a, dims GROUP BY a.cid, dims.i)
+    GROUP BY cid) n ON p.cid = n.cid)"""
+
+
+def _sd_rounds_sql() -> str:
+    parts = []
+    prev_c = "c0"
+    for r in range(1, _SD_ROUNDS + 1):
+        parts.append(_sd_assign_sql(prev_c, f"a{r}"))
+        parts.append(_sd_update_sql(f"a{r}", prev_c, f"c{r}"))
+        prev_c = f"c{r}"
+    parts.append(_sd_assign_sql(prev_c, "af"))
+    return ",\n".join(parts)
+
+
+_SD_ORACLE = f"""
+WITH g AS MATERIALIZED (
+  SELECT min(vec_id) AS vec_id, list_sort(list(vec_id)) AS members,
+         CAST(count(*) AS BIGINT) AS n_copies, embedding::DOUBLE[] AS e
+  FROM embeddings GROUP BY embedding::DOUBLE[]
+), v AS MATERIALIZED (
+  SELECT vec_id, members, n_copies, e,
+         sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm,
+         {_U_SQL} AS u
+  FROM g
+), dims AS (SELECT unnest(range(1, {_DIM} + 1)) AS i),
+c0 AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS cid, u AS c FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rn, u
+    FROM v) WHERE rn <= {_SD_K}
+),
+{_sd_rounds_sql()},
+jx AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, a.dist, v.e, v.nrm, v.members, v.n_copies
+  FROM af a JOIN v ON a.vec_id = v.vec_id
+), sz AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS csize,
+         CAST(sum(n_copies) AS BIGINT) AS esize
+  FROM jx GROUP BY cid
+), ed AS (
+  SELECT x.vec_id AS va, CAST(sum(y.n_copies) AS BIGINT) AS dn,
+         max(CASE WHEN y.dist > x.dist
+                    OR (y.dist = x.dist AND y.vec_id < x.vec_id)
+             THEN 1 ELSE 0 END) AS dropped
+  FROM jx x
+  JOIN jx y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+  JOIN sz s ON x.cid = s.cid AND s.csize <= {_SD_CAP}
+  WHERE list_aggregate(list_transform(range(1, {_DIM} + 1),
+            i -> x.e[i] * y.e[i]), 'sum') / (x.nrm * y.nrm) >= {_SD_TAU}
+  GROUP BY x.vec_id
+), ex AS (
+  SELECT unnest(members) AS m, vec_id, cid, dist, n_copies,
+         COALESCE(dn, 0) AS dn, COALESCE(dropped, 0) AS dropped
+  FROM jx LEFT JOIN ed ON jx.vec_id = ed.va
+)
+SELECT ex.m AS vec_id, ex.cid AS cluster_id,
+       CAST(ex.dist AS BIGINT) AS centroid_dist,
+       s.esize AS cluster_size,
+       CAST(ex.dn + ex.n_copies - 1 AS BIGINT) AS dup_neighbors,
+       s.csize > {_SD_CAP} AS cluster_capped,
+       (ex.m = ex.vec_id AND ex.dropped = 0) AS keep
+FROM ex JOIN sz s ON ex.cid = s.cid
+"""
+
+
+def _int_l2(u, c):
+    return F.aggregate(
+        F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("semantic_cluster_dups", oracle=_SD_ORACLE)
+def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup disposition, one row per vector: final
+    k-means cluster, integer centroid distance, expanded cluster size,
+    number of semantic-duplicate neighbors (cosine >= 0.30 within the
+    cluster, exact copies included), the skew-cap flag, and the keep
+    verdict (keep the copy farthest from its centroid; ties keep the
+    smaller vec_id — the SemDeDup rule).
+
+    Scale: k-means is the textbook distributed shape — assignment is a
+    broadcast of the K-row centroid table (K*DIM bigints — KBs) against
+    the corpus, the update is an explode to (cluster, dim) keys where
+    map-side partial aggregation collapses every task's contribution to
+    at most K*DIM rows before the shuffle, and each round is one job
+    over a localCheckpoint barrier (the pagerank lesson: without it
+    round k's broadcast re-executes rounds 1..k-1). Pair expansion is
+    per-cluster, collapse-first, and capped (_SD_CAP) — candidates are
+    bounded by cluster size * near-dup density, never corpus^2."""
+    e = load(spark, sf_dir, "embeddings")
+    g = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    ed = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(
+        F.transform(ed, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    v = g.select(
+        "vec_id",
+        "members",
+        "n_copies",
+        ed.alias("e"),
+        F.sqrt(sq).alias("nrm"),
+        F.transform(
+            ed, lambda x: F.round((x + F.lit(1.0)) * 1000000).cast("long")
+        ).alias("u"),
+    ).localCheckpoint()
+
+    # centroid init: the K md5-smallest canonical vectors. TakeOrdered
+    # (per-partition heads) bounds the sort; the cid-assigning
+    # row_number runs on the K-row frame only (pq_encode_eval idiom).
+    top = (
+        v.select(F.md5(F.col("vec_id").cast("string")).alias("m"), "vec_id", "u")
+        .orderBy("m", "vec_id")
+        .limit(_SD_K)
+    )
+    cent = top.select(
+        (F.row_number().over(Window.orderBy("m", "vec_id")) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.col("u").alias("c"),
+    ).localCheckpoint()
+
+    def assign(c_tbl: DataFrame) -> DataFrame:
+        # Assignment is SHUFFLE-FREE: the K centroids collapse to ONE
+        # broadcast row holding a cid-sorted struct array; each vector
+        # computes all K integer distances in-row (transform) and takes
+        # the lexicographic (dist, cid) array_min — pure map-side
+        # whole-stage-codegen work, no N*K shuffle, ties to the lowest
+        # cid exactly like the oracle's ORDER BY dist, cid.
+        cs = c_tbl.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
+        )
+        j = v.select("vec_id", "u").crossJoin(F.broadcast(cs))
+        best = F.array_min(
+            F.transform(
+                "cs",
+                lambda s: F.struct(
+                    _int_l2(F.col("u"), s["c"]).alias("dist"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        )
+        return j.select(
+            "vec_id", "u", best["cid"].alias("cid"), best["dist"].alias("dist")
+        )
+
+    for _ in range(_SD_ROUNDS):
+        asg = assign(cent)
+        sums = (
+            asg.select("cid", F.posexplode("u").alias("d", "val"))
+            .groupBy("cid", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cid", "d", F.expr("(2 * s + n) DIV (2 * n)").alias("comp"))
+        )
+        newc = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "comp"))),
+                lambda x: x["comp"],
+            ).alias("nc")
+        )
+        cent = (
+            cent.join(newc, "cid", "left")
+            .select("cid", F.coalesce("nc", "c").alias("c"))
+            .localCheckpoint()
+        )
+
+    af = assign(cent).select("vec_id", "cid", "dist")
+    jx = af.join(v, "vec_id").localCheckpoint()
+    sz = jx.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("csize"),
+        F.sum("n_copies").cast("long").alias("esize"),
+    )
+    xa = jx.select(
+        F.col("vec_id").alias("va"),
+        "cid",
+        F.col("dist").alias("da"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    xb = jx.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cid").alias("cidb"),
+        F.col("dist").alias("db"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("n_copies").alias("kb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    edges = (
+        xa.join(xb, (F.col("cid") == F.col("cidb")) & (F.col("va") != F.col("vb")))
+        .join(
+            F.broadcast(sz.filter(F.col("csize") <= _SD_CAP).select("cid")), "cid"
+        )
+        .filter(dot / (F.col("na") * F.col("nb")) >= F.lit(_SD_TAU))
+        .groupBy("va")
+        .agg(
+            F.sum("kb").cast("long").alias("dn"),
+            F.max(
+                F.when(
+                    (F.col("db") > F.col("da"))
+                    | ((F.col("db") == F.col("da")) & (F.col("vb") < F.col("va"))),
+                    1,
+                ).otherwise(0)
+            ).alias("dropped"),
+        )
+    )
+    out = (
+        jx.join(F.broadcast(sz), "cid")
+        .join(edges, jx["vec_id"] == edges["va"], "left")
+        .select(
+            F.explode("members").alias("m"),
+            "vec_id",
+            "cid",
+            "dist",
+            "esize",
+            "csize",
+            "n_copies",
+            F.coalesce("dn", F.lit(0)).alias("dn"),
+            F.coalesce("dropped", F.lit(0)).alias("dropped"),
+        )
+    )
+    return out.select(
+        F.col("m").alias("vec_id"),
+        F.col("cid").alias("cluster_id"),
+        F.col("dist").alias("centroid_dist"),
+        F.col("esize").alias("cluster_size"),
+        (F.col("dn") + F.col("n_copies") - 1).cast("long").alias("dup_neighbors"),
+        (F.col("csize") > _SD_CAP).alias("cluster_capped"),
+        ((F.col("m") == F.col("vec_id")) & (F.col("dropped") == 0)).alias("keep"),
+    )

@@ -77,6 +77,11 @@ QUERIES = [
     # itself is quadratic, the cluster representation (neardup_clusters)
     # is the right operator, not pair enumeration
     "shingle_similarity_join",
+    # SemDeDup: collapse-first k-means + within-cluster pairs. K× exact
+    # replication must leave the canonical vector set (and so cluster
+    # sizes and the candidate pair count) unchanged — only the member
+    # expansion grows
+    "semantic_cluster_dups",
 ]
 
 _BOILERPLATE = (
