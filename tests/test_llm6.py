@@ -328,3 +328,53 @@ def test_sax_series_profile_matches_python(spark, sf_dir):
         for r in sax_series_profile(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_bpe_32_merges_fertility_improves(spark):
+    """The 32-merge vocabulary must compress strictly better than the
+    3-merge one (corpus-weighted chars-per-token), and the merge table
+    must hold the full 32-step budget on the real corpus."""
+    import pyspark.sql.functions as F
+
+    from ecommerce_lakehouse_spark.queries.llm6 import _bpe_train
+
+    sf = "/root/testdata/sf0.001"
+
+    def fertility(steps):
+        _, wf = _bpe_train(spark, sf, steps)
+        row = (
+            wf.select(
+                (F.length("word") * F.col("freq")).alias("chars"),
+                (
+                    F.size(F.filter(F.split("seq", " "), lambda x: x != ""))
+                    * F.col("freq")
+                ).alias("toks"),
+            )
+            .agg(F.sum("chars").alias("c"), F.sum("toks").alias("t"))
+            .collect()[0]
+        )
+        return row.c / row.t
+
+    merges, _ = _bpe_train(spark, sf, 32)
+    assert merges.count() == 32  # corpus supports ~89 merges; no exhaustion
+    assert fertility(32) > fertility(3) > 1.0
+
+
+def test_bpe_train_to_table_roundtrip(spark, tmp_path):
+    """Persisted tokenizer: merges + vocab land as committed LakeTable
+    versions and read back exactly what training produced."""
+    from ecommerce_lakehouse_spark.queries.llm6 import (
+        _bpe_train,
+        bpe_train_to_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mt, vt = bpe_train_to_table(spark, sf, str(tmp_path / "bpe"), steps=5)
+    merges, wf = _bpe_train(spark, sf, 5)
+    assert mt.exists() and vt.exists()
+    got = {(r.step, r.pair, r.token, r.wc) for r in mt.read().collect()}
+    want = {(r.step, r.pair, r.token, r.wc) for r in merges.collect()}
+    assert got == want
+    gotv = {(r.word, r.freq, r.seq) for r in vt.read().collect()}
+    wantv = {(r.word, r.freq, r.seq) for r in wf.collect()}
+    assert gotv == wantv

@@ -156,9 +156,10 @@ def test_sssp_prefers_cheap_two_hop_over_direct_edge(spark, tmp_path):
     assert got == [(1, 0, 3), (2, 2, 3), (3, 4, 3)]
 
 
-def _bpe_py(word_freq, steps=3):
+def _bpe_py(word_freq, steps=32):
     """Reference BPE trainer mirroring the padded-string replace
-    convention (leftmost non-overlapping, like both engines' replace)."""
+    convention (leftmost non-overlapping, like both engines' replace)
+    and the engine's 32-merge budget with early pair exhaustion."""
     seqs = {w: " " + " ".join(w) + " " for w in word_freq}
     merges = []
     for _ in range(steps):
@@ -167,6 +168,8 @@ def _bpe_py(word_freq, steps=3):
             t = s.split()
             for a, b in zip(t, t[1:]):
                 pairs[(a, b)] = pairs.get((a, b), 0) + word_freq[w]
+        if not pairs:
+            break
         (a, b), wc = min(
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + kv[0][1])
         )
@@ -178,7 +181,8 @@ def _bpe_py(word_freq, steps=3):
 
 
 def test_bpe_encode_stats_matches_python(spark, tmp_path):
-    """Per-doc token accounting after 3 merges recomputed by a reference
+    """Per-doc token accounting after the merge budget (exhausted early
+    on this mini corpus) recomputed by a reference
     Python BPE that mirrors the padded-string replace convention."""
     texts = {
         1: "banana bandana",

@@ -67,6 +67,10 @@ QUERIES = [
     # counts, not rows), doc scoring joins per-doc DISTINCT trigrams —
     # wall time must grow ~linearly with the corpus, model cost ~flat
     "trigram_backoff_scores",
+    # BPE training: the word-frequency table is vocabulary-bounded, so K×
+    # replication changes freqs, not rows — the 32 merge rounds must cost
+    # ~the same as unreplicated (sub-linear in corpus size)
+    "bpe_merge_steps",
     # exact prefix-filtered similarity join: collapse-first, so K× exact
     # replication must NOT grow the posting index (same canonical set:
     # measured 2.3 s / 5.6k pairs at K=10, same as unreplicated). Under
