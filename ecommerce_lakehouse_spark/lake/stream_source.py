@@ -215,12 +215,19 @@ def _file_batches(partition: _LakeFilePartition, target) -> Iterator:
     n = len(tbl)
     cols = []
     for field in target:
-        if field.name == "_change_type":  # readChangeFeed: appends = inserts
+        # a physically-present column ALWAYS wins, even for the CDF
+        # names: in readChangeFeed mode _change_type/_commit_version are
+        # appended to the schema and never stored in files, but a plain
+        # stream of a CDC EVENT LOG legitimately carries its own
+        # _change_type data column — clobbering it with the "insert"
+        # constant silently rewrote delete/update verbs (caught by
+        # test_stream_apply_changes_scd2)
+        if field.name in tbl.column_names:
+            col = tbl.column(field.name).cast(field.type).combine_chunks()
+        elif field.name == "_change_type":  # readChangeFeed: appends = inserts
             col = pa.array(["insert"] * n, pa.string())
         elif field.name == "_commit_version":
             col = pa.array([partition.version] * n, pa.int32())
-        elif field.name in tbl.column_names:
-            col = tbl.column(field.name).cast(field.type).combine_chunks()
         elif field.name in hive and hive[field.name] is not None:
             col = pa.array([hive[field.name]] * n, pa.string()).cast(field.type)
         else:

@@ -498,3 +498,72 @@ def stream_mv_refresh(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_apply_changes_scd2(
+    spark,
+    src_root: str,
+    dst_root: str,
+    keys: list[str],
+    sequence_col: str,
+    checkpoint_dir: str,
+    change_type_col: str = "_change_type",
+):
+    """Streaming SCD Type 2: tail an append-only CDC EVENT LOG (each
+    appended row carries its own ``sequence_col`` and
+    ``change_type_col`` — the Kafka-connector / DMS landing shape) and
+    feed each microbatch to :meth:`LakeTable.apply_changes_scd2`, so a
+    continuously-arriving change stream keeps a history-preserving
+    dimension fresh — DLT's ``APPLY CHANGES INTO ... STORED AS SCD
+    TYPE 2`` running as a Structured Streaming job (the history-keeping
+    sibling of ``stream_replicate``'s Type 1 apply).
+
+    The source is read as PLAIN appended rows (not ``readChangeFeed``):
+    an event log's rows already ARE the change events, with
+    insert/update_postimage/delete verbs in their own column — the
+    laketable CDF wrapper would re-describe every appended event as an
+    "insert" and bury the real verb. Per-key monotone sequences are the
+    feed's contract (apply_changes_scd2 raises on violations rather
+    than corrupting history).
+
+    Exactly-once: each microbatch commit records ``{"app_id":
+    scd2:<src>-><dst>, "version": batch_id}``; a replayed batch (crash
+    between dimension commit and checkpoint commit) is detected via
+    ``last_txn`` and skipped. Because apply_changes_scd2 orders
+    multi-change keys within a batch and joins the open row into that
+    ordering, the incremental history is identical to one batch apply
+    over the whole feed (tests/test_streaming.py asserts equality).
+
+    Starts with availableNow (drain pending commits, then stop);
+    re-invoke on a schedule or wrap your own trigger for always-on."""
+    from ecommerce_lakehouse_spark.lake.stream_source import register_lake_source
+
+    register_lake_source(spark)
+    dst = LakeTable(spark, dst_root)
+    app_id = f"scd2:{src_root}->{dst_root}"
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if dst.exists():
+            last = dst.last_txn(app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already applied
+        dst.apply_changes_scd2(
+            batch_df,
+            keys=keys,
+            sequence_col=sequence_col,
+            change_type_col=change_type_col,
+            txn={"app_id": app_id, "version": batch_id},
+        )
+
+    return (
+        spark.readStream.format("laketable")
+        .option("path", src_root)
+        .option("startingVersion", "earliest")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

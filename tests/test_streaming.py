@@ -345,3 +345,69 @@ def test_stream_replicate_table(spark, tmp_path):
     q = stream_replicate(spark, src_root, dst_root, keys=["k"], checkpoint_dir=ckpt)
     q.awaitTermination(120)
     assert dst.current_version() == v and same()
+
+
+def test_stream_apply_changes_scd2(spark, tmp_path):
+    """Streaming SCD2: an append-only CDC event log drained per
+    microbatch keeps a history-preserving dimension that (a) survives
+    repeated catch-up drains exactly-once and (b) equals one batch
+    apply_changes_scd2 over the whole feed."""
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_apply_changes_scd2
+
+    feed_root = str(tmp_path / "feed")
+    dim_root = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ck")
+    schema = "k int, v string, seq bigint, _change_type string"
+    feed = LakeTable(spark, feed_root)
+    feed.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 1, "insert"), (2, "b", 1, "insert")], schema
+        ).coalesce(1)
+    )
+    feed.append(
+        spark.createDataFrame([(1, "a2", 2, "update_postimage")], schema)
+    )
+
+    def drain():
+        q = stream_apply_changes_scd2(
+            spark, feed_root, dim_root, keys=["k"],
+            sequence_col="seq", checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    dim = LakeTable(spark, dim_root)
+    hist = lambda t: {  # noqa: E731
+        (r["k"], r["v"], r["__start_at"], r["__end_at"])
+        for r in t.read().collect()
+    }
+    assert hist(dim) == {(1, "a", 1, 2), (1, "a2", 2, None), (2, "b", 1, None)}
+
+    # catch-up drain: a delete and a fresh key arrive
+    feed.append(
+        spark.createDataFrame(
+            [(2, "b", 3, "delete"), (3, "c", 3, "insert")], schema
+        )
+    )
+    drain()
+    want = {
+        (1, "a", 1, 2),
+        (1, "a2", 2, None),
+        (2, "b", 1, 3),
+        (3, "c", 3, None),
+    }
+    assert hist(dim) == want
+
+    # idempotent: nothing new -> no commit, history unchanged
+    v = dim.current_version()
+    drain()
+    assert dim.current_version() == v and hist(dim) == want
+
+    # equivalence: one batch apply over the whole feed = the incremental history
+    batch_root = str(tmp_path / "dim_batch")
+    batch_dim = LakeTable(spark, batch_root)
+    batch_dim.apply_changes_scd2(
+        feed.read(), keys=["k"], sequence_col="seq"
+    )
+    assert hist(batch_dim) == hist(dim)
