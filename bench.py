@@ -74,6 +74,102 @@ class _StageMeter:
         }
 
 
+# Fixed anchor set for --check: stable queries spanning the family axes
+# (gold marts, TPC-H, lakehouse DML, dedup/LSH, windows/ordering, media,
+# the curation DAG, the de-windowed rank family). Chosen for r04-profile
+# presence and shape stability; >=1 s and <10 s entries so ratios are
+# meaningful against timer noise.
+_ANCHORS = [
+    "daily_sales",
+    "product_performance",
+    "customer_insights",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q21_waiting_supplier",
+    "merge_upsert_snapshot",
+    "cdc_apply_snapshot",
+    "corpus_curation_pipeline",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "embedding_cosine_dups",
+    "token_frequencies",
+    "value_quantiles_exact",
+    "window_top1_per_group",
+    "top_k_global",
+    "jpeg_decode_features",
+    "concat_packing_plan",
+]
+
+
+def _run_check(spark, sf_dir: str, warmup: int) -> None:
+    """Anchor-ratio drift guard (BASELINE.md's manual ratio procedure as
+    a number): identical code on this host has measured 0.9-1.7x uniform
+    wall-time swings, so absolute times can't gate anything — but the
+    per-anchor ratio vs the committed profile, NORMALIZED by the run's
+    median ratio, cancels host drift and leaves only real per-query
+    regressions. Exits 1 if any anchor exceeds 1.5x the median ratio."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+        profile = json.load(f)["queries"]
+    anchors = [n for n in _ANCHORS if n in profile and n in REGISTRY]
+    skipped = [n for n in _ANCHORS if n not in anchors]
+
+    for _ in range(warmup):
+        materialize(REGISTRY["daily_sales"](spark, sf_dir))
+    ratios: dict[str, float] = {}
+    for name in anchors:
+        t0 = time.time()
+        materialize(REGISTRY[name](spark, sf_dir))
+        ratios[name] = round((time.time() - t0) / profile[name], 3)
+
+    def _flag(rs: dict[str, float]) -> tuple[float, dict[str, float]]:
+        srt = sorted(rs.values())
+        med = srt[len(srt) // 2]
+        return med, {
+            n: r
+            for n, r in rs.items()
+            # ratio gate + absolute floor: a 0.35 s anchor at 1.6x is
+            # ~0.2 s of scheduler noise, not a regression worth failing
+            # CI over — require >=0.4 s of excess beyond uniform drift
+            if r > 1.5 * max(med, 0.001)
+            and (r - med) * profile[n] > 0.4
+        }
+
+    median, flagged = _flag(ratios)
+    # re-measure anything flagged (up to twice): first-touch effects
+    # (Python worker spin-up for the media anchor, code-cache misses)
+    # inflate a single cold run past the gate; a real regression
+    # reproduces. Keep the min of the runs.
+    for _ in range(2):
+        if not flagged:
+            break
+        for name in list(flagged):
+            t0 = time.time()
+            materialize(REGISTRY[name](spark, sf_dir))
+            ratios[name] = min(
+                ratios[name], round((time.time() - t0) / profile[name], 3)
+            )
+        median, flagged = _flag(ratios)
+    verdict = (
+        "ok-uniform" if not flagged else "regression:" + ",".join(sorted(flagged))
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bench_anchor_check",
+                "value": median,
+                "unit": "median_ratio_vs_profile",
+                "verdict": verdict,
+                "ratios": ratios,
+                "flagged": sorted(flagged),
+                "skipped": skipped,
+                "profile_total": round(sum(profile.values()), 1),
+            }
+        )
+    )
+    sys.exit(1 if flagged else 0)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warmup", type=int, default=1)
@@ -85,6 +181,16 @@ def main() -> None:
         "(writes BENCH_SHUFFLE.json). The UI listener inflates wall "
         "times 40-70%% on short queries, so this is OFF for timing runs.",
     )
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="anchor-ratio drift guard: run the fixed anchor set, compare "
+        "per-query ratios against the committed BENCH_DETAIL.json "
+        "profile, and exit nonzero if any anchor inflates >1.5x beyond "
+        "the run's MEDIAN ratio (uniform inflation = host drift, "
+        "documented in BASELINE.md; skewed inflation = a real "
+        "regression). Never overwrites the committed profile.",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,6 +201,10 @@ def main() -> None:
         "bench",
         extra_conf={"spark.ui.enabled": "true"} if args.detail else None,
     )
+
+    if args.check:
+        _run_check(spark, sf_dir, args.warmup)
+        return
 
     names = [n for n in args.queries.split(",") if n] or list(REGISTRY)
 
