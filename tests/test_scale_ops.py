@@ -293,3 +293,57 @@ def test_triangle_copurchase_matches_python_recompute(spark):
                 tri[c] += 1
     got = {r.p_partkey: r.n_triangles for r in triangle_copurchase(spark, sf).collect()}
     assert got == dict(tri)
+
+
+def test_bucketed_rank_bounds_task_rows_on_replicated_frame(spark):
+    """The rank-smoke's max_task_rows measurement as CI (r04 verdict
+    item #7): on a 20x-replicated frame the bucketed global rank must
+    (a) produce the exact permutation a global sort would, and (b) keep
+    every per-bucket window partition within a small factor of
+    n/buckets — the memory ceiling that makes it survive 100 TB where
+    the retired `row_number() OVER (ORDER BY ...)` shape put all n rows
+    in ONE task. Red if anyone reintroduces a global-sort rank or
+    breaks the fixed-width bucketing."""
+    from ecommerce_lakehouse_spark.operators.scale import (
+        bucketed_global_row_number,
+        fixed_width_bucket,
+    )
+
+    n_vals, copies, buckets = 10_000, 20, 1024
+    n = n_vals * copies
+    # 20 exact copies of each value: the adversarial tie direction the
+    # replication smoke uses (tie mass grows, bucket width doesn't)
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") % n_vals) * F.lit(0.37) - F.lit(1850.0)).alias("v"),
+    )
+    ranked = bucketed_global_row_number(
+        df, F.col("v"), [F.asc("v"), F.asc("id")], buckets=buckets
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+        F.countDistinct("rn").alias("nd"),
+    ).first()
+    assert (agg.rows, agg.lo, agg.hi, agg.nd) == (n, 1, n, n)
+    # rank order agrees with the sort order on a band around the median
+    mid = ranked.filter((F.col("rn") >= n // 2) & (F.col("rn") < n // 2 + 50))
+    vals = [r.v for r in mid.orderBy("rn").collect()]
+    assert vals == sorted(vals)
+
+    # per-task bound: the largest bucket (== largest per-bucket window
+    # partition) stays within 4x the ideal n/buckets even with 20x ties
+    st = df.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    hist = (
+        df.join(F.broadcast(st))
+        .groupBy(
+            fixed_width_bucket(
+                F.col("v"), F.col("lo"), F.col("hi"), buckets
+            ).alias("b")
+        )
+        .count()
+    )
+    max_bucket = hist.agg(F.max("count")).first()[0]
+    assert max_bucket <= 4 * (n // buckets), max_bucket
+    assert max_bucket < n // 10  # nowhere near the single-task shape
