@@ -54,7 +54,8 @@ _FIRST = [
     "merge_upsert_snapshot",
     "semantic_cluster_dups",  # r5: new — SemDeDup k-means semantic dedup
     # (takes the dedup-anchor slot: minhash_lsh_pairs was gated r02/r03)
-    "jpeg_decode_features",
+    "mp3_stream_features",  # r5: new — MPEG-1 Layer III header walk
+    # (takes the media-anchor slot: jpeg_decode_features was gated r04)
     # never-gated tail (stats / sketches / graph / retrieval / storage)
     "ab_test_lift",
     "basket_association_rules",

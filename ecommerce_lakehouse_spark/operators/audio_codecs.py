@@ -11,10 +11,15 @@ the decode oracle SQL-expressible — while IMA ADPCM carries
 predictor/step-index state across samples and is verified by round-trip
 tests instead.
 
-MP3/OGG remain honestly out of scope (operators/media.py raises for
-them): psychoacoustic codecs need either ffmpeg or thousands of lines of
-spec tables. mu-law + ADPCM cover the telephony/game/embedded corpus
-formats that appear in real multimodal crawls alongside plain PCM.
+MP3/OGG audio SYNTHESIS remains honestly out of scope
+(operators/media.py raises for them): psychoacoustic codecs need either
+ffmpeg or thousands of lines of spec tables. mu-law + ADPCM cover the
+telephony/game/embedded corpus formats that appear in real multimodal
+crawls alongside plain PCM. MP3 CONTAINER parsing, though, is pure
+header arithmetic and is implemented below (``mp3_stream_features``):
+an ISO/IEC 11172-3 frame-header walk — ID3v2 skip, sync scan, bitrate/
+sample-rate validation, frame stepping — yielding the duration/bitrate/
+frame accounting a crawler indexes audio by without decoding a sample.
 """
 
 from __future__ import annotations
@@ -254,3 +259,122 @@ def _decode_wav_inner(payload: bytes) -> tuple[np.ndarray, int]:
             pcm = pcm[:n_samples]
         return (pcm.astype(np.float32) / 32768.0).reshape(-1, 1), rate
     raise NotImplementedError(f"WAV format tag 0x{tag:04x} not supported")
+
+
+# ------------------------------------------------- MPEG-1 Layer III headers
+
+# MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 = free format and
+# 15 = invalid are both rejected by the walker (ISO/IEC 11172-3 table).
+MP3_BITRATES_KBPS = {
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96, 8: 112,
+    9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+# sample-rate index for MPEG-1 (index 3 = reserved)
+MP3_SAMPLE_RATES = {0: 44100, 1: 48000, 2: 32000}
+MP3_SAMPLES_PER_FRAME = 1152
+
+
+def mp3_frame_length(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    """MPEG-1 Layer III frame size in bytes: 144 * bitrate / sample_rate
+    (+1 padding byte) — 1152 samples/frame over 8 bits/byte = 144."""
+    return (144 * bitrate_kbps * 1000) // sample_rate + padding
+
+
+def build_mp3_stream(
+    bitrate_indices: list[int],
+    rate_idx: int,
+    paddings: list[int] | None = None,
+    id3_size: int = 0,
+    junk: int = 0,
+    trailing: int = 0,
+) -> bytes:
+    """Synthesize a structurally-valid MPEG-1 Layer III stream (headers +
+    filler payload, no psychoacoustic audio): optional ID3v2 tag
+    (syncsafe size), ``junk`` non-sync lead-in bytes, one frame per
+    bitrate index (mono, no CRC), ``trailing`` non-sync tail bytes.
+    The frame PAYLOAD is 0x55 filler — this is a header-walk fixture
+    generator, not an encoder; the walker never inspects payload."""
+    rate = MP3_SAMPLE_RATES[rate_idx]
+    out = bytearray()
+    if id3_size or junk:
+        out += b"ID3" + bytes([4, 0, 0]) + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        out += b"\x00" * id3_size
+        out += b"\x00" * junk
+    for j, idx in enumerate(bitrate_indices):
+        pad = paddings[j] if paddings is not None else 0
+        flen = mp3_frame_length(MP3_BITRATES_KBPS[idx], rate, pad)
+        out += bytes([0xFF, 0xFB, (idx << 4) | (rate_idx << 2) | (pad << 1), 0xC0])
+        out += b"\x55" * (flen - 4)
+    out += b"\xaa" * trailing
+    return bytes(out)
+
+
+def mp3_stream_features(payload: bytes) -> dict:
+    """MPEG-1 Layer III frame-header WALK (no audio synthesis — the
+    codec itself stays out of scope, see module docstring): skip an
+    ID3v2 tag if present (syncsafe size), byte-scan to the first valid
+    sync, then step frame-to-frame by the computed frame length,
+    validating every header (MPEG-1, Layer III, bitrate index 1-14,
+    sample-rate index 0-2, rate consistent with the first frame) and
+    resynchronizing on anything invalid. A frame counts only if it fits
+    entirely in the buffer — truncated tails are ignored, so the walk
+    is total on arbitrary bytes (fuzz-tested).
+
+    Returns the stream accounting a crawler indexes media by:
+    frame/byte counts, sample rate, exact duration, bitrate sum +
+    distinct count (CBR/VBR detection), channel mode, lead-in bytes."""
+    n = len(payload)
+    pos = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = (
+            ((payload[6] & 0x7F) << 21)
+            | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7)
+            | (payload[9] & 0x7F)
+        )
+        pos = min(10 + size, n)
+    frames = 0
+    br_sum = 0
+    br_seen: set[int] = set()
+    rate = 0
+    mode = -1
+    lead_in = -1
+    stream_bytes = 0
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+            version = (b1 >> 3) & 3
+            layer = (b1 >> 1) & 3
+            bridx = (b2 >> 4) & 15
+            sridx = (b2 >> 2) & 3
+            pad = (b2 >> 1) & 1
+            if version == 3 and layer == 1 and 1 <= bridx <= 14 and sridx < 3:
+                sr = MP3_SAMPLE_RATES[sridx]
+                if rate == 0 or sr == rate:
+                    flen = mp3_frame_length(MP3_BITRATES_KBPS[bridx], sr, pad)
+                    if pos + flen <= n:
+                        if rate == 0:
+                            rate = sr
+                            mode = (b3 >> 6) & 3
+                            lead_in = pos
+                        frames += 1
+                        br_sum += MP3_BITRATES_KBPS[bridx]
+                        br_seen.add(bridx)
+                        stream_bytes += flen
+                        pos += flen
+                        continue
+        pos += 1  # resync scan
+    return {
+        "n_frames": frames,
+        "sample_rate": rate,
+        "duration_s": (frames * MP3_SAMPLES_PER_FRAME) / rate if rate else 0.0,
+        "bitrate_kbps_sum": br_sum,
+        "n_distinct_bitrates": len(br_seen),
+        "is_vbr": len(br_seen) > 1,
+        "channel_mode": mode,
+        "lead_in_bytes": lead_in,
+        "stream_bytes": stream_bytes,
+    }

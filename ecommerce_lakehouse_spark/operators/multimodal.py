@@ -8,10 +8,13 @@ uncompressed formats (PPM/PGM/BMP images, WAV PCM/mu-law/ADPCM audio,
 concatenated-PPM video; ``operators/media.py`` / ``audio_codecs.py``)
 and compressed ones: spec-conformant PNG (incl. Adam7 interlace), GIF
 LZW, full baseline + progressive JPEG (``operators/jpeg.py``, T.81
-Annex G), and MJPEG-in-AVI video (``operators/avi.py``). Only truly
-out-of-scope codecs (e.g. MP3, H.264) raise ``NotImplementedError``
-after magic-byte sniffing; a production deployment drops PIL/ffmpeg
-into those functions and every operator here is unchanged. The decode→feature/resize/frame-sample pipelines are
+Annex G), and MJPEG-in-AVI video (``operators/avi.py``). MP3 gets a
+real MPEG-1 Layer III frame-HEADER walk (sync scan, ID3 skip, frame
+accounting — ``mp3_feature_extract`` below); only the psychoacoustic
+decodes themselves (MP3 audio synthesis, OGG, H.264) raise
+``NotImplementedError`` after magic-byte sniffing; a production
+deployment drops PIL/ffmpeg into those functions and every operator
+here is unchanged. The decode→feature/resize/frame-sample pipelines are
 oracle-tested end-to-end (image_decode_features / audio_decode_features:
 deterministic payloads generated, encoded, decoded, and featurized
 Spark-side, matched against closed-form DuckDB SQL).
@@ -283,3 +286,33 @@ def sample_avi_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=AVI_FRAME_SCHEMA)
+
+
+MP3_FEATURE_SCHEMA = (
+    "doc_id bigint, n_frames int, sample_rate int, duration_s double, "
+    "bitrate_kbps_sum bigint, n_distinct_bitrates int, is_vbr boolean, "
+    "channel_mode int, lead_in_bytes int, stream_bytes bigint"
+)
+
+
+def mp3_feature_extract(df: DataFrame) -> DataFrame:
+    """MP3 stream accounting via the MPEG-1 Layer III header walk
+    (operators/audio_codecs.mp3_stream_features): frame/byte counts,
+    sample rate, exact duration, CBR/VBR detection — REAL sync-scan
+    parsing of the container structure; the psychoacoustic decode
+    itself stays out of scope (module docstring). All counts are exact
+    integers; duration is one IEEE division — partitioning-independent
+    and engine-hashable like the other feature extractors here."""
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        mp3_stream_features,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                f = mp3_stream_features(bytes(payload))
+                rows.append({"doc_id": doc, **f})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MP3_FEATURE_SCHEMA)

@@ -640,3 +640,92 @@ def jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run, schema="doc_id bigint, width int, height int, mean_lum double"
     )
+
+
+# MPEG-1 Layer III bitrate table as a SQL CASE over the header index
+# (mirrors operators/audio_codecs.MP3_BITRATES_KBPS)
+_MP3_BR_CASE = (
+    "CASE {idx} WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56"
+    " WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112"
+    " WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224"
+    " WHEN 13 THEN 256 WHEN 14 THEN 320 END"
+)
+_MP3_IDX = (
+    "(CASE WHEN doc_id % 4 = 0 THEN doc_id % 14"
+    " ELSE (doc_id + 7 * j) % 14 END) + 1"
+)
+
+
+@query(
+    "mp3_stream_features",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, 40 + doc_id % 20 AS nf,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS rate
+  FROM documents
+), f AS (
+  SELECT doc_id, nf, rate,
+         list_transform(range(0, nf),
+             j -> {_MP3_BR_CASE.format(idx=_MP3_IDX)}) AS brs,
+         list_transform(range(0, nf), j -> (doc_id + j) % 2) AS pads
+  FROM d
+)
+SELECT doc_id,
+       CAST(nf AS INT) AS n_frames,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(nf * 1152 AS DOUBLE) / rate AS duration_s,
+       CAST(list_aggregate(brs, 'sum') AS BIGINT) AS bitrate_kbps_sum,
+       CAST(len(list_distinct(brs)) AS INT) AS n_distinct_bitrates,
+       len(list_distinct(brs)) > 1 AS is_vbr,
+       3 AS channel_mode,
+       CAST(10 + (1 + doc_id % 100) + doc_id % 5 AS INT) AS lead_in_bytes,
+       CAST(list_aggregate(list_transform(range(1, nf + 1),
+            j -> (144000 * brs[j]) // rate + pads[j]), 'sum') AS BIGINT)
+         AS stream_bytes
+FROM f
+""",
+)
+def mp3_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 stream accounting through the REAL MPEG-1 Layer III header
+    walk (r04 verdict item #6): per doc_id, synthesize a structurally
+    valid Layer III stream — ID3v2 tag (1 + doc_id%100 bytes) + junk
+    lead-in (doc_id%5), 40 + doc_id%20 frames at 44.1/48/32 kHz by
+    doc_id%3, CBR (doc_id%4=0) or full-range VBR bitrate indices with
+    alternating padding bits, non-sync trailing garbage — then sync-scan
+    it with operators/audio_codecs.mp3_stream_features and emit
+    frame/byte counts, exact duration, bitrate sum + distinct count
+    (CBR/VBR flag), channel mode and lead-in. The oracle recomputes the
+    frame-length arithmetic ((144000 * br) // rate + pad) in closed
+    form — an off-by-one anywhere in the walker's stepping desyncs every
+    subsequent frame and cannot pass.
+
+    Scale: one mapInPandas stage over the doc_id spine (same shape as
+    audio_decode_features); every feature is an exact integer except the
+    single IEEE duration division."""
+    from ecommerce_lakehouse_spark.operators.audio_codecs import build_mp3_stream
+    from ecommerce_lakehouse_spark.operators.multimodal import mp3_feature_extract
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                nf = 40 + d % 20
+                if d % 4 == 0:
+                    idxs = [(d % 14) + 1] * nf
+                else:
+                    idxs = [((d + 7 * j) % 14) + 1 for j in range(nf)]
+                pads = [(d + j) % 2 for j in range(nf)]
+                payloads.append(
+                    build_mp3_stream(
+                        idxs, d % 3, pads,
+                        id3_size=1 + d % 100, junk=d % 5, trailing=d % 7,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+    return mp3_feature_extract(payloads)

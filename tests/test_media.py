@@ -663,3 +663,63 @@ def test_progressive_noninterleaved_dc_and_baseline_multiscan_raise():
     payload[i + 2 : i + 2 + seglen] = _struct.pack(">H", 2 + len(sos)) + sos
     with pytest.raises(NotImplementedError, match="multi-scan baseline"):
         decode_jpeg(bytes(payload))
+
+
+def test_mp3_walker_matches_builder():
+    """Header walk over a built stream recovers exactly the frame plan:
+    counts, rate, VBR flag, lead-in, per-frame byte accounting."""
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        MP3_BITRATES_KBPS,
+        build_mp3_stream,
+        mp3_frame_length,
+        mp3_stream_features,
+    )
+
+    idxs, pads = [3, 9, 9, 14, 1], [1, 0, 1, 0, 1]
+    p = build_mp3_stream(idxs, 1, pads, id3_size=33, junk=4, trailing=9)
+    f = mp3_stream_features(p)
+    assert f["n_frames"] == 5
+    assert f["sample_rate"] == 48000
+    assert f["lead_in_bytes"] == 10 + 33 + 4
+    assert f["bitrate_kbps_sum"] == sum(MP3_BITRATES_KBPS[i] for i in idxs)
+    assert f["n_distinct_bitrates"] == 4 and f["is_vbr"]
+    assert f["channel_mode"] == 3
+    assert f["stream_bytes"] == sum(
+        mp3_frame_length(MP3_BITRATES_KBPS[i], 48000, pd_)
+        for i, pd_ in zip(idxs, pads)
+    )
+    assert f["duration_s"] == 5 * 1152 / 48000
+
+    # CBR stream: single bitrate, not VBR
+    c = mp3_stream_features(build_mp3_stream([8] * 7, 2))
+    assert (c["n_frames"], c["is_vbr"], c["n_distinct_bitrates"]) == (7, False, 1)
+    assert c["lead_in_bytes"] == 0  # no ID3, frames start at byte 0
+
+
+def test_mp3_walker_total_on_garbage_and_truncation():
+    """The walk must terminate and stay sane on arbitrary bytes, resync
+    past corruption, and ignore a truncated trailing frame."""
+    import random
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        build_mp3_stream,
+        mp3_stream_features,
+    )
+
+    rng = random.Random(7)
+    for _ in range(300):
+        b = bytes(rng.randrange(256) for _ in range(rng.randrange(400)))
+        f = mp3_stream_features(b)
+        assert f["n_frames"] >= 0 and f["stream_bytes"] <= len(b)
+
+    # corruption between frames: walker resyncs and still finds frame 2
+    good = build_mp3_stream([5], 0) + b"\xff\x00\x13" + build_mp3_stream([5], 0)
+    assert mp3_stream_features(good)["n_frames"] == 2
+    # truncated second frame: only the complete one counts
+    whole = build_mp3_stream([5, 5], 0)
+    cut = whole[: len(whole) - 10]
+    assert mp3_stream_features(cut)["n_frames"] == 1
+    # rate switch mid-stream: frames at a different rate than the first
+    # are not counted (consistency rule)
+    mixed = build_mp3_stream([5], 0) + build_mp3_stream([5], 1)
+    assert mp3_stream_features(mixed)["n_frames"] == 1
