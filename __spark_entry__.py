@@ -51,7 +51,9 @@ _FIRST = [
     "daily_sales",
     "corpus_curation_pipeline",
     "product_performance",
-    "merge_upsert_snapshot",
+    "ogg_stream_features",  # r5: new — RFC 3533 page walk w/ real CRCs
+    # (merge_upsert_snapshot rotated out: gated r03; the storage family
+    # stays covered by the four never-gated *_snapshot entries below)
     "semantic_cluster_dups",  # r5: new — SemDeDup k-means semantic dedup
     # (takes the dedup-anchor slot: minhash_lsh_pairs was gated r02/r03)
     "mp3_stream_features",  # r5: new — MPEG-1 Layer III header walk

@@ -378,3 +378,107 @@ def mp3_stream_features(payload: bytes) -> dict:
         "lead_in_bytes": lead_in,
         "stream_bytes": stream_bytes,
     }
+
+
+# ------------------------------------------------------- Ogg page container
+
+# Ogg CRC32: polynomial 0x04c11db7, init 0, not reflected, no final xor
+# (RFC 3533 §6) — NOT the zlib/binascii CRC (which is reflected).
+_OGG_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if (_r & 0x80000000) else (_r << 1)
+    _OGG_CRC_TABLE.append(_r & 0xFFFFFFFF)
+
+
+def ogg_crc(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def build_ogg_page(
+    serial: int,
+    seq: int,
+    granule: int,
+    lacing: list[int],
+    header_type: int = 0,
+) -> bytes:
+    """One RFC 3533 Ogg page: 27-byte header + segment table + payload
+    (deterministic 0x11 filler sized by the lacing values), with the
+    REAL Ogg CRC computed over the whole page (CRC field zeroed)."""
+    head = bytearray(b"OggS")
+    head += bytes([0, header_type])
+    head += granule.to_bytes(8, "little")
+    head += serial.to_bytes(4, "little")
+    head += seq.to_bytes(4, "little")
+    head += b"\x00\x00\x00\x00"  # CRC placeholder
+    head += bytes([len(lacing)])
+    head += bytes(lacing)
+    payload = b"\x11" * sum(lacing)
+    page = bytes(head) + payload
+    crc = ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+def ogg_stream_features(payload: bytes) -> dict:
+    """RFC 3533 Ogg page WALK (container accounting, no codec decode):
+    scan for the ``OggS`` capture pattern, validate version 0, CHECK THE
+    PAGE CRC (poly 0x04c11db7 over the page with a zeroed CRC field —
+    a corrupted page never counts), step page-to-page by the computed
+    length, resync on anything invalid. Total on arbitrary bytes.
+
+    Returns: page/packet/byte counts, last granule position, BOS/EOS
+    flags, continued-lacing count, and the first stream serial (pages
+    of other serials are skipped — single-stream accounting, like the
+    MP3 walker's rate-consistency rule)."""
+    n = len(payload)
+    pos = 0
+    pages = 0
+    packets = 0
+    continued = 0
+    stream_bytes = 0
+    last_granule = 0
+    serial = None
+    bos = False
+    eos = False
+    while pos + 27 <= n:
+        if payload[pos : pos + 4] == b"OggS" and payload[pos + 4] == 0:
+            nsegs = payload[pos + 26]
+            hlen = 27 + nsegs
+            if pos + hlen <= n:
+                lacing = payload[pos + 27 : pos + hlen]
+                plen = hlen + sum(lacing)
+                if pos + plen <= n:
+                    page = payload[pos : pos + plen]
+                    stored = int.from_bytes(page[22:26], "little")
+                    if ogg_crc(page[:22] + b"\x00\x00\x00\x00" + page[26:]) == stored:
+                        sid = int.from_bytes(page[14:18], "little")
+                        if serial is None:
+                            serial = sid
+                        if sid == serial:
+                            htype = page[5]
+                            pages += 1
+                            bos = bos or bool(htype & 0x02)
+                            eos = eos or bool(htype & 0x04)
+                            packets += sum(1 for v in lacing if v < 255)
+                            continued += sum(1 for v in lacing if v == 255)
+                            last_granule = int.from_bytes(
+                                page[6:14], "little", signed=True
+                            )
+                            stream_bytes += plen
+                        pos += plen
+                        continue
+        pos += 1  # resync scan
+    return {
+        "n_pages": pages,
+        "n_packets": packets,
+        "n_continued": continued,
+        "stream_bytes": stream_bytes,
+        "last_granule": last_granule,
+        "serial": serial if serial is not None else -1,
+        "bos_seen": bos,
+        "eos_seen": eos,
+    }

@@ -10,11 +10,12 @@ and compressed ones: spec-conformant PNG (incl. Adam7 interlace), GIF
 LZW, full baseline + progressive JPEG (``operators/jpeg.py``, T.81
 Annex G), and MJPEG-in-AVI video (``operators/avi.py``). MP3 gets a
 real MPEG-1 Layer III frame-HEADER walk (sync scan, ID3 skip, frame
-accounting — ``mp3_feature_extract`` below); only the psychoacoustic
-decodes themselves (MP3 audio synthesis, OGG, H.264) raise
-``NotImplementedError`` after magic-byte sniffing; a production
-deployment drops PIL/ffmpeg into those functions and every operator
-here is unchanged. The decode→feature/resize/frame-sample pipelines are
+accounting — ``mp3_feature_extract`` below) and Ogg a real RFC 3533
+page walk with per-page CRC verification (``ogg_feature_extract``);
+only the psychoacoustic decodes themselves (MP3 audio synthesis,
+Vorbis/Opus payloads, H.264) raise ``NotImplementedError`` after
+magic-byte sniffing; a production deployment drops PIL/ffmpeg into
+those functions and every operator here is unchanged. The decode→feature/resize/frame-sample pipelines are
 oracle-tested end-to-end (image_decode_features / audio_decode_features:
 deterministic payloads generated, encoded, decoded, and featurized
 Spark-side, matched against closed-form DuckDB SQL).
@@ -316,3 +317,32 @@ def mp3_feature_extract(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=MP3_FEATURE_SCHEMA)
+
+
+OGG_FEATURE_SCHEMA = (
+    "doc_id bigint, n_pages int, n_packets int, n_continued int, "
+    "stream_bytes bigint, last_granule bigint, serial bigint, "
+    "bos_seen boolean, eos_seen boolean"
+)
+
+
+def ogg_feature_extract(df: DataFrame) -> DataFrame:
+    """Ogg container accounting via the RFC 3533 page walk
+    (operators/audio_codecs.ogg_stream_features): page/packet/byte
+    counts, last granule position, BOS/EOS flags — REAL parsing
+    including per-page CRC verification (poly 0x04c11db7); the codec
+    payload decode (Vorbis/Opus) stays out of scope. All-integer
+    outputs, partitioning-independent."""
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        ogg_stream_features,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc, payload in zip(pdf["doc_id"], pdf["payload"]):
+                f = ogg_stream_features(bytes(payload))
+                rows.append({"doc_id": doc, **f})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=OGG_FEATURE_SCHEMA)

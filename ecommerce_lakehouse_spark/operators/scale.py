@@ -158,6 +158,12 @@ def bucketed_global_row_number(
         "__b", fixed_width_bucket(sv, F.col("__vmin"), F.col("__vmax"), buckets)
     )
     counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__bc"))
+    # This empty-partition window is the class the plan guard
+    # deliberately allows (tests/test_plans.py): its input is the
+    # per-bucket COUNT table — at most ``buckets`` (<=4096) rows by
+    # construction, regardless of input size. Spark still logs
+    # `WindowExec: No Partition Defined` for it at run time; that
+    # warning is expected and cosmetic here, not a scale risk.
     offsets = counts.withColumn(
         "__off",
         F.sum("__bc").over(Window.orderBy("__b")) - F.col("__bc"),

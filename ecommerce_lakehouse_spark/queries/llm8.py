@@ -427,6 +427,10 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fusion itself is a full outer join of two 20-row lists."""
     from ecommerce_lakehouse_spark.queries.llm7 import bm25_search
 
+    # these two empty-partition windows run over <=20-row top-k frames
+    # (bounded by the upstream LIMITs) — the allowed class; the runtime
+    # `WindowExec: No Partition Defined` warning they log is expected
+    # and cosmetic, not a scale risk
     w_lex = Window.orderBy(F.desc("bm25_nanos"), "doc_id")
     lex = bm25_search(spark, sf_dir).select(
         "doc_id", F.row_number().over(w_lex).cast("int").alias("lex_rank")

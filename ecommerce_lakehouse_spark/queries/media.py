@@ -729,3 +729,74 @@ def mp3_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="doc_id bigint, payload binary"
     )
     return mp3_feature_extract(payloads)
+
+
+@query(
+    "ogg_stream_features",
+    oracle="""
+WITH d AS (SELECT doc_id, 6 + doc_id % 6 AS np FROM documents),
+pg AS (SELECT doc_id, np, unnest(range(0, np)) AS p FROM d),
+lac AS (
+  SELECT doc_id, np, p, 1 + (doc_id + p) % 5 AS ns,
+         list_transform(range(0, 1 + (doc_id + p) % 5),
+             s -> (doc_id * 7 + p * 31 + s * 101) % 256) AS ls
+  FROM pg
+), per_page AS (
+  SELECT doc_id, np,
+         27 + ns + list_aggregate(ls, 'sum') AS pbytes,
+         len(list_filter(ls, x -> x < 255)) AS pk,
+         len(list_filter(ls, x -> x = 255)) AS ct
+  FROM lac
+)
+SELECT doc_id,
+       CAST(np AS INT) AS n_pages,
+       CAST(sum(pk) AS INT) AS n_packets,
+       CAST(sum(ct) AS INT) AS n_continued,
+       CAST(sum(pbytes) AS BIGINT) AS stream_bytes,
+       CAST(np * 1000 + doc_id % 1000 AS BIGINT) AS last_granule,
+       CAST(doc_id AS BIGINT) AS serial,
+       TRUE AS bos_seen,
+       TRUE AS eos_seen
+FROM per_page GROUP BY doc_id, np
+""",
+)
+def ogg_stream_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container accounting through the REAL RFC 3533 page walk:
+    per doc_id, synthesize a single-serial Ogg stream — junk lead-in
+    (doc_id%9 bytes), 6 + doc_id%6 pages with BOS on the first and EOS
+    on the last, 1 + (doc_id+p)%5 lacing values per page cycling the
+    full 0-255 range (255 = packet continuation), monotone granules,
+    REAL per-page CRCs (poly 0x04c11db7) — then walk it with
+    operators/audio_codecs.ogg_stream_features and emit page/packet/
+    continuation/byte counts, last granule, serial and BOS/EOS flags.
+    The oracle recomputes the lacing arithmetic in closed form; the
+    walker only counts pages whose CRC verifies, so any corruption in
+    header assembly or stepping fails the hash match.
+
+    Scale: one mapInPandas stage over the doc_id spine; every output is
+    an exact integer/boolean."""
+    from ecommerce_lakehouse_spark.operators.audio_codecs import build_ogg_page
+    from ecommerce_lakehouse_spark.operators.multimodal import ogg_feature_extract
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                d = int(doc)
+                np_ = 6 + d % 6
+                out = bytearray(b"\x00" * (d % 9))
+                for p in range(np_):
+                    ns = 1 + (d + p) % 5
+                    lacing = [(d * 7 + p * 31 + s * 101) % 256 for s in range(ns)]
+                    htype = 2 if p == 0 else (4 if p == np_ - 1 else 0)
+                    out += build_ogg_page(
+                        d, p, (p + 1) * 1000 + d % 1000, lacing, htype
+                    )
+                out += b"\x22" * (d % 6)
+                payloads.append(bytes(out))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = _doc_ids(spark, sf_dir).mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+    return ogg_feature_extract(payloads)

@@ -723,3 +723,49 @@ def test_mp3_walker_total_on_garbage_and_truncation():
     # are not counted (consistency rule)
     mixed = build_mp3_stream([5], 0) + build_mp3_stream([5], 1)
     assert mp3_stream_features(mixed)["n_frames"] == 1
+
+
+def test_ogg_walker_matches_builder_and_verifies_crc():
+    """Page walk recovers the page plan exactly; a flipped payload byte
+    fails the real RFC 3533 CRC and drops that page; the CRC matches an
+    independent bitwise implementation."""
+    import random
+
+    from ecommerce_lakehouse_spark.operators.audio_codecs import (
+        build_ogg_page,
+        ogg_crc,
+        ogg_stream_features,
+    )
+
+    def crc_ref(data):  # independent bitwise form (no table)
+        crc = 0
+        for byte in data:
+            crc ^= byte << 24
+            for _ in range(8):
+                crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 else crc << 1
+                crc &= 0xFFFFFFFF
+        return crc
+
+    rng = random.Random(11)
+    for _ in range(30):
+        b = bytes(rng.randrange(256) for _ in range(rng.randrange(80)))
+        assert ogg_crc(b) == crc_ref(b)
+
+    p1 = build_ogg_page(9, 0, 500, [100, 255, 255, 30], header_type=2)
+    p2 = build_ogg_page(9, 1, 900, [10, 0], header_type=4)
+    other = build_ogg_page(8, 0, 1, [5])  # different serial: skipped
+    f = ogg_stream_features(b"xx" + p1 + other + p2 + b"yy")
+    assert f == {
+        "n_pages": 2, "n_packets": 4, "n_continued": 2,
+        "stream_bytes": len(p1) + len(p2), "last_granule": 900,
+        "serial": 9, "bos_seen": True, "eos_seen": True,
+    }
+    bad = bytearray(p1)
+    bad[-1] ^= 0x5A
+    assert ogg_stream_features(bytes(bad))["n_pages"] == 0
+    # fuzz: total on arbitrary bytes
+    for _ in range(200):
+        g = ogg_stream_features(
+            bytes(rng.randrange(256) for _ in range(rng.randrange(300)))
+        )
+        assert g["stream_bytes"] <= 300
