@@ -52,6 +52,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     quality,
     relational,
     stats,
+    stats2,
     tpch,
     tpch2,
 )

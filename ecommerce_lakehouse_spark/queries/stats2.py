@@ -1,0 +1,586 @@
+"""Wave-9 statistics: distribution comparison and trend estimation.
+
+Completes the statistical-testing family (chi-square independence, A/B
+lift, bootstrap CI) with the four classical nonparametric/trend tools a
+data-quality or experimentation pipeline reaches for next:
+
+- **Kolmogorov-Smirnov two-sample test** — "did the value distribution
+  shift between segments?" without any distributional assumption;
+- **Spearman rank correlation** — monotone association robust to
+  outliers and nonlinearity (the rank twin of `exact_moment_corr`);
+- **Kendall tau-b** — ordinal association on a contingency grid, with
+  the tie corrections tau-b is named for;
+- **OLS trend + Holt linear smoothing** — the trend members of the
+  time-series family next to `exp_smoothing_revenue` (level only),
+  `monthly_revenue_growth` (derivative) and `revenue_autocorrelation`
+  (memory structure).
+
+Determinism contract (the repo-wide discipline, see llm8.py): every
+statistic accumulates in exact integer/decimal sums (associative — AQE
+and partial aggregation cannot reorder them) or in a single
+position-ordered array fold; floats appear only in the final closed-form
+expression, written in the SAME operation order as the DuckDB oracle, so
+IEEE correct rounding makes the doubles bit-identical. Divisions of
+exact inputs are deliberately left unrounded (see money.py::money_avg).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ks_two_sample",
+    oracle="""
+WITH c AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1),
+cum AS (
+  SELECT value,
+         CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS k1,
+         CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS k2
+  FROM c),
+n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM c),
+d AS (
+  SELECT max(struct_pack(
+           d := abs(k1 * n2 - k2 * n1),
+           negv := -value)) AS best
+  FROM cum, n)
+SELECT n1, n2,
+       CAST(best.d AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         AS ks_d,
+       -best.negv AS at_value
+FROM d, n
+""",
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic comparing the event-value
+    distribution of 'purchase' vs 'click' events: D = max over the value
+    domain of |ECDF1 − ECDF2|, the assumption-free answer to "did the
+    distribution shift between segments?" — the distributional
+    counterpart of `ab_test_lift`'s mean comparison.
+
+    Determinism: the ECDF difference at value v is |k1·n2 − k2·n1| /
+    (n1·n2); the argmax runs entirely on the exact integer NUMERATOR
+    (cumulative counts × group totals), with a min-value tiebreak via
+    max(struct(d, −value)) — struct comparison is lexicographic in both
+    engines. Only the winning ratio is computed in double, as a single
+    correctly-rounded division of exact inputs (left unrounded by
+    policy).
+
+    Scale: events collapse map-side to one row per DISTINCT 2dp value
+    (fixed domain — bounded at any corpus size), so the unpartitioned
+    cumulative window runs over the bounded value collapse, never raw
+    rows; counts are BIGINT (swap to DECIMAL(38,0) past ~3e9 rows per
+    side since the cross products reach n1·n2)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    c = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c2"),
+    )
+    cum = c.select(
+        "value",
+        F.sum("c1").over(Window.orderBy("value")).cast("bigint").alias("k1"),
+        F.sum("c2").over(Window.orderBy("value")).cast("bigint").alias("k2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    d = cum.join(F.broadcast(n)).agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")).alias("d"),
+                (-F.col("value")).alias("negv"),
+            )
+        ).alias("best")
+    )
+    return d.join(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        (
+            F.col("best.d").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_d"),
+        (-F.col("best.negv")).alias("at_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "spearman_rank_corr",
+    oracle="""
+WITH vx AS (SELECT value, count(*) AS cnt FROM events GROUP BY 1),
+vr AS (
+  SELECT value,
+         2 * CAST(sum(cnt) OVER (ORDER BY value) AS BIGINT) - cnt + 1 AS dx
+  FROM vx),
+hx AS (SELECT hour(ts) AS h, count(*) AS cnt FROM events GROUP BY 1),
+hr AS (
+  SELECT h,
+         2 * CAST(sum(cnt) OVER (ORDER BY h) AS BIGINT) - cnt + 1 AS dy
+  FROM hx),
+j AS (
+  SELECT value, hour(ts) AS h, count(*) AS n_vh
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT CAST(CAST(sum(n_vh) AS HUGEINT) AS DOUBLE) AS n,
+         CAST(sum(CAST(n_vh AS HUGEINT) * dx) AS DOUBLE) AS sx,
+         CAST(sum(CAST(n_vh AS HUGEINT) * dy) AS DOUBLE) AS sy,
+         CAST(sum(CAST(n_vh AS HUGEINT) * dx * dx) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(n_vh AS HUGEINT) * dy * dy) AS DOUBLE) AS syy,
+         CAST(sum(CAST(n_vh AS HUGEINT) * dx * dy) AS DOUBLE) AS sxy
+  FROM j JOIN vr USING (value) JOIN hr USING (h))
+SELECT CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS spearman_rho
+FROM m
+""",
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and hour-of-day —
+    the monotone-association twin of `exact_moment_corr` (Pearson on raw
+    values): robust to outliers and any monotone transform, the number a
+    feature-screening pipeline uses before trusting a linear model.
+
+    Fractional average ranks (the tie-handling Spearman requires) never
+    materialize per row: rank_avg(v) = offset(v) + (mult(v)+1)/2 depends
+    only on the sorted (value, multiplicity) collapse, so each distinct
+    value carries an exact integer DOUBLE-RANK dx = 2·cum − mult + 1
+    (= 2× the average rank). The five power sums over the joint
+    (value, hour) histogram accumulate these integers exactly
+    (DECIMAL(38,0) — n_vh·dx·dy reaches 4n³), and only the final
+    closed form — identical expression order to the oracle — runs in
+    double, making the result bit-identical with no rounding.
+
+    Scale: three map-side collapses (value domain is a fixed 2dp grid;
+    hour has 24 values; the joint histogram is their product), rank
+    windows only over the bounded collapses, rank tables broadcast back
+    onto the joint histogram. No raw-row shuffle, no per-row rank."""
+    e = load(spark, sf_dir, "events")
+    vx = e.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    vr = vx.select(
+        "value",
+        (
+            2 * F.sum("cnt").over(Window.orderBy("value")).cast("bigint")
+            - F.col("cnt")
+            + 1
+        ).alias("dx"),
+    )
+    hx = e.groupBy(F.hour("ts").alias("h")).agg(F.count(F.lit(1)).alias("cnt"))
+    hr = hx.select(
+        "h",
+        (
+            2 * F.sum("cnt").over(Window.orderBy("h")).cast("bigint")
+            - F.col("cnt")
+            + 1
+        ).alias("dy"),
+    )
+    j = e.groupBy("value", F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_vh")
+    )
+    big = "decimal(38,0)"
+    nv = F.col("n_vh").cast(big)
+    dx, dy = F.col("dx").cast(big), F.col("dy").cast(big)
+    m = (
+        j.join(F.broadcast(vr), "value")
+        .join(F.broadcast(hr), "h")
+        .agg(
+            F.sum("n_vh").cast(big).cast("double").alias("n"),
+            F.sum(nv * dx).cast("double").alias("sx"),
+            F.sum(nv * dy).cast("double").alias("sy"),
+            F.sum(nv * dx * dx).cast("double").alias("sxx"),
+            F.sum(nv * dy * dy).cast("double").alias("syy"),
+            F.sum(nv * dx * dy).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.cast("bigint").alias("n"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b on an ordinal contingency grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kendall_tau_b",
+    oracle="""
+WITH cells AS (
+  SELECT isodow(o_orderdate) AS wd,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+         count(*) AS c
+  FROM orders GROUP BY 1, 2),
+pq AS (
+  SELECT
+    sum(CASE WHEN b.wd > a.wd AND b.pri > a.pri
+             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc,
+    sum(CASE WHEN b.wd > a.wd AND b.pri < a.pri
+             THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc
+  FROM cells a, cells b),
+marg AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS n,
+         (SELECT sum(CAST(tx AS HUGEINT) * (tx - 1))
+          FROM (SELECT sum(c) AS tx FROM cells GROUP BY wd)) AS tiex2,
+         (SELECT sum(CAST(ty AS HUGEINT) * (ty - 1))
+          FROM (SELECT sum(c) AS ty FROM cells GROUP BY pri)) AS tiey2
+  FROM cells)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+         / (sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                    - CAST(tiex2 AS DOUBLE)) / 2.0)
+            * sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+                    - CAST(tiey2 AS DOUBLE)) / 2.0)) AS tau_b
+FROM pq, marg
+""",
+)
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between order weekday (ISO 1-7) and order priority
+    (ordinal 1-5) — ordinal association with tie correction, the
+    rank-pair counterpart of `priority_status_independence`'s chi-square
+    (which detects ANY dependence; tau-b additionally gives its
+    DIRECTION on ordered categories).
+
+    The O(n²) pair count never touches rows: both variables are
+    domain-bounded ordinals, so orders collapse map-side to a ≤35-cell
+    contingency grid and concordant/discordant pairs come from the exact
+    cell-pair sum Σ c(a)·c(b) over the 35×35 grid self-join — bounded at
+    ANY input size. Tie terms use the marginals. All counts are exact
+    integers (DECIMAL(38,0) — pair products reach n²); the tau-b closed
+    form is the only float arithmetic, in identical order to the oracle.
+
+    Weekday numbering is the cross-engine trap: Spark weekday() is Mon=0
+    and DuckDB isodow() is Mon=1 (default dayofweek numberings DISAGREE);
+    both sides use the explicit ISO form."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        (F.weekday("o_orderdate") + 1).alias("wd"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("pri"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    big = "decimal(38,0)"
+    a = cells.select(
+        F.col("wd").alias("awd"), F.col("pri").alias("apri"), F.col("c").alias("ac")
+    )
+    b = cells.select(
+        F.col("wd").alias("bwd"), F.col("pri").alias("bpri"), F.col("c").alias("bc")
+    )
+    pq = (
+        a.join(F.broadcast(b))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("bwd") > F.col("awd")) & (F.col("bpri") > F.col("apri")),
+                    F.col("ac").cast(big) * F.col("bc"),
+                ).otherwise(F.lit(0).cast(big))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("bwd") > F.col("awd")) & (F.col("bpri") < F.col("apri")),
+                    F.col("ac").cast(big) * F.col("bc"),
+                ).otherwise(F.lit(0).cast(big))
+            ).alias("disc"),
+        )
+    )
+    n_tot = cells.agg(F.sum("c").cast(big).alias("n"))
+    tiex = (
+        cells.groupBy("wd")
+        .agg(F.sum("c").alias("tx"))
+        .agg(F.sum(F.col("tx").cast(big) * (F.col("tx") - 1)).alias("tiex2"))
+    )
+    tiey = (
+        cells.groupBy("pri")
+        .agg(F.sum("c").alias("ty"))
+        .agg(F.sum(F.col("ty").cast(big) * (F.col("ty") - 1)).alias("tiey2"))
+    )
+    m = pq.join(F.broadcast(n_tot)).join(F.broadcast(tiex)).join(F.broadcast(tiey))
+    nD = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        (
+            (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / (
+                F.sqrt(
+                    (nD * (F.col("n") - 1).cast("double")
+                     - F.col("tiex2").cast("double"))
+                    / F.lit(2.0)
+                )
+                * F.sqrt(
+                    (nD * (F.col("n") - 1).cast("double")
+                     - F.col("tiey2").cast("double"))
+                    / F.lit(2.0)
+                )
+            )
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend over the monthly revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_trend_ols",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(
+           list_sort(list({'month': month, 'rev': revenue})),
+           x -> [x.rev]) AS ys
+  FROM m),
+folded AS (
+  SELECT list_reduce(
+           list_prepend([0.0, 0.0, 0.0, 0.0, 0.0, 0.0], ys),
+           (acc, e) -> [acc[1] + 1.0,
+                        acc[2] + acc[1],
+                        acc[3] + e[1],
+                        acc[4] + acc[1] * acc[1],
+                        acc[5] + e[1] * e[1],
+                        acc[6] + acc[1] * e[1]]) AS s
+  FROM arr),
+fit AS (
+  SELECT CAST(s[1] AS BIGINT) AS n_months,
+         (s[1] * s[6] - s[2] * s[3]) / (s[1] * s[4] - s[2] * s[2]) AS slope,
+         s[1] AS n, s[2] AS st, s[3] AS sy, s[4] AS stt, s[5] AS syy,
+         s[6] AS sty
+  FROM folded)
+SELECT n_months, slope,
+       (sy - slope * st) / n AS intercept,
+       ((n * sty - st * sy) * (n * sty - st * sy))
+         / ((n * stt - st * st) * (n * syy - sy * sy)) AS r2,
+       (sy - slope * st) / n + slope * n AS forecast_next
+FROM fit
+""",
+)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend line over the monthly revenue series
+    (y = revenue, t = 0-based month index): slope, intercept, R², and
+    the next-month extrapolation — the parametric trend member of the
+    time-series family (exp_smoothing = level, this = direction + fit
+    quality; R² is the number that says whether `monthly_revenue_growth`
+    noise hides a real trend).
+
+    Determinism: monthly revenues are exact-decimal sums rendered once
+    to double; the five OLS power sums are computed by ONE fold over the
+    month-sorted array — both engines execute the identical sequence of
+    IEEE adds/multiplies (sum-of-double association order is the
+    cross-engine trap; a position-ordered fold pins it). The closed form
+    divides bit-identical doubles in identical order.
+
+    Scale: the corpus collapses map-side to one row per month; only the
+    bounded month array is folded inside one task — the standard shape
+    for any bounded recursion/series statistic (see exp_smoothing)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.sort_array(F.collect_list(F.struct("month", "revenue"))).alias("a")
+    )
+    folded = arr.select(
+        F.expr(
+            """
+aggregate(
+  transform(a, x -> x.revenue),
+  array(CAST(0.0 AS DOUBLE), 0.0D, 0.0D, 0.0D, 0.0D, 0.0D),
+  (acc, e) -> array(acc[0] + 1.0,
+                    acc[1] + acc[0],
+                    acc[2] + e,
+                    acc[3] + acc[0] * acc[0],
+                    acc[4] + e * e,
+                    acc[5] + acc[0] * e))
+""".strip()
+        ).alias("s")
+    )
+    s = [F.col("s").getItem(i) for i in range(6)]
+    n, st, sy, stt, syy, sty = s
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    fit = folded.select(
+        n.cast("bigint").alias("n_months"),
+        slope.alias("slope"),
+        n.alias("n"), st.alias("st"), sy.alias("sy"),
+        stt.alias("stt"), syy.alias("syy"), sty.alias("sty"),
+    )
+    n2, st2, sy2 = F.col("n"), F.col("st"), F.col("sy")
+    stt2, syy2, sty2 = F.col("stt"), F.col("syy"), F.col("sty")
+    sl = F.col("slope")
+    return fit.select(
+        "n_months",
+        "slope",
+        ((sy2 - sl * st2) / n2).alias("intercept"),
+        (
+            ((n2 * sty2 - st2 * sy2) * (n2 * sty2 - st2 * sy2))
+            / ((n2 * stt2 - st2 * st2) * (n2 * syy2 - sy2 * sy2))
+        ).alias("r2"),
+        ((sy2 - sl * st2) / n2 + sl * n2).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential smoothing)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.2
+_HOLT_H = 3
+
+
+@query(
+    "holt_linear_forecast",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_sort(list({{'month': month, 'rev': revenue}})) AS a FROM m),
+folded AS (
+  SELECT list_reduce(
+           list_prepend(
+             [{{'month': a[1].month, 'rev': a[1].rev, 'l': a[1].rev,
+                'b': a[2].rev - a[1].rev, 'fitted': CAST(NULL AS DOUBLE)}}],
+             list_transform(a[2:], x -> [{{'month': x.month, 'rev': x.rev,
+               'l': x.rev, 'b': CAST(0 AS DOUBLE),
+               'fitted': CAST(NULL AS DOUBLE)}}])),
+           (acc, e) -> list_append(acc, {{
+             'month': e[1].month, 'rev': e[1].rev,
+             'l': CAST({_HOLT_ALPHA} AS DOUBLE) * e[1].rev
+                  + (1.0 - CAST({_HOLT_ALPHA} AS DOUBLE))
+                    * (acc[-1].l + acc[-1].b),
+             'b': CAST({_HOLT_BETA} AS DOUBLE)
+                    * ((CAST({_HOLT_ALPHA} AS DOUBLE) * e[1].rev
+                        + (1.0 - CAST({_HOLT_ALPHA} AS DOUBLE))
+                          * (acc[-1].l + acc[-1].b)) - acc[-1].l)
+                  + (1.0 - CAST({_HOLT_BETA} AS DOUBLE)) * acc[-1].b,
+             'fitted': acc[-1].l + acc[-1].b}})) AS st
+  FROM arr),
+fits AS (
+  SELECT u.month, u.rev AS revenue, u.l AS level, u.b AS trend, u.fitted
+  FROM (SELECT unnest(st) AS u FROM folded)),
+last AS (
+  SELECT st[-1].month AS lm, st[-1].l AS l, st[-1].b AS b FROM folded),
+fc AS (
+  SELECT CAST(lm + to_months(h) AS DATE) AS month,
+         CAST(NULL AS DOUBLE) AS revenue,
+         CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+         l + CAST(h AS DOUBLE) * b AS fitted
+  FROM last, (SELECT unnest([1, 2, 3]) AS h))
+SELECT * FROM fits UNION ALL SELECT * FROM fc
+""",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over monthly
+    revenue, plus a 3-month-ahead forecast: level l_t = α·y_t +
+    (1−α)(l_{t−1}+b_{t−1}), trend b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1},
+    initialized l_1 = y_1, b_1 = y_2 − y_1; the trend-aware upgrade of
+    `exp_smoothing_revenue` (whose flat level lags any drifting series),
+    with the one-step-ahead fitted value l_{t−1}+b_{t−1} per month and
+    ŷ_{T+h} = l_T + h·b_T forecast rows appended (revenue NULL).
+
+    Determinism: a coupled two-state recursion is order-dependent, so it
+    runs as ONE fold over the month-sorted array; the level expression
+    is repeated verbatim inside the trend update (no intermediate
+    binding) so both engines execute the identical multiply-add
+    sequence — bit-identical with no rounding. α, β are shared literals.
+
+    Scale: corpus → one exact-decimal row per month map-side; the fold
+    touches only the bounded month array (see exp_smoothing_revenue)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.sort_array(F.collect_list(F.struct("month", "revenue"))).alias("a")
+    )
+    al, be = _HOLT_ALPHA, _HOLT_BETA
+    folded = arr.select(
+        F.expr(
+            f"""
+aggregate(
+  slice(a, 2, size(a) - 1),
+  array(struct(a[0].month AS month, a[0].revenue AS rev,
+               a[0].revenue AS l,
+               a[1].revenue - a[0].revenue AS b,
+               CAST(NULL AS DOUBLE) AS fitted)),
+  (acc, x) -> concat(acc, array(struct(
+    x.month AS month, x.revenue AS rev,
+    CAST({al} AS DOUBLE) * x.revenue
+      + (1.0 - CAST({al} AS DOUBLE))
+        * (element_at(acc, -1).l + element_at(acc, -1).b) AS l,
+    CAST({be} AS DOUBLE)
+      * ((CAST({al} AS DOUBLE) * x.revenue
+          + (1.0 - CAST({al} AS DOUBLE))
+            * (element_at(acc, -1).l + element_at(acc, -1).b))
+         - element_at(acc, -1).l)
+      + (1.0 - CAST({be} AS DOUBLE)) * element_at(acc, -1).b AS b,
+    element_at(acc, -1).l + element_at(acc, -1).b AS fitted))))
+""".strip()
+        ).alias("st")
+    )
+    fits = folded.select(F.explode("st").alias("u")).select(
+        F.col("u.month").alias("month"),
+        F.col("u.rev").alias("revenue"),
+        F.col("u.l").alias("level"),
+        F.col("u.b").alias("trend"),
+        F.col("u.fitted").alias("fitted"),
+    )
+    last = folded.select(
+        F.element_at("st", -1).getField("month").alias("lm"),
+        F.element_at("st", -1).getField("l").alias("l"),
+        F.element_at("st", -1).getField("b").alias("b"),
+    )
+    hs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(h) for h in range(1, _HOLT_H + 1)])).alias("h")
+    )
+    fc = last.join(F.broadcast(hs)).select(
+        F.add_months("lm", F.col("h")).alias("month"),
+        F.lit(None).cast("double").alias("revenue"),
+        F.lit(None).cast("double").alias("level"),
+        F.lit(None).cast("double").alias("trend"),
+        (F.col("l") + F.col("h").cast("double") * F.col("b")).alias("fitted"),
+    )
+    return fits.unionAll(fc)

@@ -1,0 +1,200 @@
+"""Wave-9 statistics (stats2.py) against independent Python
+recomputations. The queries' determinism contract says the final doubles
+are bit-identical to any IEEE engine that executes the same operation
+order — so these tests assert EXACT equality, recomputing each statistic
+from the raw parquet with plain Python floats in the documented order."""
+
+import math
+import os
+from collections import Counter
+from decimal import Decimal, ROUND_HALF_UP
+
+import pyarrow.parquet as pq
+
+
+def _events(sf_dir, cols):
+    return pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=cols)
+
+
+def _orders(sf_dir, cols):
+    return pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=cols)
+
+
+def _monthly_revenue(sf_dir):
+    t = _orders(sf_dir, ["o_orderdate", "o_totalprice"])
+    by_month = {}
+    for d, p in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        key = d.date().replace(day=1) if hasattr(d, "date") else d.replace(day=1)
+        by_month.setdefault(key, Decimal(0))
+        by_month[key] += Decimal(str(p)).quantize(Decimal("0.01"))
+    return sorted(
+        (m, float(v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)))
+        for m, v in by_month.items()
+    )
+
+
+def test_ks_two_sample_matches_python(spark, sf_dir):
+    t = _events(sf_dir, ["event_type", "value"])
+    g1, g2 = [], []
+    for ty, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        if ty == "purchase":
+            g1.append(v)
+        elif ty == "click":
+            g2.append(v)
+    c1, c2 = Counter(g1), Counter(g2)
+    n1, n2 = len(g1), len(g2)
+    k1 = k2 = 0
+    best = (-1, None)  # (numerator, value); max numerator, min value tiebreak
+    for v in sorted(set(c1) | set(c2)):
+        k1 += c1.get(v, 0)
+        k2 += c2.get(v, 0)
+        d = abs(k1 * n2 - k2 * n1)
+        if d > best[0]:
+            best = (d, v)
+    from ecommerce_lakehouse_spark.queries.stats2 import ks_two_sample
+
+    r = ks_two_sample(spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.at_value == best[1]
+    assert r.ks_d == float(best[0]) / (float(n1) * float(n2))
+
+
+def test_spearman_matches_python(spark, sf_dir):
+    t = _events(sf_dir, ["ts", "value"])
+    xs = t.column("value").to_pylist()
+    ys = [ts.hour for ts in t.column("ts").to_pylist()]
+
+    def double_ranks(vals):
+        cnt = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(cnt):
+            cum += cnt[v]
+            out[v] = 2 * cum - cnt[v] + 1
+        return out
+
+    rx, ry = double_ranks(xs), double_ranks(ys)
+    n = len(xs)
+    sx = sum(rx[v] for v in xs)
+    sy = sum(ry[v] for v in ys)
+    sxx = sum(rx[v] ** 2 for v in xs)
+    syy = sum(ry[v] ** 2 for v in ys)
+    sxy = sum(rx[a] * ry[b] for a, b in zip(xs, ys))
+    fn, fsx, fsy = float(n), float(sx), float(sy)
+    rho = (fn * float(sxy) - fsx * fsy) / (
+        math.sqrt(fn * float(sxx) - fsx * fsx)
+        * math.sqrt(fn * float(syy) - fsy * fsy)
+    )
+    from ecommerce_lakehouse_spark.queries.stats2 import spearman_rank_corr
+
+    r = spearman_rank_corr(spark, sf_dir).collect()[0]
+    assert r.n == n
+    assert r.spearman_rho == rho
+
+
+def test_kendall_tau_b_matches_python(spark, sf_dir):
+    t = _orders(sf_dir, ["o_orderdate", "o_orderpriority"])
+    cells = Counter(
+        (d.isoweekday() if hasattr(d, "isoweekday") else d.date().isoweekday(),
+         int(p[0]))
+        for d, p in zip(
+            t.column("o_orderdate").to_pylist(),
+            t.column("o_orderpriority").to_pylist(),
+        )
+    )
+    conc = disc = 0
+    for (x1, y1), a in cells.items():
+        for (x2, y2), b in cells.items():
+            if x2 > x1 and y2 > y1:
+                conc += a * b
+            elif x2 > x1 and y2 < y1:
+                disc += a * b
+    n = sum(cells.values())
+    tx = Counter()
+    ty = Counter()
+    for (x, y), c in cells.items():
+        tx[x] += c
+        ty[y] += c
+    tiex2 = sum(v * (v - 1) for v in tx.values())
+    tiey2 = sum(v * (v - 1) for v in ty.values())
+    tau = (float(conc) - float(disc)) / (
+        math.sqrt((float(n) * float(n - 1) - float(tiex2)) / 2.0)
+        * math.sqrt((float(n) * float(n - 1) - float(tiey2)) / 2.0)
+    )
+    from ecommerce_lakehouse_spark.queries.stats2 import kendall_tau_b
+
+    r = kendall_tau_b(spark, sf_dir).collect()[0]
+    assert (r.n, r.concordant, r.discordant) == (n, conc, disc)
+    assert r.tau_b == tau
+
+
+def test_revenue_trend_ols_matches_python(spark, sf_dir):
+    series = _monthly_revenue(sf_dir)
+    i = st = sy = stt = syy = sty = 0.0
+    for _, y in series:
+        i, st, sy, stt, syy, sty = (
+            i + 1.0,
+            st + i,
+            sy + y,
+            stt + i * i,
+            syy + y * y,
+            sty + i * y,
+        )
+    slope = (i * sty - st * sy) / (i * stt - st * st)
+    intercept = (sy - slope * st) / i
+    r2 = ((i * sty - st * sy) * (i * sty - st * sy)) / (
+        (i * stt - st * st) * (i * syy - sy * sy)
+    )
+    from ecommerce_lakehouse_spark.queries.stats2 import revenue_trend_ols
+
+    r = revenue_trend_ols(spark, sf_dir).collect()[0]
+    assert r.n_months == len(series)
+    assert r.slope == slope
+    assert r.intercept == intercept
+    assert r.r2 == r2
+    assert r.forecast_next == intercept + slope * i
+
+
+def test_holt_linear_matches_python(spark, sf_dir):
+    series = _monthly_revenue(sf_dir)
+    al, be = 0.3, 0.2
+    months = [m for m, _ in series]
+    ys = [y for _, y in series]
+    l, b = ys[0], ys[1] - ys[0]
+    rows = {months[0]: (ys[0], l, b, None)}
+    for m, y in zip(months[1:], ys[1:]):
+        fitted = l + b
+        nl = al * y + (1.0 - al) * (l + b)
+        nb = be * (nl - l) + (1.0 - be) * b
+        l, b = nl, nb
+        rows[m] = (y, l, b, fitted)
+    from ecommerce_lakehouse_spark.queries.stats2 import holt_linear_forecast
+
+    got = holt_linear_forecast(spark, sf_dir).collect()
+    fits = [r for r in got if r.revenue is not None]
+    fcs = sorted(r for r in got if r.revenue is None)
+    assert len(fits) == len(series) and len(fcs) == 3
+    for r in fits:
+        y, lv, tr, fit = rows[r.month]
+        assert (r.revenue, r.level, r.trend, r.fitted) == (y, lv, tr, fit)
+    last = months[-1]
+    for h, r in enumerate(sorted(fcs, key=lambda r: r.month), start=1):
+        assert (r.month.year, r.month.month) == (
+            last.year + (last.month + h - 1) // 12,
+            (last.month + h - 1) % 12 + 1,
+        )
+        assert r.fitted == l + float(h) * b
+        assert r.level is None and r.trend is None
+
+
+def test_ks_direction_sanity(spark, sf_dir):
+    """D is in [0, 1] and positive on real data; at_value lies in the
+    observed value range."""
+    from ecommerce_lakehouse_spark.queries.stats2 import ks_two_sample
+
+    r = ks_two_sample(spark, sf_dir).collect()[0]
+    assert 0.0 < r.ks_d < 1.0
+    assert 0.0 < r.at_value < 500.0
