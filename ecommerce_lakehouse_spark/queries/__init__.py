@@ -38,6 +38,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     curation,
     events,
     gold,
+    graph_ml,
     lakehouse,
     llm,
     llm2,
