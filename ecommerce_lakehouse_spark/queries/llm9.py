@@ -322,3 +322,125 @@ def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("csize") > _SD_CAP).alias("cluster_capped"),
         ((F.col("m") == F.col("vec_id")) & (F.col("dropped") == 0)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall
+# ---------------------------------------------------------------------------
+
+from ecommerce_lakehouse_spark.queries import ORACLES as _ORACLES  # noqa: E402
+
+
+def _mrl_oracle() -> str:
+    return f"""
+WITH knn AS ({_ORACLES['embedding_knn_bruteforce']}),
+ms AS (SELECT unnest([16, 32]) AS m),
+v AS (
+  SELECT ms.m, vec_id, embedding[1:ms.m]::DOUBLE[] AS emb
+  FROM embeddings, ms),
+vn AS (
+  SELECT m, vec_id, emb,
+         sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nrm
+  FROM v),
+qv AS (SELECT * FROM vn WHERE vec_id < 10),
+pairs AS (
+  SELECT qv.m, qv.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_aggregate(list_transform(range(1, len(qv.emb) + 1),
+                        i -> qv.emb[i] * c.emb[i]), 'sum')
+           / (qv.nrm * c.nrm) AS sim
+  FROM qv JOIN vn c ON qv.m = c.m AND c.vec_id != qv.vec_id),
+pre AS (
+  SELECT m, query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY m, query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM pairs) WHERE rn <= 5),
+hits AS (
+  SELECT p.m, CASE WHEN k.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM pre p LEFT JOIN knn k
+    ON p.query_id = k.query_id AND p.neighbor_id = k.neighbor_id)
+SELECT m AS prefix_dim, count(*) AS n_pairs,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_5
+FROM hits GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("matryoshka_prefix_recall", oracle=_mrl_oracle())
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval audit (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): truncate every embedding to its first
+    16 / 32 of 64 dimensions, renormalize implicitly via the prefix
+    norm, run brute-force cosine top-5 in the truncated space, and
+    report recall@5 against the full-dimension exact top-5 — the
+    accept/reject number for serving shorter vectors (a 4x/2x memory
+    and FLOPs cut that MRL-trained models are built for). Completes the
+    vector-compression audit ladder next to SQ8 (precision cut), PQ
+    (codebook cut) and IVF (search-space cut): this is the DIMENSION
+    cut.
+
+    Determinism: prefix slicing is positional; dot products are in-row
+    positional folds over bit-identical doubles; ranking ties break by
+    neighbor_id; the recall division's inputs are exact integers — no
+    rounding anywhere (the sq8_recall_eval contract).
+
+    Scale: the query side (queries x 2 prefix lengths) broadcasts; the
+    corpus side streams with NO extra shuffle (the prefix variants are
+    an in-row slice, exploded map-side); per-(m, query) top-5 via
+    bounded window; the recall join touches queries x k rows. The
+    ground-truth CTE is the registered knn query — engines cross-check
+    composed pipelines end to end."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("full")
+    )
+    ms = spark.range(1).select(
+        F.explode(F.array(F.lit(16), F.lit(32))).alias("m")
+    )
+    v = e.join(F.broadcast(ms)).select(
+        "m", "vec_id", F.slice("full", 1, F.col("m")).alias("emb")
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    vn = v.withColumn("nrm", F.sqrt(sq(F.col("emb"))))
+    qv = vn.filter(F.col("vec_id") < 10).select(
+        F.col("m").alias("qm"),
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    pairs = vn.join(
+        F.broadcast(qv),
+        (F.col("m") == F.col("qm")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("sim", dot / (F.col("q_nrm") * F.col("nrm")))
+    w = Window.partitionBy("m", "query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    pre = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("m", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    from ecommerce_lakehouse_spark.queries.llm import (
+        embedding_knn_bruteforce as _knn_fn,
+    )
+
+    knn = _knn_fn(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = pre.join(knn, ["query_id", "neighbor_id"], "left")
+    return (
+        joined.groupBy(F.col("m").alias("prefix_dim"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*")
+            ).alias("recall_at_5"),
+        )
+        .orderBy("prefix_dim")
+    )

@@ -1,0 +1,79 @@
+"""Matryoshka prefix-recall against an independent numpy recomputation
+(float64, positional fold order matches the query's in-row aggregate)."""
+
+import math
+import os
+
+import pyarrow.parquet as pq
+
+
+def _vectors(sf_dir):
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return dict(
+        zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist())
+    )
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _fold_norm(a):
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _top5(vecs, m):
+    """Exact top-5 by cosine in the first-m-dims space, float64 with the
+    query's fold order; ties break by neighbor id."""
+    pref = {vid: [float(x) for x in v[:m]] for vid, v in vecs.items()}
+    nrm = {vid: _fold_norm(v) for vid, v in pref.items()}
+    out = {}
+    for q in [v for v in vecs if v < 10]:
+        sims = [
+            (_fold_dot(pref[q], pref[c]) / (nrm[q] * nrm[c]), c)
+            for c in pref
+            if c != q
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = {c for _, c in sims[:5]}
+    return out
+
+
+def test_matryoshka_recall_matches_python(spark, sf_dir):
+    vecs = _vectors(sf_dir)
+    full = _top5(vecs, 64)
+    from ecommerce_lakehouse_spark.queries.llm9 import matryoshka_prefix_recall
+
+    got = {
+        r.prefix_dim: r for r in matryoshka_prefix_recall(spark, sf_dir).collect()
+    }
+    assert set(got) == {16, 32}
+    for m in (16, 32):
+        pre = _top5(vecs, m)
+        hits = sum(len(pre[q] & full[q]) for q in pre)
+        n = sum(len(pre[q]) for q in pre)
+        r = got[m]
+        assert (r.n_pairs, r.n_hits) == (n, hits)
+        assert r.recall_at_5 == hits / n
+
+
+def test_matryoshka_monotone_sanity(spark, sf_dir):
+    """More prefix dims cannot hurt recall on this corpus (not a theorem
+    in general, but holds for the synthetic embeddings and guards
+    against an inverted slice)."""
+    from ecommerce_lakehouse_spark.queries.llm9 import matryoshka_prefix_recall
+
+    rows = {
+        r.prefix_dim: r.recall_at_5
+        for r in matryoshka_prefix_recall(spark, sf_dir).collect()
+    }
+    assert rows[32] >= rows[16]
+    assert 0.0 <= rows[16] <= 1.0
