@@ -2726,6 +2726,60 @@ class LakeTable:
             base_version=prior["version"], deletion_vectors=[]
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF (Delta RESTORE): commit a
+        new version whose logical state is exactly ``version``'s — the
+        manifest re-references that version's data dirs and deletion
+        vectors and carries its metadata (constraints, generated
+        columns, properties, column mapping). Metadata-only: zero bytes
+        are copied or rewritten, so restoring a petabyte table is O(1)
+        I/O. RESTORE adds a commit, it never erases one — time travel
+        still sees the intermediate versions (the audit trail survives),
+        and a second restore can "undo the undo".
+
+        Refused when any file the target manifest references has been
+        VACUUMed away (Delta's guard): a restore that cannot serve the
+        bytes it advertises would corrupt every later read. Downstream
+        semantics fall out of the commit's shape: the change feed
+        reports the multiset diff vs the pre-restore version (re-added
+        rows surface as inserts, rolled-back rows as deletes), and the
+        streaming source treats it as a non-append change (loud unless
+        ignoreChanges), matching Delta streaming."""
+        current = self.current_version()
+        if not 1 <= version <= current:
+            raise ValueError(
+                f"restore: version {version} out of range 1..{current}"
+            )
+        m = self._manifest(version)
+        check_table_features(m, for_write=False, where=self.root)
+        missing = [
+            p
+            for p in (
+                [_entry_path(e) for e in m["data_dirs"]]
+                + list(m.get("deletion_vectors", []))
+            )
+            if not os.path.isdir(_local_path(p))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore: v{version} references vacuumed data: {missing[:3]}"
+                f"{'...' if len(missing) > 3 else ''} — cannot restore past "
+                "a vacuum horizon"
+            )
+        return self._commit(
+            m["data_dirs"],
+            "restore",
+            m["partition_by"],
+            base_version=current,
+            touched=None,
+            constraints=m.get("constraints", {}),
+            generated=m.get("generated_columns", {}),
+            deletion_vectors=m.get("deletion_vectors", []),
+            properties=m.get("properties", {}),
+            column_mapping=m.get("column_mapping", {}),
+            dropped_columns=m.get("dropped_columns", []),
+        )
+
     def clone_to(
         self,
         dest_root: str,

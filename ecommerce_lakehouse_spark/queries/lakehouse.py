@@ -754,3 +754,71 @@ def identity_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(reassigned).cast("long").alias("merge_reassigned"),
         (F.max("row_id") < F.lit(hwm)).alias("watermark_ok"),
     )
+
+
+@query(
+    "restore_table_snapshot",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 5),
+final AS (SELECT * FROM base WHERE NOT (o_orderkey % 7 = 3))
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price,
+       CAST(5 AS BIGINT) AS n_versions
+FROM final GROUP BY 1
+""",
+)
+def restore_table_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION gated end-to-end (Delta RESTORE): a LakeTable
+    takes an overwrite (v1), a DELETE (v2) and a partition-crossing
+    MERGE (v3); :meth:`LakeTable.restore` rolls it back to v1 as a
+    metadata-only commit (v4 — zero bytes rewritten, history intact),
+    and a post-restore DELETE (v5) proves the restored table is live
+    for DML. The query returns the final per-status profile plus the
+    commit count; the oracle recomputes base-minus-final-delete — so a
+    restore that leaks v2/v3 state (or silently rewrites/erases
+    history) changes counts, sums, or the version column.
+
+    Scale: restore is O(1) I/O at any table size — the new manifest
+    re-references the target version's files; the vacuum-horizon guard
+    (restore refuses to advertise reclaimed bytes) is what makes that
+    safe. Reference: /root/reference/docs/data_model.md's versioned
+    lake layers; Delta RESTORE semantics."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 5)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_restore_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = LakeTable(spark, root)
+    t.overwrite(base)                                   # v1
+    t.delete("o_orderkey % 4 = 1")                      # v2
+    updates = base.filter(F.col("o_orderkey") % 5 == 2).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(dec2("o_totalprice") * F.lit(1.20).cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    t.merge(updates, keys=["o_orderkey"])               # v3
+    t.restore(1)                                        # v4: back to base
+    t.delete("o_orderkey % 7 = 3")                      # v5
+    n_versions = t.current_version()
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_price"),
+        F.lit(n_versions).cast("long").alias("n_versions"),
+    )

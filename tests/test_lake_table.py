@@ -2149,3 +2149,69 @@ def test_drop_feature_lifecycle(spark, tmp_path):
     t.drop_constraint("k_pos")
     t.drop_feature("check-constraints")
     assert t._manifest(t.current_version())["features"]["writer"] == []
+
+
+# ---------------------------------------------------------------------------
+# RESTORE TO VERSION
+# ---------------------------------------------------------------------------
+
+
+def test_restore_round_trip_and_history(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]))       # v1
+    tbl.delete("k = 1")                                             # v2
+    tbl.merge(_df(spark, [(3, "c", "y")]), keys=["k"])              # v3
+    v = tbl.restore(1)                                              # v4
+    assert v == tbl.current_version()
+    got = {(r.k, r.v) for r in tbl.read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # history preserved: intermediate versions still time-travel
+    assert {(r.k, r.v) for r in tbl.read(version=2).collect()} == {(2, "b")}
+    assert tbl._manifest(v)["operation"] == "restore"
+    # undo the undo: restore forward to v3's state
+    tbl.restore(3)
+    assert {(r.k, r.v) for r in tbl.read().collect()} == {(2, "b"), (3, "c")}
+    # restored table is live for DML
+    tbl.append(_df(spark, [(4, "d", "x")]))
+    assert tbl.read().count() == 3
+
+
+def test_restore_refuses_vacuumed_target(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a", "x")]))                      # v1
+    tbl.overwrite(_df(spark, [(2, "b", "x")]))                      # v2
+    tbl.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        tbl.restore(1)
+    # current state untouched by the refused restore
+    assert {(r.k,) for r in tbl.read().select("k").collect()} == {(2,)}
+
+
+def test_restore_out_of_range(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a", "x")]))
+    with pytest.raises(ValueError, match="out of range"):
+        tbl.restore(5)
+    with pytest.raises(ValueError, match="out of range"):
+        tbl.restore(0)
+
+
+def test_restore_carries_target_metadata(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a", "x")]))                      # v1
+    tbl.add_constraint("k_pos", "k > 0")                            # v2
+    tbl.overwrite(_df(spark, [(2, "b", "x")]))                      # v3
+    # restore to v1: the PRE-constraint state — constraints follow the
+    # target manifest, exactly like Delta RESTORE rolling back metadata
+    tbl.restore(1)
+    assert tbl.constraints() == {}
+    tbl.restore(3)
+    assert tbl.constraints() == {"k_pos": "k > 0"}
+
+
+def test_restore_change_feed_diff(spark, tbl):
+    from ecommerce_lakehouse_spark.lake.cdf import table_changes
+
+    tbl.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "x")]))       # v1
+    tbl.delete("k = 1")                                             # v2
+    v = tbl.restore(1)                                              # v3
+    cdf = table_changes(tbl, starting_version=v)
+    rows = {(r.k, r._change_type) for r in cdf.collect()}
+    # the rolled-back delete surfaces as a re-insert
+    assert rows == {(1, "insert")}
