@@ -444,3 +444,114 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity (embedding-space class separation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "label_centroid_similarity",
+    oracle="""
+WITH dims AS (
+  SELECT label, u.i,
+         CAST(round((u.x + 1.0) * 1000000) AS BIGINT) AS xm
+  FROM embeddings,
+       unnest(list_transform(range(1, len(embedding) + 1),
+              i -> {'i': i, 'x': embedding[i]::DOUBLE})) AS t(u)),
+cent AS (
+  SELECT label, i,
+         CAST((2 * sum(xm) + count(*)) // (2 * count(*)) AS BIGINT)
+           - 1000000 AS c,
+         count(*) AS n
+  FROM dims GROUP BY 1, 2),
+vecs AS (
+  SELECT label, list(c ORDER BY i) AS c, min(n) AS n
+  FROM cent GROUP BY 1),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.n AS n_a, b.n AS n_b,
+         list_aggregate(list_transform(range(1, len(a.c) + 1),
+                        i -> a.c[i] * b.c[i]), 'sum') AS dot,
+         list_aggregate(list_transform(a.c, x -> x * x), 'sum') AS na2,
+         list_aggregate(list_transform(b.c, x -> x * x), 'sum') AS nb2
+  FROM vecs a JOIN vecs b ON a.label < b.label)
+SELECT label_a, label_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+         AS centroid_cosine
+FROM pairs ORDER BY label_a, label_b
+""",
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class-separation audit: the cosine similarity
+    between every pair of per-label centroids — the drift/leakage
+    monitor for an embedding pipeline (two classes whose centroids sit
+    near cosine 1 are indistinguishable to any downstream linear probe;
+    a centroid that moves between corpus snapshots signals upstream
+    model or data drift). Complements `semantic_cluster_dups` (which
+    discovers structure) by auditing the LABELED structure.
+
+    Determinism: each component is quantized ONCE into shifted integer
+    micro-units (round((x+1)·1e6) — the llm9 k-means idiom) and summed
+    in exact BIGINT; centroid components are exact half-up integer
+    division, unshifted back by 1e6; dot products and squared norms of
+    the 64-dim integer centroids are exact BIGINT folds; the final
+    cosine is the only float expression, identical order both engines.
+
+    Scale: one map-side collapse to (label × 64 dims) rows regardless
+    of corpus size; the pairwise stage is labels² (bounded by the label
+    vocabulary) over broadcast 64-element arrays."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round((F.col("xf").cast("double") + F.lit(1.0)) * 1000000)
+        .cast("long")
+        .alias("xm"),
+    )
+    cent = dims.groupBy("label", "i").agg(
+        (
+            F.expr("(2 * sum(xm) + count(*)) DIV (2 * count(*))").cast("long")
+            - 1000000
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vecs = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("c"),
+        F.min("n").alias("n"),
+    )
+    a = vecs.select(
+        F.col("label").alias("label_a"), F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = vecs.select(
+        F.col("label").alias("label_b"), F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    foldl = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b")).select(
+        "label_a",
+        "label_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        foldl(F.zip_with("ca", "cb", lambda x, y: x * y)).alias("dot"),
+        foldl(F.transform("ca", lambda x: x * x)).alias("na2"),
+        foldl(F.transform("cb", lambda x: x * x)).alias("nb2"),
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+        ).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")

@@ -584,3 +584,195 @@ aggregate(
         (F.col("l") + F.col("h").cast("double") * F.col("b")).alias("fitted"),
     )
     return fits.unionAll(fc)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum location test)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+WITH c AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1),
+r AS (
+  SELECT value, c1, c2, c1 + c2 AS m,
+         2 * CAST(sum(c1 + c2) OVER (ORDER BY value) AS BIGINT)
+           - (c1 + c2) + 1 AS dr
+  FROM c),
+agg AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         CAST(sum(c2) AS BIGINT) AS n2,
+         sum(CAST(c1 AS HUGEINT) * dr) AS r1x2,
+         sum(CAST(m AS HUGEINT) * m * m - m) AS ties
+  FROM r),
+u AS (
+  SELECT n1, n2,
+         CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+         CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         CAST(n1 + n2 AS DOUBLE) AS nd, CAST(ties AS DOUBLE) AS td
+  FROM agg)
+SELECT n1, n2, u1_x2,
+       (u1 - (n1d * n2d) / 2.0)
+         / sqrt((n1d * n2d / 12.0)
+                * ((nd + 1.0) - td / (nd * (nd - 1.0)))) AS z_score
+FROM u
+""",
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test ('purchase' vs 'click' event
+    values): the nonparametric location-shift test completing the
+    two-sample family — `ks_two_sample` detects ANY distributional
+    difference, U asks specifically "does one group stochastically
+    dominate?", and `ab_test_lift` assumes means matter. z is the
+    normal approximation with the standard tie correction (no
+    continuity correction — both engines compute the identical
+    expression).
+
+    Determinism: combined average ranks use the same integer
+    DOUBLE-RANK device as `spearman_rank_corr` (dr = 2·cum − m + 1 over
+    the value collapse), so the rank sum R1 and U1 are exact integers
+    carried as 2× values (U1 itself can be half-integer under ties);
+    the tie term Σ(m³−m) is exact DECIMAL(38,0). The z closed form is
+    the only float arithmetic, in identical order to the oracle. u1_x2
+    is emitted as BIGINT (headroom to ~3e9 rows/side; the z pipeline
+    itself never leaves decimal/double).
+
+    Scale: one map-side collapse to the bounded 2dp value domain; one
+    bounded window; one 1-row aggregate."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    c = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c2"),
+    )
+    m = F.col("c1") + F.col("c2")
+    r = c.select(
+        "c1",
+        "c2",
+        m.alias("m"),
+        (2 * F.sum(m).over(Window.orderBy("value")).cast("bigint") - m + 1).alias(
+            "dr"
+        ),
+    )
+    big = "decimal(38,0)"
+    agg = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1").cast(big) * F.col("dr")).alias("r1x2"),
+        F.sum(
+            F.col("m").cast(big) * F.col("m") * F.col("m") - F.col("m")
+        ).alias("ties"),
+    )
+    u1x2 = F.col("r1x2") - F.col("n1").cast(big) * (F.col("n1") + 1)
+    u = agg.select(
+        "n1",
+        "n2",
+        u1x2.cast("bigint").alias("u1_x2"),
+        (u1x2.cast("double") / F.lit(2.0)).alias("u1"),
+        F.col("n1").cast("double").alias("n1d"),
+        F.col("n2").cast("double").alias("n2d"),
+        (F.col("n1") + F.col("n2")).cast("double").alias("nd"),
+        F.col("ties").cast("double").alias("td"),
+    )
+    return u.select(
+        "n1",
+        "n2",
+        "u1_x2",
+        (
+            (F.col("u1") - (F.col("n1d") * F.col("n2d")) / F.lit(2.0))
+            / F.sqrt(
+                (F.col("n1d") * F.col("n2d") / F.lit(12.0))
+                * (
+                    (F.col("nd") + F.lit(1.0))
+                    - F.col("td") / (F.col("nd") * (F.col("nd") - F.lit(1.0)))
+                )
+            )
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend slope
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_theil_sen",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+slopes AS (
+  SELECT (b.revenue - a.revenue)
+           / CAST(date_diff('month', a.month, b.month) AS DOUBLE) AS slope
+  FROM m a JOIN m b ON b.month > a.month),
+arr AS (
+  SELECT list(slope ORDER BY slope) AS s, count(*) AS np FROM slopes),
+meta AS (SELECT count(*) AS nm FROM m)
+SELECT CAST(nm AS BIGINT) AS n_months,
+       CAST(np AS BIGINT) AS n_pairs,
+       CASE WHEN np % 2 = 1 THEN s[CAST((np + 1) // 2 AS INT)]
+            ELSE (s[CAST(np // 2 AS INT)] + s[CAST(np // 2 + 1 AS INT)]) / 2.0
+       END AS theil_sen_slope
+FROM arr, meta
+""",
+)
+def revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator over the monthly revenue series: the median
+    of all pairwise slopes (y_j − y_i)/(t_j − t_i) — the robust twin of
+    `revenue_trend_ols` (a 29% outlier-month breakdown point vs OLS's
+    zero; when the two disagree, an outlier is driving the OLS fit).
+
+    Determinism: monthly revenues are exact-decimal sums rendered once
+    to double; each pairwise slope is a single division of exact inputs
+    (month gaps are exact integers), left unrounded by policy; the
+    median is pure selection on the sorted slope array — both engines
+    sort identical doubles identically — with the even-count midpoint
+    the only further float op, identical both sides.
+
+    Scale: the corpus collapses map-side to one row per month; the
+    pairwise expansion is months², bounded by the CALENDAR (~84 months
+    → ~3.5k pairs) at any corpus size, via a broadcast self-join; the
+    median is one in-row selection."""
+    o = load(spark, sf_dir, "orders")
+    mm = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    a = mm.select(F.col("month").alias("am"), F.col("revenue").alias("ar"))
+    b = mm.select(F.col("month").alias("bm"), F.col("revenue").alias("br"))
+    slopes = a.join(F.broadcast(b), F.col("bm") > F.col("am")).select(
+        (
+            (F.col("br") - F.col("ar"))
+            / F.months_between(F.col("bm"), F.col("am")).cast("double")
+        ).alias("slope")
+    )
+    nm = mm.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    arr = slopes.agg(
+        F.sort_array(F.collect_list("slope")).alias("s"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    mid_odd = F.element_at("s", ((F.col("np") + 1) / 2).cast("int"))
+    lo = F.element_at("s", (F.col("np") / 2).cast("int"))
+    hi = F.element_at("s", (F.col("np") / 2 + 1).cast("int"))
+    return arr.join(F.broadcast(nm)).select(
+        "n_months",
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.when(F.col("np") % 2 == 1, mid_odd)
+        .otherwise((lo + hi) / F.lit(2.0))
+        .alias("theil_sen_slope"),
+    )

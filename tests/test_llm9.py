@@ -77,3 +77,57 @@ def test_matryoshka_monotone_sanity(spark, sf_dir):
     }
     assert rows[32] >= rows[16]
     assert 0.0 <= rows[16] <= 1.0
+
+
+def test_label_centroid_similarity_matches_python(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    by_label = defaultdict(list)
+    for lbl, v in zip(
+        t.column("label").to_pylist(), t.column("embedding").to_pylist()
+    ):
+        by_label[lbl].append([float(x) for x in v])
+
+    def half_up_div(s, n):
+        return (2 * s + n) // (2 * n)
+
+    cents = {}
+    for lbl, vs in by_label.items():
+        dim = len(vs[0])
+        comp = []
+        for i in range(dim):
+            s = sum(
+                int(_py_round_half_up((v[i] + 1.0) * 1000000.0)) for v in vs
+            )
+            comp.append(half_up_div(s, len(vs)) - 1000000)
+        cents[lbl] = (comp, len(vs))
+
+    from ecommerce_lakehouse_spark.queries.llm9 import label_centroid_similarity
+
+    got = label_centroid_similarity(spark, sf_dir).collect()
+    labels = sorted(cents)
+    expect_pairs = [(a, b) for a in labels for b in labels if a < b]
+    assert [(r.label_a, r.label_b) for r in got] == expect_pairs
+    for r in got:
+        ca, na = cents[r.label_a]
+        cb, nb = cents[r.label_b]
+        dot = sum(x * y for x, y in zip(ca, cb))
+        na2 = sum(x * x for x in ca)
+        nb2 = sum(x * x for x in cb)
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.centroid_cosine == float(dot) / (
+            math.sqrt(float(na2)) * math.sqrt(float(nb2))
+        )
+
+
+def _py_round_half_up(x):
+    """Spark/DuckDB round() is half-away-from-zero; Python's round() is
+    banker's — mirror the engines."""
+    import math as _m
+
+    return _m.floor(x + 0.5) if x >= 0 else _m.ceil(x - 0.5)

@@ -198,3 +198,64 @@ def test_ks_direction_sanity(spark, sf_dir):
     r = ks_two_sample(spark, sf_dir).collect()[0]
     assert 0.0 < r.ks_d < 1.0
     assert 0.0 < r.at_value < 500.0
+
+
+def test_mann_whitney_matches_python(spark, sf_dir):
+    t = _events(sf_dir, ["event_type", "value"])
+    g1, g2 = [], []
+    for ty, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        if ty == "purchase":
+            g1.append(v)
+        elif ty == "click":
+            g2.append(v)
+    comb = Counter(g1) + Counter(g2)
+    c1 = Counter(g1)
+    n1, n2 = len(g1), len(g2)
+    cum = 0
+    r1x2 = 0
+    ties = 0
+    for v in sorted(comb):
+        m = comb[v]
+        cum += m
+        dr = 2 * cum - m + 1
+        r1x2 += c1.get(v, 0) * dr
+        ties += m * m * m - m
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    u1 = float(u1x2) / 2.0
+    n1d, n2d, nd, td = float(n1), float(n2), float(n1 + n2), float(ties)
+    z = (u1 - (n1d * n2d) / 2.0) / math.sqrt(
+        (n1d * n2d / 12.0) * ((nd + 1.0) - td / (nd * (nd - 1.0)))
+    )
+    from ecommerce_lakehouse_spark.queries.stats2 import mann_whitney_u
+
+    r = mann_whitney_u(spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2, r.u1_x2) == (n1, n2, u1x2)
+    assert r.z_score == z
+
+
+def test_theil_sen_matches_python(spark, sf_dir):
+    series = _monthly_revenue(sf_dir)
+    months = [m for m, _ in series]
+    ys = [y for _, y in series]
+
+    def mgap(a, b):
+        return (b.year - a.year) * 12 + (b.month - a.month)
+
+    slopes = sorted(
+        (ys[j] - ys[i]) / float(mgap(months[i], months[j]))
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    np_ = len(slopes)
+    med = (
+        slopes[(np_ + 1) // 2 - 1]
+        if np_ % 2 == 1
+        else (slopes[np_ // 2 - 1] + slopes[np_ // 2]) / 2.0
+    )
+    from ecommerce_lakehouse_spark.queries.stats2 import revenue_theil_sen
+
+    r = revenue_theil_sen(spark, sf_dir).collect()[0]
+    assert (r.n_months, r.n_pairs) == (len(series), np_)
+    assert r.theil_sen_slope == med
