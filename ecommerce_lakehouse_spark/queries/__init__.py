@@ -37,6 +37,7 @@ def query(name: str, oracle: str | None = None):
 from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     curation,
     events,
+    experiment,
     gold,
     graph_ml,
     lakehouse,

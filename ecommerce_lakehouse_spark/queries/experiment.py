@@ -1,0 +1,355 @@
+"""Experimentation & causal-inference wave: CUPED, diff-in-differences,
+overdispersion.
+
+Extends the A/B readout (`ab_test_lift`) with the three tools an
+experimentation platform reaches for next:
+
+- **CUPED** (Deng et al. 2013, "Improving the sensitivity of online
+  controlled experiments by utilizing pre-experiment data") — regression
+  adjustment on a pre-period covariate; the industry-standard variance
+  cut that shrinks required sample sizes by var_reduction = ρ².
+- **Difference-in-differences** — the observational fallback when you
+  cannot randomize: (treated post − pre) − (control post − pre).
+- **Overdispersion check** — var/mean of per-user event counts; the
+  diagnostic that says whether a Poisson model (and its CIs) is even
+  admissible for count metrics.
+
+Determinism contract: unit-level metrics are exact integer CENTS
+(events.value is 2dp-quantized at every SF) or exact decimal sums; all
+power sums accumulate in DECIMAL(38,0)/BIGINT; arm assignment is the
+repo's salted-md5 split (md5 is the only cross-engine-identical hash);
+closed forms run in double in the identical order both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.money import dec2
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.tables import load
+
+_CUPED_SPLIT_DATE = "2024-01-16 00:00:00"
+
+
+@query(
+    "cuped_adjusted_lift",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5('cuped|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT_DATE}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT_DATE}'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+         CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+         CAST(sum(CASE WHEN arm = 'A' THEN CAST(x AS HUGEINT) ELSE 0 END)
+              AS DOUBLE) AS sxa,
+         CAST(sum(CASE WHEN arm = 'B' THEN CAST(x AS HUGEINT) ELSE 0 END)
+              AS DOUBLE) AS sxb,
+         CAST(sum(CASE WHEN arm = 'A' THEN CAST(y AS HUGEINT) ELSE 0 END)
+              AS DOUBLE) AS sya,
+         CAST(sum(CASE WHEN arm = 'B' THEN CAST(y AS HUGEINT) ELSE 0 END)
+              AS DOUBLE) AS syb
+  FROM per_user),
+fit AS (
+  SELECT n, na, nb,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS theta,
+         (CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS rho2,
+         sya / na AS mya, syb / nb AS myb,
+         sxa / na AS mxa, sxb / nb AS mxb
+  FROM m)
+SELECT n AS n_users, theta,
+       (myb - mya) / 100.0 AS raw_lift,
+       ((myb - mya) - theta * (mxb - mxa)) / 100.0 AS cuped_lift,
+       rho2 AS var_reduction
+FROM fit
+""",
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. 2013): split
+    event users by the salted-md5 arm hash, take each user's PRE-period
+    total event value (first half of the window) as the covariate X and
+    the POST-period total as the metric Y, fit theta = cov(X,Y)/var(X)
+    on the pooled population, and report the raw arm lift next to the
+    CUPED-adjusted lift (Ycv = Y − theta·(X − X̄); arm-mean difference
+    simplifies to raw_lift − theta·(covariate imbalance)). The
+    var_reduction column is ρ² — the fraction of metric variance the
+    covariate removes, i.e. how much smaller the experiment could have
+    been. On this null (A/A) split the adjusted lift should hug zero
+    tighter than the raw lift.
+
+    Determinism: per-user totals are exact integer CENTS (value is
+    2dp-quantized); the six power sums and four arm sums accumulate in
+    DECIMAL(38,0); theta/ρ²/means are one fixed-order double closed
+    form, divisions of exact inputs left unrounded (money.py policy).
+
+    Scale: one grouped pass per user (map-side combined conditional
+    sums), then a single 1-row aggregate — nothing else moves."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = e.groupBy(
+        "user_id",
+        F.expr(
+            "CASE WHEN conv(substr(md5(concat('cuped|', CAST(user_id AS STRING))),"
+            " 1, 8), 16, 10) % 2 = 0 THEN 'A' ELSE 'B' END"
+        ).alias("arm"),
+    ).agg(
+        F.sum(
+            F.when(F.col("ts") < _CUPED_SPLIT_DATE, cents).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= _CUPED_SPLIT_DATE, cents).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    big = "decimal(38,0)"
+    x, y = F.col("x").cast(big), F.col("y").cast(big)
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * F.col("x")).cast("double").alias("sxx"),
+        F.sum(y * F.col("y")).cast("double").alias("syy"),
+        F.sum(x * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", x).otherwise(F.lit(0).cast(big)))
+        .cast("double")
+        .alias("sxa"),
+        F.sum(F.when(F.col("arm") == "B", x).otherwise(F.lit(0).cast(big)))
+        .cast("double")
+        .alias("sxb"),
+        F.sum(F.when(F.col("arm") == "A", y).otherwise(F.lit(0).cast(big)))
+        .cast("double")
+        .alias("sya"),
+        F.sum(F.when(F.col("arm") == "B", y).otherwise(F.lit(0).cast(big)))
+        .cast("double")
+        .alias("syb"),
+    )
+    nD = F.col("n").cast("double")
+    theta = (nD * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nD * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    rho2 = (
+        (nD * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (nD * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ) / (
+        (nD * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nD * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    fit = m.select(
+        F.col("n").alias("n_users"),
+        theta.alias("theta"),
+        rho2.alias("var_reduction"),
+        (F.col("sya") / F.col("na")).alias("mya"),
+        (F.col("syb") / F.col("nb")).alias("myb"),
+        (F.col("sxa") / F.col("na")).alias("mxa"),
+        (F.col("sxb") / F.col("nb")).alias("mxb"),
+    )
+    return fit.select(
+        "n_users",
+        "theta",
+        ((F.col("myb") - F.col("mya")) / F.lit(100.0)).alias("raw_lift"),
+        (
+            (
+                (F.col("myb") - F.col("mya"))
+                - F.col("theta") * (F.col("mxb") - F.col("mxa"))
+            )
+            / F.lit(100.0)
+        ).alias("cuped_lift"),
+        "var_reduction",
+    )
+
+
+@query(
+    "did_revenue_effect",
+    oracle="""
+WITH grp AS (
+  SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate,
+         CASE WHEN r.r_name = 'EUROPE' THEN 'T' ELSE 'C' END AS grp,
+         CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              THEN 'post' ELSE 'pre' END AS period
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey),
+cells AS (
+  SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS mean_price
+  FROM grp GROUP BY 1, 2),
+w AS (
+  SELECT max(CASE WHEN grp = 'T' AND period = 'pre' THEN mean_price END) AS t_pre,
+         max(CASE WHEN grp = 'T' AND period = 'post' THEN mean_price END) AS t_post,
+         max(CASE WHEN grp = 'C' AND period = 'pre' THEN mean_price END) AS c_pre,
+         max(CASE WHEN grp = 'C' AND period = 'post' THEN mean_price END) AS c_post,
+         max(CASE WHEN grp = 'T' AND period = 'pre' THEN n END) AS n_t_pre,
+         max(CASE WHEN grp = 'T' AND period = 'post' THEN n END) AS n_t_post,
+         max(CASE WHEN grp = 'C' AND period = 'pre' THEN n END) AS n_c_pre,
+         max(CASE WHEN grp = 'C' AND period = 'post' THEN n END) AS n_c_post
+  FROM cells)
+SELECT t_pre, t_post, c_pre, c_post,
+       n_t_pre, n_t_post, n_c_pre, n_c_post,
+       (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+FROM w
+""",
+)
+def did_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on mean order value: EUROPE customers
+    as the 'treated' group, everyone else as control, 1996-01-01 as the
+    intervention date — DiD = (T_post − T_pre) − (C_post − C_pre), the
+    workhorse causal estimator when randomization isn't available
+    (parallel-trends caveat applies; on this synthetic data the
+    estimate should hug zero, which is itself the placebo check).
+    Completes the causal family: `ab_test_lift` (randomized),
+    `cuped_adjusted_lift` (randomized + variance reduction), DiD
+    (observational).
+
+    Determinism: cell means are exact-decimal sums cast once to double
+    and divided by exact counts (money_avg policy, unrounded); the DiD
+    closed form is three subtractions in fixed order.
+
+    Scale: the three dimension joins broadcast (region/nation/customer
+    ladder); orders collapse map-side into 4 cells; the pivot is one
+    1-row aggregate."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    grp = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "o_totalprice",
+            F.when(F.col("r_name") == "EUROPE", "T").otherwise("C").alias("grp"),
+            F.when(
+                F.col("o_orderdate") >= "1996-01-01 00:00:00", "post"
+            )
+            .otherwise("pre")
+            .alias("period"),
+        )
+    )
+    cells = grp.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(dec2("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_price"
+        ),
+    )
+
+    def cell(g, p, col):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(col))
+        )
+
+    w = cells.agg(
+        cell("T", "pre", "mean_price").alias("t_pre"),
+        cell("T", "post", "mean_price").alias("t_post"),
+        cell("C", "pre", "mean_price").alias("c_pre"),
+        cell("C", "post", "mean_price").alias("c_post"),
+        cell("T", "pre", "n").alias("n_t_pre"),
+        cell("T", "post", "n").alias("n_t_post"),
+        cell("C", "pre", "n").alias("n_c_pre"),
+        cell("C", "post", "n").alias("n_c_post"),
+    )
+    return w.select(
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )
+
+
+@query(
+    "event_overdispersion",
+    oracle="""
+WITH uu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM events),
+k AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS sk2
+  FROM k GROUP BY 1)
+SELECT event_type, u AS n_users, n_active, sk AS total_events,
+       CAST(sk AS DOUBLE) / CAST(u AS DOUBLE) AS mean_per_user,
+       (CAST(sk2 AS DOUBLE)
+          - (CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)) / CAST(u AS DOUBLE))
+         / CAST(u AS DOUBLE)
+         / (CAST(sk AS DOUBLE) / CAST(u AS DOUBLE)) AS dispersion_index
+FROM s, uu ORDER BY event_type
+""",
+)
+def event_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion check per event type: the dispersion
+    index var(k)/mean(k) of per-user event counts, zero-count users
+    included (a user who never errored still counts toward the error
+    rate's denominator). Index ≈ 1 means Poisson assumptions (and any
+    CI built on them) hold; >1 says counts are clumped (retry storms,
+    power users) and a negative-binomial model is needed — the
+    diagnostic to run BEFORE trusting `ab_test_lift`-style z-scores on
+    count metrics.
+
+    Determinism: the count moments Σk, Σk² are exact BIGINT; zero-count
+    users enter only through the global user total (so no dense
+    user×type frame is ever built); the variance/mean closed form runs
+    in fixed-order double, divisions of exact inputs unrounded.
+
+    Scale: one (type, user) collapse with map-side combine, one
+    per-type rollup, one broadcast 1-row distinct-user count."""
+    e = load(spark, sf_dir, "events")
+    uu = e.agg(F.countDistinct("user_id").cast("long").alias("u"))
+    k = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    s = k.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("k").cast("long").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sk2"),
+    )
+    j = s.join(F.broadcast(uu))
+    skd, ud = F.col("sk").cast("double"), F.col("u").cast("double")
+    mean = skd / ud
+    var = (F.col("sk2").cast("double") - (skd * skd) / ud) / ud
+    return j.select(
+        "event_type",
+        F.col("u").alias("n_users"),
+        "n_active",
+        F.col("sk").alias("total_events"),
+        mean.alias("mean_per_user"),
+        (var / mean).alias("dispersion_index"),
+    ).orderBy("event_type")

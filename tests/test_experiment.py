@@ -1,0 +1,106 @@
+"""Experimentation wave (experiment.py) against independent Python
+recomputations — exact equality per the determinism contract."""
+
+import hashlib
+import math
+import os
+from collections import Counter, defaultdict
+from datetime import datetime
+from decimal import Decimal
+
+import pyarrow.parquet as pq
+
+
+def _events(sf_dir, cols):
+    return pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=cols)
+
+
+def _arm(uid):
+    h = hashlib.md5(f"cuped|{uid}".encode()).hexdigest()[:8]
+    return "A" if int(h, 16) % 2 == 0 else "B"
+
+
+def test_cuped_matches_python(spark, sf_dir):
+    t = _events(sf_dir, ["user_id", "ts", "value"])
+    split = datetime(2024, 1, 16)
+    xs = defaultdict(int)
+    ys = defaultdict(int)
+    for u, ts, v in zip(
+        t.column("user_id").to_pylist(),
+        t.column("ts").to_pylist(),
+        t.column("value").to_pylist(),
+    ):
+        cents = int(Decimal(str(v)) * 100)
+        if ts < split:
+            xs[u] += cents
+        else:
+            ys[u] += cents
+        xs.setdefault(u, 0)
+        ys.setdefault(u, 0)
+    users = sorted(set(xs) | set(ys))
+    n = len(users)
+    x = {u: xs.get(u, 0) for u in users}
+    y = {u: ys.get(u, 0) for u in users}
+    sx = float(sum(x.values()))
+    sy = float(sum(y.values()))
+    sxx = float(sum(v * v for v in x.values()))
+    syy = float(sum(v * v for v in y.values()))
+    sxy = float(sum(x[u] * y[u] for u in users))
+    arms = {u: _arm(u) for u in users}
+    na = float(sum(1 for u in users if arms[u] == "A"))
+    nb = float(n - na)
+    sxa = float(sum(x[u] for u in users if arms[u] == "A"))
+    sxb = float(sum(x[u] for u in users if arms[u] == "B"))
+    sya = float(sum(y[u] for u in users if arms[u] == "A"))
+    syb = float(sum(y[u] for u in users if arms[u] == "B"))
+    nd = float(n)
+    theta = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    rho2 = ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / (
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    raw = (syb / nb - sya / na) / 100.0
+    cuped = ((syb / nb - sya / na) - theta * (sxb / nb - sxa / na)) / 100.0
+    from ecommerce_lakehouse_spark.queries.experiment import cuped_adjusted_lift
+
+    r = cuped_adjusted_lift(spark, sf_dir).collect()[0]
+    assert r.n_users == n
+    assert r.theta == theta
+    assert r.raw_lift == raw
+    assert r.cuped_lift == cuped
+    assert r.var_reduction == rho2
+
+
+def test_overdispersion_matches_python(spark, sf_dir):
+    t = _events(sf_dir, ["user_id", "event_type"])
+    users = set(t.column("user_id").to_pylist())
+    per = Counter(
+        zip(t.column("event_type").to_pylist(), t.column("user_id").to_pylist())
+    )
+    by_type = defaultdict(list)
+    for (ty, _u), k in per.items():
+        by_type[ty].append(k)
+    from ecommerce_lakehouse_spark.queries.experiment import event_overdispersion
+
+    got = {r.event_type: r for r in event_overdispersion(spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    u = len(users)
+    for ty, ks in by_type.items():
+        sk, sk2 = sum(ks), sum(k * k for k in ks)
+        mean = float(sk) / float(u)
+        var = (float(sk2) - (float(sk) * float(sk)) / float(u)) / float(u)
+        r = got[ty]
+        assert (r.n_users, r.n_active, r.total_events) == (u, len(ks), sk)
+        assert r.mean_per_user == mean
+        assert r.dispersion_index == var / mean
+
+
+def test_did_cells_consistent(spark, sf_dir):
+    """The four cell counts partition the joined order set, and the DiD
+    estimate equals the closed form of the four means."""
+    from ecommerce_lakehouse_spark.queries.experiment import did_revenue_effect
+
+    r = did_revenue_effect(spark, sf_dir).collect()[0]
+    t = pq.read_table(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"])
+    assert r.n_t_pre + r.n_t_post + r.n_c_pre + r.n_c_post == t.num_rows
+    assert r.did_estimate == (r.t_post - r.t_pre) - (r.c_post - r.c_pre)
+    assert not math.isnan(r.did_estimate)
