@@ -776,3 +776,134 @@ def revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((lo + hi) / F.lit(2.0))
         .alias("theil_sen_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest
+# ---------------------------------------------------------------------------
+
+_BT_ALPHA = 0.3
+_BT_H = 12
+
+
+@query(
+    "forecast_backtest_mae",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({{'month': month, 'rev': revenue}})),
+                        x -> x.rev) AS a,
+         count(*) AS n
+  FROM m),
+ses AS (
+  SELECT a, n, list_reduce(
+           list_prepend([a[1]], list_transform(a[2:], x -> [x])),
+           (acc, e) -> list_append(acc,
+             CAST({_BT_ALPHA} AS DOUBLE) * e[1]
+               + (1.0 - CAST({_BT_ALPHA} AS DOUBLE)) * acc[-1])) AS s
+  FROM arr),
+mae AS (
+  SELECT CAST(n AS BIGINT) AS n_months,
+         list_reduce(
+           list_prepend([0.0], list_transform(range(n - {_BT_H} + 1, n + 1),
+                                              t -> [abs(a[t - 1] - a[t])])),
+           (acc, e) -> [acc[1] + e[1]])[1] / {_BT_H}.0 AS mae_naive,
+         list_reduce(
+           list_prepend([0.0], list_transform(range(n - {_BT_H} + 1, n + 1),
+                                              t -> [abs(a[t - 12] - a[t])])),
+           (acc, e) -> [acc[1] + e[1]])[1] / {_BT_H}.0 AS mae_snaive,
+         list_reduce(
+           list_prepend([0.0], list_transform(range(n - {_BT_H} + 1, n + 1),
+                                              t -> [abs(s[t - 1] - a[t])])),
+           (acc, e) -> [acc[1] + e[1]])[1] / {_BT_H}.0 AS mae_ses
+  FROM ses)
+SELECT n_months, mae_naive, mae_snaive, mae_ses,
+       CASE WHEN mae_naive <= mae_snaive AND mae_naive <= mae_ses
+              THEN 'naive'
+            WHEN mae_snaive <= mae_ses THEN 'seasonal_naive'
+            ELSE 'ses' END AS best_method
+FROM mae
+""",
+)
+def forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest over the monthly revenue
+    series: one-step-ahead forecasts for the last 12 months from three
+    standard baselines — naive (last value), seasonal naive (value 12
+    months back), and simple exponential smoothing (alpha 0.3, the
+    registered `exp_smoothing_revenue` model) — each scored by MAE, and
+    the winner named. Forecast EVALUATION is the operational question
+    the fitting queries (`revenue_trend_ols`, `holt_linear_forecast`,
+    `exp_smoothing_revenue`) leave open: a model you have not
+    backtested is a guess. Seasonal naive beating SES here is the
+    standard signal that a seasonal term (not just level smoothing) is
+    required.
+
+    Determinism: the series and the SES prefix are position-ordered
+    array folds (the exp_smoothing discipline); each MAE is a
+    sequential in-order fold of |error| then one division by the
+    literal horizon; the winner is pure comparison of bit-identical
+    doubles with a fixed tie order (naive ≺ seasonal ≺ ses).
+
+    Scale: corpus → one exact-decimal row per month map-side; all
+    folds run over the bounded month array inside one task."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(month, revenue)))"
+            ", x -> x.revenue)"
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    al, h = _BT_ALPHA, _BT_H
+    ses = arr.select(
+        "a",
+        "n",
+        F.expr(
+            f"""
+aggregate(slice(a, 2, size(a) - 1), array(a[0]),
+          (acc, x) -> concat(acc, array(
+            CAST({al} AS DOUBLE) * x
+              + (1.0 - CAST({al} AS DOUBLE)) * element_at(acc, -1))))
+""".strip()
+        ).alias("s"),
+    )
+
+    def mae(fc_expr: str) -> str:
+        # t is the 0-based index of the forecast TARGET month
+        return (
+            f"aggregate(transform(sequence(n - {h}, n - 1), "
+            f"t -> abs({fc_expr} - a[t])), CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x) / {h}.0"
+        )
+
+    out = ses.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.expr(mae("a[t - 1]")).alias("mae_naive"),
+        F.expr(mae("a[t - 12]")).alias("mae_snaive"),
+        F.expr(mae("s[t - 1]")).alias("mae_ses"),
+    )
+    return out.select(
+        "n_months",
+        "mae_naive",
+        "mae_snaive",
+        "mae_ses",
+        F.when(
+            (F.col("mae_naive") <= F.col("mae_snaive"))
+            & (F.col("mae_naive") <= F.col("mae_ses")),
+            "naive",
+        )
+        .when(F.col("mae_snaive") <= F.col("mae_ses"), "seasonal_naive")
+        .otherwise("ses")
+        .alias("best_method"),
+    )

@@ -104,3 +104,32 @@ def test_did_cells_consistent(spark, sf_dir):
     assert r.n_t_pre + r.n_t_post + r.n_c_pre + r.n_c_post == t.num_rows
     assert r.did_estimate == (r.t_post - r.t_pre) - (r.c_post - r.c_pre)
     assert not math.isnan(r.did_estimate)
+
+
+def test_psi_matches_python(spark, sf_dir):
+    t = _events(sf_dir, ["ts", "value"])
+    split = datetime(2024, 1, 16)
+    c1, c2 = Counter(), Counter()
+    for ts, v in zip(t.column("ts").to_pylist(), t.column("value").to_pylist()):
+        b = min(9, int(v // 50.0))
+        (c1 if ts < split else c2)[b] += 1
+    bins = sorted(set(c1) | set(c2))
+    n1, n2, k = sum(c1.values()), sum(c2.values()), len(bins)
+    terms = {}
+    for b in bins:
+        p = float(c1.get(b, 0) + 1) / float(n1 + k)
+        q = float(c2.get(b, 0) + 1) / float(n2 + k)
+        x = (p - q) * math.log(p / q) * 1e9
+        terms[b] = int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+    total = float(sum(terms.values())) / 1e9
+    from ecommerce_lakehouse_spark.queries.experiment import psi_value_drift
+
+    got = psi_value_drift(spark, sf_dir).collect()
+    assert [r.bin for r in got] == bins
+    for r in got:
+        assert (r.n1_bin, r.n2_bin, r.term_nanos) == (
+            c1.get(r.bin, 0),
+            c2.get(r.bin, 0),
+            terms[r.bin],
+        )
+        assert r.psi_total == total

@@ -259,3 +259,33 @@ def test_theil_sen_matches_python(spark, sf_dir):
     r = revenue_theil_sen(spark, sf_dir).collect()[0]
     assert (r.n_months, r.n_pairs) == (len(series), np_)
     assert r.theil_sen_slope == med
+
+
+def test_forecast_backtest_matches_python(spark, sf_dir):
+    series = _monthly_revenue(sf_dir)
+    ys = [y for _, y in series]
+    n = len(ys)
+    s = [ys[0]]
+    for y in ys[1:]:
+        s.append(0.3 * y + 0.7 * s[-1])
+
+    def mae(fc):
+        acc = 0.0
+        for t in range(n - 12, n):
+            acc += abs(fc(t) - ys[t])
+        return acc / 12.0
+
+    mn = mae(lambda t: ys[t - 1])
+    msn = mae(lambda t: ys[t - 12])
+    mses = mae(lambda t: s[t - 1])
+    from ecommerce_lakehouse_spark.queries.stats2 import forecast_backtest_mae
+
+    r = forecast_backtest_mae(spark, sf_dir).collect()[0]
+    assert r.n_months == n
+    assert (r.mae_naive, r.mae_snaive, r.mae_ses) == (mn, msn, mses)
+    best = (
+        "naive"
+        if mn <= msn and mn <= mses
+        else ("seasonal_naive" if msn <= mses else "ses")
+    )
+    assert r.best_method == best
