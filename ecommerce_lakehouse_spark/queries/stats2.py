@@ -29,6 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ecommerce_lakehouse_spark.money import dec2
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -906,4 +907,328 @@ aggregate(slice(a, 2, size(a) - 1), array(a[0]),
         .when(F.col("mae_snaive") <= F.col("mae_ses"), "seasonal_naive")
         .otherwise("ses")
         .alias("best_method"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split by information gain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "best_split_infogain",
+    oracle="""
+WITH c AS (
+  SELECT value,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY 1),
+cum AS (
+  SELECT value,
+         CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS a1,
+         CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS a2
+  FROM c),
+n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM c),
+ig AS (
+  SELECT value, a1, a2,
+         CAST(round((
+           -- parent entropy
+           -(CAST(n1 AS DOUBLE) / (n1 + n2)) * ln(CAST(n1 AS DOUBLE) / (n1 + n2))
+           - (CAST(n2 AS DOUBLE) / (n1 + n2)) * ln(CAST(n2 AS DOUBLE) / (n1 + n2))
+           -- minus weighted child entropies (0·ln0 := 0 via NULLIF guard)
+           - (CAST(a1 + a2 AS DOUBLE) / (n1 + n2)) * (
+               COALESCE(-(CAST(a1 AS DOUBLE) / (a1 + a2))
+                          * ln(NULLIF(CAST(a1 AS DOUBLE) / (a1 + a2), 0.0)), 0.0)
+             + COALESCE(-(CAST(a2 AS DOUBLE) / (a1 + a2))
+                          * ln(NULLIF(CAST(a2 AS DOUBLE) / (a1 + a2), 0.0)), 0.0))
+           - (CAST((n1 - a1) + (n2 - a2) AS DOUBLE) / (n1 + n2)) * (
+               COALESCE(-(CAST(n1 - a1 AS DOUBLE) / ((n1 - a1) + (n2 - a2)))
+                          * ln(NULLIF(CAST(n1 - a1 AS DOUBLE)
+                                      / ((n1 - a1) + (n2 - a2)), 0.0)), 0.0)
+             + COALESCE(-(CAST(n2 - a2 AS DOUBLE) / ((n1 - a1) + (n2 - a2)))
+                          * ln(NULLIF(CAST(n2 - a2 AS DOUBLE)
+                                      / ((n1 - a1) + (n2 - a2)), 0.0)), 0.0))
+         ) * 1000000000) AS BIGINT) AS ig_nanos
+  FROM cum, n
+  WHERE a1 + a2 > 0 AND (n1 - a1) + (n2 - a2) > 0),
+best AS (
+  SELECT max(struct_pack(g := ig_nanos, negv := -value)) AS b FROM ig)
+SELECT -b.negv AS split_value, b.g AS ig_nanos,
+       i.a1 AS left_purchase, i.a2 AS left_click,
+       n.n1 - i.a1 AS right_purchase, n.n2 - i.a2 AS right_click
+FROM best, ig i, n
+WHERE i.value = -b.negv
+""",
+)
+def best_split_infogain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump split of event value separating 'purchase'
+    from 'click': the threshold maximizing information gain — the CART
+    split criterion and the univariate feature screen ("how predictive
+    is this column at all?") run before any model training. Degenerate
+    splits (an empty child) are excluded; 0·ln0 is defined as 0.
+
+    Determinism: candidate thresholds are the distinct values; left
+    counts come from exact cumulative integers over the value collapse
+    (the ks_two_sample device); each candidate's gain — the only
+    transcendental expression — is computed from exact integer counts
+    in one fixed-order double expression and rounded ONCE into integer
+    NANOS, so the argmax (ties: min threshold, via max(struct(gain,
+    −value))) is pure integer comparison.
+
+    Scale: one map-side collapse to the bounded value domain, one
+    bounded window, a 1-row argmax; no per-row entropy anywhere."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    c = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c2"),
+    )
+    cum = c.select(
+        "value",
+        F.sum("c1").over(Window.orderBy("value")).cast("bigint").alias("a1"),
+        F.sum("c2").over(Window.orderBy("value")).cast("bigint").alias("a2"),
+    )
+    n = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+
+    def ent_term(num, den):
+        frac = num.cast("double") / den
+        return F.coalesce(
+            -frac * F.log(F.nullif(frac, F.lit(0.0))), F.lit(0.0)
+        )
+
+    n1, n2 = F.col("n1"), F.col("n2")
+    a1, a2 = F.col("a1"), F.col("a2")
+    tot = n1 + n2
+    nl, nr = a1 + a2, (n1 - a1) + (n2 - a2)
+    parent = (
+        -(n1.cast("double") / tot) * F.log(n1.cast("double") / tot)
+        - (n2.cast("double") / tot) * F.log(n2.cast("double") / tot)
+    )
+    left = ent_term(a1, nl) + ent_term(a2, nl)
+    right = ent_term(n1 - a1, nr) + ent_term(n2 - a2, nr)
+    gain = (
+        parent
+        - (nl.cast("double") / tot) * left
+        - (nr.cast("double") / tot) * right
+    )
+    ig = (
+        cum.join(F.broadcast(n))
+        .filter((nl > 0) & (nr > 0))
+        .select(
+            "value",
+            "a1",
+            "a2",
+            F.round(gain * 1000000000).cast("long").alias("ig_nanos"),
+        )
+    )
+    best = ig.agg(
+        F.max(
+            F.struct(F.col("ig_nanos").alias("g"), (-F.col("value")).alias("negv"))
+        ).alias("b")
+    )
+    hit = ig.join(F.broadcast(best), F.col("value") == -F.col("b.negv"))
+    return hit.join(F.broadcast(n)).select(
+        F.col("value").alias("split_value"),
+        F.col("b.g").alias("ig_nanos"),
+        F.col("a1").alias("left_purchase"),
+        F.col("a2").alias("left_click"),
+        (F.col("n1") - F.col("a1")).alias("right_purchase"),
+        (F.col("n2") - F.col("a2")).alias("right_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit of the token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_zipf_fit",
+    oracle=r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents),
+f AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+r AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+  FROM f),
+pts AS (
+  SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+         round(ln(CAST(cnt AS DOUBLE)), 9) AS y
+  FROM r),
+arr AS (
+  SELECT list_sort(list([x, y])) AS a, count(*) AS n FROM pts),
+folded AS (
+  SELECT n, list_reduce(
+           list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+                        list_transform(a, p -> [p[1], p[2], 0.0, 0.0, 0.0])),
+           (acc, e) -> [acc[1] + e[1], acc[2] + e[2],
+                        acc[3] + e[1] * e[1], acc[4] + e[2] * e[2],
+                        acc[5] + e[1] * e[2]]) AS s
+  FROM arr)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       (CAST(n AS DOUBLE) * s[5] - s[1] * s[2])
+         / (CAST(n AS DOUBLE) * s[3] - s[1] * s[1]) AS zipf_slope,
+       ((CAST(n AS DOUBLE) * s[5] - s[1] * s[2])
+          * (CAST(n AS DOUBLE) * s[5] - s[1] * s[2]))
+         / ((CAST(n AS DOUBLE) * s[3] - s[1] * s[1])
+            * (CAST(n AS DOUBLE) * s[4] - s[2] * s[2])) AS r2
+FROM folded
+""",
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token rank-frequency curve: OLS of
+    ln(freq) on ln(rank); the slope estimates −s (natural text sits
+    near −1) and R² says how Zipfian the corpus is — the one-number
+    naturalness check for a synthetic or heavily-filtered corpus
+    (a flat slope or low R² flags templated/artificial text), next to
+    `token_frequencies` (the head of the same curve) and
+    `gopher_quality_flags` (per-doc heuristics).
+
+    Determinism: ranks are total-ordered (count desc, token asc); both
+    logs are rounded ONCE to 9dp (ln differs in the last ulp across
+    engines); the OLS power sums then run as a position-ordered fold
+    over the (x, y)-sorted point list so both engines execute identical
+    IEEE adds; the closed form is fixed-order.
+
+    Scale: the token collapse is vocabulary-bounded; the rank window
+    and the fold run over that bounded set, never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    f = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    r = f.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .alias("rnk"),
+    )
+    pts = r.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),
+    )
+    arr = pts.agg(
+        F.sort_array(F.collect_list(F.array("x", "y"))).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    folded = arr.select(
+        "n",
+        F.expr(
+            """
+aggregate(a, array(CAST(0.0 AS DOUBLE), 0.0D, 0.0D, 0.0D, 0.0D),
+          (acc, e) -> array(acc[0] + e[0], acc[1] + e[1],
+                            acc[2] + e[0] * e[0], acc[3] + e[1] * e[1],
+                            acc[4] + e[0] * e[1]))
+""".strip()
+        ).alias("s"),
+    )
+    nD = F.col("n").cast("double")
+    sx, sy = F.col("s").getItem(0), F.col("s").getItem(1)
+    sxx, syy, sxy = (
+        F.col("s").getItem(2),
+        F.col("s").getItem(3),
+        F.col("s").getItem(4),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        ((nD * sxy - sx * sy) / (nD * sxx - sx * sx)).alias("zipf_slope"),
+        (
+            ((nD * sxy - sx * sy) * (nD * sxy - sx * sy))
+            / ((nD * sxx - sx * sx) * (nD * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman revenue concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hhi_revenue_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t, count(*) AS k FROM rev),
+arr AS (
+  SELECT t, k, list(cents ORDER BY cents DESC, n_name) AS a FROM rev, tot
+  GROUP BY t, k),
+fold AS (
+  SELECT k, a, t, list_reduce(
+           list_prepend([0.0], list_transform(a, c -> [
+             (CAST(c AS DOUBLE) / t) * (CAST(c AS DOUBLE) / t)])),
+           (acc, e) -> [acc[1] + e[1]])[1] AS hhi
+  FROM arr)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(a[1] AS DOUBLE) / t AS top_share,
+       hhi,
+       1.0 / k AS hhi_floor
+FROM fold
+""",
+)
+def hhi_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of revenue concentration across
+    customer nations: HHI = Σ share² (1/k = perfectly even, 1 =
+    single-market), with the top market's share alongside — the
+    market-structure single number next to `customer_spend_gini`'s
+    customer-level inequality (and the same statistic audits corpus
+    token-count concentration across sources). US antitrust rule of
+    thumb: HHI > 0.25 is 'highly concentrated'.
+
+    Determinism: per-nation revenue is an exact-decimal sum carried as
+    integer CENTS; shares are exact-input divisions; the Σ share² runs
+    as a position-ordered fold over the (cents desc, name)-sorted
+    bounded group list, so both engines add identical doubles in
+    identical order.
+
+    Scale: orders collapse map-side through the broadcast dimension
+    ladder into ≤25 nation rows; everything after is in-row."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("cents")
+        )
+    )
+    tot = rev.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    arr = rev.join(F.broadcast(tot)).groupBy("t", "k").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(-cents AS nc, n_name, "
+            "cents))), x -> x.cents)"
+        ).alias("a")
+    )
+    fold = arr.select(
+        "k",
+        "a",
+        "t",
+        F.expr(
+            "aggregate(a, CAST(0.0 AS DOUBLE), (acc, c) -> acc + "
+            "(CAST(c AS DOUBLE) / t) * (CAST(c AS DOUBLE) / t))"
+        ).alias("hhi"),
+    )
+    return fold.select(
+        F.col("k").cast("long").alias("n_groups"),
+        (F.col("a").getItem(0).cast("double") / F.col("t")).alias("top_share"),
+        "hhi",
+        (F.lit(1.0) / F.col("k")).alias("hhi_floor"),
     )

@@ -289,3 +289,101 @@ def test_forecast_backtest_matches_python(spark, sf_dir):
         else ("seasonal_naive" if msn <= mses else "ses")
     )
     assert r.best_method == best
+
+
+def _round_half_away(x):
+    return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+
+def test_best_split_matches_python(spark, sf_dir):
+    t = _events(sf_dir, ["event_type", "value"])
+    c1, c2 = Counter(), Counter()
+    for ty, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        if ty == "purchase":
+            c1[v] += 1
+        elif ty == "click":
+            c2[v] += 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+
+    def ent(a, b):
+        tot = a + b
+        out = 0.0
+        for k in (a, b):
+            frac = float(k) / tot
+            if frac != 0.0:
+                out += -frac * math.log(frac)
+        return out
+
+    tot = n1 + n2
+    parent = -(n1 / tot) * math.log(n1 / tot) - (n2 / tot) * math.log(n2 / tot)
+    a1 = a2 = 0
+    best = None
+    for v in sorted(set(c1) | set(c2)):
+        a1 += c1.get(v, 0)
+        a2 += c2.get(v, 0)
+        nl, nr = a1 + a2, (n1 - a1) + (n2 - a2)
+        if nl == 0 or nr == 0:
+            continue
+        gain = parent - (nl / tot) * ent(a1, a2) - (nr / tot) * ent(
+            n1 - a1, n2 - a2
+        )
+        key = (_round_half_away(gain * 1e9), -v)
+        if best is None or key > best[0]:
+            best = (key, v, a1, a2)
+    from ecommerce_lakehouse_spark.queries.stats2 import best_split_infogain
+
+    r = best_split_infogain(spark, sf_dir).collect()[0]
+    assert r.split_value == best[1]
+    assert r.ig_nanos == best[0][0]
+    assert (r.left_purchase, r.left_click) == (best[2], best[3])
+    assert (r.right_purchase, r.right_click) == (n1 - best[2], n2 - best[3])
+
+
+def test_hhi_matches_python(spark, sf_dir):
+    import pyarrow.parquet as _pq
+
+    orders = _pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = _pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = _pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    c2n = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    nk2name = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    cents = Counter()
+    for ck, p in zip(
+        orders.column("o_custkey").to_pylist(),
+        orders.column("o_totalprice").to_pylist(),
+    ):
+        cents[nk2name[c2n[ck]]] += int(Decimal(str(p)).quantize(Decimal("0.01")) * 100)
+    t = sum(cents.values())
+    order = sorted(cents.items(), key=lambda kv: (-kv[1], kv[0]))
+    hhi = 0.0
+    for _, cts in order:
+        hhi += (float(cts) / t) * (float(cts) / t)
+    from ecommerce_lakehouse_spark.queries.stats2 import hhi_revenue_concentration
+
+    r = hhi_revenue_concentration(spark, sf_dir).collect()[0]
+    assert r.n_groups == len(cents)
+    assert r.top_share == float(order[0][1]) / t
+    assert r.hhi == hhi
+
+
+def test_zipf_fit_sane(spark, sf_dir):
+    """Slope is negative (frequency falls with rank), R^2 in [0,1], and
+    n equals the corpus vocabulary size."""
+    from ecommerce_lakehouse_spark.queries.stats2 import token_zipf_fit
+
+    r = token_zipf_fit(spark, sf_dir).collect()[0]
+    assert r.zipf_slope < 0.0
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.n_tokens > 10
