@@ -80,34 +80,66 @@ WITH s AS (
   SELECT count(*) AS n,
          min(l_extendedprice) AS min_price,
          max(l_extendedprice) AS max_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS smsq
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS DOUBLE) AS smc,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+           AS smsq_i
   FROM lineitem
+),
+s2 AS (
+  -- exact 2^53-safe double render: both engines split the exact integer
+  -- into <2^53 parts and recombine in the SAME order (a raw
+  -- int128->double cast is engine-dependent beyond 2^53)
+  SELECT n, min_price, max_price, smc,
+         CAST(smsq_i // 100000000 AS DOUBLE) * 100000000.0
+           + CAST(smsq_i % 100000000 AS DOUBLE) AS smsqc
+  FROM s
 )
 SELECT min_price, max_price,
-       sm / n AS avg_price,
-       sqrt((smsq - sm * sm / n) / (n - 1)) AS stddev_price,
+       (smc / n) / 100.0 AS avg_price,
+       sqrt((smsqc - smc * smc / n) / (n - 1)) / 100.0 AS stddev_price,
        n AS n_rows
-FROM s
+FROM s2
 """,
 )
 def column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 column profiling (reference docs/data_quality.md:249-255):
-    min/max/avg/stddev in one agg pass."""
+    min/max/avg/stddev in one agg pass.
+
+    Moments accumulate as exact integer CENTS (BIGINT / DECIMAL(38,0))
+    and only scale-0 values are ever cast to double: casting a
+    scale>0 decimal is NOT cross-engine safe at large magnitude —
+    DuckDB converts int128->double then divides by 10^scale (two
+    roundings) while Spark's BigDecimal cast rounds once, and the sf0.1
+    sum of squares (~6.6e15 at scale 4) was the first value big enough
+    to diverge in the last ulp. The /100 rescale happens in double,
+    identically ordered in both engines."""
     li = load(spark, sf_dir, "lineitem")
+    cents = (dec2("l_extendedprice") * 100).cast("long")
     agg = li.agg(
         F.count("*").alias("n"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.sum(dec2("l_extendedprice")).cast("double").alias("sm"),
-        F.sum(dec2("l_extendedprice") * dec2("l_extendedprice")).cast("double").alias("smsq"),
+        F.sum(cents).cast("double").alias("smc"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("smsq_i"),
+    ).withColumn(
+        "smsqc",
+        F.expr(
+            "CAST(smsq_i DIV 100000000 AS DOUBLE) * 100000000.0"
+            " + CAST(smsq_i % 100000000 AS DOUBLE)"
+        ),
     )
     return agg.select(
         "min_price",
         "max_price",
-        (F.col("sm") / F.col("n")).alias("avg_price"),
-        F.sqrt(
-            (F.col("smsq") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)
+        ((F.col("smc") / F.col("n")) / F.lit(100.0)).alias("avg_price"),
+        (
+            F.sqrt(
+                (F.col("smsqc") - F.col("smc") * F.col("smc") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / F.lit(100.0)
         ).alias("stddev_price"),
         F.col("n").alias("n_rows"),
     )
