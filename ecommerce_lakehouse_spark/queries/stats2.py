@@ -1232,3 +1232,103 @@ def hhi_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hhi",
         (F.lit(1.0) / F.col("k")).alias("hhi_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) operator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_customer_skyline",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1),
+sp AS (SELECT cents, max(cnt) AS mx FROM cust GROUP BY 1),
+d AS (
+  SELECT cents, mx,
+         max(mx) OVER (ORDER BY cents DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS suf
+  FROM sp)
+SELECT c.o_custkey AS c_custkey,
+       CAST(c.cents AS DOUBLE) / 100.0 AS total_spend,
+       c.cnt AS n_orders
+FROM cust c JOIN d USING (cents)
+WHERE c.cnt = d.mx AND d.mx > COALESCE(d.suf, -1)
+ORDER BY c.cents DESC, c.o_custkey
+""",
+)
+def pareto_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of customers over (lifetime spend,
+    order count): customers not dominated in BOTH dimensions — the
+    classic database skyline operator (Börzsönyi et al. 2001) Spark has
+    no native form of, and the segmentation answer 'who are the
+    frontier customers?' that top-k by one measure cannot give.
+    Dominance: p dominates q iff p >= q in both dims and > in at least
+    one; ties on both dims keep both.
+
+    Distributed form — the 2D skyline sweep decomposes exactly like
+    bucketed_global_row_number: (1) collapse to distinct spend values
+    with the max count per value; (2) the strict-suffix max D(s) =
+    max{count | spend > s} splits into a <=1024-row BUCKET suffix (one
+    bounded window) plus a within-bucket strict suffix (per-bucket
+    windows over ~1/1024 of the distinct values) — buckets are
+    fixed-width on spend, so bucket order is value order and a higher
+    bucket means STRICTLY greater spend; (3) a customer survives iff
+    its count equals its spend-value max and beats D(s). No
+    single-partition window anywhere; the oracle's global-window form
+    is the SPEC, not the plan.
+
+    Determinism: spend is exact integer cents; everything up to the
+    final /100 render is integer comparison."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    from ecommerce_lakehouse_spark.operators.scale import fixed_width_bucket
+
+    stats = cust.agg(
+        F.min("cents").cast("double").alias("vmin"),
+        F.max("cents").cast("double").alias("vmax"),
+    )
+    cb = cust.join(F.broadcast(stats)).withColumn(
+        "b",
+        fixed_width_bucket(
+            F.col("cents").cast("double"), F.col("vmin"), F.col("vmax"), 1024
+        ),
+    ).select("o_custkey", "cents", "cnt", "b")
+    sp = cb.groupBy("b", "cents").agg(F.max("cnt").alias("mx"))
+    bmax = sp.groupBy("b").agg(F.max("mx").alias("bm"))
+    wb = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    bsuf = bmax.select(
+        "b", F.max("bm").over(wb).alias("bsuf")
+    )
+    ww = Window.partitionBy("b").orderBy(F.desc("cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = (
+        sp.withColumn("wsuf", F.max("mx").over(ww))
+        .join(F.broadcast(bsuf), "b")
+        .select(
+            "b",
+            "cents",
+            "mx",
+            F.greatest(
+                F.coalesce("bsuf", F.lit(-1)), F.coalesce("wsuf", F.lit(-1))
+            ).alias("suf"),
+        )
+    )
+    keep = cb.join(d, ["b", "cents"]).filter(
+        (F.col("cnt") == F.col("mx")) & (F.col("mx") > F.col("suf"))
+    )
+    return keep.select(
+        F.col("o_custkey").alias("c_custkey"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("total_spend"),
+        F.col("cnt").alias("n_orders"),
+    ).orderBy(F.desc("total_spend"), "c_custkey")

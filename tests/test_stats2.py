@@ -387,3 +387,31 @@ def test_zipf_fit_sane(spark, sf_dir):
     assert r.zipf_slope < 0.0
     assert 0.0 <= r.r2 <= 1.0
     assert r.n_tokens > 10
+
+
+def test_pareto_skyline_matches_python(spark, sf_dir):
+    t = _orders(sf_dir, ["o_custkey", "o_totalprice"])
+    cents = Counter()
+    cnt = Counter()
+    for ck, p in zip(
+        t.column("o_custkey").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        cents[ck] += int(Decimal(str(p)).quantize(Decimal("0.01")) * 100)
+        cnt[ck] += 1
+    pts = [(cents[c], cnt[c], c) for c in cents]
+    skyline = []
+    for s, k, c in pts:
+        dominated = any(
+            (s2 >= s and k2 >= k and (s2 > s or k2 > k)) for s2, k2, _ in pts
+        )
+        if not dominated:
+            skyline.append((s, k, c))
+    skyline.sort(key=lambda t: (-t[0], t[2]))
+    from ecommerce_lakehouse_spark.queries.stats2 import pareto_customer_skyline
+
+    got = pareto_customer_skyline(spark, sf_dir).collect()
+    assert [(r.c_custkey, r.n_orders) for r in got] == [
+        (c, k) for _, k, c in skyline
+    ]
+    for r, (s, _, _) in zip(got, skyline):
+        assert r.total_spend == float(s) / 100.0
