@@ -90,3 +90,223 @@ def validation_valid_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_valid, 1).otherwise(0)).alias("rejected_rows"),
         F.count("*").alias("total_rows"),
     )
+
+
+@query(
+    "profile_constraint_suggestions",
+    oracle="""
+WITH p AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(o_orderkey) AS BIGINT) AS nn_key,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+         min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+         CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+         array_to_string(list_sort(list(DISTINCT o_orderstatus)), ', ')
+           AS vals_status,
+         CAST(count(o_orderpriority) AS BIGINT) AS nn_pri,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_pri,
+         array_to_string(list_sort(list(DISTINCT o_orderpriority)), ', ')
+           AS vals_pri,
+         CAST(count(o_totalprice) AS BIGINT) AS nn_price,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+         CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+         CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price,
+         CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+         CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn_date,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx_date
+  FROM orders),
+sugg AS (
+  SELECT 'o_orderkey' AS column_name, 'not_null' AS rule,
+         'NOT NULL' AS expression, nd_key AS n_distinct,
+         CAST(n - nn_key AS DOUBLE) / n AS null_frac
+  FROM p WHERE nn_key = n
+  UNION ALL
+  SELECT 'o_orderkey', 'unique', 'UNIQUE', nd_key,
+         CAST(n - nn_key AS DOUBLE) / n
+  FROM p WHERE nd_key = nn_key
+  UNION ALL
+  SELECT 'o_orderkey', 'range',
+         'BETWEEN ' || CAST(mn_key AS VARCHAR) || ' AND '
+                    || CAST(mx_key AS VARCHAR),
+         nd_key, CAST(n - nn_key AS DOUBLE) / n
+  FROM p
+  UNION ALL
+  SELECT 'o_orderstatus', 'not_null', 'NOT NULL', nd_status,
+         CAST(n - nn_status AS DOUBLE) / n
+  FROM p WHERE nn_status = n
+  UNION ALL
+  SELECT 'o_orderstatus', 'allowed_values', 'IN (' || vals_status || ')',
+         nd_status, CAST(n - nn_status AS DOUBLE) / n
+  FROM p WHERE nd_status BETWEEN 2 AND 8
+  UNION ALL
+  SELECT 'o_orderpriority', 'not_null', 'NOT NULL', nd_pri,
+         CAST(n - nn_pri AS DOUBLE) / n
+  FROM p WHERE nn_pri = n
+  UNION ALL
+  SELECT 'o_orderpriority', 'allowed_values', 'IN (' || vals_pri || ')',
+         nd_pri, CAST(n - nn_pri AS DOUBLE) / n
+  FROM p WHERE nd_pri BETWEEN 2 AND 8
+  UNION ALL
+  SELECT 'o_totalprice', 'not_null', 'NOT NULL', nd_price,
+         CAST(n - nn_price AS DOUBLE) / n
+  FROM p WHERE nn_price = n
+  UNION ALL
+  SELECT 'o_totalprice', 'range',
+         'BETWEEN ' || mn_price || ' AND ' || mx_price,
+         nd_price, CAST(n - nn_price AS DOUBLE) / n
+  FROM p
+  UNION ALL
+  SELECT 'o_orderdate', 'not_null', 'NOT NULL', nd_date,
+         CAST(n - nn_date AS DOUBLE) / n
+  FROM p WHERE nn_date = n
+  UNION ALL
+  SELECT 'o_orderdate', 'range',
+         'BETWEEN ' || mn_date || ' AND ' || mx_date,
+         nd_date, CAST(n - nn_date AS DOUBLE) / n
+  FROM p)
+SELECT * FROM sugg ORDER BY column_name, rule
+""",
+)
+def profile_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suggestion (the `analyze -> suggest ->
+    enforce` loop of AWS Deequ / DLT expectations): profile the orders
+    table once and emit the CHECK constraints the data currently
+    satisfies — NOT NULL where no null was seen, UNIQUE where distinct
+    equals row count, IN (...) for low-cardinality categoricals (2-8
+    values, sorted), BETWEEN min AND max for numerics and dates — each
+    with its support metrics (distinct count, null fraction). The
+    output rows are exactly what `LakeTable.add_constraint` accepts,
+    closing the loop with the enforcement engine (quality/rules.py).
+
+    Determinism: every suggestion string is built from exact values
+    rendered through cross-engine-stable types — integers and dates
+    render identically everywhere, and the price range goes through
+    DECIMAL(18,2) (double->string formatting differs between engines
+    and is never used); null fractions are exact-input divisions.
+
+    Scale: one aggregate pass over the table (the distinct counts are
+    the only expand), producing a single profile row; suggestion
+    assembly is row-free conditional projection from that 1-row
+    profile."""
+    o = load(spark, sf_dir, "orders")
+    p = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("o_orderkey").cast("long").alias("nn_key"),
+        F.countDistinct("o_orderkey").cast("long").alias("nd_key"),
+        F.min("o_orderkey").alias("mn_key"),
+        F.max("o_orderkey").alias("mx_key"),
+        F.count("o_orderstatus").cast("long").alias("nn_status"),
+        F.countDistinct("o_orderstatus").cast("long").alias("nd_status"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ", ").alias(
+            "vals_status"
+        ),
+        F.count("o_orderpriority").cast("long").alias("nn_pri"),
+        F.countDistinct("o_orderpriority").cast("long").alias("nd_pri"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ", ").alias(
+            "vals_pri"
+        ),
+        F.count("o_totalprice").cast("long").alias("nn_price"),
+        F.countDistinct("o_totalprice").cast("long").alias("nd_price"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_price"),
+        F.count("o_orderdate").cast("long").alias("nn_date"),
+        F.countDistinct("o_orderdate").cast("long").alias("nd_date"),
+        F.min("o_orderdate").cast("date").cast("string").alias("mn_date"),
+        F.max("o_orderdate").cast("date").cast("string").alias("mx_date"),
+    )
+
+    def nf(nn):
+        return (F.col("n") - F.col(nn)).cast("double") / F.col("n")
+
+    rows = [
+        # (column, rule, expression, n_distinct, null_frac, valid)
+        (
+            "o_orderkey", "not_null", F.lit("NOT NULL"),
+            F.col("nd_key"), nf("nn_key"), F.col("nn_key") == F.col("n"),
+        ),
+        (
+            "o_orderkey", "unique", F.lit("UNIQUE"),
+            F.col("nd_key"), nf("nn_key"), F.col("nd_key") == F.col("nn_key"),
+        ),
+        (
+            "o_orderkey", "range",
+            F.concat(
+                F.lit("BETWEEN "), F.col("mn_key").cast("string"),
+                F.lit(" AND "), F.col("mx_key").cast("string"),
+            ),
+            F.col("nd_key"), nf("nn_key"), F.lit(True),
+        ),
+        (
+            "o_orderstatus", "not_null", F.lit("NOT NULL"),
+            F.col("nd_status"), nf("nn_status"), F.col("nn_status") == F.col("n"),
+        ),
+        (
+            "o_orderstatus", "allowed_values",
+            F.concat(F.lit("IN ("), F.col("vals_status"), F.lit(")")),
+            F.col("nd_status"), nf("nn_status"),
+            F.col("nd_status").between(2, 8),
+        ),
+        (
+            "o_orderpriority", "not_null", F.lit("NOT NULL"),
+            F.col("nd_pri"), nf("nn_pri"), F.col("nn_pri") == F.col("n"),
+        ),
+        (
+            "o_orderpriority", "allowed_values",
+            F.concat(F.lit("IN ("), F.col("vals_pri"), F.lit(")")),
+            F.col("nd_pri"), nf("nn_pri"), F.col("nd_pri").between(2, 8),
+        ),
+        (
+            "o_totalprice", "not_null", F.lit("NOT NULL"),
+            F.col("nd_price"), nf("nn_price"), F.col("nn_price") == F.col("n"),
+        ),
+        (
+            "o_totalprice", "range",
+            F.concat(
+                F.lit("BETWEEN "), F.col("mn_price"),
+                F.lit(" AND "), F.col("mx_price"),
+            ),
+            F.col("nd_price"), nf("nn_price"), F.lit(True),
+        ),
+        (
+            "o_orderdate", "not_null", F.lit("NOT NULL"),
+            F.col("nd_date"), nf("nn_date"), F.col("nn_date") == F.col("n"),
+        ),
+        (
+            "o_orderdate", "range",
+            F.concat(
+                F.lit("BETWEEN "), F.col("mn_date"),
+                F.lit(" AND "), F.col("mx_date"),
+            ),
+            F.col("nd_date"), nf("nn_date"), F.lit(True),
+        ),
+    ]
+    sugg = p.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.lit(r).alias("rule"),
+                        e.alias("expression"),
+                        nd.alias("n_distinct"),
+                        frac.alias("null_frac"),
+                        valid.alias("valid"),
+                    )
+                    for (c, r, e, nd, frac, valid) in rows
+                ]
+            )
+        ).alias("s")
+    )
+    return (
+        sugg.filter(F.col("s.valid"))
+        .select(
+            F.col("s.column_name").alias("column_name"),
+            F.col("s.rule").alias("rule"),
+            F.col("s.expression").alias("expression"),
+            F.col("s.n_distinct").alias("n_distinct"),
+            F.col("s.null_frac").alias("null_frac"),
+        )
+        .orderBy("column_name", "rule")
+    )

@@ -415,3 +415,40 @@ def test_pareto_skyline_matches_python(spark, sf_dir):
     ]
     for r, (s, _, _) in zip(got, skyline):
         assert r.total_spend == float(s) / 100.0
+
+
+def test_constraint_suggestions_close_the_loop(spark, sf_dir, tmp_path):
+    """The emitted suggestions are enforceable: feed the o_totalprice
+    range suggestion into LakeTable.add_constraint and confirm a write
+    violating it is refused while conforming rows commit."""
+    from ecommerce_lakehouse_spark.lake.table import (
+        ConstraintViolationError,
+        LakeTable,
+    )
+    from ecommerce_lakehouse_spark.queries.quality import (
+        profile_constraint_suggestions,
+    )
+
+    rows = {
+        (r.column_name, r.rule): r
+        for r in profile_constraint_suggestions(spark, sf_dir).collect()
+    }
+    assert ("o_orderkey", "unique") in rows
+    assert rows[("o_orderstatus", "allowed_values")].expression.startswith("IN (")
+    rng = rows[("o_totalprice", "range")]
+    lo, hi = rng.expression.replace("BETWEEN ", "").split(" AND ")
+    t = LakeTable(spark, str(tmp_path / "sugg"))
+    t.overwrite(spark.createDataFrame([(1, float(lo))], "k int, o_totalprice double"))
+    t.add_constraint("price_range", f"o_totalprice BETWEEN {lo} AND {hi}")
+    import pytest as _pytest
+
+    with _pytest.raises(ConstraintViolationError):
+        t.append(
+            spark.createDataFrame(
+                [(2, float(hi) * 10)], "k int, o_totalprice double"
+            )
+        )
+    t.append(spark.createDataFrame([(3, float(hi))], "k int, o_totalprice double"))
+    assert t.read().count() == 2
+    for r in rows.values():
+        assert r.null_frac == 0.0
