@@ -1332,3 +1332,99 @@ def pareto_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / F.lit(100.0)).alias("total_spend"),
         F.col("cnt").alias("n_orders"),
     ).orderBy(F.desc("total_spend"), "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal forecast interval
+# ---------------------------------------------------------------------------
+
+_CF_H = 12  # calibration window (last H one-step naive residuals)
+_CF_RANK = 11  # ceil((H+1) * (1 - alpha)) with alpha = 1/6: ceil(13 * 5/6)
+
+
+@query(
+    "conformal_forecast_interval",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({{'month': month, 'rev': revenue}})),
+                        x -> x.rev) AS a,
+         max(month) AS last_month,
+         count(*) AS n
+  FROM m),
+res AS (
+  SELECT a, last_month, n,
+         list_sort(list_transform(range(n - {_CF_H} + 1, n + 1),
+                                  t -> abs(a[t] - a[t - 1]))) AS r
+  FROM arr)
+SELECT CAST(last_month + to_months(1) AS DATE) AS forecast_month,
+       a[n] AS point_forecast,
+       a[n] - r[{_CF_RANK}] AS lower_bound,
+       a[n] + r[{_CF_RANK}] AS upper_bound,
+       r[{_CF_RANK}] AS q_resid,
+       CAST({_CF_H} AS BIGINT) AS n_calibration
+FROM res
+""",
+)
+def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for next month's revenue
+    around the naive (last-value) forecast: calibrate on the last 12
+    one-step absolute residuals |y_t − y_{t−1}|, take the k-th smallest
+    with k = ceil((H+1)(1−α)) = 11 (H = 12, α = 1/6 — per conformal
+    theory the interval then covers with probability ≥ 1 − α under
+    exchangeability, NO distributional assumption), and report
+    [point − q, point + q]. This is the distribution-free uncertainty
+    the point-forecast family (`forecast_backtest_mae` picks the model;
+    this wraps honest error bars around it) — the modern default for
+    production forecast monitoring (Vovk et al.; split-conformal per
+    Lei et al. 2018).
+
+    Determinism: residuals are differences of exact-2dp doubles; the
+    calibration quantile is pure SELECTION on the sorted residual list
+    (k is a shared literal); the interval arithmetic is two fixed-order
+    adds. No rounding anywhere.
+
+    Scale: corpus → one exact-decimal row per month map-side; the
+    residual list and selection live inside one task."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(month, revenue)))"
+            ", x -> x.revenue)"
+        ).alias("a"),
+        F.max("month").alias("last_month"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    h, k = _CF_H, _CF_RANK
+    res = arr.select(
+        "a",
+        "last_month",
+        "n",
+        F.expr(
+            f"sort_array(transform(sequence(n - {h}, n - 1), "
+            f"t -> abs(a[t] - a[t - 1])))"
+        ).alias("r"),
+    )
+    return res.select(
+        F.add_months("last_month", 1).alias("forecast_month"),
+        F.element_at("a", F.col("n").cast("int")).alias("point_forecast"),
+        (
+            F.element_at("a", F.col("n").cast("int")) - F.element_at("r", k)
+        ).alias("lower_bound"),
+        (
+            F.element_at("a", F.col("n").cast("int")) + F.element_at("r", k)
+        ).alias("upper_bound"),
+        F.element_at("r", k).alias("q_resid"),
+        F.lit(h).cast("long").alias("n_calibration"),
+    )

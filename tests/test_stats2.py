@@ -452,3 +452,24 @@ def test_constraint_suggestions_close_the_loop(spark, sf_dir, tmp_path):
     assert t.read().count() == 2
     for r in rows.values():
         assert r.null_frac == 0.0
+
+
+def test_conformal_interval_matches_python(spark, sf_dir):
+    series = _monthly_revenue(sf_dir)
+    ys = [y for _, y in series]
+    n = len(ys)
+    resid = sorted(abs(ys[t] - ys[t - 1]) for t in range(n - 12, n))
+    q = resid[10]  # k = 11, 1-indexed
+    from ecommerce_lakehouse_spark.queries.stats2 import conformal_forecast_interval
+
+    r = conformal_forecast_interval(spark, sf_dir).collect()[0]
+    assert r.point_forecast == ys[-1]
+    assert r.q_resid == q
+    assert r.lower_bound == ys[-1] - q
+    assert r.upper_bound == ys[-1] + q
+    assert r.n_calibration == 12
+    last = series[-1][0]
+    assert (r.forecast_month.year, r.forecast_month.month) == (
+        last.year + (1 if last.month == 12 else 0),
+        1 if last.month == 12 else last.month + 1,
+    )
