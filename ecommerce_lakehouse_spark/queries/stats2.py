@@ -30,6 +30,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ecommerce_lakehouse_spark.money import dec2
+from ecommerce_lakehouse_spark.operators.scale import (
+    bucketed_global_row_number,
+    ntile_from_rank,
+)
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -1427,4 +1431,82 @@ def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("upper_bound"),
         F.element_at("r", k).alias("q_resid"),
         F.lit(h).cast("long").alias("n_calibration"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spend-quartile migration matrix
+# ---------------------------------------------------------------------------
+
+_MIG_SPLIT = "1996-01-01 00:00:00"
+
+
+@query(
+    "segment_migration_matrix",
+    oracle=f"""
+WITH p1 AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_MIG_SPLIT}' GROUP BY 1),
+p2 AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_MIG_SPLIT}' GROUP BY 1),
+s1 AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS seg
+  FROM p1),
+s2 AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS seg
+  FROM p2),
+j AS (
+  SELECT COALESCE(s1.seg, 0) AS seg_before, COALESCE(s2.seg, 0) AS seg_after
+  FROM s1 FULL OUTER JOIN s2 USING (o_custkey))
+SELECT seg_before, seg_after, CAST(count(*) AS BIGINT) AS n_customers
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quartile migration matrix between the pre- and
+    post-1996 halves of the order history: segment each period's active
+    customers into spend quartiles (1 = top), code customers absent
+    from a period as 0, and count every (before, after) transition —
+    the retention/upsell movement report behind 'how many Q1 whales
+    slipped to Q3?', and the companion view to `rfm_segments` (a
+    snapshot) and `cohort_retention` (presence only — this tracks VALUE
+    movement).
+
+    Scale: each period's quartile assignment is the bucketed two-pass
+    global rank + closed-form ntile (never a single-partition NTILE
+    window — the oracle's window form is the spec); the two segment
+    tables then meet in ONE full outer join on customer key, and the
+    output collapses to the bounded 5x5 matrix.
+
+    Determinism: spends are exact decimal sums; rank tiebreak is
+    customer key; everything else is integer counting."""
+    o = load(spark, sf_dir, "orders")
+
+    def seg_table(pred, out_col):
+        p = o.filter(pred).groupBy("o_custkey").agg(
+            F.sum(dec2("o_totalprice")).alias("spend")
+        )
+        ranked = bucketed_global_row_number(
+            p.localCheckpoint(eager=False),
+            -F.col("spend").cast("double"),
+            [F.desc("spend"), F.asc("o_custkey")],
+            buckets=1024,
+        )
+        return ranked.withColumn(
+            out_col, ntile_from_rank(F.col("rn"), F.col("n"), 4)
+        ).select("o_custkey", out_col)
+
+    s1 = seg_table(F.col("o_orderdate") < _MIG_SPLIT, "seg1")
+    s2 = seg_table(F.col("o_orderdate") >= _MIG_SPLIT, "seg2")
+    j = s1.join(s2, "o_custkey", "full_outer").select(
+        F.coalesce("seg1", F.lit(0)).alias("seg_before"),
+        F.coalesce("seg2", F.lit(0)).alias("seg_after"),
+    )
+    return (
+        j.groupBy("seg_before", "seg_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("seg_before", "seg_after")
     )

@@ -473,3 +473,42 @@ def test_conformal_interval_matches_python(spark, sf_dir):
         last.year + (1 if last.month == 12 else 0),
         1 if last.month == 12 else last.month + 1,
     )
+
+
+def test_segment_migration_matches_python(spark, sf_dir):
+    from datetime import datetime as _dt
+
+    t = _orders(sf_dir, ["o_custkey", "o_totalprice", "o_orderdate"])
+    split = _dt(1996, 1, 1)
+    p1, p2 = Counter(), Counter()
+    for ck, p, d in zip(
+        t.column("o_custkey").to_pylist(),
+        t.column("o_totalprice").to_pylist(),
+        t.column("o_orderdate").to_pylist(),
+    ):
+        cents = Decimal(str(p)).quantize(Decimal("0.01"))
+        (p1 if d < split else p2)[ck] += cents
+
+    def ntile4(spend_by_cust):
+        order = sorted(spend_by_cust.items(), key=lambda kv: (-kv[1], kv[0]))
+        n = len(order)
+        q, rem = divmod(n, 4)
+        segs = {}
+        for i, (ck, _) in enumerate(order, start=1):
+            if i <= rem * (q + 1):
+                segs[ck] = -(-i // (q + 1))
+            else:
+                segs[ck] = rem + (-(-(i - rem * (q + 1)) // q))
+        return segs
+
+    s1, s2 = ntile4(p1), ntile4(p2)
+    mat = Counter(
+        (s1.get(ck, 0), s2.get(ck, 0)) for ck in set(s1) | set(s2)
+    )
+    from ecommerce_lakehouse_spark.queries.stats2 import segment_migration_matrix
+
+    got = {
+        (r.seg_before, r.seg_after): r.n_customers
+        for r in segment_migration_matrix(spark, sf_dir).collect()
+    }
+    assert got == dict(mat)
