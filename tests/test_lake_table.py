@@ -2215,3 +2215,37 @@ def test_restore_change_feed_diff(spark, tbl):
     rows = {(r.k, r._change_type) for r in cdf.collect()}
     # the rolled-back delete surfaces as a re-insert
     assert rows == {(1, "insert")}
+
+
+# ---------------------------------------------------------------------------
+# Partition evolution across versions (Iceberg-parity behavior)
+# ---------------------------------------------------------------------------
+
+
+def test_partition_evolution_across_versions(spark, tbl):
+    """Overwrite may change the partition scheme (partition evolution);
+    each version's manifest pins its own scheme, so time travel serves
+    old vintages under the old layout while appends are validated
+    against the CURRENT scheme only."""
+    tbl.overwrite(_df(spark, [(1, "a", "x"), (2, "b", "y")]), partition_by=["part"])
+    tbl.append(_df(spark, [(3, "c", "x")]))                          # v2, part-scheme
+    tbl.overwrite(_df(spark, [(4, "d", "z")]), partition_by=["v"])   # v3, v-scheme
+    assert tbl._manifest(1)["partition_by"] == ["part"]
+    assert tbl._manifest(3)["partition_by"] == ["v"]
+    assert {r.k for r in tbl.read().collect()} == {4}
+    assert {r.k for r in tbl.read(version=2).collect()} == {1, 2, 3}
+    # appends now validate against the NEW scheme; reads of old versions
+    # still reconstruct the old hive layout
+    tbl.append(_df(spark, [(5, "d", "w")]))
+    assert {r.k for r in tbl.read().collect()} == {4, 5}
+
+
+def test_restore_rolls_back_partition_scheme(spark, tbl):
+    tbl.overwrite(_df(spark, [(1, "a", "x")]), partition_by=["part"])  # v1
+    tbl.overwrite(_df(spark, [(2, "b", "y")]), partition_by=["v"])     # v2
+    v = tbl.restore(1)                                                 # v3
+    assert tbl._manifest(v)["partition_by"] == ["part"]
+    assert {(r.k, r.part) for r in tbl.read().collect()} == {(1, "x")}
+    # post-restore append validates against the restored scheme
+    tbl.append(_df(spark, [(6, "e", "x")]))
+    assert tbl.read().count() == 2
