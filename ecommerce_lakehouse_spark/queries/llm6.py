@@ -1155,3 +1155,78 @@ def trigram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+@query(
+    "dsir_effective_sample_size",
+    oracle=_DSIR_CTE
+    + """,
+logw AS (
+  SELECT f.doc_id, CAST(sum(f.c * lr.l) AS BIGINT) AS lw
+  FROM feat f JOIN lr USING (b)
+  WHERE f.lang <> 'en'
+  GROUP BY f.doc_id),
+mx AS (SELECT max(lw) AS m FROM logw),
+wq AS (
+  SELECT doc_id,
+         CAST(round(exp(CAST(lw - m AS DOUBLE) / 1e9) * 1e9) AS BIGINT) AS w
+  FROM logw, mx),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(w AS HUGEINT)) AS DOUBLE) AS sw,
+         CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE) AS sw2
+  FROM wq)
+SELECT n AS n_docs,
+       (sw * sw) / sw2 AS ess,
+       ((sw * sw) / sw2) / CAST(n AS DOUBLE) AS ess_ratio
+FROM s
+""",
+)
+def dsir_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights, ESS =
+    (Σw)²/Σw² (Kong 1992) — THE degeneracy diagnostic for importance
+    resampling: ess_ratio near 1 means the reweighting is gentle, near
+    1/n means a handful of documents dominate and the resampled corpus
+    (`dsir_gumbel_resample`) is effectively tiny. This is the audit a
+    data-selection pipeline runs BEFORE trusting the resample budget.
+
+    Determinism: per-doc log-weights are the exact BIGINT nano sums of
+    `dsir_importance_scores`; weights are self-normalized by the MAX
+    log-weight (a 1-row broadcast) so exp() stays in (0, 1], and each
+    weight — the only transcendental — is rounded ONCE into integer
+    nanos (weights below 0.5e-9 of the max quantize to 0: an explicit,
+    documented floor far below any ESS-relevant mass). The two power
+    sums accumulate exactly (DECIMAL(38,0)); the closed form is two
+    fixed-order divisions.
+
+    Scale: inherits the DSIR shape — fixed 256-bucket model broadcast,
+    one per-doc aggregate; the ESS itself is a 1-row reduction."""
+    feat, lr = _dsir_feat_lr(spark, sf_dir)
+    logw = (
+        feat.filter(F.col("lang") != "en")
+        .join(F.broadcast(lr), on="b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("l")).cast("long").alias("lw"))
+    )
+    mx = logw.agg(F.max("lw").alias("m"))
+    wq = logw.join(F.broadcast(mx)).select(
+        "doc_id",
+        F.round(
+            F.exp((F.col("lw") - F.col("m")).cast("double") / F.lit(1e9)) * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    big = "decimal(38,0)"
+    s = wq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("w").cast(big)).cast("double").alias("sw"),
+        F.sum(F.col("w").cast(big) * F.col("w")).cast("double").alias("sw2"),
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        ((F.col("sw") * F.col("sw")) / F.col("sw2")).alias("ess"),
+        (
+            ((F.col("sw") * F.col("sw")) / F.col("sw2")) / F.col("n").cast("double")
+        ).alias("ess_ratio"),
+    )

