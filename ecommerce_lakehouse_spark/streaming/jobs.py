@@ -20,6 +20,7 @@ exactly-once upsert when paired with checkpointing + idempotent MERGE keys.
 
 from __future__ import annotations
 
+import math
 import os
 
 import pyspark.sql.functions as F
@@ -563,6 +564,88 @@ def stream_apply_changes_scd2(
         .option("startingVersion", "earliest")
         .load()
         .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_drift_monitor(
+    events: DataFrame,
+    reference_bins: dict[int, int],
+    log_root: str,
+    checkpoint_dir: str,
+    psi_alert_nanos: int = 100_000_000,  # PSI > 0.1: "investigate"
+):
+    """Streaming input-drift monitor: the streaming face of
+    `psi_value_drift` (queries/experiment.py). The event stream's value
+    distribution is aggregated into the SAME fixed equal-width bins
+    (width 50, clamped at 9 — fixed edges are what makes a drift score
+    comparable across time), and every micro-batch appends one row to a
+    tailable LakeTable log: cumulative count, the PSI of the
+    stream-so-far vs the frozen ``reference_bins`` profile, and an
+    alert flag once PSI crosses the 0.1 'investigate' threshold.
+
+    Mechanics: a complete-mode streaming aggregation keeps the
+    cumulative per-bin counts as Spark-managed state (map-side partial
+    aggregation; state is <=10 rows regardless of volume); foreachBatch
+    receives the full histogram each trigger, computes PSI with the
+    batch query's exact arithmetic (Laplace-smoothed shares, each
+    ln-term rounded once into integer nanos, exact integer total), and
+    commits the log row with the Delta txn pattern — a replayed batch
+    after a crash is detected via last_txn and skipped, so the log is
+    exactly-once.
+
+    The batch/stream contract (tested): after draining the second-half
+    events against a first-half reference, the final logged psi_nanos
+    equals `psi_value_drift`'s total exactly."""
+    import pyspark.sql.functions as F
+
+    log = LakeTable(events.sparkSession, log_root)
+    app_id = f"drift-monitor:{log_root}"
+    ref = dict(reference_bins)
+
+    binned = events.groupBy(
+        F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("long")).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cur = {int(r.bin): int(r.c) for r in batch_df.collect()}  # <=10 rows
+        if not cur:
+            return
+        if log.exists():
+            last = log.last_txn(app_id)
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch
+        bins = sorted(set(ref) | set(cur))
+        n1, n2, k = sum(ref.values()), sum(cur.values()), len(bins)
+        total = 0
+        for b in bins:
+            p = float(ref.get(b, 0) + 1) / float(n1 + k)
+            q = float(cur.get(b, 0) + 1) / float(n2 + k)
+            x = (p - q) * math.log(p / q) * 1e9
+            total += int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+        row = log.spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(n2),
+                    int(total),
+                    float(total) / 1e9,
+                    bool(total > psi_alert_nanos),
+                )
+            ],
+            "batch_id bigint, n_seen bigint, psi_nanos bigint, "
+            "psi double, alert boolean",
+        )
+        if log.exists():
+            log.append(row, txn={"app_id": app_id, "version": int(batch_id)})
+        else:
+            log.overwrite(row, txn={"app_id": app_id, "version": int(batch_id)})
+
+    return (
+        binned.writeStream.outputMode("complete")
+        .foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
