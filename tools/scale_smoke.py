@@ -86,6 +86,13 @@ QUERIES = [
     # sizes and the candidate pair count) unchanged — only the member
     # expansion grows
     "semantic_cluster_dups",
+    # Matryoshka recall audit: brute-force over the corpus with a
+    # broadcast query side — wall time ~linear in K, and the prefix
+    # variants are in-row slices (no extra shuffle to grow)
+    "matryoshka_prefix_recall",
+    # label centroids: map-side collapse to (label x 64 dims) regardless
+    # of K — wall time ~flat, the collapse IS the scale argument
+    "label_centroid_similarity",
 ]
 
 _BOILERPLATE = (
