@@ -432,7 +432,7 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = _knn_fn(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
-    joined = pre.join(knn, ["query_id", "neighbor_id"], "left")
+    joined = pre.join(F.broadcast(knn), ["query_id", "neighbor_id"], "left")
     return (
         joined.groupBy(F.col("m").alias("prefix_dim"))
         .agg(
