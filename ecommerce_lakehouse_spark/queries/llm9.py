@@ -555,3 +555,183 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
         ).alias("centroid_cosine"),
     ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# NDCG audit of the LSH ANN ranking
+# ---------------------------------------------------------------------------
+
+# Position discounts 1/log2(p+1) and the ideal DCG for gains 10..1, as
+# repr literals so both engines use bit-identical constants.
+_NDCG_K = 10
+_NDCG_DISC = [
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+]
+_NDCG_IDCG = "29.9661092489406"
+
+
+def _ndcg_oracle() -> str:
+    from ecommerce_lakehouse_spark.queries.llm2 import _BUCKET_D, _DIM
+
+    disc_list = "[" + ", ".join(_NDCG_DISC) + "]"
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+              'sum')) AS nrm
+  FROM embeddings),
+bv AS (SELECT vec_id, emb, nrm, ({_BUCKET_D}) AS bucket FROM v),
+q AS (SELECT * FROM bv WHERE vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id, 11 - rn AS g FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_aggregate(list_transform(range(1, {_DIM} + 1),
+                        i -> q.emb[i] * c.emb[i]), 'sum') / (q.nrm * c.nrm)
+               DESC, c.vec_id ASC) AS rn
+    FROM q, v c WHERE c.vec_id != q.vec_id)
+  WHERE rn <= {_NDCG_K}),
+sys AS (
+  SELECT query_id, neighbor_id, rn AS p FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_aggregate(list_transform(range(1, {_DIM} + 1),
+                        i -> q.emb[i] * c.emb[i]), 'sum') / (q.nrm * c.nrm)
+               DESC, c.vec_id ASC) AS rn
+    FROM q JOIN bv c ON q.bucket = c.bucket AND c.vec_id != q.vec_id)
+  WHERE rn <= {_NDCG_K}),
+terms AS (
+  SELECT s.query_id, s.p,
+         CAST(COALESCE(e.g, 0) AS DOUBLE) * ({disc_list})[s.p] AS term
+  FROM sys s LEFT JOIN exact e
+    ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id),
+perq AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS n_ranked,
+         list_reduce(
+           list_prepend([0.0], list_transform(list(term ORDER BY p),
+                                              t -> [t])),
+           (acc, e) -> [acc[1] + e[1]])[1] AS dcg
+  FROM terms GROUP BY 1),
+withn AS (
+  SELECT query_id, n_ranked, dcg, dcg / {_NDCG_IDCG} AS ndcg FROM perq),
+mean AS (
+  SELECT list_reduce(
+           list_prepend([0.0], list_transform(list(ndcg ORDER BY query_id),
+                                              t -> [t])),
+           (acc, e) -> [acc[1] + e[1]])[1] / count(*) AS mean_ndcg
+  FROM withn)
+SELECT w.query_id, w.n_ranked, w.dcg, w.ndcg, m.mean_ndcg
+FROM withn w, mean m ORDER BY w.query_id
+"""
+
+
+@query("ann_ndcg_eval", oracle=_ndcg_oracle())
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the hyperplane-LSH ANN ranking against graded
+    exact-cosine relevance (gain = 11 − exact rank for the true
+    top-10): the POSITION-AWARE index-quality audit that recall@k
+    (`ann_recall_eval`) cannot give — an index that returns the right
+    set in the wrong order scores perfect recall but degraded NDCG.
+    Per-query DCG/NDCG plus the corpus mean; n_ranked < 10 shows
+    queries whose LSH bucket ran out of candidates (their missing
+    positions contribute zero gain — the honest penalty).
+
+    Determinism: position discounts 1/log2(p+1) and the ideal DCG are
+    shared repr literals (bit-identical constants, no engine ever
+    computes a log); gains are integers; each query's DCG and the
+    corpus mean are position-/key-ordered folds of ≤10 doubles, so
+    both engines execute identical IEEE adds. Ranking ties break by
+    neighbor id.
+
+    Scale: inherits the LSH shape — queries broadcast, candidates only
+    within the bucket; the exact side is the knn broadcast pass; the
+    NDCG arithmetic touches queries × 10 rows."""
+    from ecommerce_lakehouse_spark.queries.llm2 import _N_PLANES, _PLANES
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sq = F.aggregate(
+        F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    bucket = None
+    for p in range(_N_PLANES):
+        plane = F.array(*[F.lit(x) for x in _PLANES[p]])
+        dot = F.aggregate(
+            F.zip_with("emb", plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    bv = e.withColumn("nrm", F.sqrt(sq)).withColumn("bucket", bucket)
+    q = bv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    dot_qc = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    exact = (
+        bv.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", dot_qc / (F.col("q_nrm") * F.col("nrm")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NDCG_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (11 - F.col("rn")).alias("g"),
+        )
+    )
+    sysr = (
+        bv.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", dot_qc / (F.col("q_nrm") * F.col("nrm")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NDCG_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("rn").alias("p"))
+    )
+    disc = F.array(*[F.lit(float(d)) for d in _NDCG_DISC])
+    terms = sysr.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "p",
+        (
+            F.coalesce("g", F.lit(0)).cast("double")
+            * F.element_at(disc, F.col("p"))
+        ).alias("term"),
+    )
+    perq = terms.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.expr(
+            "aggregate(transform(sort_array(collect_list(struct(p, term))), "
+            "x -> x.term), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        ).alias("dcg"),
+    )
+    withn = perq.withColumn("ndcg", F.col("dcg") / F.lit(float(_NDCG_IDCG)))
+    mean = withn.agg(
+        (
+            F.expr(
+                "aggregate(transform(sort_array(collect_list(struct(query_id, ndcg))), "
+                "x -> x.ndcg), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_ndcg")
+    )
+    return (
+        withn.join(F.broadcast(mean))
+        .select("query_id", "n_ranked", "dcg", "ndcg", "mean_ndcg")
+        .orderBy("query_id")
+    )

@@ -131,3 +131,30 @@ def _py_round_half_up(x):
     import math as _m
 
     return _m.floor(x + 0.5) if x >= 0 else _m.ceil(x - 0.5)
+
+
+def test_ann_ndcg_bounds_and_consistency(spark, sf_dir):
+    """NDCG in [0,1]; the mean column equals the key-ordered fold of the
+    per-query values; DCG of a perfectly-ordered full ranking would be
+    IDCG (sanity for the constant)."""
+    from ecommerce_lakehouse_spark.queries.llm9 import (
+        _NDCG_DISC,
+        _NDCG_IDCG,
+        ann_ndcg_eval,
+    )
+
+    rows = sorted(ann_ndcg_eval(spark, sf_dir).collect(), key=lambda r: r.query_id)
+    assert rows
+    idcg = float(_NDCG_IDCG)
+    acc = 0.0
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-12
+        assert 1 <= r.n_ranked <= 10
+        assert r.ndcg == r.dcg / idcg
+        acc += r.ndcg
+    assert rows[0].mean_ndcg == acc / len(rows)
+    # the IDCG literal is the fold of gains 10..1 against the discounts
+    expect = 0.0
+    for i, d in enumerate(_NDCG_DISC, start=1):
+        expect += float(11 - i) * float(d)
+    assert abs(expect - idcg) < 1e-9
