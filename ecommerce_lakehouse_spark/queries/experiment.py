@@ -19,6 +19,10 @@ Determinism contract: unit-level metrics are exact integer CENTS
 power sums accumulate in DECIMAL(38,0)/BIGINT; arm assignment is the
 repo's salted-md5 split (md5 is the only cross-engine-identical hash);
 closed forms run in double in the identical order both engines.
+
+Reference parity: the reference has no experimentation surface; this
+module extends the analytics engine beyond it (the same discipline as
+queries/llm8.py's statistics wave).
 """
 
 from __future__ import annotations

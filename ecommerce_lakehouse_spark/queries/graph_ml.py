@@ -21,6 +21,11 @@ Determinism: LPA is pure integer label arithmetic (argmax by exact
 Adamic-Adar's only transcendental (1/ln degree) is rounded ONCE into
 integer nanos per node and summed in BIGINT — the repo-wide discipline
 for iterative/weighted float algorithms (see pagerank_copurchase).
+
+Reference parity: the reference has no graph surface (its co-purchase
+analysis stops at pair counting in docs/analytics examples); link
+prediction and community detection extend the engine's graph family
+beyond it.
 """
 
 from __future__ import annotations

@@ -22,6 +22,11 @@ position-ordered array fold; floats appear only in the final closed-form
 expression, written in the SAME operation order as the DuckDB oracle, so
 IEEE correct rounding makes the doubles bit-identical. Divisions of
 exact inputs are deliberately left unrounded (see money.py::money_avg).
+
+Reference parity: the reference exposes no statistics beyond per-column
+profiling (/root/reference/src/etl_utils.py and docs/data_quality.md
+cover null/range/RI checks only); this module is part of the
+beyond-reference analytics surface SURVEY.md's north star calls for.
 """
 
 from __future__ import annotations
