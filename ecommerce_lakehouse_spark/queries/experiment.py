@@ -450,3 +450,81 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000000.0)
         ).alias("psi_total"),
     ).orderBy("bin")
+
+
+@query(
+    "customer_feature_matrix",
+    oracle="""
+WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+c AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS total_spend,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+           AS avg_order_value,
+         min(CAST(o_orderdate AS DATE)) AS first_d,
+         max(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_urgent
+  FROM orders GROUP BY 1)
+SELECT o_custkey AS c_custkey, n_orders, total_spend, avg_order_value,
+       CAST(date_diff('day', last_d, max_d) AS BIGINT) AS days_since_last,
+       CAST(date_diff('day', first_d, last_d) AS BIGINT) AS days_active,
+       CASE WHEN n_orders >= 2
+            THEN CAST(date_diff('day', first_d, last_d) AS DOUBLE)
+                   / (n_orders - 1)
+            ELSE NULL END AS avg_gap_days,
+       CAST(n_urgent AS DOUBLE) / n_orders AS urgent_rate
+FROM c, mx ORDER BY c_custkey
+""",
+)
+def customer_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer feature assembly — the feature-store face of the
+    engine: one row per customer with the churn/LTV model inputs
+    (order count, exact-decimal lifetime and average spend, recency in
+    days against the corpus max date, tenure, mean inter-order gap,
+    urgent-priority rate) computed in ONE grouped pass. This is the
+    query a training pipeline materializes as a LakeTable and joins to
+    labels; every feature here is already audited piecemeal elsewhere
+    (rfm_segments, event_interarrival_stats, customer_survival_km) —
+    this is the denormalized serving shape.
+
+    Determinism: spends are exact decimal; all rates/gaps are divisions
+    of exact inputs (unrounded by policy); dates render as day diffs
+    against a broadcast 1-row max.
+
+    Scale: one map-side-combined groupBy over orders plus a broadcast
+    scalar — no window, no second shuffle; output is bounded by the
+    customer dimension."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("max_d"))
+    c = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_spend"),
+        (F.sum(dec2("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_order_value"
+        ),
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_urgent"),
+    )
+    j = c.join(F.broadcast(mx))
+    return j.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "n_orders",
+        "total_spend",
+        "avg_order_value",
+        F.datediff("max_d", "last_d").cast("long").alias("days_since_last"),
+        F.datediff("last_d", "first_d").cast("long").alias("days_active"),
+        F.when(
+            F.col("n_orders") >= 2,
+            F.datediff("last_d", "first_d").cast("double")
+            / (F.col("n_orders") - 1),
+        ).alias("avg_gap_days"),
+        (F.col("n_urgent").cast("double") / F.col("n_orders")).alias("urgent_rate"),
+    ).orderBy("c_custkey")

@@ -1515,3 +1515,168 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
         .orderBy("seg_before", "seg_after")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (additive, period 12)
+# ---------------------------------------------------------------------------
+
+
+def _ma12_terms(idx: str, elem: str) -> str:
+    """Centered 13-term MA-12 sum, written term-by-term so BOTH engines
+    add in the identical left-to-right order. ``elem`` is a format
+    template rendering the series value at offset expression {o}."""
+    parts = []
+    for off in range(-6, 7):
+        o = f"{idx} - {-off}" if off < 0 else (f"{idx} + {off}" if off > 0 else idx)
+        term = elem.format(o=o)
+        if off in (-6, 6):
+            term = f"0.5 * {term}"
+        parts.append(term)
+    return " + ".join(parts)
+
+
+def _seasonal_oracle() -> str:
+    trend = _ma12_terms("t", "a[{o}].rev")
+    return f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS rev
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_sort(list({{'month': month, 'rev': rev}})) AS a,
+         count(*) AS n
+  FROM m),
+wtr AS (
+  SELECT a, n, list_transform(range(1, n + 1),
+           t -> CASE WHEN t >= 7 AND t <= n - 6
+                THEN ({trend}) / 12.0 END) AS tr
+  FROM arr),
+wsea AS (
+  SELECT a, n, tr, list_transform(range(1, 13), mm ->
+    list_reduce(
+      list_prepend([0.0, 0.0], list_transform(range(1, n + 1), t ->
+        CASE WHEN month(a[t].month) = mm AND tr[t] IS NOT NULL
+             THEN [a[t].rev - tr[t], 1.0] ELSE [0.0, 0.0] END)),
+      (acc, e) -> [acc[1] + e[1], acc[2] + e[2]])) AS sc
+  FROM wtr),
+wmean AS (
+  SELECT a, n, tr,
+         list_transform(sc, x -> x[1] / x[2]) AS sraw,
+         list_reduce(
+           list_prepend([0.0], list_transform(sc, x -> [x[1] / x[2]])),
+           (acc, e) -> [acc[1] + e[1]])[1] / 12.0 AS smean
+  FROM wsea),
+rows_ AS (
+  SELECT unnest(list_transform(range(1, n + 1), t -> {{
+    'month': a[t].month,
+    'revenue': a[t].rev,
+    'trend': tr[t],
+    'seasonal': sraw[month(a[t].month)] - smean,
+    'resid': CASE WHEN tr[t] IS NOT NULL
+             THEN (a[t].rev - tr[t])
+                  - (sraw[month(a[t].month)] - smean) END}})) AS u
+  FROM wmean)
+SELECT u.month, u.revenue, u.trend, u.seasonal, u.resid FROM rows_
+"""
+
+
+@query("seasonal_decompose_monthly", oracle=_seasonal_oracle())
+def seasonal_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue
+    (the statsmodels `seasonal_decompose` / X-11 ancestor): trend =
+    centered 13-term MA-12 (half-weight endpoints), seasonal = per
+    calendar-month mean of the detrended series re-centered to sum to
+    zero, residual = what neither explains. The decomposition answers
+    the question `forecast_backtest_mae` raises when seasonal-naive
+    wins: HOW seasonal is the series, month by month — and the residual
+    is the input a control chart or CUSUM should monitor instead of the
+    raw series.
+
+    Determinism: the 13-term MA sum is written term-by-term so both
+    engines add in identical left-to-right order (a builder emits the
+    same expression for both); the per-calendar-month sums, the
+    seasonal re-centering fold, and every subtraction are
+    position-ordered; monthly revenues are exact-decimal renders.
+    Trend/residual are NULL at the 6-month edges — honest, not imputed.
+
+    Scale: the corpus collapses map-side to one exact row per month;
+    the entire decomposition is in-row arithmetic over the bounded
+    month array (~12n ops for the seasonal pass, n = months — calendar
+    bounded at any corpus size)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    arr = m.agg(
+        F.sort_array(F.collect_list(F.struct("month", "rev"))).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    trend = _ma12_terms("t", "element_at(a, CAST({o} AS INT)).rev")
+    wtr = arr.select(
+        "a",
+        "n",
+        F.expr(
+            f"transform(sequence(1, n), t -> "
+            f"CASE WHEN t >= 7 AND t <= n - 6 "
+            f"THEN ({trend}) / 12.0 END)"
+        ).alias("tr"),
+    )
+    wsea = wtr.select(
+        "a",
+        "n",
+        "tr",
+        F.expr(
+            """
+transform(sequence(1, 12), mm ->
+  aggregate(sequence(1, n),
+    named_struct('s', CAST(0.0 AS DOUBLE), 'c', CAST(0.0 AS DOUBLE)),
+    (acc, t) -> CASE
+      WHEN month(element_at(a, CAST(t AS INT)).month) = mm
+           AND element_at(tr, CAST(t AS INT)) IS NOT NULL
+      THEN named_struct('s', acc.s + (element_at(a, CAST(t AS INT)).rev
+                                      - element_at(tr, CAST(t AS INT))),
+                        'c', acc.c + 1.0)
+      ELSE acc END))
+""".strip()
+        ).alias("sc"),
+    )
+    wmean = wsea.select(
+        "a",
+        "n",
+        "tr",
+        F.expr("transform(sc, x -> x.s / x.c)").alias("sraw"),
+        F.expr(
+            "aggregate(sc, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x.s / x.c) / 12.0"
+        ).alias("smean"),
+    )
+    rows = wmean.select(
+        F.explode(
+            F.expr(
+                """
+transform(sequence(1, n), t -> named_struct(
+  'month', element_at(a, CAST(t AS INT)).month,
+  'revenue', element_at(a, CAST(t AS INT)).rev,
+  'trend', element_at(tr, CAST(t AS INT)),
+  'seasonal', element_at(sraw, month(element_at(a, CAST(t AS INT)).month)) - smean,
+  'resid', CASE WHEN element_at(tr, CAST(t AS INT)) IS NOT NULL
+           THEN (element_at(a, CAST(t AS INT)).rev - element_at(tr, CAST(t AS INT)))
+                - (element_at(sraw, month(element_at(a, CAST(t AS INT)).month)) - smean)
+           END))
+""".strip()
+            )
+        ).alias("u")
+    )
+    return rows.select(
+        F.col("u.month").alias("month"),
+        F.col("u.revenue").alias("revenue"),
+        F.col("u.trend").alias("trend"),
+        F.col("u.seasonal").alias("seasonal"),
+        F.col("u.resid").alias("resid"),
+    )

@@ -512,3 +512,47 @@ def test_segment_migration_matches_python(spark, sf_dir):
         for r in segment_migration_matrix(spark, sf_dir).collect()
     }
     assert got == dict(mat)
+
+
+def test_seasonal_decompose_matches_python(spark, sf_dir):
+    series = _monthly_revenue(sf_dir)
+    ys = [y for _, y in series]
+    months = [m for m, _ in series]
+    n = len(ys)
+    tr = [None] * n
+    for t in range(6, n - 6):
+        acc = 0.5 * ys[t - 6]
+        for off in range(-5, 6):
+            acc += ys[t + off]
+        acc += 0.5 * ys[t + 6]
+        tr[t] = acc / 12.0
+    sc = {}
+    for mm in range(1, 13):
+        s = c = 0.0
+        for t in range(n):
+            if months[t].month == mm and tr[t] is not None:
+                s += ys[t] - tr[t]
+                c += 1.0
+        sc[mm] = (s, c)
+    sraw = {mm: s / c for mm, (s, c) in sc.items()}
+    smean = 0.0
+    for mm in range(1, 13):
+        smean += sc[mm][0] / sc[mm][1]
+    smean /= 12.0
+    from ecommerce_lakehouse_spark.queries.stats2 import seasonal_decompose_monthly
+
+    got = {r.month: r for r in seasonal_decompose_monthly(spark, sf_dir).collect()}
+    assert len(got) == n
+    seas_sum = 0.0
+    for t, m in enumerate(months):
+        r = got[m]
+        assert r.revenue == ys[t]
+        assert r.trend == tr[t]
+        assert r.seasonal == sraw[m.month] - smean
+        if tr[t] is None:
+            assert r.resid is None
+        else:
+            assert r.resid == (ys[t] - tr[t]) - (sraw[m.month] - smean)
+    for mm in range(1, 13):
+        seas_sum += sraw[mm] - smean
+    assert abs(seas_sum) < 1e-6  # re-centering: seasonal sums to ~0
