@@ -528,3 +528,93 @@ def customer_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_gap_days"),
         (F.col("n_urgent").cast("double") / F.col("n_orders")).alias("urgent_rate"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+  FROM orders GROUP BY 1),
+sized AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY 1),
+rev AS (
+  SELECT f.cohort,
+         CAST(date_diff('month', f.cohort,
+              CAST(date_trunc('month', o.o_orderdate) AS DATE)) AS BIGINT)
+           AS age,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS m_rev
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, age,
+         CAST(round(sum(m_rev) OVER (
+           PARTITION BY cohort ORDER BY age), 2) AS DOUBLE) AS cum_revenue
+  FROM rev)
+SELECT c.cohort, c.age, s.cohort_size, c.cum_revenue,
+       c.cum_revenue / s.cohort_size AS ltv_per_customer
+FROM cum c JOIN sized s USING (cohort)
+WHERE c.age <= 11
+ORDER BY c.cohort, c.age
+""",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue per cohort tracked over the first 12
+    months of age, normalized per cohort member — the VALUE companion
+    to `cohort_retention`'s presence matrix (two cohorts can retain
+    identically while one monetizes 3x) and the curve a payback-period
+    decision reads directly.
+
+    Determinism: monthly cohort revenue is an exact decimal sum; the
+    cumulative is a window over the decimal domain rounded once at 2dp;
+    per-customer normalization is an exact-input division (unrounded).
+
+    Scale: one broadcast-joinable firsts table (customer dimension),
+    one (cohort, age) collapse with map-side combine, and the running
+    sum windows over ages WITHIN a cohort (≤ calendar months per
+    partition — bounded by construction)."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.to_date(F.date_trunc("month", "o_orderdate"))).alias("cohort")
+    )
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.to_date(F.date_trunc("month", "o_orderdate")), F.col("cohort")
+            )
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(F.sum(dec2("o_totalprice")).alias("m_rev"))
+    )
+    from pyspark.sql import Window as _W
+
+    cum = rev.select(
+        "cohort",
+        "age",
+        F.round(
+            F.sum("m_rev").over(_W.partitionBy("cohort").orderBy("age")), 2
+        )
+        .cast("double")
+        .alias("cum_revenue"),
+    )
+    return (
+        cum.join(F.broadcast(sized), "cohort")
+        .filter(F.col("age") <= 11)
+        .select(
+            "cohort",
+            "age",
+            "cohort_size",
+            "cum_revenue",
+            (F.col("cum_revenue") / F.col("cohort_size")).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age")
+    )

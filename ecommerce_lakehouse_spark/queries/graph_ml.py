@@ -244,3 +244,82 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("n_members"), "community")
     )
+
+
+@query(
+    "copurchase_degree_profile",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES},
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+hist AS (
+  SELECT dg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY 1),
+mle AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN dg >= 2
+                  THEN CAST(round(ln(CAST(dg AS DOUBLE) / 2.0) * 1000000000)
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS lsum,
+         CAST(sum(CASE WHEN dg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS ntail
+  FROM deg)
+SELECT h.degree, h.n_nodes, m.n AS total_nodes,
+       CASE WHEN m.lsum > 0
+            THEN 1.0 + CAST(m.ntail AS DOUBLE)
+                         / (CAST(m.lsum AS DOUBLE) / 1000000000.0)
+       END AS powerlaw_alpha
+FROM hist h, mle m ORDER BY h.degree
+""",
+)
+def copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the support>=2 co-purchase graph plus the
+    continuous power-law MLE exponent alpha = 1 + n_tail / Σ ln(d/dmin)
+    (Clauset-Shalizi-Newman 2009, dmin = 2): the shape diagnostic every
+    graph-algorithm cost model starts from — a heavy power-law tail is
+    what makes unthresholded wedge joins explode (the
+    triangle_copurchase lesson), and alpha quantifies it.
+
+    Determinism: the histogram is exact integer counting; each node's
+    ln(d/2) — the only transcendental — is rounded ONCE into integer
+    nanos and summed in BIGINT; alpha is a fixed-order double closed
+    form over the exact totals.
+
+    Scale: degrees come from one collapse of the symmetric edge list;
+    the histogram is bounded by the distinct-degree domain; the MLE is
+    a 1-row aggregate broadcast onto it."""
+    _, adj = _support2_graph(spark, sf_dir)
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    hist = deg.groupBy(F.col("dg").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    mle = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("dg") >= 2,
+                F.round(
+                    F.log(F.col("dg").cast("double") / F.lit(2.0))
+                    * F.lit(1000000000)
+                )
+                .cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("lsum"),
+        F.sum(F.when(F.col("dg") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("ntail"),
+    )
+    return (
+        hist.join(F.broadcast(mle))
+        .select(
+            "degree",
+            "n_nodes",
+            F.col("n").alias("total_nodes"),
+            F.when(
+                F.col("lsum") > 0,
+                F.lit(1.0)
+                + F.col("ntail").cast("double")
+                / (F.col("lsum").cast("double") / F.lit(1000000000.0)),
+            ).alias("powerlaw_alpha"),
+        )
+        .orderBy("degree")
+    )

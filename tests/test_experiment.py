@@ -133,3 +133,44 @@ def test_psi_matches_python(spark, sf_dir):
             terms[r.bin],
         )
         assert r.psi_total == total
+
+
+def test_cohort_ltv_matches_python(spark, sf_dir):
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    firsts = {}
+    rows = list(
+        zip(
+            t.column("o_custkey").to_pylist(),
+            t.column("o_totalprice").to_pylist(),
+            t.column("o_orderdate").to_pylist(),
+        )
+    )
+    for ck, _p, d in rows:
+        m = d.date().replace(day=1)
+        if ck not in firsts or m < firsts[ck]:
+            firsts[ck] = m
+    size = Counter(firsts.values())
+    rev = defaultdict(Decimal)
+    for ck, p, d in rows:
+        m = d.date().replace(day=1)
+        c = firsts[ck]
+        age = (m.year - c.year) * 12 + (m.month - c.month)
+        rev[(c, age)] += Decimal(str(p)).quantize(Decimal("0.01"))
+    expect = {}
+    for c in size:
+        cum = Decimal(0)
+        for age in sorted(a for (cc, a) in rev if cc == c):
+            cum += rev[(c, age)]
+            if age <= 11:
+                expect[(c, age)] = float(cum)
+    from ecommerce_lakehouse_spark.queries.experiment import cohort_ltv_curve
+
+    got = cohort_ltv_curve(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert r.cum_revenue == expect[(r.cohort, r.age)]
+        assert r.cohort_size == size[r.cohort]
+        assert r.ltv_per_customer == r.cum_revenue / r.cohort_size

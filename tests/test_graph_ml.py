@@ -96,3 +96,26 @@ def test_adamic_adar_excludes_existing_edges(spark, sf_dir):
         assert (r.part_a, r.part_b) not in edges
         assert r.part_a < r.part_b
         assert r.n_common >= 1
+
+
+def test_degree_profile_matches_python(spark, sf_dir):
+    _, adj = _graph(sf_dir)
+    degs = {z: len(nbrs) for z, nbrs in adj.items()}
+    hist = Counter(degs.values())
+    lsum = 0
+    ntail = 0
+    for d in degs.values():
+        if d >= 2:
+            x = math.log(float(d) / 2.0) * 1e9
+            lsum += int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+            ntail += 1
+    alpha = (
+        1.0 + float(ntail) / (float(lsum) / 1e9) if lsum > 0 else None
+    )
+    from ecommerce_lakehouse_spark.queries.graph_ml import copurchase_degree_profile
+
+    got = copurchase_degree_profile(spark, sf_dir).collect()
+    assert {(r.degree, r.n_nodes) for r in got} == set(hist.items())
+    for r in got:
+        assert r.total_nodes == len(degs)
+        assert r.powerlaw_alpha == alpha
