@@ -556,3 +556,50 @@ def test_seasonal_decompose_matches_python(spark, sf_dir):
     for mm in range(1, 13):
         seas_sum += sraw[mm] - smean
     assert abs(seas_sum) < 1e-6  # re-centering: seasonal sums to ~0
+
+
+def test_mwu_rank_sum_identity(spark, sf_dir):
+    """U1 + U2 = n1*n2 (the rank-sum identity) — recomputing U2 from the
+    swapped-group rank sums must complement the query's U1 exactly."""
+    t = _events(sf_dir, ["event_type", "value"])
+    g1, g2 = [], []
+    for ty, v in zip(
+        t.column("event_type").to_pylist(), t.column("value").to_pylist()
+    ):
+        if ty == "purchase":
+            g1.append(v)
+        elif ty == "click":
+            g2.append(v)
+    comb = Counter(g1) + Counter(g2)
+    c2 = Counter(g2)
+    n1, n2 = len(g1), len(g2)
+    cum = 0
+    r2x2 = 0
+    for v in sorted(comb):
+        m = comb[v]
+        cum += m
+        r2x2 += c2.get(v, 0) * (2 * cum - m + 1)
+    u2x2 = r2x2 - n2 * (n2 + 1)
+    from ecommerce_lakehouse_spark.queries.stats2 import mann_whitney_u
+
+    r = mann_whitney_u(spark, sf_dir).collect()[0]
+    assert r.u1_x2 + u2x2 == 2 * n1 * n2
+
+
+def test_ks_within_bounds_vs_mwu_direction(spark, sf_dir):
+    """KS D dominates the normalized rank-shift it must explain: the
+    trivial bound D >= |mean ECDF gap| holds, and both statistics are
+    finite on real data."""
+    from ecommerce_lakehouse_spark.queries.stats2 import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    ks = ks_two_sample(spark, sf_dir).collect()[0]
+    mwu = mann_whitney_u(spark, sf_dir).collect()[0]
+    assert 0.0 < ks.ks_d <= 1.0
+    assert math.isfinite(mwu.z_score)
+    # U1/(n1*n2) is P(X>Y)+0.5P(X=Y); |that - 0.5| <= D (stochastic bound)
+    u1 = mwu.u1_x2 / 2.0
+    auc = u1 / (float(mwu.n1) * float(mwu.n2))
+    assert abs(auc - 0.5) <= ks.ks_d + 1e-12
