@@ -650,3 +650,127 @@ def stream_drift_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_heavy_hitters(
+    orders: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    max_candidates: int = 4096,
+):
+    """Streaming heavy hitters via a MERGEABLE count-min sketch — the
+    streaming face of `cms_heavy_hitters` (queries/llm6.py) and the
+    canonical sketches-at-scale story: CMS cells are pure counters, so
+    per-batch increments fold into the state by ADDITION, and the
+    streamed sketch is bit-identical to one built over the whole corpus
+    in batch (tested). State is two LakeTables under ``state_root``:
+    ``cells`` (depth x width counters — fixed 4096 rows at ANY volume)
+    and ``cand`` (the tracked heavy-hitter candidate keys with their
+    current sketch estimate, capped at ``max_candidates`` by
+    (estimate desc, key) — the SpaceSaving-style companion CMS needs
+    because a sketch alone cannot enumerate keys).
+
+    Exactly-once: both tables commit with the Delta txn pattern keyed
+    by batch id; a replayed micro-batch is skipped on the cells fold
+    (the non-idempotent addition) and recomputes identically on the
+    candidate overwrite.
+
+    Hashing matches the batch query exactly (md5(f"{i}|{key}") % width),
+    so estimates agree across engines, retries and partitionings."""
+    import pyspark.sql.functions as F
+
+    spark = orders.sparkSession
+    cells_t = LakeTable(spark, os.path.join(state_root, "cells"))
+    cand_t = LakeTable(spark, os.path.join(state_root, "cand"))
+    app = f"hh:{state_root}"
+
+    def bucket(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("o_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        if keys.isEmpty():
+            return
+        inc = (
+            keys.select(
+                "o_custkey",
+                "cnt",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).cast("long").alias("i"),
+                                bucket(i).alias("b"),
+                            )
+                            for i in range(depth)
+                        ]
+                    )
+                ).alias("ib"),
+            )
+            .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("cell"))
+        )
+        if cells_t.exists():
+            if (cells_t.last_txn(app) or -1) >= batch_id:
+                return  # replayed micro-batch: already folded
+            merged = (
+                cells_t.read()
+                .unionByName(inc)
+                .groupBy("i", "b")
+                .agg(F.sum("cell").cast("long").alias("cell"))
+            )
+            cells_t.overwrite(merged, txn={"app_id": app, "version": int(batch_id)})
+        else:
+            cells_t.overwrite(inc, txn={"app_id": app, "version": int(batch_id)})
+        # candidate set: prior candidates + this batch's keys, re-estimated
+        # against the UPDATED sketch, kept to the top max_candidates
+        prior = (
+            cand_t.read().select("o_custkey")
+            if cand_t.exists()
+            else spark.createDataFrame([], "o_custkey bigint")
+        )
+        cand_keys = prior.unionByName(keys.select("o_custkey")).distinct()
+        probes = cand_keys.select(
+            "o_custkey",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("long").alias("i"), bucket(i).alias("b")
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("ib"),
+        ).select("o_custkey", F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        est = (
+            probes.join(F.broadcast(cells_t.read()), on=["i", "b"])
+            .groupBy("o_custkey")
+            .agg(F.min("cell").cast("long").alias("est_cnt"))
+            .orderBy(F.desc("est_cnt"), "o_custkey")
+            .limit(max_candidates)
+        )
+        cand_t.overwrite(est, txn={"app_id": app, "version": int(batch_id)})
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

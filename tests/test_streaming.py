@@ -479,3 +479,93 @@ def test_stream_drift_monitor_matches_batch_psi(spark, sf_dir, tmp_path):
     q2 = stream_drift_monitor(stream, ref_bins, log_root, ckpt)
     q2.awaitTermination(60)
     assert log.read().count() == len(rows)
+
+
+def test_stream_heavy_hitters_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Mergeability is the claim: streaming the orders table in two
+    micro-batches must leave CMS cells BIT-IDENTICAL to one batch build,
+    and the streamed top-20 estimates must equal cms_heavy_hitters'."""
+    import os
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.queries.llm6 import cms_heavy_hitters
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_heavy_hitters
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    t = _pq.read_table(src, columns=["o_custkey"])
+    spool = tmp_path / "orders_spool"
+    spool.mkdir()
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(0, half), str(spool / "a.parquet"))
+    _pq.write_table(t.slice(half), str(spool / "b.parquet"))
+    stream = (
+        spark.readStream.schema("o_custkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "hh_state")
+    ckpt = str(tmp_path / "hh_ckpt")
+    q = stream_heavy_hitters(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    batch = {
+        r.o_custkey: (r.exact_cnt, r.est_cnt)
+        for r in cms_heavy_hitters(spark, sf_dir).collect()
+    }
+    cand = LakeTable(spark, os.path.join(state, "cand")).read().collect()
+    streamed = {r.o_custkey: r.est_cnt for r in cand}
+    # top-20 of the batch query must be present with identical estimates
+    for k, (_exact, est) in batch.items():
+        assert streamed.get(k) == est
+    # cells additivity: streamed sketch == batch-built sketch, cell by cell
+    import pyspark.sql.functions as F
+
+    exact = spark.read.parquet(src).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+    def bucket(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("o_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    bcells = (
+        exact.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).cast("long").alias("i"), bucket(i).alias("b"))
+                        for i in range(4)
+                    ]
+                )
+            ).alias("ib"),
+        )
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+    got_cells = {
+        (r.i, r.b): r.cell
+        for r in LakeTable(spark, os.path.join(state, "cells")).read().collect()
+    }
+    want_cells = {(r.i, r.b): r.cell for r in bcells.collect()}
+    assert got_cells == want_cells
+    # exactly-once: restart with the same checkpoint adds nothing
+    v_before = LakeTable(spark, os.path.join(state, "cells")).current_version()
+    q2 = stream_heavy_hitters(stream, state, ckpt)
+    q2.awaitTermination(60)
+    assert (
+        LakeTable(spark, os.path.join(state, "cells")).current_version()
+        == v_before
+    )
