@@ -158,3 +158,19 @@ def test_ann_ndcg_bounds_and_consistency(spark, sf_dir):
     for i, d in enumerate(_NDCG_DISC, start=1):
         expect += float(11 - i) * float(d)
     assert abs(expect - idcg) < 1e-9
+
+
+def test_multiprobe_dominates_single(spark, sf_dir):
+    """Multi-probe candidates strictly contain the single-bucket set, so
+    recall and candidate count can only go up; hits never exceed the
+    judged set size."""
+    from ecommerce_lakehouse_spark.queries.llm9 import lsh_multiprobe_recall
+
+    rows = {r.mode: r for r in lsh_multiprobe_recall(spark, sf_dir).collect()}
+    assert set(rows) == {"single", "multi"}
+    s, m = rows["single"], rows["multi"]
+    assert m.n_candidates >= s.n_candidates
+    assert m.recall_at_5 >= s.recall_at_5
+    for r in (s, m):
+        assert 0 <= r.n_hits <= r.n_pairs
+        assert r.recall_at_5 == r.n_hits / r.n_pairs
