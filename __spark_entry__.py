@@ -40,6 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotation history: r02 gated the relational/gold core, r03 the lakehouse
 # DML + dedup families, r04 the TPC-H tail + round-4 features (each
 # round's _FIRST held only names never gated before, plus a few anchors).
+#
+# NEXT ROTATION (r06): the 31 queries added after this window was frozen
+# have never been driver-gated — ks_two_sample, spearman_rank_corr,
+# kendall_tau_b, revenue_trend_ols, holt_linear_forecast, mann_whitney_u,
+# revenue_theil_sen, forecast_backtest_mae, conformal_forecast_interval,
+# seasonal_decompose_monthly, cuped_adjusted_lift, did_revenue_effect,
+# event_overdispersion, psi_value_drift, adamic_adar_links,
+# label_propagation_communities, copurchase_degree_profile,
+# matryoshka_prefix_recall, label_centroid_similarity, ann_ndcg_eval,
+# lsh_multiprobe_recall, best_split_infogain, token_zipf_fit,
+# hhi_revenue_concentration, pareto_customer_skyline,
+# segment_migration_matrix, cohort_ltv_curve, customer_feature_matrix,
+# profile_constraint_suggestions, restore_table_snapshot,
+# dsir_effective_sample_size — they are the r06 window core (31 + up to
+# 19 anchors/representatives = one 50-slot window).
 _FIRST = [
     # Round-5 rotation (VERDICT r04 item #1): ALL 44 queries the driver has
     # never gated (union of CORRECTNESS_r01-r04 covers the other 143) enter
