@@ -1680,3 +1680,223 @@ transform(sequence(1, n), t -> named_struct(
         F.col("u.seasonal").alias("seasonal"),
         F.col("u.resid").alias("resid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the revenue direction sequence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_runs_test",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS rev
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({'month': month, 'rev': rev})),
+                        x -> x.rev) AS a, count(*) AS n
+  FROM m),
+signs AS (
+  SELECT n, list_transform(range(2, n + 1),
+           t -> CASE WHEN a[t] > a[t - 1] THEN 1 ELSE 0 END) AS s
+  FROM arr),
+cnt AS (
+  SELECT n,
+         CAST(len(s) AS BIGINT) AS n_moves,
+         CAST(list_sum(s) AS BIGINT) AS n_up,
+         CAST(len(s) - list_sum(s) AS BIGINT) AS n_down,
+         CAST(1 + list_sum(list_transform(range(2, len(s) + 1),
+              t -> CASE WHEN s[t] <> s[t - 1] THEN 1 ELSE 0 END))
+              AS BIGINT) AS n_runs
+  FROM signs),
+z AS (
+  SELECT n_moves, n_up, n_down, n_runs,
+         1.0 + (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE))
+               / CAST(n_moves AS DOUBLE) AS mu,
+         ((2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE))
+            * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               - CAST(n_moves AS DOUBLE)))
+           / (CAST(n_moves AS DOUBLE) * CAST(n_moves AS DOUBLE)
+              * (CAST(n_moves AS DOUBLE) - 1.0)) AS var
+  FROM cnt)
+SELECT n_moves, n_up, n_down, n_runs,
+       (CAST(n_runs AS DOUBLE) - mu) / sqrt(var) AS z_score
+FROM z
+""",
+)
+def revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the monthly revenue DIRECTION
+    sequence (up/down moves): too few runs = trending/sticky, too many
+    = oscillating, |z| small = direction looks random — the
+    model-free randomness check that says whether the forecasting
+    family (`exp_smoothing_revenue`, `holt_linear_forecast`) has any
+    structure to exploit at all, before fitting anything.
+
+    Determinism: directions and run boundaries are exact integer
+    comparisons of exact-2dp revenue renders; the normal-approximation
+    z is one fixed-order closed form from exact counts. Ties
+    (equal consecutive months) count as 'down' by the documented
+    convention — exact either way.
+
+    Scale: corpus → one row per month map-side; the direction sequence
+    and run counting are in-row folds over the bounded month array."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("rev")
+    )
+    arr = m.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(month, rev))), x -> x.rev)"
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    signs = arr.select(
+        "n",
+        F.expr(
+            "transform(sequence(2, CAST(n AS INT)), "
+            "t -> CASE WHEN element_at(a, t) > element_at(a, t - 1) "
+            "THEN 1 ELSE 0 END)"
+        ).alias("s"),
+    )
+    cnt = signs.select(
+        F.size("s").cast("long").alias("n_moves"),
+        F.expr("aggregate(s, 0L, (acc, x) -> acc + x)").cast("long").alias("n_up"),
+        (
+            F.size("s") - F.expr("aggregate(s, 0L, (acc, x) -> acc + x)")
+        )
+        .cast("long")
+        .alias("n_down"),
+        (
+            1
+            + F.expr(
+                "aggregate(transform(sequence(2, size(s)), "
+                "t -> CASE WHEN element_at(s, t) <> element_at(s, t - 1) "
+                "THEN 1 ELSE 0 END), 0L, (acc, x) -> acc + x)"
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    )
+    nm = F.col("n_moves").cast("double")
+    nu, nd = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    mu = F.lit(1.0) + (F.lit(2.0) * nu * nd) / nm
+    var = ((F.lit(2.0) * nu * nd) * (F.lit(2.0) * nu * nd - nm)) / (
+        nm * nm * (nm - F.lit(1.0))
+    )
+    return cnt.select(
+        "n_moves",
+        "n_up",
+        "n_down",
+        "n_runs",
+        ((F.col("n_runs").cast("double") - mu) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto 80/15/5) inventory classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "abc_part_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(cents) AS HUGEINT) AS t FROM rev),
+ranked AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum
+  FROM rev),
+classed AS (
+  SELECT l_partkey, cents,
+         CASE WHEN CAST(cum AS HUGEINT) * 100 <= t * 80 THEN 'A'
+              WHEN CAST(cum AS HUGEINT) * 100 <= t * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked, tot)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(round(CAST(sum(cents) AS DECIMAL(38,0)) / 100, 2) AS DOUBLE)
+         AS class_revenue,
+       CAST(sum(cents) AS DOUBLE) / CAST(t AS DOUBLE) AS revenue_share
+FROM classed, tot GROUP BY abc_class, t ORDER BY abc_class
+""",
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank parts by
+    lifetime revenue, class A = the head covering the first 80% of
+    cumulative revenue, B = next 15%, C = the tail — the inventory-
+    policy segmentation (count A parts daily, C parts yearly) and the
+    concentration view `hhi_revenue_concentration` summarizes to one
+    number. Class boundaries are exact integer comparisons
+    (cum·100 ≤ total·k), never a float share.
+
+    Scale: the cumulative rank uses the bucketed two-pass device —
+    bucket the per-part revenue, per-bucket windows plus bounded bucket
+    offsets reconstruct the exact global running sum (the oracle's
+    global window is the spec, not the plan); output collapses to 3
+    classes.
+
+    Determinism: revenue is exact integer cents; the rank tiebreak is
+    part key; shares are exact-input divisions (HUGEINT/DECIMAL(38,0)
+    headroom on the cum·100 products)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(dec2("l_extendedprice")) * 100).cast("long").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("decimal(38,0)").alias("t"))
+    from ecommerce_lakehouse_spark.operators.scale import fixed_width_bucket
+
+    stats = rev.agg(
+        F.min(-F.col("cents")).cast("double").alias("vmin"),
+        F.max(-F.col("cents")).cast("double").alias("vmax"),
+    )
+    # bucket on DESC revenue (negated) so bucket order == rank order
+    rb = rev.join(F.broadcast(stats)).withColumn(
+        "b",
+        fixed_width_bucket(
+            (-F.col("cents")).cast("double"), F.col("vmin"), F.col("vmax"), 1024
+        ),
+    )
+    bsum = rb.groupBy("b").agg(F.sum("cents").cast("decimal(38,0)").alias("bs"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bsum.select(
+        "b", F.coalesce(F.sum("bs").over(wb), F.lit(0).cast("decimal(38,0)")).alias("boff")
+    )
+    ww = Window.partitionBy("b").orderBy(F.desc("cents"), F.asc("l_partkey"))
+    cum = (
+        rb.join(F.broadcast(boff), "b")
+        .withColumn("wcum", F.sum("cents").over(ww).cast("decimal(38,0)"))
+        .withColumn("cum", (F.col("boff") + F.col("wcum")).cast("decimal(38,0)"))
+    )
+    classed = cum.join(F.broadcast(tot)).select(
+        "l_partkey",
+        "cents",
+        "t",
+        F.when(F.col("cum") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class", "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("cents").cast("decimal(38,0)") / 100, 2)
+            .cast("double")
+            .alias("class_revenue"),
+            (
+                F.sum("cents").cast("double") / F.col("t").cast("double")
+            ).alias("revenue_share"),
+        )
+        .select("abc_class", "n_parts", "class_revenue", "revenue_share")
+        .orderBy("abc_class")
+    )

@@ -603,3 +603,57 @@ def test_ks_within_bounds_vs_mwu_direction(spark, sf_dir):
     u1 = mwu.u1_x2 / 2.0
     auc = u1 / (float(mwu.n1) * float(mwu.n2))
     assert abs(auc - 0.5) <= ks.ks_d + 1e-12
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    series = _monthly_revenue(sf_dir)
+    ys = [y for _, y in series]
+    s = [1 if ys[t] > ys[t - 1] else 0 for t in range(1, len(ys))]
+    n_moves, n_up = len(s), sum(s)
+    n_down = n_moves - n_up
+    n_runs = 1 + sum(1 for t in range(1, len(s)) if s[t] != s[t - 1])
+    nm, nu, nd = float(n_moves), float(n_up), float(n_down)
+    mu = 1.0 + (2.0 * nu * nd) / nm
+    var = ((2.0 * nu * nd) * (2.0 * nu * nd - nm)) / (nm * nm * (nm - 1.0))
+    z = (float(n_runs) - mu) / math.sqrt(var)
+    from ecommerce_lakehouse_spark.queries.stats2 import revenue_runs_test
+
+    r = revenue_runs_test(spark, sf_dir).collect()[0]
+    assert (r.n_moves, r.n_up, r.n_down, r.n_runs) == (
+        n_moves,
+        n_up,
+        n_down,
+        n_runs,
+    )
+    assert r.z_score == z
+
+
+def test_abc_matches_python(spark, sf_dir):
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice"],
+    )
+    cents = Counter()
+    for pk, p in zip(
+        t.column("l_partkey").to_pylist(), t.column("l_extendedprice").to_pylist()
+    ):
+        cents[pk] += int(Decimal(str(p)).quantize(Decimal("0.01")) * 100)
+    tot = sum(cents.values())
+    order = sorted(cents.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum = 0
+    agg = {}
+    for pk, c in order:
+        cum += c
+        cls = "A" if cum * 100 <= tot * 80 else ("B" if cum * 100 <= tot * 95 else "C")
+        n, s = agg.get(cls, (0, 0))
+        agg[cls] = (n + 1, s + c)
+    from ecommerce_lakehouse_spark.queries.stats2 import abc_part_classification
+
+    got = {r.abc_class: r for r in abc_part_classification(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for cls, (n, s) in agg.items():
+        r = got[cls]
+        assert r.n_parts == n
+        assert r.revenue_share == float(s) / float(tot)
