@@ -1900,3 +1900,100 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("abc_class", "n_parts", "class_revenue", "revenue_share")
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mann_kendall_trend",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+  FROM m a JOIN m b ON b.month > a.month),
+s AS (SELECT CAST(sum(sgn) AS BIGINT) AS s_stat FROM pairs),
+ties AS (
+  SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS BIGINT)
+           AS tie_term
+  FROM (SELECT count(*) AS t FROM m GROUP BY cents)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+z AS (
+  SELECT s_stat, n,
+         (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+            * CAST(2 * n + 5 AS DOUBLE) - CAST(tie_term AS DOUBLE)) / 18.0
+           AS var_s
+  FROM s, ties, nn)
+SELECT n AS n_months, s_stat,
+       CASE WHEN s_stat > 0
+              THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+            WHEN s_stat < 0
+              THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+            ELSE 0.0 END AS z_score
+FROM z
+""",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on monthly revenue: S = Σ sign(y_j −
+    y_i) over all ordered month pairs, with the tie-corrected variance
+    and continuity-corrected z — the SIGNIFICANCE companion to
+    `revenue_theil_sen` (which estimates the slope this test decides is
+    real): the standard pairing in environmental/ops monitoring because
+    neither assumes a distribution.
+
+    Determinism: sign comparisons run on exact integer CENTS (never the
+    double render), so S and the tie term are exact integers; the z
+    closed form is fixed-order double arithmetic on exact totals.
+
+    Scale: the corpus collapses map-side to one integer row per month;
+    the pair expansion is months² — calendar-bounded at any corpus size
+    — via a broadcast self-join (the revenue_theil_sen shape)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg((F.sum(dec2("o_totalprice")) * 100).cast("long").alias("cents"))
+    a = m.select(F.col("month").alias("am"), F.col("cents").alias("ac"))
+    b = m.select(F.col("month").alias("bm"), F.col("cents").alias("bc"))
+    pairs = a.join(F.broadcast(b), F.col("bm") > F.col("am")).select(
+        F.when(F.col("bc") > F.col("ac"), 1)
+        .when(F.col("bc") < F.col("ac"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = pairs.agg(F.sum("sgn").cast("long").alias("s_stat"))
+    ties = (
+        m.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast("decimal(38,0)")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nn = m.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    z = s.join(F.broadcast(ties)).join(F.broadcast(nn))
+    nD = F.col("n").cast("double")
+    var_s = (
+        nD * (F.col("n") - 1).cast("double") * (2 * F.col("n") + 5).cast("double")
+        - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    sD = F.col("s_stat").cast("double")
+    return z.select(
+        F.col("n").alias("n_months"),
+        "s_stat",
+        F.when(F.col("s_stat") > 0, (sD - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sD + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )

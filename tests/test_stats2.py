@@ -657,3 +657,36 @@ def test_abc_matches_python(spark, sf_dir):
         r = got[cls]
         assert r.n_parts == n
         assert r.revenue_share == float(s) / float(tot)
+
+
+def test_mann_kendall_matches_python(spark, sf_dir):
+    t = _orders(sf_dir, ["o_orderdate", "o_totalprice"])
+    by_month = {}
+    for d, p in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        key = d.date().replace(day=1)
+        by_month[key] = by_month.get(key, 0) + int(
+            Decimal(str(p)).quantize(Decimal("0.01")) * 100
+        )
+    cents = [c for _, c in sorted(by_month.items())]
+    n = len(cents)
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s += (cents[j] > cents[i]) - (cents[j] < cents[i])
+    tie = sum(
+        t_ * (t_ - 1) * (2 * t_ + 5) for t_ in Counter(cents).values()
+    )
+    var_s = (float(n) * float(n - 1) * float(2 * n + 5) - float(tie)) / 18.0
+    if s > 0:
+        z = (float(s) - 1.0) / math.sqrt(var_s)
+    elif s < 0:
+        z = (float(s) + 1.0) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    from ecommerce_lakehouse_spark.queries.stats2 import mann_kendall_trend
+
+    r = mann_kendall_trend(spark, sf_dir).collect()[0]
+    assert (r.n_months, r.s_stat) == (n, s)
+    assert r.z_score == z
