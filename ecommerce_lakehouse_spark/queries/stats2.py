@@ -1997,3 +1997,116 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Syntetos-Boylan demand-pattern classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_demand_intermittency",
+    oracle="""
+WITH mm AS (
+  SELECT CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+           AS big_m
+  FROM orders),
+pm AS (
+  SELECT l.l_partkey,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         CAST(sum(l.l_quantity) AS BIGINT) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+per AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS a,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS sq2
+  FROM pm GROUP BY 1),
+classed AS (
+  SELECT l_partkey, a, sq,
+         CASE
+           WHEN big_m * 100 <= a * 132 THEN
+             CASE WHEN (CAST(a AS HUGEINT) * sq2
+                          - CAST(sq AS HUGEINT) * sq) * 100
+                       <= CAST(sq AS HUGEINT) * sq * 49
+                  THEN 'smooth' ELSE 'erratic' END
+           ELSE
+             CASE WHEN (CAST(a AS HUGEINT) * sq2
+                          - CAST(sq AS HUGEINT) * sq) * 100
+                       <= CAST(sq AS HUGEINT) * sq * 49
+                  THEN 'intermittent' ELSE 'lumpy' END
+         END AS demand_class
+  FROM per, mm)
+SELECT demand_class, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(a) AS BIGINT) AS total_active_months,
+       CAST(sum(sq) AS BIGINT) AS total_demand
+FROM classed GROUP BY 1 ORDER BY 1
+""",
+)
+def part_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-pattern classification (2005) of every
+    part's monthly demand series: ADI (average demand interval = corpus
+    months / active months) against 1.32 and CV² of nonzero demand
+    sizes against 0.49 split the catalog into smooth / erratic /
+    intermittent / lumpy — the segmentation that decides WHICH
+    forecaster each part gets (SES for smooth, Croston-family for
+    intermittent/lumpy; the single-series tools
+    `exp_smoothing_revenue`/`holt_linear_forecast` assume 'smooth').
+
+    Determinism is total: both thresholds evaluate as exact integer
+    inequalities — ADI ≤ 1.32 ⇔ M·100 ≤ a·132, and CV² ≤ 0.49 ⇔
+    (a·Σq² − (Σq)²)·100 ≤ 49·(Σq)² (quantities are integers) — so no
+    float exists anywhere in the query.
+
+    Scale: one (part, month) collapse with map-side combine, one
+    per-part rollup of three integer moments, a broadcast 1-row month
+    count; output is 4 classes."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    mm = o.agg(
+        F.countDistinct(F.date_trunc("month", "o_orderdate"))
+        .cast("long")
+        .alias("big_m")
+    )
+    pm = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "l_partkey",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+    )
+    big = "decimal(38,0)"
+    per = pm.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("a"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q").cast(big) * F.col("q")).cast("long").alias("sq2"),
+    )
+    j = per.join(F.broadcast(mm))
+    cv_num = (
+        F.col("a").cast(big) * F.col("sq2") - F.col("sq").cast(big) * F.col("sq")
+    ) * 100
+    cv_den = F.col("sq").cast(big) * F.col("sq") * 49
+    smooth_cv = cv_num <= cv_den
+    low_adi = F.col("big_m") * 100 <= F.col("a") * 132
+    classed = j.select(
+        "a",
+        "sq",
+        F.when(low_adi & smooth_cv, "smooth")
+        .when(low_adi & ~smooth_cv, "erratic")
+        .when(~low_adi & smooth_cv, "intermittent")
+        .otherwise("lumpy")
+        .alias("demand_class"),
+    )
+    return (
+        classed.groupBy("demand_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("a").cast("long").alias("total_active_months"),
+            F.sum("sq").cast("long").alias("total_demand"),
+        )
+        .orderBy("demand_class")
+    )

@@ -690,3 +690,58 @@ def test_mann_kendall_matches_python(spark, sf_dir):
     r = mann_kendall_trend(spark, sf_dir).collect()[0]
     assert (r.n_months, r.s_stat) == (n, s)
     assert r.z_score == z
+
+
+def test_intermittency_matches_python(spark, sf_dir):
+    import pyarrow.parquet as _pq
+    from collections import defaultdict as _dd
+
+    ot = _pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    )
+    o2m = {
+        k: d.date().replace(day=1)
+        for k, d in zip(
+            ot.column("o_orderkey").to_pylist(), ot.column("o_orderdate").to_pylist()
+        )
+    }
+    big_m = len(set(o2m.values()))
+    lt = _pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    pm = _dd(int)
+    for ok, pk, q in zip(
+        lt.column("l_orderkey").to_pylist(),
+        lt.column("l_partkey").to_pylist(),
+        lt.column("l_quantity").to_pylist(),
+    ):
+        pm[(pk, o2m[ok])] += int(q)
+    per = _dd(lambda: [0, 0, 0])
+    for (pk, _m), q in pm.items():
+        st = per[pk]
+        st[0] += 1
+        st[1] += q
+        st[2] += q * q
+    agg = {}
+    for pk, (a, sq, sq2) in per.items():
+        low_adi = big_m * 100 <= a * 132
+        smooth_cv = (a * sq2 - sq * sq) * 100 <= sq * sq * 49
+        cls = (
+            "smooth"
+            if low_adi and smooth_cv
+            else "erratic"
+            if low_adi
+            else "intermittent"
+            if smooth_cv
+            else "lumpy"
+        )
+        n, ta, td = agg.get(cls, (0, 0, 0))
+        agg[cls] = (n + 1, ta + a, td + sq)
+    from ecommerce_lakehouse_spark.queries.stats2 import part_demand_intermittency
+
+    got = {
+        r.demand_class: (r.n_parts, r.total_active_months, r.total_demand)
+        for r in part_demand_intermittency(spark, sf_dir).collect()
+    }
+    assert got == agg
