@@ -41,83 +41,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # DML + dedup families, r04 the TPC-H tail + round-4 features (each
 # round's _FIRST held only names never gated before, plus a few anchors).
 #
-# NEXT ROTATION (r06): the 31 queries added after this window was frozen
-# have never been driver-gated — ks_two_sample, spearman_rank_corr,
-# kendall_tau_b, revenue_trend_ols, holt_linear_forecast, mann_whitney_u,
-# revenue_theil_sen, forecast_backtest_mae, conformal_forecast_interval,
-# seasonal_decompose_monthly, cuped_adjusted_lift, did_revenue_effect,
-# event_overdispersion, psi_value_drift, adamic_adar_links,
-# label_propagation_communities, copurchase_degree_profile,
-# matryoshka_prefix_recall, label_centroid_similarity, ann_ndcg_eval,
-# lsh_multiprobe_recall, best_split_infogain, token_zipf_fit,
-# hhi_revenue_concentration, pareto_customer_skyline,
-# segment_migration_matrix, cohort_ltv_curve, customer_feature_matrix,
-# profile_constraint_suggestions, restore_table_snapshot,
-# dsir_effective_sample_size — they are the r06 window core (31 + up to
-# 19 anchors/representatives = one 50-slot window).
+# ROTATION r06 (VERDICT r05 item #1): ALL 35 queries the driver has never
+# gated — computed as registry − union(CORRECTNESS_r01..r05), NOT from a
+# hand-maintained list (the r05 comment here undercounted by 4) — enter
+# the window, plus this round's new operators (themselves never-gated)
+# and regression anchors spanning the family axes: gold marts, lakehouse
+# MERGE, streaming window, LSH dedup, media decode, semantic dedup,
+# curation DAG, and tpch_q5 (the r05 bench outlier — re-gated on purpose).
+# A green CORRECTNESS_r06 means every registry query has a driver-gated
+# row in some round r01-r06.
 _FIRST = [
-    # Round-5 rotation (VERDICT r04 item #1): ALL 44 queries the driver has
-    # never gated (union of CORRECTNESS_r01-r04 covers the other 143) enter
-    # the window, plus 6 regression anchors spanning the family axes:
-    # flagship mart, curation DAG, gold rollup, lakehouse MERGE, LSH dedup,
-    # media decode. A green CORRECTNESS_r05 means every registry query has
-    # a driver-gated row in some round.
-    # anchors
+    # anchors (10)
     "daily_sales",
-    "corpus_curation_pipeline",
     "product_performance",
-    "ogg_stream_features",  # r5: new — RFC 3533 page walk w/ real CRCs
-    # (merge_upsert_snapshot rotated out: gated r03; the storage family
-    # stays covered by the four never-gated *_snapshot entries below)
-    "semantic_cluster_dups",  # r5: new — SemDeDup k-means semantic dedup
-    # (takes the dedup-anchor slot: minhash_lsh_pairs was gated r02/r03)
-    "mp3_stream_features",  # r5: new — MPEG-1 Layer III header walk
-    # (takes the media-anchor slot: jpeg_decode_features was gated r04)
-    # never-gated tail (stats / sketches / graph / retrieval / storage)
-    "ab_test_lift",
-    "basket_association_rules",
-    "benford_first_digit",
-    "bfs_hops_copurchase",
-    "bloom_skipping_snapshot",
-    "bm25_search",
-    "bootstrap_mean_ci",
-    "bpe_encode_stats",
-    "bpe_merge_steps",
-    "cms_heavy_hitters",
-    "column_entropy_profile",
-    "contrastive_negatives",
-    "convert_parquet_snapshot",
-    "customer_spend_gini",
-    "customer_survival_km",
-    "dsir_gumbel_resample",
-    "embedding_quantize_int8",
-    "event_interarrival_stats",
-    "event_transition_matrix",
-    "exp_smoothing_revenue",
-    "gopher_quality_flags",
-    "hll_distinct_sketch",
-    "identity_snapshot",
-    "kmv_distinct_sketch",
-    "lsh_recall_eval",
-    "orders_seasonality",
-    "pagerank_copurchase",
-    "pq_encode_eval",
-    "priority_status_independence",
-    "rename_column_snapshot",
-    "revenue_autocorrelation",
-    "revenue_cusum_changepoint",
-    "rrf_hybrid_search",
-    "sax_series_profile",
-    "shingle_similarity_join",
-    "source_kl_divergence",
-    "source_overlap_kmv",
-    "sq8_recall_eval",
-    "sssp_copurchase",
-    "triangle_copurchase",
-    "trigram_backoff_scores",
-    "trigram_index_search",
-    "value_mad_outliers",
-    "value_trimmed_mean",
+    "customer_insights",
+    "corpus_curation_pipeline",
+    "merge_upsert_snapshot",
+    "tpch_q5_local_supplier_volume",
+    "tumbling_window_agg",
+    "minhash_lsh_pairs",
+    "semantic_cluster_dups",
+    "jpeg_decode_features",
+    # new in r06 (5)
+    "kll_quantile_sketch",
+    "quality_classifier_scores",
+    "ivf_pq_search_recall",
+    "scd2_asof_lookup",
+    "department_analytics",  # anchor #11 (swap out if a 5th new query lands)
+    # never-gated tail (35 = registry − union of CORRECTNESS_r01..r05)
+    "abc_part_classification",
+    "adamic_adar_links",
+    "ann_ndcg_eval",
+    "best_split_infogain",
+    "cohort_ltv_curve",
+    "conformal_forecast_interval",
+    "copurchase_degree_profile",
+    "cuped_adjusted_lift",
+    "customer_feature_matrix",
+    "did_revenue_effect",
+    "dsir_effective_sample_size",
+    "event_overdispersion",
+    "forecast_backtest_mae",
+    "hhi_revenue_concentration",
+    "holt_linear_forecast",
+    "kendall_tau_b",
+    "ks_two_sample",
+    "label_centroid_similarity",
+    "label_propagation_communities",
+    "lsh_multiprobe_recall",
+    "mann_kendall_trend",
+    "mann_whitney_u",
+    "matryoshka_prefix_recall",
+    "pareto_customer_skyline",
+    "part_demand_intermittency",
+    "profile_constraint_suggestions",
+    "psi_value_drift",
+    "restore_table_snapshot",
+    "revenue_runs_test",
+    "revenue_theil_sen",
+    "revenue_trend_ols",
+    "seasonal_decompose_monthly",
+    "segment_migration_matrix",
+    "spearman_rank_corr",
+    "token_zipf_fit",
 ]
 
 

@@ -124,7 +124,11 @@ def _run_check(spark, sf_dir: str, warmup: int) -> None:
 
     def _flag(rs: dict[str, float]) -> tuple[float, dict[str, float]]:
         srt = sorted(rs.values())
-        med = srt[len(srt) // 2]
+        n = len(srt)
+        # true median (average the middle pair when even-length): taking
+        # the upper-middle element biases the normalization high and
+        # loosens the >1.5x gate
+        med = (srt[(n - 1) // 2] + srt[n // 2]) / 2
         return med, {
             n: r
             for n, r in rs.items()

@@ -50,6 +50,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm7,
     llm8,
     llm9,
+    llm10,
     media,
     quality,
     relational,

@@ -479,7 +479,7 @@ s0 AS MATERIALIZED (SELECT word, freq,
        , LATERAL (SELECT u.l AS l, u.r AS r) z
   GROUP BY 1, 2),
 t{k} AS MATERIALIZED (SELECT pair, token, wc FROM p{k}
-         ORDER BY wc DESC, token LIMIT 1),
+         ORDER BY wc DESC, token, pair LIMIT 1),
 s{k} AS MATERIALIZED (SELECT word, freq,
               replace(seq,
                       ' ' || COALESCE((SELECT pair FROM t{k}), chr(1)) || ' ',

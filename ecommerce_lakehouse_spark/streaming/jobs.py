@@ -725,9 +725,14 @@ def stream_heavy_hitters(
             .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
             .agg(F.sum("cnt").cast("long").alias("cell"))
         )
-        if cells_t.exists():
-            if (cells_t.last_txn(app) or -1) >= batch_id:
-                return  # replayed micro-batch: already folded
+        # Replay guards are PER TABLE: the cells fold is non-idempotent
+        # (addition), so a replayed micro-batch must skip it — but the
+        # candidate overwrite below is idempotent and must still run, or a
+        # crash between the two commits would leave cand_t permanently
+        # missing this batch's keys on replay.
+        if cells_t.exists() and (cells_t.last_txn(app) or -1) >= batch_id:
+            pass  # replayed micro-batch: sketch already folded
+        elif cells_t.exists():
             merged = (
                 cells_t.read()
                 .unionByName(inc)
@@ -737,6 +742,8 @@ def stream_heavy_hitters(
             cells_t.overwrite(merged, txn={"app_id": app, "version": int(batch_id)})
         else:
             cells_t.overwrite(inc, txn={"app_id": app, "version": int(batch_id)})
+        if cand_t.exists() and (cand_t.last_txn(app) or -1) >= batch_id:
+            return  # candidate table also committed this batch already
         # candidate set: prior candidates + this batch's keys, re-estimated
         # against the UPDATED sketch, kept to the top max_candidates
         prior = (

@@ -1,0 +1,63 @@
+"""Round-6 operators: KLL-family quantile sketch, learned quality
+classifier, IVF-PQ ADC search, SCD2 as-of lookup."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ecommerce_lakehouse_spark.operators.sketch import (
+    kll_level_sketch,
+    kll_merge,
+    md5_hash60,
+)
+from ecommerce_lakehouse_spark.tables import load
+
+
+def _src(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        md5_hash60(F.col("event_id")).alias("h"),
+        F.col("event_id"),
+    )
+
+
+def test_kll_sketch_mergeable(spark, sf_dir):
+    """The operator contract: union of per-partition sketches merged ==
+    whole-data sketch, BIT-IDENTICAL (n, level, and every item) — the
+    history-independence property the md5-derived compaction buys."""
+    src = _src(spark, sf_dir)
+    whole = kll_level_sketch(src, "cents", "h").collect()
+    assert len(whole) == 1
+    # 8 arbitrary "partitions" (any disjoint cover must give the same merge)
+    parts = src.withColumn("p", F.pmod("event_id", F.lit(8)))
+    per_part = kll_level_sketch(parts, "cents", "h", group_cols=["p"]).drop("p")
+    merged = kll_merge(per_part).collect()
+    assert len(merged) == 1
+    w, m = whole[0], merged[0]
+    assert (w.n, w.level) == (m.n, m.level)
+    assert [(i.v, i.h) for i in w.items] == [(i.v, i.h) for i in m.items]
+
+
+def test_kll_sketch_bounded_and_accurate(spark, sf_dir):
+    """Size stays within the capacity band whatever the input size, and
+    the q=0.5 answer's true rank error is inside the 1/sqrt(k) family
+    bound (loose factor for the small-SF sample)."""
+    src = _src(spark, sf_dir)
+    row = kll_level_sketch(src, "cents", "h", k=256).collect()[0]
+    n = row.n
+    m = len(row.items)
+    # expected size in (k/2, k]; allow 4-sigma binomial slack
+    assert m <= 256 + 4 * 16 and (n <= 256 or m >= 128 - 4 * 12)
+    est = sorted(i.v for i in row.items)[max(0, -(-m // 2) - 1)]
+    count_le = src.filter(F.col("cents") <= est).count()
+    assert abs(count_le / n - 0.5) < 4 / (256 ** 0.5)
+
+
+def test_kll_merge_idempotent_on_single_sketch(spark, sf_dir):
+    """Merging a single sketch with itself excluded (i.e. a 1-row merge)
+    must be the identity — level recomputation lands on the same level."""
+    src = _src(spark, sf_dir)
+    sk = kll_level_sketch(src, "cents", "h")
+    again = kll_merge(sk).collect()[0]
+    orig = sk.collect()[0]
+    assert (orig.n, orig.level) == (again.n, again.level)
+    assert [(i.v, i.h) for i in orig.items] == [(i.v, i.h) for i in again.items]

@@ -569,3 +569,98 @@ def test_stream_heavy_hitters_matches_batch_sketch(spark, sf_dir, tmp_path):
         LakeTable(spark, os.path.join(state, "cells")).current_version()
         == v_before
     )
+
+
+def test_stream_heavy_hitters_torn_commit_replay(spark, sf_dir, tmp_path):
+    """Crash-between-commits replay: the cells fold for batch N committed
+    but the candidate overwrite did not (the torn state a crash between
+    the two LakeTable commits leaves behind). On replay the fold must
+    SKIP the non-idempotent cells addition yet STILL recompute the
+    candidate table — keys seen only in batch N must become candidates
+    (regression: an early return skipped both, losing them forever)."""
+    import os
+    import pyarrow.parquet as _pq
+    import pyspark.sql.functions as F
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.queries.llm6 import cms_heavy_hitters
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_heavy_hitters
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    t = _pq.read_table(src, columns=["o_custkey"])
+    spool = tmp_path / "orders_spool"
+    spool.mkdir()
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(0, half), str(spool / "a.parquet"))
+    stream = (
+        spark.readStream.schema("o_custkey bigint")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "hh_state")
+    ckpt = str(tmp_path / "hh_ckpt")
+    # batch 0: only the first half is visible
+    q = stream_heavy_hitters(stream, state, ckpt)
+    q.awaitTermination(120)
+    app = f"hh:{state}"
+    cells_t = LakeTable(spark, os.path.join(state, "cells"))
+    cand_t = LakeTable(spark, os.path.join(state, "cand"))
+    assert cells_t.last_txn(app) == 0 and cand_t.last_txn(app) == 0
+
+    # second half arrives; simulate a crash AFTER the batch-1 cells fold
+    # committed but BEFORE the candidate overwrite: hand-commit the cells
+    # state a completed batch-1 fold would produce (= the whole-data
+    # sketch, since cells are additive) with txn version 1, touch nothing
+    # in cand.
+    _pq.write_table(t.slice(half), str(spool / "b.parquet"))
+    exact = spark.read.parquet(src).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+    def bucket(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("o_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1024
+        )
+
+    full_cells = (
+        exact.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).cast("long").alias("i"), bucket(i).alias("b"))
+                        for i in range(4)
+                    ]
+                )
+            ).alias("ib"),
+        )
+        .groupBy(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+    cells_t.overwrite(full_cells, txn={"app_id": app, "version": 1})
+    assert cells_t.last_txn(app) == 1 and cand_t.last_txn(app) == 0
+
+    # replay batch 1: cells must not double-fold, cand must catch up
+    q2 = stream_heavy_hitters(stream, state, ckpt)
+    q2.awaitTermination(120)
+    got_cells = {(r.i, r.b): r.cell for r in cells_t.read().collect()}
+    want_cells = {(r.i, r.b): r.cell for r in full_cells.collect()}
+    assert got_cells == want_cells  # no double count
+    streamed = {r.o_custkey: r.est_cnt for r in cand_t.read().collect()}
+    batch = {
+        r.o_custkey: r.est_cnt for r in cms_heavy_hitters(spark, sf_dir).collect()
+    }
+    # keys whose weight lives in the second half must now be candidates
+    # with estimates identical to the batch sketch
+    for k, est in batch.items():
+        assert streamed.get(k) == est
