@@ -149,3 +149,231 @@ def kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# learned quality classifier (CCNet/fastText shape)
+# ---------------------------------------------------------------------------
+
+from ecommerce_lakehouse_spark.queries.llm6 import _TOKENIZE_SQL  # noqa: E402
+
+_QC_B = 256  # hashed feature buckets
+_QC_TRAIN_PCT = 80  # same deterministic split rule as bigram_lm_score
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id, {_TOKENIZE_SQL} AS t,
+         len(string_split_regex(trim(text), '\s+')) BETWEEN 50 AND 100000 AS pos,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           < {_QC_TRAIN_PCT} AS is_train
+  FROM documents),
+grams AS (
+  SELECT doc_id, pos, is_train, unnest(t) AS g FROM d
+  UNION ALL
+  SELECT doc_id, pos, is_train,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM d WHERE len(t) >= 2),
+pres AS (
+  SELECT DISTINCT doc_id, pos, is_train,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {_QC_B} AS b
+  FROM grams),
+ndoc AS (
+  SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nneg
+  FROM d WHERE is_train),
+dcnt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS dpos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS dneg
+  FROM pres WHERE is_train GROUP BY 1),
+w AS (
+  SELECT bk.b,
+         CAST(round((log2(CAST(COALESCE(dcnt.dpos, 0) + 1 AS DOUBLE) / (npos + 2))
+                   - log2(CAST(COALESCE(dcnt.dneg, 0) + 1 AS DOUBLE) / (nneg + 2)))
+               * 1e9) AS BIGINT) AS wp,
+         CAST(round((log2(CAST(npos - COALESCE(dcnt.dpos, 0) + 1 AS DOUBLE) / (npos + 2))
+                   - log2(CAST(nneg - COALESCE(dcnt.dneg, 0) + 1 AS DOUBLE) / (nneg + 2)))
+               * 1e9) AS BIGINT) AS wa
+  FROM (SELECT unnest(range(0, {_QC_B})) AS b) bk
+  LEFT JOIN dcnt ON bk.b = dcnt.b CROSS JOIN ndoc),
+consts AS (SELECT CAST(sum(wa) AS BIGINT) AS s_absent FROM w),
+prior AS (
+  SELECT CAST(round(log2(CAST(npos + 1 AS DOUBLE) / (nneg + 1)) * 1e9) AS BIGINT)
+    AS b0 FROM ndoc),
+ds AS (
+  SELECT doc_id, CAST(sum(w.wp - w.wa) AS BIGINT) AS s
+  FROM pres JOIN w USING (b) GROUP BY 1),
+test AS (
+  SELECT d.doc_id,
+         CASE WHEN d.pos THEN 'pass' ELSE 'fail' END AS label,
+         COALESCE(ds.s, 0) + prior.b0 + consts.s_absent AS score
+  FROM d LEFT JOIN ds USING (doc_id) CROSS JOIN prior CROSS JOIN consts
+  WHERE NOT d.is_train)
+SELECT label,
+       CASE WHEN score > 0 THEN 'pass' ELSE 'fail' END AS predicted,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(score) AS BIGINT) AS sum_score_nanos
+FROM test GROUP BY 1, 2
+""",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (the CCNet/DCLM distillation shape): train
+    a Bernoulli Naive-Bayes linear scorer over hashed n-gram PRESENCE
+    features to imitate the Gopher word-count gate (the expensive
+    rule-based filter), on the corpus's own deterministic hash split —
+    then audit the held-out confusion matrix, which is the number that
+    decides whether the cheap model may replace the rule at 100 TB.
+
+    Model choice is load-bearing: a multinomial NB over hashed COUNTS
+    carries no document-length signal (per-gram class distributions are
+    nearly identical here, and the length term cancels in the
+    normalization — measured ~50% held-out accuracy, chance), while
+    Bernoulli NB's absent-feature terms make the score monotone in how
+    many buckets a document touches — 96-99% held-out accuracy on the
+    same split. The scorer stays linear: score = b0 + Σ_absent wa +
+    Σ_present (wp − wa), i.e. one broadcast join on present buckets plus
+    two scalar constants.
+
+    Cross-engine exactness (the trigram_backoff_scores discipline): all
+    counts are exact integers; each weight is one log2 of an
+    exact-integer ratio rounded once into BIGINT nanos; per-doc scores
+    are BIGINT sums of those nanos — no float association order exists
+    anywhere.
+
+    Scale: training is a 256-bucket groupBy (fixed width at any corpus
+    size) + one 1-row doc-count agg; scoring joins each doc's distinct
+    buckets against the broadcast 256-row weight table; the audit is a
+    4-cell groupBy. No per-row Python."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '),"
+            " x -> x <> '')"
+        ).alias("t"),
+        F.size(F.split(F.trim("text"), r"\s+")).between(50, 100000).alias("pos"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+            < _QC_TRAIN_PCT
+        ).alias("is_train"),
+    )
+    uni = d.select("doc_id", "pos", "is_train", F.explode("t").alias("g"))
+    bi = d.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "pos",
+        "is_train",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("g"),
+    )
+    pres = (
+        uni.unionByName(bi)
+        .select(
+            "doc_id",
+            "pos",
+            "is_train",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+                % _QC_B
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    ndoc = d.filter("is_train").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("npos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("nneg"),
+    )
+    dcnt = (
+        pres.filter("is_train")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("dpos"),
+            F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("dneg"),
+        )
+    )
+    bk = spark.range(0, _QC_B).select(F.col("id").cast("long").alias("b"))
+    nano = F.lit(1000000000.0)
+    w = (
+        bk.join(F.broadcast(dcnt), on="b", how="left")
+        .crossJoin(F.broadcast(ndoc))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log2(
+                        (F.coalesce("dpos", F.lit(0)) + 1).cast("double")
+                        / (F.col("npos") + 2)
+                    )
+                    - F.log2(
+                        (F.coalesce("dneg", F.lit(0)) + 1).cast("double")
+                        / (F.col("nneg") + 2)
+                    )
+                )
+                * nano,
+                0,
+            )
+            .cast("long")
+            .alias("wp"),
+            F.round(
+                (
+                    F.log2(
+                        (F.col("npos") - F.coalesce("dpos", F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("npos") + 2)
+                    )
+                    - F.log2(
+                        (F.col("nneg") - F.coalesce("dneg", F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("nneg") + 2)
+                    )
+                )
+                * nano,
+                0,
+            )
+            .cast("long")
+            .alias("wa"),
+        )
+    )
+    consts = w.agg(F.sum("wa").cast("long").alias("s_absent"))
+    prior = ndoc.select(
+        F.round(
+            F.log2((F.col("npos") + 1).cast("double") / (F.col("nneg") + 1)) * nano,
+            0,
+        )
+        .cast("long")
+        .alias("b0")
+    )
+    ds = (
+        pres.join(F.broadcast(w), on="b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wp") - F.col("wa")).cast("long").alias("s"))
+    )
+    test = (
+        d.filter(~F.col("is_train"))
+        .select("doc_id", "pos")
+        .join(ds, on="doc_id", how="left")
+        .crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.when(F.col("pos"), "pass").otherwise("fail").alias("label"),
+            (
+                F.coalesce("s", F.lit(0)) + F.col("b0") + F.col("s_absent")
+            ).alias("score"),
+        )
+    )
+    return test.groupBy(
+        "label",
+        F.when(F.col("score") > 0, "pass").otherwise("fail").alias("predicted"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score").cast("long").alias("sum_score_nanos"),
+    )
