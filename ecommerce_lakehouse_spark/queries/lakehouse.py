@@ -558,6 +558,110 @@ def scd2_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_asof_oracle() -> str:
+    """The as-of oracle composes scd2_apply_snapshot's interval oracle as
+    a subquery (lsh_recall_eval's composition pattern) and range-joins
+    the fact rows against it."""
+    from ecommerce_lakehouse_spark.queries import ORACLES
+
+    return f"""
+WITH dim AS ({ORACLES["scd2_apply_snapshot"]}),
+fact AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(1 + l_linenumber % 3 AS BIGINT) AS probe_seq
+  FROM lineitem WHERE l_orderkey % 7 = 3)
+SELECT f.l_orderkey, f.l_linenumber, f.probe_seq,
+       d.o_orderstatus, d.o_totalprice
+FROM fact f LEFT JOIN dim d
+  ON f.l_orderkey = d.o_orderkey
+ AND d.start_at <= f.probe_seq
+ AND (d.end_at IS NULL OR f.probe_seq < d.end_at)
+"""
+
+
+@query("scd2_asof_lookup", oracle=_scd2_asof_oracle())
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time lookup — the dimensional-correctness query
+    every warehouse user writes against a TYPE 2 dimension: build the
+    SCD2 history exactly as scd2_apply_snapshot does (overwrite + MERGE
+    + DELETE on a LakeTable, change feed applied history-keeping via
+    :meth:`LakeTable.apply_changes_scd2`), then join FACT rows (the
+    lineitems of those orders, each probing at a deterministic sequence
+    point 1..3) to the dimension row valid AT that point:
+    ``__start_at <= seq < coalesce(__end_at, inf)``.
+
+    The LEFT join is deliberate — it exposes the two interval-edge
+    classes a wrong SCD2 build silently gets right-ish: facts probing a
+    key at a sequence BEFORE its first version (keys that enter only at
+    the MERGE, probed at seq 1) and facts probing a DELETED key after
+    its close (the delete closes without opening) must both surface as
+    NULL attributes, and any missed close / overlapping interval would
+    double-match a fact row and change the row count.
+
+    Scale: this is an EQUI join on the dimension key with the validity
+    range as a residual predicate — never a cartesian or a
+    nested-loop: the plan is a broadcast (small dim) or shuffle hash
+    join on o_orderkey, asserted in tests/test_plans.py. The SCD2 build
+    itself is bounded by commits, not data volume (see
+    scd2_apply_snapshot)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+
+    base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 3)
+    target = base.filter(F.col("o_orderdate") < "1998-01-01 00:00:00").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderdate") >= "1997-07-01 00:00:00").select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(dec2("o_totalprice") * F.lit(1.10).cast("decimal(4,2)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_scd2pt_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = LakeTable(spark, os.path.join(root, "src"))
+    src.overwrite(target.coalesce(8))  # v1
+    src.merge(updates, keys=["o_orderkey"])  # v2
+    src.delete("o_orderkey % 15 = 2")  # v3
+    dim_t = LakeTable(spark, os.path.join(root, "dim"))
+    dim_t.apply_changes_scd2(
+        src.changes(1, keys=["o_orderkey"]),
+        keys=["o_orderkey"],
+        sequence_col="_commit_version",
+    )
+    dim = dim_t.read().select(
+        F.col("o_orderkey").alias("d_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("__start_at").cast("long").alias("start_at"),
+        F.col("__end_at").cast("long").alias("end_at"),
+    )
+    fact = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 3)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (1 + F.col("l_linenumber") % 3).cast("long").alias("probe_seq"),
+        )
+    )
+    return fact.join(
+        F.broadcast(dim),
+        (F.col("l_orderkey") == F.col("d_orderkey"))
+        & (F.col("start_at") <= F.col("probe_seq"))
+        & (F.col("end_at").isNull() | (F.col("probe_seq") < F.col("end_at"))),
+        "left",
+    ).select(
+        "l_orderkey", "l_linenumber", "probe_seq", "o_orderstatus", "o_totalprice"
+    )
+
+
 @query(
     "zorder_skipping_snapshot",
     oracle="""

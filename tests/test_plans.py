@@ -299,3 +299,14 @@ def test_query_layer_never_materializes_to_driver():
                 if any(b in code for b in banned):
                     hits.append(f"{name}:{i}: {line.strip()}")
     assert not hits, "driver materialization in the query layer:\n" + "\n".join(hits)
+
+
+def test_scd2_asof_interval_join_is_equi(spark, sf_dir):
+    """The SCD2 point-in-time lookup's validity-interval join must plan
+    as an EQUI join on the dimension key (broadcast, range predicate as
+    residual) — a BroadcastNestedLoopJoin or cartesian here would scan
+    dim_rows x fact_rows at 100 TB."""
+    info = audit(REGISTRY["scd2_asof_lookup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in info["joins"], info["joins"]
+    assert "BroadcastNestedLoopJoin" not in info["joins"], info["joins"]
+    assert not info["cartesian"], info["joins"]
