@@ -15,6 +15,7 @@ instead of silently returning half-merged clusters.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from pyspark.sql import DataFrame
 
 
@@ -42,9 +43,9 @@ def min_label_propagation(
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint()  # pair generation runs once, not per iter
+    edges = edges.transform(iter_barrier)  # pair generation runs once, not per iter
 
-    labels = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    labels = ids.select("doc_id", F.col("doc_id").alias("cluster_id")).transform(iter_barrier)
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -75,7 +76,7 @@ def min_label_propagation(
                     F.col("cluster_id"), F.coalesce("p_lab", "cluster_id")
                 ).alias("cluster_id"),
             )
-        cand = cand.localCheckpoint()
+        cand = cand.transform(iter_barrier)
         changed = cand.filter(F.col("cluster_id") < F.col("old_label")).count()
         labels = cand.select("doc_id", "cluster_id")
         if changed == 0:

@@ -196,3 +196,40 @@ def ntile_from_rank(rn, n, tiles: int):
         .otherwise(rem + F.ceil((rn - head) / q))
         .cast("int")
     )
+
+
+#: session conf key: set "true" to make every iterative operator use
+#: RELIABLE checkpoints (HDFS/cloud-storage backed) instead of
+#: executor-local ones. Off by default — correct for local mode and
+#: short-round jobs; turn on for 100 TB runs with long round counts,
+#: where losing an executor mid-iteration would otherwise force a full
+#: recompute from round 0 (localCheckpoint blocks die with the executor).
+RELIABLE_CHECKPOINT_CONF = "spark.ecommerce_lakehouse.reliableCheckpoint"
+
+
+def iter_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage-truncation barrier for ITERATIVE operators (graph rounds,
+    Lloyd iterations, BPE merges): per-round plans otherwise grow by one
+    join per iteration and broadcast re-execution compounds exponentially
+    (the pagerank lesson, queries/stats.py).
+
+    Default path is ``localCheckpoint`` — cheapest, but executor-local:
+    acceptable for bounded-round queries on healthy clusters, NOT
+    fault-tolerant. With ``RELIABLE_CHECKPOINT_CONF`` set to "true" the
+    barrier becomes a reliable ``checkpoint()`` to the context's
+    checkpoint dir (auto-pointed at a temp dir if unset — production
+    sets ``sparkContext.setCheckpointDir`` to durable storage). Both
+    modes return the same rows (tested:
+    tests/test_llm10.py::test_reliable_checkpoint_mode_agrees)."""
+    spark = df.sparkSession
+    flag = str(
+        spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false") or "false"
+    ).lower()
+    if flag != "true":
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+    return df.checkpoint(eager=eager)

@@ -327,20 +327,29 @@ def _connected_components(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     return min_label_propagation(ids, pairs)
 
 
-def funnel(spark: SparkSession, t: dict[str, LakeTable], n_raw: int) -> DataFrame:
+def funnel(
+    spark: SparkSession, t: dict[str, LakeTable], n_raw: int | DataFrame
+) -> DataFrame:
     """Stage-count funnel over the materialized pipeline state — the
     shrinkage report every corpus build publishes, read from the actual
     LakeTable versions (not recomputed). Built as ONE unioned DataFrame
     (a single Spark action computes all eight stage counts) rather than
     per-stage count() jobs — same result, one job-scheduling round trip
-    instead of seven."""
+    instead of seven. ``n_raw`` may be the raw-input DataFrame itself,
+    in which case its count joins the same single action instead of
+    costing the caller an eager ``count()`` job up front."""
 
     def row(order: int, name: str, n_col):
         return F.lit(order).cast("int").alias("stage_order"), F.lit(name).alias(
             "stage"
         ), n_col.cast("bigint").alias("n_docs")
 
-    raw = spark.range(1).select(*row(1, "raw", F.lit(n_raw)))
+    if isinstance(n_raw, DataFrame):
+        raw = n_raw.agg(F.count(F.lit(1)).alias("n")).select(
+            *row(1, "raw", F.col("n"))
+        )
+    else:
+        raw = spark.range(1).select(*row(1, "raw", F.lit(n_raw)))
     qual = t["quality"].read().agg(F.count("*").alias("n")).select(
         *row(2, "quality_pass", F.col("n"))
     )

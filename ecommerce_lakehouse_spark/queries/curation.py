@@ -130,4 +130,6 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_curation_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     t = curate(spark, docs, root)
-    return funnel(spark, t, docs.count())
+    # the raw count folds into the funnel's single action (passing the
+    # DataFrame) instead of an eager count() job before it
+    return funnel(spark, t, docs)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -69,7 +70,7 @@ def _support2_graph(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s", "d")
-        .localCheckpoint()
+        .transform(iter_barrier)
     )
     adj = e.select(F.col("s").alias("z"), F.col("d").alias("nbr")).union(
         e.select(F.col("d").alias("z"), F.col("s").alias("nbr"))
@@ -217,7 +218,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         adj.select(F.col("z").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
+        .transform(iter_barrier)
     )
     for _ in range(4):
         votes = (
@@ -233,7 +234,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
                 ).alias("best")
             )
             .select("node", (-F.col("best.nl")).alias("lbl"))
-            .localCheckpoint()
+            .transform(iter_barrier)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))

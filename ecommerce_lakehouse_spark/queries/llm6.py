@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -602,7 +603,7 @@ def _bpe_train(
                 F.lit(" "),
             ).alias("seq"),
         )
-        .localCheckpoint()  # vocabulary-bounded; each merge re-reads it
+        .transform(iter_barrier)  # vocabulary-bounded; each merge re-reads it
     )
     out = None
     for step in range(1, steps + 1):
@@ -631,7 +632,7 @@ def _bpe_train(
             )
             .alias("seq"),
         )
-        wf = wf.localCheckpoint()
+        wf = wf.transform(iter_barrier)
     # a corpus with fewer mergeable pairs than the budget exhausts early:
     # the scalar-agg top yields an all-NULL row per exhausted step (the
     # oracle's LIMIT 1 yields no row) — drop them so both agree

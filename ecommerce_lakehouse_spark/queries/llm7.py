@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -559,12 +560,12 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y -> struct(x AS s, y AS d))))"
         )
     ).alias("p")
-    pairs = per_order.select(pair).select("p.s", "p.d").distinct().localCheckpoint()
+    pairs = per_order.select(pair).select("p.s", "p.d").distinct().transform(iter_barrier)
     edges = pairs.union(
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     seed = edges.agg(F.min("s").alias("node"))
-    frontier = seed.withColumn("hop", F.lit(0)).localCheckpoint()
+    frontier = seed.withColumn("hop", F.lit(0)).transform(iter_barrier)
     reached = frontier
     for k in range(1, _BFS_ROUNDS + 1):
         nxt = (
@@ -577,9 +578,9 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = (
             nxt.join(reached.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(k))
-            .localCheckpoint()
+            .transform(iter_barrier)
         )
-        reached = reached.union(new).localCheckpoint()
+        reached = reached.union(new).transform(iter_barrier)
         frontier = new
     hist = reached.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

@@ -29,6 +29,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -571,13 +572,13 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.expr("CAST((100 + count(1) - 1) DIV count(1) AS BIGINT)").alias("w")
         )
-        .localCheckpoint()
+        .transform(iter_barrier)
     )
     edges = pr.union(pr.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
     dist = (
         edges.agg(F.min("s").alias("node"))
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint()
+        .transform(iter_barrier)
     )
     for _ in range(_SSSP_ROUNDS):
         relaxed = (
@@ -590,7 +591,7 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.union(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .transform(iter_barrier)
         )
     nr = dist.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
     return (

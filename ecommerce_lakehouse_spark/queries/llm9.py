@@ -42,6 +42,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -195,7 +196,7 @@ def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             ed, lambda x: F.round((x + F.lit(1.0)) * 1000000).cast("long")
         ).alias("u"),
-    ).localCheckpoint()
+    ).transform(iter_barrier)
 
     # centroid init: the K md5-smallest canonical vectors. TakeOrdered
     # (per-partition heads) bounds the sort; the cid-assigning
@@ -210,7 +211,7 @@ def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("cid"),
         F.col("u").alias("c"),
-    ).localCheckpoint()
+    ).transform(iter_barrier)
 
     def assign(c_tbl: DataFrame) -> DataFrame:
         # Assignment is SHUFFLE-FREE: the K centroids collapse to ONE
@@ -253,11 +254,11 @@ def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = (
             cent.join(newc, "cid", "left")
             .select("cid", F.coalesce("nc", "c").alias("c"))
-            .localCheckpoint()
+            .transform(iter_barrier)
         )
 
     af = assign(cent).select("vec_id", "cid", "dist")
-    jx = af.join(v, "vec_id").localCheckpoint()
+    jx = af.join(v, "vec_id").transform(iter_barrier)
     sz = jx.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("csize"),
         F.sum("n_copies").cast("long").alias("esize"),

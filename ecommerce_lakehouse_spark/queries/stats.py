@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.money import dec2, money_sum
 from ecommerce_lakehouse_spark.operators.scale import (
     bucketed_global_row_number,
@@ -1230,7 +1231,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barrier sits on the CANONICAL a<b pairs (half the rows); the
     # symmetric doubling is a narrow union recomputed from the
     # materialized pairs per round — projection, not work.
-    pairs = per_order.select(pair).select("p.s", "p.d").distinct().localCheckpoint()
+    pairs = per_order.select(pair).select("p.s", "p.d").distinct().transform(iter_barrier)
     edges = pairs.union(
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
@@ -1238,7 +1239,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .withColumnRenamed("s", "node")
-        .localCheckpoint()
+        .transform(iter_barrier)
     )
     ranks = deg.select("node", F.lit(1000000000).cast("long").alias("r"))
     for _ in range(5):
@@ -1256,7 +1257,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r")
             )
-            .localCheckpoint()
+            .transform(iter_barrier)
         )
     return (
         ranks.select(F.col("node").alias("p_partkey"), F.col("r").alias("rank_nanos"))

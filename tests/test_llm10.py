@@ -61,3 +61,28 @@ def test_kll_merge_idempotent_on_single_sketch(spark, sf_dir):
     orig = sk.collect()[0]
     assert (orig.n, orig.level) == (again.n, again.level)
     assert [(i.v, i.h) for i in orig.items] == [(i.v, i.h) for i in again.items]
+
+
+@pytest.mark.parametrize(
+    "name", ["bfs_hops_copurchase", "label_propagation_communities"]
+)
+def test_reliable_checkpoint_mode_agrees(spark, sf_dir, name):
+    """iter_barrier's two modes (executor-local localCheckpoint vs
+    reliable checkpoint()) must produce identical rows — the flag is a
+    fault-tolerance choice, never a semantics choice."""
+    from ecommerce_lakehouse_spark.operators.scale import (
+        RELIABLE_CHECKPOINT_CONF,
+    )
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+
+    def rows():
+        return sorted(map(tuple, REGISTRY[name](spark, sf_dir).collect()))
+
+    spark.conf.unset(RELIABLE_CHECKPOINT_CONF)
+    local = rows()
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        reliable = rows()
+    finally:
+        spark.conf.unset(RELIABLE_CHECKPOINT_CONF)
+    assert local == reliable
