@@ -665,3 +665,138 @@ def ivf_pq_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_refined"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment join (doc-inside-doc dedup signal)
+# ---------------------------------------------------------------------------
+
+_CT_TAU_NUM, _CT_TAU_DEN = 8, 10  # containment threshold 0.8, exact integers
+
+
+@query(
+    "shingle_containment_pairs",
+    oracle=rf"""
+WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM canon),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM t WHERE len(w) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+ranked AS (
+  SELECT ex.doc_id,
+         list_sort(list({{'df': df.df, 'shingle': ex.shingle}})) AS rs
+  FROM ex JOIN df USING (shingle) GROUP BY 1),
+pfx AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             rs[1 : len(rs) - ({_CT_TAU_NUM} * len(rs) + {_CT_TAU_DEN} - 1)
+                       // {_CT_TAU_DEN} + 1],
+             x -> x.shingle)) AS shingle
+  FROM ranked),
+cand AS (
+  SELECT DISTINCT p.doc_id AS doc_a, ex.doc_id AS doc_b
+  FROM pfx p JOIN ex ON p.shingle = ex.shingle AND p.doc_id <> ex.doc_id),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(a.s) AS BIGINT) AS n_a,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, n_a, n_common,
+       n_common / CAST(n_a AS DOUBLE) AS containment
+FROM v WHERE n_common * {_CT_TAU_DEN} >= n_a * {_CT_TAU_NUM}
+""",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT join at C(A→B) = |A∩B|/|A| >= 0.8 over
+    word-3-gram shingle sets — the doc-inside-doc signal Jaccard dedup
+    structurally misses: a paragraph quoted whole inside a 10x longer
+    page has Jaccard ~0.1 but containment ~1.0, and training-corpus
+    builds drop (or down-weight) the contained copy. Complements the
+    symmetric exact join (`shingle_similarity_join`, Jaccard >= 0.5)
+    with the directional member of the family; pairs are DIRECTED
+    (doc_a is the contained side).
+
+    Exactness: the threshold is the integer inequality
+    10·|A∩B| >= 8·|A| (never a float compare); the reported containment
+    is an exact-integer division both engines render identically.
+
+    Scale (AllPairs prefix lemma, asymmetric form): if C(A→B) >= t then
+    A shares one of its first n − ceil(t·n) + 1 rarest shingles
+    (global rarity = ascending document frequency) with B — so only
+    that ~20% prefix of each doc enters the candidate join, against the
+    full inverted index on the other side (the one-sided index is what
+    makes containment cheaper than it looks: no second prefix bound
+    exists because B's size is unbounded relative to A). Candidates are
+    verified with the true intersection. Collapse-first: exact copies
+    dedup before shingling, so boilerplate replication cannot inflate
+    the candidate set."""
+    d = load(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    t = canon.select(
+        "doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w")
+    ).filter(F.size("w") >= 3)
+    sh = t.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(w) - 2),"
+            " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
+        ).alias("s"),
+    )
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ranked = (
+        ex.join(dfreq, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("rs")
+        )
+    )
+    pfx = ranked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(rs, 1, size(rs)"
+                f" - ({_CT_TAU_NUM} * size(rs) + {_CT_TAU_DEN} - 1)"
+                f" DIV {_CT_TAU_DEN} + 1), x -> x.shingle)"
+            )
+        ).alias("shingle"),
+    )
+    cand = (
+        pfx.alias("p")
+        .join(
+            ex.alias("e"),
+            (F.col("p.shingle") == F.col("e.shingle"))
+            & (F.col("p.doc_id") != F.col("e.doc_id")),
+        )
+        .select(
+            F.col("p.doc_id").alias("doc_a"), F.col("e.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    v = (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sa").cast("long").alias("n_a"),
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("n_common"),
+        )
+    )
+    return v.filter(
+        F.col("n_common") * _CT_TAU_DEN >= F.col("n_a") * _CT_TAU_NUM
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_a",
+        "n_common",
+        (F.col("n_common") / F.col("n_a").cast("double")).alias("containment"),
+    )

@@ -2110,3 +2110,126 @@ def part_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("demand_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast
+# ---------------------------------------------------------------------------
+
+_CROSTON_ALPHA = 0.2
+
+
+@query(
+    "croston_demand_forecast",
+    oracle=f"""
+WITH mn AS (
+  SELECT CAST(min(date_trunc('month', o_orderdate)) AS DATE) AS m0 FROM orders),
+pm AS (
+  SELECT l.l_partkey,
+         CAST(date_diff('month', mn.m0,
+                        CAST(date_trunc('month', o.o_orderdate) AS DATE)) + 1
+              AS BIGINT) AS idx,
+         CAST(sum(l.l_quantity) AS BIGINT) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey, mn
+  GROUP BY 1, 2),
+arr AS (
+  SELECT l_partkey,
+         list_transform(list_sort(list({{'idx': idx, 'q': q}})),
+            e -> {{'z': CAST(e.q AS DOUBLE), 'p': CAST(e.idx AS DOUBLE),
+                   'prev': e.idx}}) AS a
+  FROM pm GROUP BY 1),
+folded AS (
+  SELECT l_partkey, len(a) AS n_demands,
+         list_reduce(a, (acc, e) -> {{
+            'z': acc.z + {_CROSTON_ALPHA} * (e.z - acc.z),
+            'p': acc.p + {_CROSTON_ALPHA}
+                 * (CAST(e.prev - acc.prev AS DOUBLE) - acc.p),
+            'prev': e.prev}}) AS s
+  FROM arr)
+SELECT l_partkey, CAST(n_demands AS BIGINT) AS n_demands,
+       round(s.z, 9) AS z_level,
+       round(s.p, 9) AS p_interval,
+       round(s.z / s.p, 9) AS croston_forecast,
+       round(0.9 * s.z / s.p, 9) AS sba_forecast
+FROM folded
+""",
+)
+def croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) per part — THE forecaster for the
+    intermittent/lumpy classes part_demand_intermittency identifies
+    (SES on the zero-heavy series biases toward zero; Croston smooths
+    demand SIZE and demand INTERVAL separately and forecasts their
+    ratio), plus the Syntetos-Boylan bias correction (SBA, x(1 - a/2) =
+    0.9 here) — together the standard spare-parts forecasting pair.
+
+    Per part: monthly demands collapse to sparse (month-index, qty)
+    entries; z_1 = q_1, p_1 = idx_1 (position of first demand), then at
+    each subsequent demand point z += a(q - z), p += a(gap - p) with
+    gap = idx - prev_idx. Zero months never materialize — Croston
+    updates only at demand points, so the sparse form IS the algorithm.
+
+    Determinism (the exp_smoothing_revenue discipline): the recursion
+    runs as ONE fold over the month-sorted entry array inside each
+    part's row — both engines execute the identical IEEE multiply-add
+    sequence on exact-integer inputs (alpha and the 0.9 SBA factor are
+    shared literals), outputs rounded once at 9dp.
+
+    Scale: one (part, month) map-side-combined collapse, one per-part
+    collect of a months-bounded array (<= corpus months, ~80), fold
+    inside the row. No window, no per-row Python, no driver loop."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    mn = o.agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("m0")
+    )
+    pm = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .crossJoin(F.broadcast(mn))
+        .groupBy(
+            "l_partkey",
+            (
+                F.months_between(
+                    F.to_date(F.date_trunc("month", "o_orderdate")), F.col("m0")
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("idx"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+    )
+    a = _CROSTON_ALPHA
+    arr = pm.groupBy("l_partkey").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(idx, q))),"
+            " e -> struct(CAST(e.q AS DOUBLE) AS z,"
+            " CAST(e.idx AS DOUBLE) AS p, e.idx AS prev))"
+        ).alias("a")
+    )
+    folded = arr.select(
+        "l_partkey",
+        F.size("a").cast("long").alias("n_demands"),
+        F.expr(
+            f"""
+aggregate(
+  slice(a, 2, size(a) - 1),
+  a[0],
+  (acc, e) -> struct(
+    acc.z + {a} * (e.z - acc.z) AS z,
+    acc.p + {a} * (CAST(e.prev - acc.prev AS DOUBLE) - acc.p) AS p,
+    e.prev AS prev))
+""".strip()
+        ).alias("s"),
+    )
+    return folded.select(
+        "l_partkey",
+        "n_demands",
+        F.round(F.col("s.z"), 9).alias("z_level"),
+        F.round(F.col("s.p"), 9).alias("p_interval"),
+        F.round(F.col("s.z") / F.col("s.p"), 9).alias("croston_forecast"),
+        F.round(F.lit(0.9) * F.col("s.z") / F.col("s.p"), 9).alias(
+            "sba_forecast"
+        ),
+    )
