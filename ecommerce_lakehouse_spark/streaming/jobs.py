@@ -781,3 +781,61 @@ def stream_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_kll_quantiles(
+    events: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    k: int = 1024,
+):
+    """Streaming quantile sketch — the streaming face of
+    `kll_quantile_sketch` (queries/llm10.py) and the third member of the
+    mergeable-state trio next to stream_heavy_hitters (CMS) and
+    stream_drift_monitor (histogram/PSI): each micro-batch builds its
+    own KLL-family level sketch (operators/sketch.py) and MERGES it into
+    the persisted state; because the sketch is history-independent
+    (survival decided by each item's md5 bits), the streamed state is
+    BIT-IDENTICAL to one sketch built over all data in batch — any batch
+    boundaries, any replay order (tested).
+
+    State is ONE LakeTable row (n, level, items — O(k) whatever the
+    volume); quantile queries are element_at on the sorted item array.
+    Exactly-once: the merge is NOT idempotent (n accumulates), so the
+    fold commits with the Delta txn pattern and a replayed micro-batch
+    is skipped; single-table state means no torn-commit window exists.
+    """
+    from ecommerce_lakehouse_spark.operators.sketch import (
+        kll_level_sketch,
+        md5_hash60,
+    )
+
+    spark = events.sparkSession
+    sk_t = LakeTable(spark, os.path.join(state_root, "sketch"))
+    app = f"kll:{state_root}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        src = batch_df.select(
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+            md5_hash60(F.col("event_id")).alias("h"),
+        )
+        bsk = kll_level_sketch(src, "cents", "h", k=k)
+        if bsk.isEmpty():
+            return  # empty micro-batch: nothing to fold
+        if sk_t.exists():
+            if (sk_t.last_txn(app) or -1) >= batch_id:
+                return  # replayed micro-batch: n already accumulated
+            from ecommerce_lakehouse_spark.operators.sketch import kll_merge
+
+            merged = kll_merge(sk_t.read().unionByName(bsk), k=k)
+            sk_t.overwrite(merged, txn={"app_id": app, "version": int(batch_id)})
+        else:
+            sk_t.overwrite(bsk, txn={"app_id": app, "version": int(batch_id)})
+
+    return (
+        events.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -664,3 +664,53 @@ def test_stream_heavy_hitters_torn_commit_replay(spark, sf_dir, tmp_path):
     # with estimates identical to the batch sketch
     for k, est in batch.items():
         assert streamed.get(k) == est
+
+
+def test_stream_kll_quantiles_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """History independence is the claim: streaming the events table in
+    two micro-batches must leave the KLL state BIT-IDENTICAL to one
+    sketch built over the whole table in batch, and a restart with the
+    same checkpoint must add nothing."""
+    import os
+    import pyarrow.parquet as _pq
+    import pyspark.sql.functions as F
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.operators.sketch import (
+        kll_level_sketch,
+        md5_hash60,
+    )
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_kll_quantiles
+
+    src = os.path.join(sf_dir, "events.parquet")
+    t = _pq.read_table(src, columns=["event_id", "value"])
+    spool = tmp_path / "events_spool"
+    spool.mkdir()
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(0, half), str(spool / "a.parquet"))
+    _pq.write_table(t.slice(half), str(spool / "b.parquet"))
+    stream = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "kll_state")
+    ckpt = str(tmp_path / "kll_ckpt")
+    q = stream_kll_quantiles(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    batch_src = spark.read.parquet(src).select(
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        md5_hash60(F.col("event_id")).alias("h"),
+    )
+    want = kll_level_sketch(batch_src, "cents", "h").collect()[0]
+    sk_t = LakeTable(spark, os.path.join(state, "sketch"))
+    got = sk_t.read().collect()[0]
+    assert (got.n, got.level) == (want.n, want.level)
+    assert [(i.v, i.h) for i in got.items] == [(i.v, i.h) for i in want.items]
+    # exactly-once: restart with the same checkpoint adds nothing
+    v_before = sk_t.current_version()
+    q2 = stream_kll_quantiles(stream, state, ckpt)
+    q2.awaitTermination(60)
+    assert sk_t.current_version() == v_before
