@@ -51,10 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # A green CORRECTNESS_r06 means every registry query has a driver-gated
 # row in some round r01-r06.
 _FIRST = [
-    # anchors (10)
+    # anchors (9)
     "daily_sales",
     "product_performance",
-    "customer_insights",
     "corpus_curation_pipeline",
     "merge_upsert_snapshot",
     "tpch_q5_local_supplier_volume",
@@ -62,12 +61,13 @@ _FIRST = [
     "minhash_lsh_pairs",
     "semantic_cluster_dups",
     "jpeg_decode_features",
-    # new in r06 (5)
+    # new in r06 (6)
     "kll_quantile_sketch",
     "quality_classifier_scores",
     "ivf_pq_search_recall",
     "scd2_asof_lookup",
-    "department_analytics",  # anchor #11 (swap out if a 5th new query lands)
+    "croston_demand_forecast",
+    "shingle_containment_pairs",
     # never-gated tail (35 = registry − union of CORRECTNESS_r01..r05)
     "abc_part_classification",
     "adamic_adar_links",
