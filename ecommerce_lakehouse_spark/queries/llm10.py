@@ -746,7 +746,13 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat_ws(' ', w[i-1], w[i], w[i+1])))"
         ).alias("s"),
     )
+    # reuse barriers (llm7 discipline): sh feeds three branches (the
+    # index explode + both verification sides) and ex feeds two (df
+    # counts + the candidate join) — without them Catalyst re-runs the
+    # tokenize+shingle HOFs per branch (measured ~2x on this query)
+    sh = sh.localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    ex = ex.localCheckpoint(eager=False)
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
     ranked = (
         ex.join(dfreq, on="shingle")
