@@ -261,6 +261,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             < _QC_TRAIN_PCT
         ).alias("is_train"),
     )
+    d = d.localCheckpoint(eager=False)
     uni = d.select("doc_id", "pos", "is_train", F.explode("t").alias("g"))
     bi = d.filter(F.size("t") >= 2).select(
         "doc_id",
@@ -286,6 +287,10 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # reuse barriers: d feeds four branches (unigrams, bigrams, the
+    # train doc counts, the held-out spine) and pres feeds two (bucket
+    # training counts + scoring) — cache instead of re-tokenizing
+    pres = pres.localCheckpoint(eager=False)
     ndoc = d.filter("is_train").agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("npos"),
         F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("nneg"),
