@@ -51,23 +51,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # A green CORRECTNESS_r06 means every registry query has a driver-gated
 # row in some round r01-r06.
 _FIRST = [
-    # anchors (9)
+    # anchors (8; merge_upsert_snapshot rotated out — gated r03, and the
+    # storage DML family is exercised end-to-end by scd2_asof_lookup below)
     "daily_sales",
     "product_performance",
     "corpus_curation_pipeline",
-    "merge_upsert_snapshot",
     "tpch_q5_local_supplier_volume",
     "tumbling_window_agg",
     "minhash_lsh_pairs",
     "semantic_cluster_dups",
     "jpeg_decode_features",
-    # new in r06 (6)
+    # new in r06 (7)
     "kll_quantile_sketch",
     "quality_classifier_scores",
     "ivf_pq_search_recall",
     "scd2_asof_lookup",
     "croston_demand_forecast",
     "shingle_containment_pairs",
+    "pq_trained_codebook_eval",
     # never-gated tail (35 = registry − union of CORRECTNESS_r01..r05)
     "abc_part_classification",
     "adamic_adar_links",

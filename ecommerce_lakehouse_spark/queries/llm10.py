@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.operators.sketch import (
     kll_level_sketch,
     md5_hash60,
@@ -810,4 +811,207 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_common",
         (F.col("n_common") / F.col("n_a").cast("double")).alias("containment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means-trained PQ codebook vs the hash-sampled baseline
+# ---------------------------------------------------------------------------
+
+_PT_M = 8  # subspaces (pq_encode_eval layout)
+_PT_CW = 16  # codewords per subspace
+_PT_ROUNDS = 3  # fixed Lloyd budget, unrolled in the oracle
+_PT_U = (
+    "list_transform(embedding::DOUBLE[],"
+    " x -> CAST(round((x + 1.0) * 1000000) AS BIGINT))"
+)
+_PT_DIST = (
+    "CAST(list_aggregate(list_transform(range(1, 9),"
+    " i -> (p.sv[i] - c.c[i]) * (p.sv[i] - c.c[i])), 'sum') AS BIGINT)"
+)
+
+
+def _pt_assign_sql(prev_c: str, name: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+  SELECT vec_id, k, sv, cid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, k
+                                 ORDER BY dist, cid) AS rn FROM (
+      SELECT p.vec_id, p.k, p.sv, c.cid, {_PT_DIST} AS dist
+      FROM pts p JOIN {prev_c} c ON p.k = c.k)) WHERE rn = 1)"""
+
+
+def _pt_update_sql(asg: str, prev_c: str, name: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+  SELECT p.k, p.cid, COALESCE(n.c, p.c) AS c
+  FROM {prev_c} p LEFT JOIN (
+    SELECT k, cid, list(comp ORDER BY i) AS c FROM (
+      SELECT a.k, a.cid, dims.i,
+             CAST((2 * sum(a.sv[dims.i]) + count(*))
+                  // (2 * count(*)) AS BIGINT) AS comp
+      FROM {asg} a, dims GROUP BY a.k, a.cid, dims.i)
+    GROUP BY k, cid) n ON p.k = n.k AND p.cid = n.cid)"""
+
+
+def _pt_rounds_sql() -> str:
+    parts = []
+    prev = "c0"
+    for r in range(1, _PT_ROUNDS + 1):
+        parts.append(_pt_assign_sql(prev, f"a{r}"))
+        parts.append(_pt_update_sql(f"a{r}", prev, f"c{r}"))
+        prev = f"c{r}"
+    parts.append(_pt_assign_sql(prev, "af"))
+    return ",\n".join(parts)
+
+
+@query(
+    "pq_trained_codebook_eval",
+    oracle=f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, {_PT_U} AS u FROM embeddings),
+sub AS (SELECT unnest(range(0, {_PT_M})) AS k),
+pts AS MATERIALIZED (
+  SELECT vec_id, k, u[k * 8 + 1 : k * 8 + 8] AS sv FROM v, sub),
+dims AS (SELECT unnest(range(1, 9)) AS i),
+samp AS (
+  SELECT CAST(rn AS INT) AS cid, u FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rn, u
+    FROM v) WHERE rn <= {_PT_CW}),
+c0 AS MATERIALIZED (
+  SELECT k, cid, u[k * 8 + 1 : k * 8 + 8] AS c FROM samp, sub),
+{_pt_rounds_sql()},
+s0 AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_sub,
+              CAST(sum(dist) AS BIGINT) AS e0
+       FROM a1 GROUP BY 1),
+sf AS (SELECT vec_id, CAST(sum(dist) AS BIGINT) AS ef FROM af GROUP BY 1)
+SELECT s0.vec_id, s0.n_sub,
+       s0.e0 AS sq_err_sampled,
+       sf.ef AS sq_err_trained,
+       sf.ef <= s0.e0 AS improved
+FROM s0 JOIN sf USING (vec_id)
+""",
+)
+def pq_trained_codebook_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED product-quantization codebooks — closing the loop on
+    pq_encode_eval's stated contract ("a trained codebook only lowers
+    the reported error"): per subspace, a 16-codeword k-means (3 Lloyd
+    rounds) initialized from the SAME hash-sampled vectors the baseline
+    codebook uses, so the per-vector error delta is attributable to
+    training alone. Output: per-vector reconstruction error under both
+    codebooks plus the improved flag — at sf0.01 training improves ~all
+    vectors, and the aggregate ratio is the number that decides whether
+    to pay the training pass before building a 100 TB PQ index.
+
+    Determinism (the semantic_cluster_dups discipline, applied per
+    subspace): vectors quantize ONCE into shifted integer micro-units;
+    all Lloyd distances are BIGINT squared-L2; centroid updates are
+    exact half-up integer division (2s+n) DIV (2n) (sums non-negative
+    by the +1 shift, so floor==trunc across engines); argmin ties break
+    by codeword id. Both engines agree to the last digit after any
+    number of rounds; the oracle unrolls the same rounds as MATERIALIZED
+    CTEs keyed (subspace, cid).
+
+    Scale: the codebook is M x K x 8 bigints (KBs) — assignment is
+    shuffle-free (in-row array_min against the per-subspace broadcast
+    centroid array); the update explodes to (subspace, cid, dim) keys
+    where map-side combine collapses each task to <= M*K*8 rows; each
+    round is one job over an iter_barrier. Training cost is R bounded
+    aggregates over the corpus — the standard distributed k-means
+    shape, M-way parallel across subspaces."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    u = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round((x + F.lit(1.0)) * 1000000).cast("long"),
+    )
+    v = e.select("vec_id", u.alias("u")).transform(iter_barrier)
+    sub = spark.range(0, _PT_M).select(F.col("id").alias("k"))
+    pts = (
+        v.crossJoin(F.broadcast(sub))
+        .select(
+            "vec_id",
+            "k",
+            F.expr("slice(u, CAST(k * 8 + 1 AS INT), 8)").alias("sv"),
+        )
+        .transform(iter_barrier)
+    )
+    samp = (
+        v.select(F.md5(F.col("vec_id").cast("string")).alias("m"), "vec_id", "u")
+        .orderBy("m", "vec_id")
+        .limit(_PT_CW)
+        .select(
+            F.row_number().over(Window.orderBy("m", "vec_id")).cast("int").alias("cid"),
+            "u",
+        )
+    )
+    cent = (
+        samp.crossJoin(F.broadcast(sub))
+        .select(
+            "k", "cid", F.expr("slice(u, CAST(k * 8 + 1 AS INT), 8)").alias("c")
+        )
+        .transform(iter_barrier)
+    )
+
+    def assign(c_tbl: DataFrame) -> DataFrame:
+        # in-row argmin against the per-subspace broadcast centroid array
+        cs = c_tbl.groupBy("k").agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
+        )
+        j = pts.join(F.broadcast(cs), on="k")
+        best = F.array_min(
+            F.transform(
+                "cs",
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("sv"), s["c"], lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        )
+        return j.select(
+            "vec_id", "k", "sv", best["cid"].alias("cid"), best["dist"].alias("dist")
+        )
+
+    asg0 = assign(cent).transform(iter_barrier)  # sampled-codebook encoding
+    asg = asg0
+    for r in range(_PT_ROUNDS):
+        sums = (
+            asg.select("k", "cid", F.posexplode("sv").alias("d", "val"))
+            .groupBy("k", "cid", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "k", "cid", "d", F.expr("(2 * s + n) DIV (2 * n)").alias("comp")
+            )
+        )
+        newc = sums.groupBy("k", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "comp"))),
+                lambda x: x["comp"],
+            ).alias("nc")
+        )
+        cent = (
+            cent.join(newc, ["k", "cid"], "left")
+            .select("k", "cid", F.coalesce("nc", "c").alias("c"))
+            .transform(iter_barrier)
+        )
+        if r < _PT_ROUNDS - 1:
+            asg = assign(cent).transform(iter_barrier)
+    af = assign(cent)
+    s0 = asg0.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sub"),
+        F.sum("dist").cast("long").alias("sq_err_sampled"),
+    )
+    sf_ = af.groupBy("vec_id").agg(
+        F.sum("dist").cast("long").alias("sq_err_trained")
+    )
+    return s0.join(sf_, on="vec_id").select(
+        "vec_id",
+        "n_sub",
+        "sq_err_sampled",
+        "sq_err_trained",
+        (F.col("sq_err_trained") <= F.col("sq_err_sampled")).alias("improved"),
     )
