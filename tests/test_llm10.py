@@ -86,3 +86,81 @@ def test_reliable_checkpoint_mode_agrees(spark, sf_dir, name):
     finally:
         spark.conf.unset(RELIABLE_CHECKPOINT_CONF)
     assert local == reliable
+
+
+def test_quality_classifier_learns_the_gate(spark, sf_dir):
+    """The Bernoulli-NB presence scorer must actually LEARN the length
+    gate (>=0.9 held-out accuracy) — guards against silently regressing
+    to the chance-level multinomial form."""
+    from ecommerce_lakehouse_spark.queries.llm10 import (
+        quality_classifier_scores,
+    )
+
+    rows = quality_classifier_scores(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    correct = sum(r.n_docs for r in rows if r.label == r.predicted)
+    assert n > 0 and correct / n >= 0.9, (correct, n)
+
+
+def test_pq_training_reduces_error(spark, sf_dir):
+    """k-means training must lower the PQ reconstruction error for the
+    overwhelming majority of vectors (the query's stated contract)."""
+    from ecommerce_lakehouse_spark.queries.llm10 import (
+        pq_trained_codebook_eval,
+    )
+
+    rows = pq_trained_codebook_eval(spark, sf_dir).collect()
+    improved = sum(1 for r in rows if r.improved)
+    assert improved / len(rows) >= 0.9, (improved, len(rows))
+    assert all(r.sq_err_trained >= 0 for r in rows)
+
+
+def test_croston_matches_python_recompute(spark, sf_dir):
+    """Croston/SBA per part vs an independent Python recomputation of
+    the same sparse-entry recursion (the stats-family discipline)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ecommerce_lakehouse_spark.queries.llm10 import load as _load
+    from ecommerce_lakehouse_spark.queries.stats2 import (
+        _CROSTON_ALPHA,
+        croston_demand_forecast,
+    )
+
+    got = {r.l_partkey: r for r in croston_demand_forecast(spark, sf_dir).collect()}
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _load(spark, sf_dir, "lineitem")
+    m0 = o.agg(F.min(F.date_trunc("month", "o_orderdate")).alias("m")).collect()[0].m
+    pm = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "l_partkey",
+            (
+                F.months_between(
+                    F.to_date(F.date_trunc("month", "o_orderdate")),
+                    F.lit(m0).cast("timestamp"),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("idx"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+        .collect()
+    )
+    series: dict = {}
+    for r in pm:
+        series.setdefault(r.l_partkey, []).append((r.idx, r.q))
+    a = _CROSTON_ALPHA
+    for pk, entries in series.items():
+        entries.sort()
+        (i0, q0), rest = entries[0], entries[1:]
+        z, p, prev = float(q0), float(i0), i0
+        for idx, q in rest:
+            z = z + a * (float(q) - z)
+            p = p + a * (float(idx - prev) - p)
+            prev = idx
+        g = got[pk]
+        assert g.n_demands == len(entries)
+        assert math.isclose(g.croston_forecast, round(z / p, 9), rel_tol=1e-9, abs_tol=1e-9)
