@@ -1,10 +1,12 @@
-"""LLM training-data pipeline, phase 10 (round 6): the three operators the
-r05 verdict named as the highest-value residual gaps —
+"""LLM training-data pipeline, phase 10 (round 6) — the operators the
+r05 verdict named as the highest-value residual gaps, plus their
+natural completions:
 
 - ``kll_quantile_sketch``: the quantile member of the sketch shelf
   (KMV distinct / HLL / CMS frequency already exist), built on the
   history-independent KLL-family level sketch in operators/sketch.py and
-  reporting its own rank error at three quantiles;
+  reporting its own rank error at three quantiles (streaming twin:
+  streaming/jobs.py::stream_kll_quantiles);
 - ``quality_classifier_scores``: the learned (CCNet/fastText-shape)
   quality filter — a hashed-n-gram Naive-Bayes linear scorer trained as a
   query on the corpus's own hash split, weights as exact-integer nanos,
@@ -12,7 +14,11 @@ r05 verdict named as the highest-value residual gaps —
 - ``ivf_pq_search_recall``: IVF cells (embedding_ivf_ann) composed with
   PQ codebooks (pq_encode_eval) into asymmetric-distance-computation
   search — the billion-vector serving shape — with recall@5 against the
-  exact top-k and the candidate count reported (no silent cap).
+  exact top-k and the candidate count reported (no silent cap);
+- ``shingle_containment_pairs``: the DIRECTED dedup signal (doc inside
+  doc) symmetric Jaccard misses, via a one-sided AllPairs prefix index;
+- ``pq_trained_codebook_eval``: k-means-trained PQ codebooks vs the
+  hash-sampled baseline — the pay-for-training decision audit.
 
 Reference parity: none of these exist in the reference (its Python
 surface is Glue ETL over business keys, src/processing/*.py); they are
