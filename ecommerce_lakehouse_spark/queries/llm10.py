@@ -168,9 +168,9 @@ _QC_B = 256  # hashed feature buckets
 _QC_TRAIN_PCT = 80  # same deterministic split rule as bigram_lm_score
 
 
-@query(
-    "quality_classifier_scores",
-    oracle=rf"""
+# shared CTE chain: everything through per-doc held-out scores (reused by
+# the confusion-matrix query and the calibration curve)
+_QC_CTE = rf"""
 WITH d AS (
   SELECT doc_id, {_TOKENIZE_SQL} AS t,
          len(string_split_regex(trim(text), '\s+')) BETWEEN 50 AND 100000 AS pos,
@@ -219,6 +219,13 @@ test AS (
          COALESCE(ds.s, 0) + prior.b0 + consts.s_absent AS score
   FROM d LEFT JOIN ds USING (doc_id) CROSS JOIN prior CROSS JOIN consts
   WHERE NOT d.is_train)
+"""
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=_QC_CTE
+    + """
 SELECT label,
        CASE WHEN score > 0 THEN 'pass' ELSE 'fail' END AS predicted,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -254,6 +261,18 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) + one 1-row doc-count agg; scoring joins each doc's distinct
     buckets against the broadcast 256-row weight table; the audit is a
     4-cell groupBy. No per-row Python."""
+    return _qc_test_scores(spark, sf_dir).groupBy(
+        "label",
+        F.when(F.col("score") > 0, "pass").otherwise("fail").alias("predicted"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score").cast("long").alias("sum_score_nanos"),
+    )
+
+
+def _qc_test_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out per-doc scores (doc_id, label, score) — the shared body
+    of the confusion-matrix and calibration queries."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
@@ -369,24 +388,73 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(F.col("wp") - F.col("wa")).cast("long").alias("s"))
     )
-    test = (
+    return (
         d.filter(~F.col("is_train"))
         .select("doc_id", "pos")
         .join(ds, on="doc_id", how="left")
         .crossJoin(F.broadcast(prior))
         .crossJoin(F.broadcast(consts))
         .select(
+            "doc_id",
             F.when(F.col("pos"), "pass").otherwise("fail").alias("label"),
             (
                 F.coalesce("s", F.lit(0)) + F.col("b0") + F.col("s_absent")
             ).alias("score"),
         )
     )
-    return test.groupBy(
-        "label",
-        F.when(F.col("score") > 0, "pass").otherwise("fail").alias("predicted"),
-    ).agg(
+
+
+@query(
+    "classifier_calibration_curve",
+    oracle=_QC_CTE
+    + """
+SELECT CAST(least(greatest(CAST(floor(score / 2000000000.0) AS BIGINT), -5), 5)
+            AS INT) AS score_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN label = 'pass' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       sum(CASE WHEN label = 'pass' THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+         AS pass_rate,
+       CAST(sum(score) AS BIGINT) AS sum_score_nanos
+FROM test GROUP BY 1
+""",
+)
+def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the learned quality classifier: held-out
+    docs bucketed by score (2-bit-per-bucket nano-units, clamped to
+    [-5, 5]) against the observed positive rate per bucket — the
+    reliability diagram that decides WHERE to put the production
+    threshold (the confusion matrix answers only threshold 0) and
+    whether scores can be trusted as sampling weights. A monotone
+    pass_rate across buckets is what "the score means something" looks
+    like; flat noise means retrain.
+
+    Exactness: the bucket edge is floor on an exact-integer/literal
+    double division (identical both engines — integer DIV would FLOOR
+    in DuckDB but TRUNCATE in Spark on negative scores, so the double
+    floor form is the portable one); counts and rate divisions are
+    exact integers.
+
+    Scale: reuses the classifier's shared scoring body (one broadcast
+    weight join); the curve is an <=11-group aggregate."""
+    t = _qc_test_scores(spark, sf_dir)
+    bucket = (
+        F.least(
+            F.greatest(
+                F.floor(F.col("score") / F.lit(2000000000.0)).cast("long"),
+                F.lit(-5).cast("long"),
+            ),
+            F.lit(5).cast("long"),
+        )
+    ).cast("int")
+    return t.groupBy(bucket.alias("score_bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("label") == "pass", 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        (
+            F.sum(F.when(F.col("label") == "pass", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pass_rate"),
         F.sum("score").cast("long").alias("sum_score_nanos"),
     )
 

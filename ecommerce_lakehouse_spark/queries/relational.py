@@ -790,3 +790,127 @@ def null_safe_join_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(bb, a.size_mod.eqNullSafe(F.col("size_mod_b")))
         .select("size_mod", "n_all", "n_premium")
     )
+
+
+# ---------------------------------------------------------------------------
+# sweep-line interval concurrency
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_open_interval_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS od,
+         greatest(CAST(max(l.l_shipdate) AS DATE),
+                  CAST(o.o_orderdate AS DATE)) AS cd
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+deltas AS (
+  SELECT d, CAST(sum(x) AS BIGINT) AS delta
+  FROM (SELECT od AS d, 1 AS x FROM iv
+        UNION ALL
+        SELECT cd + 1 AS d, -1 AS x FROM iv)
+  GROUP BY d),
+curve AS (
+  SELECT d, CAST(sum(delta) OVER (ORDER BY d) AS BIGINT) AS open_orders
+  FROM deltas),
+mp AS (
+  SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+         max(open_orders) AS peak_open
+  FROM curve GROUP BY 1),
+pd AS (
+  SELECT mp.month, mp.peak_open, min(c.d) AS peak_date
+  FROM curve c JOIN mp ON CAST(date_trunc('month', c.d) AS DATE) = mp.month
+                      AND c.open_orders = mp.peak_open
+  GROUP BY 1, 2),
+om AS (SELECT CAST(date_trunc('month', od) AS DATE) AS month,
+              CAST(count(*) AS BIGINT) AS n_opened
+       FROM iv GROUP BY 1),
+cm AS (SELECT CAST(date_trunc('month', cd) AS DATE) AS month,
+              CAST(count(*) AS BIGINT) AS n_closed
+       FROM iv GROUP BY 1)
+SELECT pd.month, pd.peak_open, pd.peak_date,
+       COALESCE(om.n_opened, 0) AS n_opened,
+       COALESCE(cm.n_closed, 0) AS n_closed
+FROM pd LEFT JOIN om ON pd.month = om.month
+        LEFT JOIN cm ON pd.month = cm.month
+""",
+)
+def order_open_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-concurrency analytics: every order is an
+    interval [orderdate, last shipment]; the query reports, per month,
+    the PEAK number of simultaneously-open orders (with the first date
+    attaining it) plus open/close counts — the WIP/backlog curve ops
+    teams watch, and the classic interval-overlap operator class
+    (room-booking overlap, session concurrency, connection counts) done
+    WITHOUT a self-join: a self-join on overlap is O(n·k) output and
+    quadratic in hot windows; the sweep-line is two boundary events per
+    interval, a domain-bounded delta table, and one running sum.
+
+    Scale: intervals collapse per order (map-side combine over
+    lineitem); boundary deltas collapse to the DATE DOMAIN (~2.5k rows
+    for seven years — bounded however many orders exist, the
+    value_quantiles_exact argument); the running sum is a window over
+    that aggregated bounded frame (the plan-guard-allowed class).
+    Months with zero boundary events would be absent from the output —
+    impossible at these SFs and irrelevant to parity since both engines
+    share the construction.
+
+    Exactness: all counts are integers; dates only (no timestamps), so
+    the session timezone never enters."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("od"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("mx"))
+        .select("od", F.greatest("mx", "od").alias("cd"))
+    )
+    deltas = (
+        iv.select(F.col("od").alias("d"), F.lit(1).alias("x"))
+        .unionAll(
+            iv.select(F.date_add("cd", 1).alias("d"), F.lit(-1).alias("x"))
+        )
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("delta"))
+    )
+    # running sum over the COLLAPSED per-date frame: bounded by the date
+    # domain, the window class the plan guard allows (aggregated input)
+    curve = deltas.select(
+        "d",
+        F.sum("delta")
+        .over(Window.orderBy("d"))
+        .cast("long")
+        .alias("open_orders"),
+    )
+    month = F.to_date(F.date_trunc("month", "d"))
+    mp = curve.groupBy(month.alias("month")).agg(
+        F.max("open_orders").alias("peak_open")
+    )
+    pd_ = (
+        curve.join(
+            mp,
+            (month == mp["month"]) & (curve["open_orders"] == mp["peak_open"]),
+        )
+        .groupBy("month", "peak_open")
+        .agg(F.min("d").alias("peak_date"))
+    )
+    om = iv.groupBy(F.to_date(F.date_trunc("month", "od")).alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_opened")
+    )
+    cm = iv.groupBy(F.to_date(F.date_trunc("month", "cd")).alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_closed")
+    )
+    return (
+        pd_.join(om, on="month", how="left")
+        .join(cm, on="month", how="left")
+        .select(
+            "month",
+            "peak_open",
+            "peak_date",
+            F.coalesce("n_opened", F.lit(0)).cast("long").alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).cast("long").alias("n_closed"),
+        )
+    )
