@@ -51,17 +51,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # A green CORRECTNESS_r06 means every registry query has a driver-gated
 # row in some round r01-r06.
 _FIRST = [
-    # anchors (8; merge_upsert_snapshot rotated out — gated r03, and the
-    # storage DML family is exercised end-to-end by scd2_asof_lookup below)
+    # anchors (6): merge_upsert_snapshot/semantic_cluster_dups/
+    # jpeg_decode_features rotated out (gated r03/r05/r04; the storage
+    # DML family is exercised end-to-end by scd2_asof_lookup below)
     "daily_sales",
     "product_performance",
     "corpus_curation_pipeline",
     "tpch_q5_local_supplier_volume",
     "tumbling_window_agg",
     "minhash_lsh_pairs",
-    "semantic_cluster_dups",
-    "jpeg_decode_features",
-    # new in r06 (7)
+    # new in r06 (9)
     "kll_quantile_sketch",
     "quality_classifier_scores",
     "ivf_pq_search_recall",
@@ -69,6 +68,8 @@ _FIRST = [
     "croston_demand_forecast",
     "shingle_containment_pairs",
     "pq_trained_codebook_eval",
+    "order_open_interval_concurrency",
+    "classifier_calibration_curve",
     # never-gated tail (35 = registry − union of CORRECTNESS_r01..r05)
     "abc_part_classification",
     "adamic_adar_links",
