@@ -46,6 +46,12 @@ NAMES = {
     "value_mad_outliers": "one (type,value) collapse shuffle; both median windows partition by type over DOMAIN-bounded distinct values",
     "customer_spend_gini": "bucketed two-pass global rank (per-bucket windows + <=1024-row offset window), exact BIGINT moment sums",
     "rrf_hybrid_search": "two TakeOrdered top-20 lists full-outer joined; windows only over the <=20-row fused frames",
+    "kll_quantile_sketch": "count + map-side hash-threshold filter + O(k) collect_list: the sketch never shuffles more than k items; audit pass broadcasts 3 estimate rows against the scan",
+    "quality_classifier_scores": "256-bucket training groupBy + broadcast weight join; the only corpus-sized shuffle is the per-doc presence distinct",
+    "ivf_pq_search_recall": "broadcast centroid/codebook/distance tables; candidate scoring joins codes on vec_id bounded by cell sizes; shortlist/refine windows per-query over bounded rows",
+    "scd2_asof_lookup": "interval lookup as an EQUI broadcast join on the dim key with the validity range as residual — no nested loop, no cartesian",
+    "shingle_containment_pairs": "one-sided rarest-prefix postings against the full inverted index; candidates verified via two id-keyed array joins",
+    "order_open_interval_concurrency": "boundary-delta collapse to the date domain; the running-sum window is over that aggregated bounded frame",
 }
 
 
