@@ -1089,3 +1089,114 @@ def pq_trained_codebook_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sq_err_trained",
         (F.col("sq_err_trained") <= F.col("sq_err_sampled")).alias("improved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped quantile sketch (per-key KLL)
+# ---------------------------------------------------------------------------
+
+_GK_K = 256
+_GK_QS = [0.5, 0.9]
+
+
+@query(
+    "grouped_quantile_sketch",
+    oracle=f"""
+WITH src AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM events),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1),
+lvl AS (
+  SELECT event_type, n, CAST(min(l) AS INT) AS level
+  FROM tot, (SELECT unnest(range(0, 41)) AS l)
+  WHERE {_GK_K} * (CAST(1 AS BIGINT) << l) >= n
+  GROUP BY event_type, n),
+thr AS (
+  SELECT event_type, n, level,
+         1152921504606846976 // (CAST(1 AS BIGINT) << level) AS threshold
+  FROM lvl),
+kept AS (
+  SELECT s.event_type, s.cents, s.h
+  FROM src s JOIN thr USING (event_type) WHERE s.h < thr.threshold),
+sk AS (
+  SELECT event_type,
+         list_sort(list(struct_pack(v := cents, h := h))) AS items,
+         CAST(count(*) AS BIGINT) AS m_kept
+  FROM kept GROUP BY 1),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _GK_QS)}]) AS q),
+est AS (
+  SELECT sk.event_type, qs.q, sk.m_kept,
+         sk.items[CAST(ceil(qs.q * sk.m_kept) AS BIGINT)].v AS est_cents
+  FROM sk CROSS JOIN qs)
+SELECT e.event_type, e.q, t.n, t.level, e.m_kept,
+       CAST(e.est_cents AS DOUBLE) / 100.0 AS est_value,
+       CAST(sum(CASE WHEN s.cents <= e.est_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS count_le,
+       round(abs(sum(CASE WHEN s.cents <= e.est_cents THEN 1 ELSE 0 END)
+                 / CAST(t.n AS DOUBLE) - e.q), 9) AS rank_err
+FROM src s
+JOIN est e USING (event_type)
+JOIN thr t ON t.event_type = e.event_type
+GROUP BY e.event_type, e.q, t.n, t.level, e.m_kept, e.est_cents
+""",
+)
+def grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED form of the quantile sketch — one KLL-family sketch
+    PER event type in a single grouped aggregate (the shape a 100 TB
+    profiling pass runs: quantiles for every partition/tenant/key at
+    once, not one global number): per-type level selection, map-side
+    survivor filter, per-type O(k) item arrays, q in {{0.5, 0.9}}
+    answered by element_at, and each estimate's true per-type rank
+    error reported alongside (the kll_quantile_sketch audit, per key).
+
+    Scale: identical to the global sketch except every stage keys by
+    event_type — the level join is |types| x 41 rows, the survivor
+    filter joins a broadcast per-type threshold table, and the audit is
+    one conditional aggregate keyed (type, q). State is O(k) PER GROUP
+    by construction, the property that lets millions of group sketches
+    coexist in one shuffle."""
+    src = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        md5_hash60(F.col("event_id")).alias("h"),
+    )
+    sk = kll_level_sketch(
+        src, "cents", "h", k=_GK_K, group_cols=["event_type"]
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _GK_QS])).alias("q")
+    )
+    est = sk.crossJoin(F.broadcast(qs)).select(
+        "event_type",
+        "q",
+        F.col("n"),
+        "level",
+        F.size("items").cast("long").alias("m_kept"),
+        F.expr(
+            "element_at(items, CAST(ceil(q * size(items)) AS INT)).v"
+        ).alias("est_cents"),
+    )
+    return (
+        src.join(F.broadcast(est), on="event_type")
+        .groupBy("event_type", "q", "n", "level", "m_kept", "est_cents")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("est_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("count_le")
+        )
+        .select(
+            "event_type",
+            "q",
+            "n",
+            "level",
+            "m_kept",
+            (F.col("est_cents").cast("double") / F.lit(100.0)).alias("est_value"),
+            "count_le",
+            F.round(
+                F.abs(F.col("count_le") / F.col("n").cast("double") - F.col("q")),
+                9,
+            ).alias("rank_err"),
+        )
+    )

@@ -2233,3 +2233,102 @@ aggregate(
             "sba_forecast"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-MAD spike detection on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "daily_revenue_spike_flags",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) * 100
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT d, cents,
+         list_sort(list(cents) OVER (ORDER BY d
+             ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)) AS base
+  FROM daily),
+m AS (
+  SELECT d, cents, len(base) AS wn,
+         base[(len(base) + 1) // 2] + base[len(base) // 2 + 1] AS med2,
+         list_sort(list_transform(base,
+             x -> abs(2 * x - (base[(len(base) + 1) // 2]
+                               + base[len(base) // 2 + 1])))) AS devs
+  FROM w WHERE len(base) >= 7)
+SELECT d, CAST(wn AS BIGINT) AS window_n,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(med2 AS DOUBLE) / 200.0 AS baseline_median,
+       CAST(devs[(wn + 1) // 2] + devs[wn // 2 + 1] AS DOUBLE) / 400.0
+         AS baseline_mad,
+       4 * abs(2 * cents - med2)
+         > 3 * (devs[(wn + 1) // 2] + devs[wn // 2 + 1]) AS is_spike
+FROM m
+""",
+)
+def daily_revenue_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-MAD spike detection on daily revenue — the LOCAL-anomaly
+    companion to revenue_cusum_changepoint's global changepoint: each
+    day is judged against the robust location/scale of its own trailing
+    14-day window (median + MAD — 50% breakdown, so yesterday's spike
+    cannot poison today's baseline the way a rolling mean/stddev
+    would), flagged when |x − med| > 3·MAD.
+
+    Exactness is TOTAL — no float exists in the decision: daily revenue
+    is exact integer cents; with med2 = twice the window median and
+    mad2 = twice the median absolute twice-deviation (= 4·MAD), the
+    rule |x − med| > 3·MAD becomes the integer inequality
+    4·|2x − med2| > 3·mad2. The reported median/MAD columns are dyadic
+    rationals (/200, /400) rendered identically by both engines.
+
+    Scale: the corpus collapses map-side to the DATE-DOMAIN-bounded
+    daily frame (~2.5k rows at any volume); the rolling window and the
+    in-row array medians run over that aggregated frame (the
+    plan-guard-allowed class); window width is a 14-element array per
+    row."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            * 100
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    win = Window.orderBy("d").rowsBetween(-14, -1)
+    w = daily.select(
+        "d", "cents", F.sort_array(F.collect_list("cents").over(win)).alias("base")
+    ).filter(F.size("base") >= 7)
+    med2 = F.expr(
+        "element_at(base, CAST((size(base) + 1) DIV 2 AS INT))"
+        " + element_at(base, CAST(size(base) DIV 2 + 1 AS INT))"
+    )
+    m = w.select(
+        "d",
+        "cents",
+        F.size("base").cast("long").alias("wn"),
+        med2.alias("med2"),
+        F.expr(
+            "array_sort(transform(base, x -> abs(2 * x -"
+            " (element_at(base, CAST((size(base) + 1) DIV 2 AS INT))"
+            "  + element_at(base, CAST(size(base) DIV 2 + 1 AS INT))))))"
+        ).alias("devs"),
+    )
+    mad2 = F.expr(
+        "element_at(devs, CAST((wn + 1) DIV 2 AS INT))"
+        " + element_at(devs, CAST(wn DIV 2 + 1 AS INT))"
+    )
+    return m.select(
+        "d",
+        F.col("wn").alias("window_n"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (F.col("med2").cast("double") / F.lit(200.0)).alias("baseline_median"),
+        (mad2.cast("double") / F.lit(400.0)).alias("baseline_mad"),
+        (
+            4 * F.abs(2 * F.col("cents") - F.col("med2")) > 3 * mad2
+        ).alias("is_spike"),
+    )
