@@ -51,16 +51,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # A green CORRECTNESS_r06 means every registry query has a driver-gated
 # row in some round r01-r06.
 _FIRST = [
-    # anchors (6): merge_upsert_snapshot/semantic_cluster_dups/
-    # jpeg_decode_features rotated out (gated r03/r05/r04; the storage
-    # DML family is exercised end-to-end by scd2_asof_lookup below)
+    # anchors (4): every other candidate anchor is already gated in some
+    # r01-r05 window; these four span mart / pipeline / TPC-H / dedup
+    # (tpch_q5 re-gated deliberately — the r05 bench outlier)
     "daily_sales",
-    "product_performance",
     "corpus_curation_pipeline",
     "tpch_q5_local_supplier_volume",
-    "tumbling_window_agg",
     "minhash_lsh_pairs",
-    # new in r06 (9)
+    # new in r06 (11)
     "kll_quantile_sketch",
     "quality_classifier_scores",
     "ivf_pq_search_recall",
@@ -70,6 +68,8 @@ _FIRST = [
     "pq_trained_codebook_eval",
     "order_open_interval_concurrency",
     "classifier_calibration_curve",
+    "grouped_quantile_sketch",
+    "daily_revenue_spike_flags",
     # never-gated tail (35 = registry − union of CORRECTNESS_r01..r05)
     "abc_part_classification",
     "adamic_adar_links",
