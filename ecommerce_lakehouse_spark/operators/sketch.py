@@ -102,13 +102,22 @@ def kll_level_sketch(
     joined = (
         df.join(F.broadcast(thr), on=g) if g else df.crossJoin(F.broadcast(thr))
     )
-    kept = joined.filter(F.col(hash_col) < F.col("__thr"))
-    return kept.groupBy(*g, "n", "level").agg(
+    # Survivor selection happens INSIDE the aggregate (collect_list skips
+    # the NULLs the when() emits for non-survivors) rather than as a
+    # pre-filter: a group whose survivors all miss the threshold (real at
+    # small k: P = (1-2^-L)^n) must still emit its (n, level, []) row —
+    # dropping it would lose that partition's n in a merge and break the
+    # union==whole contract (caught by the hypothesis partition-invariance
+    # law, tests/test_properties.py).
+    return joined.groupBy(*g, "n", "level").agg(
         F.sort_array(
             F.collect_list(
-                F.struct(
-                    F.col(value_col).cast("long").alias("v"),
-                    F.col(hash_col).cast("long").alias("h"),
+                F.when(
+                    F.col(hash_col) < F.col("__thr"),
+                    F.struct(
+                        F.col(value_col).cast("long").alias("v"),
+                        F.col(hash_col).cast("long").alias("h"),
+                    ),
                 )
             )
         ).alias("items")
@@ -147,8 +156,14 @@ def kll_merge(sketches: DataFrame, k: int = 1024) -> DataFrame:
         F.col("it.v").alias("v"), F.col("it.h").alias("h")
     )
     kept = items.crossJoin(F.broadcast(thr)).filter(F.col("h") < F.col("__thr"))
-    return kept.groupBy("n", "level").agg(
+    # global agg (1 row even over zero survivors) + crossJoin back to the
+    # (n, level) row: the merged sketch must exist with empty items when
+    # no item clears the merged threshold — mirroring the build side's
+    # empty-group fix. Merging an EMPTY sketch set stays empty (sum(n)
+    # over nothing is NULL, which the level join rejects).
+    items_row = kept.agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("v"), F.col("h")))
         ).alias("items")
     )
+    return thr.select("n", "level").crossJoin(F.broadcast(items_row))

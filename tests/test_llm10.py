@@ -164,3 +164,31 @@ def test_croston_matches_python_recompute(spark, sf_dir):
         g = got[pk]
         assert g.n_demands == len(entries)
         assert math.isclose(g.croston_forecast, round(z / p, 9), rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_kll_sketch_empty_survivor_group_keeps_its_n(spark):
+    """A group whose items ALL miss the survival threshold must still
+    emit an (n, level, []) row, and a merge must carry that group's n —
+    dropping it silently undercounts the merged sketch (the bug the
+    partition-invariance property caught; ids chosen so group A's five
+    md5-60 hashes all exceed the k=1/n=5 threshold 2^57 while group B
+    survives)."""
+    import pyspark.sql.functions as F
+
+    hi = [0, 1, 2, 3, 4]        # md5_hash60 >= 2^57 each
+    lo = [27, 59, 60, 63, 119]  # md5_hash60 <  2^56 each
+    rows = [(i, 100 + i, "A") for i in hi] + [(i, 200 + i, "B") for i in lo]
+    df = spark.createDataFrame(rows, "rid long, cents long, p string").select(
+        "p", "cents", md5_hash60(F.col("rid")).alias("h")
+    )
+    per = kll_level_sketch(df, "cents", "h", k=1, group_cols=["p"])
+    got = {r.p: r for r in per.collect()}
+    assert set(got) == {"A", "B"}
+    assert got["A"].n == 5 and list(got["A"].items) == []
+    assert got["B"].n == 5 and len(got["B"].items) > 0
+    merged = kll_merge(per.drop("p"), k=1).collect()
+    whole = kll_level_sketch(df, "cents", "h", k=1).collect()
+    assert len(merged) == 1 and len(whole) == 1
+    w, m = whole[0], merged[0]
+    assert (w.n, w.level) == (m.n, m.level) == (10, 4)
+    assert [(i.v, i.h) for i in w.items] == [(i.v, i.h) for i in m.items]

@@ -570,3 +570,46 @@ def test_prefix_similarity_join_equals_bruteforce(spark, tmp_path_factory, docs,
         for r in shingle_similarity_join(spark, d).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# KLL level sketch: history independence over arbitrary partitionings
+# ---------------------------------------------------------------------------
+
+from ecommerce_lakehouse_spark.operators.sketch import (  # noqa: E402
+    kll_level_sketch,
+    kll_merge,
+    md5_hash60,
+)
+
+sk_vals = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6), st.integers(0, 2)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(items=sk_vals, seed=st.integers(0, 3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_kll_sketch_partition_invariant(spark, items, seed):
+    """The sketch law: for ANY input multiset and ANY disjoint grouping,
+    merge(per-group sketches) is bit-identical to the whole-data sketch
+    (history independence — the property that makes checkpoint-and-merge
+    at 100 TB safe). Group assignment varies with the hypothesis seed so
+    the law is exercised across partitionings, k small enough (8) that
+    compaction levels actually engage."""
+    rows = [(i, v, (i * 7 + v + seed) % 3) for i, (v, _) in enumerate(items)]
+    df = spark.createDataFrame(rows, "rid long, v long, p long").select(
+        "p", F.col("v").alias("cents"), md5_hash60(F.col("rid")).alias("h")
+    )
+    whole = kll_level_sketch(df, "cents", "h", k=8).collect()
+    per = kll_level_sketch(df, "cents", "h", k=8, group_cols=["p"]).drop("p")
+    merged = kll_merge(per, k=8).collect()
+    # degenerate case: every partition sketch may be empty only if df is
+    # empty, which min_size=1 rules out — both sides must be one row
+    assert len(whole) == 1 and len(merged) == 1
+    w, m = whole[0], merged[0]
+    assert (w.n, w.level) == (m.n, m.level)
+    assert [(i.v, i.h) for i in w.items] == [(i.v, i.h) for i in m.items]
