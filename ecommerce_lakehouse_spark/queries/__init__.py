@@ -52,6 +52,7 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     llm9,
     llm10,
     media,
+    mining,
     quality,
     relational,
     stats,

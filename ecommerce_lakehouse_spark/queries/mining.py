@@ -1,0 +1,813 @@
+"""Corpus & graph mining wave 3 (round 6 continuation): the remaining
+everyday text-mining, graph-structure, and embedding-index primitives.
+
+- ``pmi_collocations``: pointwise-mutual-information bigram collocation
+  mining — the statistical phrase detector (Church & Hanks 1990) every
+  tokenizer/vocab pipeline runs before merging multi-word units;
+- ``readability_profile``: per-language Flesch reading-ease from exact
+  integer word/sentence/vowel-group counts — the doc-quality signal
+  rule-based corpus gates (Gopher) omit;
+- ``simhash_hamming_pairs``: completes the SimHash dedup family from
+  signatures (llm2.simhash_signatures) to actual near-dup PAIRS via
+  pigeonhole banding + exact Hamming verification;
+- ``kcore_peeling_profile``: iterative k-core peeling (Seidman 1983,
+  Batagelj-Zaveršnik shape) over the support>=2 co-purchase graph —
+  the density-hierarchy summary (per-round nodes/edges) that PageRank
+  and components don't expose;
+- ``ar2_yule_walker_forecast``: AR(2) fit by Yule-Walker moment
+  equations over monthly revenue with a 6-month recursive forecast —
+  the autoregressive member of the forecasting shelf (alongside Holt,
+  exponential smoothing, Croston, Theil-Sen/OLS trend);
+- ``random_projection_recall``: Johnson-Lindenstrauss signed random
+  projection 64->16 dims with a recall@5 audit vs exact — the cheap
+  dimensionality-reduction alternative to PQ/SQ/Matryoshka already on
+  the quantization shelf.
+
+Reference parity: none of these exist in the reference (its Python
+surface is Glue ETL over business keys, src/processing/*.py); they
+extend the engine's first-class training-data and analytics families.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries.llm6 import _TOKENIZE_SQL
+from ecommerce_lakehouse_spark.tables import load
+
+# Spark twin of llm6._TOKENIZE_SQL (lowercased [a-z]+ words)
+_TOK_S = (
+    "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '),"
+    " x -> x <> '')"
+)
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+WITH d AS (SELECT {_TOKENIZE_SQL} AS t FROM documents),
+uni AS (
+  SELECT u AS w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS u FROM d) GROUP BY 1),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                 i -> {{'w1': t[i], 'w2': t[i+1]}})) AS u
+        FROM d WHERE len(t) >= 2)
+       , LATERAL (SELECT u.w1 AS w1, u.w2 AS w2) z
+  GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bi),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.c AS n_pair, u1.c AS n_w1, u2.c AS n_w2,
+         (CAST(bi.c AS DOUBLE) * tot.n)
+           / (CAST(u1.c AS DOUBLE) * u2.c) AS lift
+  FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+  CROSS JOIN tot
+  WHERE bi.c >= {_PMI_MIN_COUNT})
+SELECT w1, w2, n_pair, n_w1, n_w2, lift,
+       CAST(round(log2(lift) * 1e9) AS BIGINT) AS pmi_nanos
+FROM scored ORDER BY lift DESC, w1, w2 LIMIT {_PMI_TOP}
+""",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} bigram collocations by pointwise mutual information
+    PMI(a,b) = log2(N·c(ab) / (c(a)·c(b))) with a min-count floor of
+    {mc} (Church & Hanks 1990) — the statistical phrase detector that
+    finds multi-word units ("new york", "machine learning") worth
+    merging before vocabulary construction; the natural companion to
+    the BPE trainer (which merges by raw frequency, not association
+    strength) and token_frequencies on the text-analysis shelf.
+
+    Cross-engine exactness: c(ab), c(a), c(b), N are exact BIGINTs; the
+    ranking key is the lift ratio computed as ONE double
+    multiply-each-side-then-divide (identical IEEE sequence in both
+    engines), ties broken by the bigram itself; the only transcendental
+    (log2 — whose last ULP differs between the engines' libm) is rounded
+    ONCE into integer nanos (the adamic_adar_links discipline), with the
+    exact lift reported alongside.
+
+    Scale: two token-stream groupBys (bigram keys + unigram keys — both
+    vocabulary-bounded outputs) and two broadcast-sized joins back to
+    the bigram table; the top-{top} is TakeOrdered (per-partition heads,
+    no global sort). Nothing is corpus² anywhere.""".format(
+        top=_PMI_TOP, mc=_PMI_MIN_COUNT
+    )
+    d = load(spark, sf_dir, "documents").select(F.expr(_TOK_S).alias("t"))
+    d = d.localCheckpoint(eager=False)  # unigram + bigram branches
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bi = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("g")
+        )
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_COUNT)
+    )
+    tot = (
+        d.filter(F.size("t") >= 2)
+        .select((F.size("t") - 1).cast("long").alias("nb"))
+        .agg(F.sum("nb").cast("long").alias("n"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2"))
+    scored = (
+        bi.join(F.broadcast(u1), on="w1")
+        .join(F.broadcast(u2), on="w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                (F.col("n_pair").cast("double") * F.col("n"))
+                / (F.col("n_w1").cast("double") * F.col("n_w2"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_PMI_TOP)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            "lift",
+            F.round(F.log2("lift") * F.lit(1e9), 0)
+            .cast("long")
+            .alias("pmi_nanos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "readability_profile",
+    oracle=r"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z]+', ' ', 'g'), ' '), x -> x <> '')) AS BIGINT) AS w,
+         CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                x -> trim(x) <> '')) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS y
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(s) AS BIGINT) AS n_sentences,
+       CAST(sum(y) AS BIGINT) AS n_syllables,
+       CAST(sum(w) AS DOUBLE) / sum(s) AS words_per_sentence,
+       CAST(sum(y) AS DOUBLE) / sum(w) AS syllables_per_word,
+       206.835 - 1.015 * (CAST(sum(w) AS DOUBLE) / sum(s))
+               - 84.6 * (CAST(sum(y) AS DOUBLE) / sum(w))
+         AS flesch_reading_ease
+FROM d GROUP BY 1
+""",
+)
+def readability_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Flesch reading-ease profile: 206.835 − 1.015·(W/S) −
+    84.6·(Y/W) where W = [a-z]+ word count (the corpus tokenizer's
+    definition), S = non-empty [.!?]+-delimited sentence count, and Y =
+    vowel-group count (the standard syllable surrogate — exact syllable
+    counting needs a pronunciation lexicon; vowel runs are the
+    deterministic, engine-portable stand-in). The corpus-quality signal
+    rule gates (Gopher) omit: a corpus can pass length/stopword gates
+    while drifting unreadably technical or degenerate simple.
+
+    Exactness: all three counts are exact per-doc BIGINTs summed per
+    language; the formula is applied ONCE to the aggregate ratios
+    (never averaged per-doc — per-doc floats would reintroduce
+    association order), each ratio one IEEE division both engines
+    render identically.
+
+    Scale: one narrow scan, three in-row regex counts, a |langs|-group
+    aggregate. No shuffle beyond the fixed-width groupBy."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.expr(_TOK_S)).cast("long").alias("w"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x) != ""
+            )
+        )
+        .cast("long")
+        .alias("s"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_sentences"),
+        F.sum("y").cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+            "flesch_reading_ease"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (banding + Hamming verification)
+# ---------------------------------------------------------------------------
+
+_SH_MAXDIST = 3  # Hamming radius; 4 bands of 8 bits => pigeonhole-complete
+_SH_BANDS = 4
+_SH_CAP = 512  # stop-band skew cap (llm2._BUCKET_CAP policy)
+
+# 32-bit simhash over whitespace tokens — MUST stay in lockstep with
+# llm2.simhash_signatures (same tokens, same md5-derived bit votes)
+_SH_SIG_D = """
+canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+hs AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\\s+'),
+             s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hashes
+  FROM canon),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN list_sum(list_transform(hashes,
+                      h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM hs)
+"""
+
+
+@query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+WITH {_SH_SIG_D},
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS bkey
+  FROM sig, (SELECT unnest(range(0, {_SH_BANDS})) AS b)),
+hot AS (
+  SELECT b, bkey FROM bands GROUP BY 1, 2 HAVING count(*) > {_SH_CAP}),
+cold AS (
+  SELECT bands.* FROM bands ANTI JOIN hot
+  ON bands.b = hot.b AND bands.bkey = hot.bkey),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM cold a JOIN cold b
+    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming_dist
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_MAXDIST}
+""",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS at Hamming distance <= {md} —
+    completing the family from signatures (llm2.simhash_signatures
+    computes the 32-bit per-bit-majority hash; this query finds the
+    pairs) the way production SimHash dedup runs (Manku et al. 2007,
+    the Google web-dedup paper): split each signature into {nb} 8-bit
+    bands; by pigeonhole any pair within distance {md} agrees exactly
+    on at least one band, so band-equality buckets are a COMPLETE
+    candidate generator; verify candidates with the exact popcount of
+    the XOR. Collapse-first (exact copies canonicalize by min doc_id
+    before hashing) and the llm2 stop-band cap ({cap}) keep degenerate
+    buckets from going quadratic — the same skew policy the MinHash
+    pipeline ships.
+
+    Exactness: the signature is pure integer bit arithmetic from md5
+    token hashes (bit-identical to simhash_signatures); the verifier is
+    an integer popcount. No floats exist in this query.
+
+    Scale: banding is a 4x fan-out; candidates are bounded by
+    sum-of-bucket² under the cap; verification is in-row. The pairs
+    feed the same cluster/survivor machinery as minhash_lsh_pairs
+    (pipelines/curation.py).""".format(
+        md=_SH_MAXDIST, nb=_SH_BANDS, cap=_SH_CAP
+    )
+    d = load(spark, sf_dir, "documents")
+    canon = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    sig = canon.select(
+        "doc_id",
+        F.expr(
+            r"aggregate(transform(split(trim(text), '\\s+'),"
+            " s -> cast(conv(substr(md5(s),1,8),16,10) as bigint)),"
+            " array_repeat(cast(0 as bigint), 32),"
+            " (acc, h) -> zip_with(acc, sequence(0, 31),"
+            "   (c, i) -> c + IF((shiftright(h, i) & 1) = 1, 1, -1)),"
+            " acc -> aggregate(zip_with(acc, sequence(0, 31),"
+            "   (c, i) -> IF(c > 0, shiftleft(cast(1 as bigint), i),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, x) -> a + x))"
+        ).alias("simhash"),
+    )
+    sig = sig.localCheckpoint(eager=False)  # feeds band fan-out twice
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {_SH_BANDS - 1})")).alias("b"),
+    ).withColumn(
+        "bkey", F.expr("(simhash >> (8 * b)) & 255").cast("long")
+    )
+    hot = (
+        bands.groupBy("b", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > _SH_CAP)
+        .select("b", "bkey")
+    )
+    cold = bands.join(hot, on=["b", "bkey"], how="left_anti")
+    a = cold.select(
+        "b", "bkey", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+    )
+    bb = cold.select(
+        "b", "bkey", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+    )
+    cand = (
+        a.join(bb, on=["b", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming_dist", F.expr("bit_count(sig_a ^ sig_b)").cast("int")
+        )
+        .filter(F.col("hamming_dist") <= _SH_MAXDIST)
+        .select("doc_a", "doc_b", "hamming_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling profile
+# ---------------------------------------------------------------------------
+
+from ecommerce_lakehouse_spark.queries.graph_ml import (  # noqa: E402
+    _COPURCHASE_EDGES,
+    _support2_graph,
+)
+
+_KC_K = 3  # core order
+_KC_ROUNDS = 12  # fixed peel budget; fixpoint needs 11 at sf0.01 (worst SF)
+
+
+def _kc_rounds_sql() -> str:
+    parts = ["n0 AS (SELECT DISTINCT z FROM adj)"]
+    for r in range(_KC_ROUNDS + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT a.z, CAST(count(*) AS BIGINT) AS c
+  FROM adj a JOIN n{r} x ON a.z = x.z JOIN n{r} y ON a.nbr = y.z
+  GROUP BY 1)"""
+        )
+        if r < _KC_ROUNDS:
+            parts.append(
+                f"n{r + 1} AS (SELECT z FROM d{r} WHERE c >= {_KC_K})"
+            )
+    return ",\n".join(parts)
+
+
+@query(
+    "kcore_peeling_profile",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES},
+{_kc_rounds_sql()},
+prof AS (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS round,"
+      f" (SELECT CAST(count(*) AS BIGINT) FROM n{r}) AS n_nodes,"
+      f" (SELECT CAST(COALESCE(sum(c), 0) // 2 AS BIGINT) FROM d{r})"
+      f" AS n_edges"
+      for r in range(_KC_ROUNDS + 1)
+  )})
+SELECT round, n_nodes, n_edges,
+       CAST(COALESCE(lag(n_nodes) OVER (ORDER BY round) - n_nodes, 0)
+            AS BIGINT) AS n_removed
+FROM prof
+""",
+)
+def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (Seidman 1983; the synchronous Batagelj-Zaveršnik
+    shape) at k={k} over the support>=2 co-purchase graph: repeatedly
+    delete every part whose degree in the surviving subgraph is < {k},
+    and report the PROFILE — per round, surviving nodes, induced edges,
+    and nodes removed — rather than only the final core. The profile is
+    the density-hierarchy summary PageRank and connected components
+    don't expose (how fast the graph sheds its periphery; where the
+    plateau is = the core), it stays informative when the core is empty
+    (true at sf0.1 — the support>=2 graph there has no 3-core, and the
+    trailing zero rows SAY so), and the plateau makes convergence
+    auditable: {r} fixed rounds both engines unroll identically, chosen
+    above the measured fixpoint depth (11 rounds at sf0.01, the worst
+    SF; tests assert the plateau at all three).
+
+    Exactness: pure integer set/degree arithmetic — no floats exist.
+
+    Scale: each round is degree-count + filter over a monotonically
+    SHRINKING node set (two hash joins + one groupBy), the standard
+    distributed peel; the adjacency is materialized once
+    (graph_ml._support2_graph barrier) and per-round node sets are
+    checkpointed so round r's plan never replays rounds 1..r-1. At
+    100 TB the support threshold bounds degree skew before any round
+    runs (the triangle_copurchase lesson).""".format(
+        k=_KC_K, r=_KC_ROUNDS
+    )
+    from pyspark.sql import Window
+
+    _, adj = _support2_graph(spark, sf_dir)
+    adj = adj.transform(iter_barrier)
+    nodes = adj.select("z").distinct().transform(iter_barrier)
+    rows = None
+    for r in range(_KC_ROUNDS + 1):
+        xz = nodes.select(F.col("z").alias("xz"))
+        yz = nodes.select(F.col("z").alias("yz"))
+        deg = (
+            adj.join(xz, adj["z"] == xz["xz"])
+            .join(yz, adj["nbr"] == yz["yz"])
+            .groupBy("z")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        deg = deg.transform(iter_barrier)
+        n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        n_edges = deg.agg(
+            (F.coalesce(F.sum("c"), F.lit(0)) / 2).cast("long").alias("n_edges")
+        )
+        stat = (
+            n_nodes.crossJoin(n_edges)
+            .select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+        rows = stat if rows is None else rows.unionByName(stat)
+        if r < _KC_ROUNDS:
+            nodes = (
+                deg.filter(F.col("c") >= _KC_K)
+                .select("z")
+                .transform(iter_barrier)
+            )
+    w = Window.orderBy("round")
+    return rows.select(
+        "round",
+        "n_nodes",
+        "n_edges",
+        F.coalesce(F.lag("n_nodes").over(w) - F.col("n_nodes"), F.lit(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AR(2) Yule-Walker forecast
+# ---------------------------------------------------------------------------
+
+_AR_H = 6  # forecast horizon (months)
+
+
+@query(
+    "ar2_yule_walker_forecast",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({{'month': month, 'rev': revenue}})),
+                        x -> x.rev) AS a,
+         CAST(len(list({{'month': month}})) AS BIGINT) AS n
+  FROM m),
+mu AS (
+  SELECT a, n,
+         list_reduce(a, (x, y) -> x + y) / n AS mean_rev
+  FROM arr),
+gam AS (
+  SELECT a, n, mean_rev,
+         list_reduce(list_transform(range(1, CAST(n + 1 AS BIGINT)),
+             i -> (a[i] - mean_rev) * (a[i] - mean_rev)),
+             (x, y) -> x + y) AS g0,
+         list_reduce(list_transform(range(1, CAST(n AS BIGINT)),
+             i -> (a[i] - mean_rev) * (a[i + 1] - mean_rev)),
+             (x, y) -> x + y) AS g1,
+         list_reduce(list_transform(range(1, CAST(n - 1 AS BIGINT)),
+             i -> (a[i] - mean_rev) * (a[i + 2] - mean_rev)),
+             (x, y) -> x + y) AS g2
+  FROM mu),
+rr AS (SELECT a, n, mean_rev, g1 / g0 AS r1, g2 / g0 AS r2 FROM gam),
+ph AS (
+  SELECT a, n, mean_rev, r1, r2,
+         r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+  FROM rr),
+fc AS (
+  SELECT n, mean_rev, r1, r2, phi1, phi2,
+         list_reduce(
+           list_prepend([a[-2], a[-1]],
+             list_transform(range(1, {_AR_H + 1}), h -> [CAST(h AS DOUBLE)])),
+           (acc, e) -> list_append(acc,
+             mean_rev + phi1 * (acc[-1] - mean_rev)
+                      + phi2 * (acc[-2] - mean_rev)))[3:{_AR_H + 2}] AS f
+  FROM ph)
+SELECT CAST(h.i AS INT) AS h, f[h.i] AS forecast,
+       n AS n_months, mean_rev, r1, r2, phi1, phi2
+FROM fc, (SELECT unnest(range(1, {_AR_H + 1})) AS i) h
+""",
+)
+def ar2_yule_walker_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) autoregression fit by the Yule-Walker moment equations over
+    monthly revenue, with a {h}-month recursive forecast: lag-1/lag-2
+    autocorrelations r1, r2 from the centered series, then
+    phi1 = r1(1-r2)/(1-r1²), phi2 = (r2-r1²)/(1-r1²), then
+    x̂_{{T+h}} = μ + phi1(x̂_{{T+h-1}}-μ) + phi2(x̂_{{T+h-2}}-μ) seeded with
+    the last two observations — the autoregressive member of the
+    forecasting shelf (Holt captures trend, exponential smoothing
+    captures level, Croston captures intermittency; AR captures
+    mean-reverting serial correlation, which this series' negative r1
+    actually exhibits).
+
+    Determinism (the holt_linear_forecast discipline): monthly revenue
+    is cents-exact (DECIMAL sum rounded in the decimal domain, cast
+    double last); every moment sum is a LEFT fold over the month-sorted
+    array with identical term order in both engines (Spark `aggregate`
+    with 0.0 init ≡ DuckDB `list_reduce` — IEEE 0+x = x for positive
+    x); r/phi/forecast are short identical-shape double chains; the
+    recursion is one fold with the level expression bound once per
+    step. Bit-identical, no rounding anywhere.
+
+    Scale: corpus → one exact-decimal row per month map-side; all folds
+    touch only the bounded month array.""".format(h=_AR_H)
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(month, revenue))),"
+            " x -> x.revenue)"
+        ).alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mu = arr.select(
+        "a",
+        "n",
+        (
+            F.expr("aggregate(a, CAST(0.0 AS DOUBLE), (x, y) -> x + y)")
+            / F.col("n")
+        ).alias("mean_rev"),
+    )
+    gam = mu.select(
+        "a",
+        "n",
+        "mean_rev",
+        F.expr(
+            "aggregate(transform(sequence(1, n),"
+            " i -> (element_at(a, CAST(i AS INT)) - mean_rev)"
+            " * (element_at(a, CAST(i AS INT)) - mean_rev)),"
+            " CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        ).alias("g0"),
+        F.expr(
+            "aggregate(transform(sequence(1, n - 1),"
+            " i -> (element_at(a, CAST(i AS INT)) - mean_rev)"
+            " * (element_at(a, CAST(i + 1 AS INT)) - mean_rev)),"
+            " CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        ).alias("g1"),
+        F.expr(
+            "aggregate(transform(sequence(1, n - 2),"
+            " i -> (element_at(a, CAST(i AS INT)) - mean_rev)"
+            " * (element_at(a, CAST(i + 2 AS INT)) - mean_rev)),"
+            " CAST(0.0 AS DOUBLE), (x, y) -> x + y)"
+        ).alias("g2"),
+    )
+    rr = gam.select(
+        "a",
+        "n",
+        "mean_rev",
+        (F.col("g1") / F.col("g0")).alias("r1"),
+        (F.col("g2") / F.col("g0")).alias("r2"),
+    )
+    ph = rr.select(
+        "a",
+        "n",
+        "mean_rev",
+        "r1",
+        "r2",
+        (
+            F.col("r1") * (F.lit(1.0) - F.col("r2"))
+            / (F.lit(1.0) - F.col("r1") * F.col("r1"))
+        ).alias("phi1"),
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (F.lit(1.0) - F.col("r1") * F.col("r1"))
+        ).alias("phi2"),
+    )
+    fc = ph.select(
+        "n",
+        "mean_rev",
+        "r1",
+        "r2",
+        "phi1",
+        "phi2",
+        F.expr(
+            f"slice(aggregate(sequence(1, {_AR_H}),"
+            " array(element_at(a, -2), element_at(a, -1)),"
+            " (acc, h) -> concat(acc, array("
+            "   mean_rev + phi1 * (element_at(acc, -1) - mean_rev)"
+            "   + phi2 * (element_at(acc, -2) - mean_rev)))),"
+            f" 3, {_AR_H})"
+        ).alias("f"),
+    )
+    return fc.select(
+        F.posexplode("f").alias("i", "forecast"),
+        F.col("n").alias("n_months"),
+        "mean_rev",
+        "r1",
+        "r2",
+        "phi1",
+        "phi2",
+    ).select(
+        (F.col("i") + 1).cast("int").alias("h"),
+        "forecast",
+        "n_months",
+        "mean_rev",
+        "r1",
+        "r2",
+        "phi1",
+        "phi2",
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion audit
+# ---------------------------------------------------------------------------
+
+_RP_D = 16  # projected dimensions (from 64)
+_RP_NQ = 10  # query vectors (vec_id < 10, the ANN-audit set)
+_RP_NBUCKETS = 30  # ratio histogram: floor(ratio*10) clamped to [0, 29]
+
+_RP_U_D = (
+    "list_transform(embedding::DOUBLE[],"
+    " x -> CAST(round((x + 1.0) * 1000000) AS BIGINT))"
+)
+
+
+@query(
+    "random_projection_distortion",
+    oracle=f"""
+WITH sgn AS (
+  SELECT j, list_transform(range(1, 65),
+             i -> 1 - 2 * (('0x' || substr(md5(j::VARCHAR || '_'
+                  || i::VARCHAR), 1, 1))::BIGINT % 2)) AS srow
+  FROM (SELECT unnest(range(0, {_RP_D})) AS j)),
+smat AS (SELECT list(srow ORDER BY j) AS m FROM sgn),
+v AS (SELECT vec_id, {_RP_U_D} AS u FROM embeddings),
+proj AS (
+  SELECT vec_id, u,
+         list_transform(m, row -> CAST(list_aggregate(
+             list_transform(range(1, 65), i -> row[i] * u[i]), 'sum')
+             AS BIGINT)) AS p
+  FROM v, smat),
+q AS (SELECT vec_id AS query_id, u AS q_u, p AS q_p FROM proj
+      WHERE vec_id < {_RP_NQ}),
+pairs AS (
+  SELECT q.query_id, proj.vec_id AS nb,
+         CAST(list_aggregate(list_transform(range(1, 65),
+             i -> (q.q_u[i] - proj.u[i]) * (q.q_u[i] - proj.u[i])), 'sum')
+             AS BIGINT) AS do2,
+         CAST(list_aggregate(list_transform(range(1, {_RP_D + 1}),
+             j -> (q.q_p[j] - proj.p[j]) * (q.q_p[j] - proj.p[j])), 'sum')
+             AS BIGINT) AS dp2
+  FROM q JOIN proj ON proj.vec_id <> q.query_id),
+rat AS (
+  SELECT (CAST(dp2 AS DOUBLE) / {_RP_D}) / do2 AS ratio
+  FROM pairs WHERE do2 > 0)
+SELECT CAST(least(CAST(floor(ratio * 10) AS BIGINT),
+                  {_RP_NBUCKETS - 1}) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       min(ratio) AS min_ratio,
+       max(ratio) AS max_ratio
+FROM rat GROUP BY 1
+""",
+)
+def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss SIGNED random projection (Achlioptas 2001:
+    a ±1 matrix preserves pairwise L2 up to (1±ε) at D = O(log n / ε²))
+    from 64 to {d} dimensions, audited by the theorem's OWN claim: the
+    distribution of the distortion ratio (‖Pa−Pb‖²/D) / ‖a−b‖² over the
+    standard 10-query × corpus pair set, as a fixed-width histogram
+    (bucket = floor(ratio·10), clamped) with per-bucket exact min/max.
+    Concentration near 1.0 is what "the projection works" looks like;
+    the tail buckets quantify the ε a consumer must budget for. A
+    recall@k audit is deliberately NOT the contract here: on isotropic
+    embeddings all pairwise distances concentrate, so exact top-k is
+    noise-dominated and any projection scores ~chance — the ranking
+    audits live with the quantization ladder (SQ8/PQ/Matryoshka),
+    whose errors are small relative to inter-point gaps.
+
+    Determinism: sign(j,i) = 1 − 2·(first md5 hex digit of "j_i" mod 2)
+    — both engines derive the identical ±1 matrix; vectors quantize
+    ONCE into shifted integer micro-units (pq_encode_eval idiom), so
+    projections and both squared distances are exact BIGINT end to end;
+    the ratio is two IEEE divisions of exact integers (identical both
+    engines), and min/max are order-free.
+
+    Scale: the {d}×64 sign matrix is a broadcast literal; projection is
+    one in-row transform per vector (a narrow map — at 100 TB this is
+    THE point: 4× less vector I/O for every downstream consumer); the
+    pair set is queries × corpus (audit-bounded, the lsh_recall_eval
+    contract); the histogram is a fixed-width groupBy.""".format(d=_RP_D)
+    sgn = spark.range(0, _RP_D).select(
+        F.col("id").alias("j"),
+        F.expr(
+            "transform(sequence(1, 64), i -> 1 - 2 * (cast(conv(substr("
+            "md5(concat(cast(j as string), '_', cast(i as string))), 1, 1),"
+            " 16, 10) as bigint) % 2))"
+        ).alias("srow"),
+    )
+    smat = sgn.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, srow))), x -> x.srow)"
+        ).alias("m")
+    )
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round((x + F.lit(1.0)) * 1000000).cast("long"),
+        ).alias("u"),
+    )
+    proj = v.crossJoin(F.broadcast(smat)).select(
+        "vec_id",
+        "u",
+        F.expr(
+            "transform(m, row -> aggregate(zip_with(row, u, (s, x) -> s * x),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+        ).alias("p"),
+    )
+    proj = proj.localCheckpoint(eager=False)  # query + corpus sides
+    q = proj.filter(F.col("vec_id") < _RP_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("u").alias("q_u"),
+        F.col("p").alias("q_p"),
+    )
+    pairs = proj.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        F.expr(
+            "aggregate(zip_with(q_u, u, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("do2"),
+        F.expr(
+            "aggregate(zip_with(q_p, p, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dp2"),
+    )
+    rat = pairs.filter(F.col("do2") > 0).select(
+        ((F.col("dp2").cast("double") / F.lit(_RP_D)) / F.col("do2")).alias(
+            "ratio"
+        )
+    )
+    return rat.groupBy(
+        F.least(
+            F.floor(F.col("ratio") * 10).cast("long"),
+            F.lit(_RP_NBUCKETS - 1).cast("long"),
+        )
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+    )
