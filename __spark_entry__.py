@@ -115,7 +115,11 @@ _FIRST = [
 
 # Deferred never-gated queries lead the post-window tail (r07 rotation
 # picks them first; see the _FIRST comment).
-_NEXT = ["simhash_hamming_pairs", "random_projection_distortion"]
+_NEXT = [
+    "simhash_hamming_pairs",
+    "random_projection_distortion",
+    "dbscan_customer_segments",
+]
 
 
 def _ordered(d: dict) -> dict:

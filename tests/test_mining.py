@@ -157,3 +157,50 @@ def test_random_projection_distortion_concentrates(spark, sf_dir):
     assert [(r.bucket, r.n_pairs) for r in rows] == [
         (r.bucket, r.n_pairs) for r in again
     ]
+
+
+def test_dbscan_roles_and_cluster_keys(spark, sf_dir):
+    from ecommerce_lakehouse_spark.queries.mining import (
+        _DB_MINPTS,
+        dbscan_customer_segments,
+    )
+
+    rows = dbscan_customer_segments(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_cell = {(r.cx, r.cy): r for r in rows}
+    n_cust = sum(r.n_customers for r in rows)
+    # every customer lands in exactly one cell
+    assert (
+        n_cust
+        == spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    )
+    roles = {r.role for r in rows}
+    assert roles <= {"core", "border", "noise"}
+    for r in rows:
+        if r.role == "core":
+            assert r.n_neighbors >= _DB_MINPTS
+            assert r.cluster_key is not None
+        elif r.role == "noise":
+            assert r.n_neighbors < _DB_MINPTS
+            assert r.cluster_key is None
+        else:  # border: sub-threshold but adjacent to a core cell
+            assert r.n_neighbors < _DB_MINPTS
+            assert r.cluster_key is not None
+            adj_core = [
+                by_cell[(r.cx + dx, r.cy + dy)]
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (r.cx + dx, r.cy + dy) in by_cell
+                and by_cell[(r.cx + dx, r.cy + dy)].role == "core"
+            ]
+            assert adj_core
+            assert r.cluster_key == min(c.cluster_key for c in adj_core)
+    # adjacent core cells share a cluster (the DBSCAN connectivity law)
+    for r in rows:
+        if r.role != "core":
+            continue
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = by_cell.get((r.cx + dx, r.cy + dy))
+                if nb is not None and nb.role == "core":
+                    assert nb.cluster_key == r.cluster_key
