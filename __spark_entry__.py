@@ -119,6 +119,8 @@ _NEXT = [
     "simhash_hamming_pairs",
     "random_projection_distortion",
     "dbscan_customer_segments",
+    "markov_prediction_accuracy",
+    "frequent_triple_itemsets",
 ]
 
 

@@ -18,10 +18,17 @@ everyday text-mining, graph-structure, and embedding-index primitives.
   equations over monthly revenue with a 6-month recursive forecast —
   the autoregressive member of the forecasting shelf (alongside Holt,
   exponential smoothing, Croston, Theil-Sen/OLS trend);
-- ``random_projection_recall``: Johnson-Lindenstrauss signed random
-  projection 64->16 dims with a recall@5 audit vs exact — the cheap
-  dimensionality-reduction alternative to PQ/SQ/Matryoshka already on
-  the quantization shelf.
+- ``random_projection_distortion``: Johnson-Lindenstrauss signed random
+  projection 64->16 dims audited by the theorem's own claim — the
+  distortion-ratio histogram (recall@k is noise-dominated on isotropic
+  embeddings and deliberately rejected, see docstring);
+- ``dbscan_customer_segments``: exact grid-accelerated DBSCAN over the
+  integer customer behavior lattice — cell-level stencil counts,
+  core/border/noise roles, pointer-jump CC over the core-cell graph;
+- ``markov_prediction_accuracy``: held-out argmax next-event accuracy
+  of the transition matrix — model-vs-description for the Markov shelf;
+- ``frequent_triple_itemsets``: Apriori level 3 — top-k part triples
+  with the min-pair-support Apriori bound reported alongside.
 
 Reference parity: none of these exist in the reference (its Python
 surface is Glue ETL over business keys, src/processing/*.py); they
@@ -1030,5 +1037,234 @@ def dbscan_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("is_core"), F.col("c_key"))
             .otherwise(F.col("b_key"))
             .alias("cluster_key"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy
+# ---------------------------------------------------------------------------
+
+_MK_TRAIN_PCT = 80  # user-hash split (the corpus split idiom)
+
+
+@query(
+    "markov_prediction_accuracy",
+    oracle=f"""
+WITH u AS (
+  SELECT *,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100
+           < {_MK_TRAIN_PCT} AS is_train
+  FROM events),
+s AS (
+  SELECT user_id, is_train, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM u),
+tr AS (
+  SELECT event_type AS from_type, nxt AS to_type, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE nxt IS NOT NULL AND is_train GROUP BY 1, 2),
+pred AS (
+  SELECT from_type,
+         min(struct_pack(nn := -n, to_type := to_type)).to_type
+           AS predicted_type
+  FROM tr GROUP BY 1),
+te AS (
+  SELECT event_type AS from_type, nxt AS to_type
+  FROM s WHERE nxt IS NOT NULL AND NOT is_train)
+SELECT te.from_type, p.predicted_type,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN te.to_type = p.predicted_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       sum(CASE WHEN te.to_type = p.predicted_type THEN 1 ELSE 0 END)
+         / CAST(count(*) AS DOUBLE) AS accuracy
+FROM te JOIN pred p USING (from_type)
+GROUP BY 1, 2
+""",
+)
+def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out predictive accuracy of the first-order Markov model
+    event_transition_matrix estimates: train argmax P(next | current) on
+    the {p}% user-hash split, predict the next event type for every
+    held-out transition, and report per-state accuracy — the number that
+    says whether the transition matrix is a MODEL or just a description
+    (a matrix whose rows are near-uniform describes traffic fine and
+    predicts nothing; this query measures which).
+
+    Cross-engine determinism: the split is the md5 user-hash idiom;
+    the argmax breaks count ties by (−n, to_type) struct-min (exact
+    integers); accuracy is one IEEE division of exact counts.
+
+    Scale: training is the |types|² transition groupBy; prediction is a
+    broadcast join of the |types|-row argmax table against the test
+    stream's map-side pair extraction; per-user windows never globalize
+    (the event_transition_matrix contract).""".format(p=_MK_TRAIN_PCT)
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "is_train",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+            < _MK_TRAIN_PCT
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "is_train",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    s = s.localCheckpoint(eager=False)  # train + test branches
+    tr = (
+        s.filter("is_train")
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pred = tr.groupBy("from_type").agg(
+        F.min(F.struct((-F.col("n")).alias("nn"), "to_type"))["to_type"].alias(
+            "predicted_type"
+        )
+    )
+    return (
+        s.filter(~F.col("is_train"))
+        .join(F.broadcast(pred), on="from_type")
+        .groupBy("from_type", "predicted_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("to_type") == F.col("predicted_type"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "from_type",
+            "predicted_type",
+            "n_test",
+            "n_correct",
+            (F.col("n_correct") / F.col("n_test").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# frequent triple itemsets (Apriori level 3)
+# ---------------------------------------------------------------------------
+
+_TRI_TOP = 20
+
+
+@query(
+    "frequent_triple_itemsets",
+    oracle=f"""
+WITH b AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem GROUP BY 1),
+tri AS (
+  -- in-row C(|basket|,3) expansion, the same shape the Spark plan uses
+  -- (a 3-way self-join of the item table is quadratic-plus and took
+  -- 167 s at sf0.1; this form takes <1 s)
+  SELECT u.x, u.y, u.z, CAST(count(*) AS BIGINT) AS n_orders
+  FROM (SELECT unnest(flatten(flatten(list_transform(parts, (a, i) ->
+          list_transform(parts[i+1:], (b2, j) ->
+            list_transform(parts[i+j+1:], c -> {{'x': a, 'y': b2, 'z': c}})))))) AS u
+        FROM b), LATERAL (SELECT u.x AS x, u.y AS y, u.z AS z) q
+  GROUP BY 1, 2, 3),
+top AS (
+  SELECT x, y, z, n_orders FROM tri
+  ORDER BY n_orders DESC, x, y, z LIMIT {_TRI_TOP}),
+pairs AS (
+  SELECT u.pa, u.pb, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(flatten(list_transform(parts, (a, i) ->
+          list_transform(parts[i+1:], b2 -> {{'pa': a, 'pb': b2}})))) AS u
+        FROM b), LATERAL (SELECT u.pa AS pa, u.pb AS pb) q
+  GROUP BY 1, 2)
+SELECT t.x, t.y, t.z, t.n_orders,
+       least(xy.n, xz.n, yz.n) AS min_pair_support
+FROM top t
+JOIN pairs xy ON xy.pa = t.x AND xy.pb = t.y
+JOIN pairs xz ON xz.pa = t.x AND xz.pb = t.z
+JOIN pairs yz ON yz.pa = t.y AND yz.pb = t.z
+""",
+)
+def frequent_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3: the top-{k} part TRIPLES by co-purchase support,
+    each with the minimum support of its three item pairs — the Apriori
+    bound (support(xyz) <= min pair support) shown next to the actual,
+    which is exactly the pruning inequality a production run exploits.
+    Extends the itemset shelf one level above `part_cooccurrence`
+    (pairs) and `basket_association_rules` (pair-rule confidence/lift);
+    reported as a ranked top-{k} rather than a fixed min-support cut
+    because absolute support falls with the part-keyspace scale (0
+    triples reach support 2 at sf0.1 — a floor-cut output would be
+    empty there, true but uninformative).
+
+    Cross-engine determinism: counts are exact; the top-{k} breaks ties
+    by the item ids themselves.
+
+    Scale: baskets explode to C(|basket|,3) in-row triples (bounded by
+    order width, ~35 per 7-item basket) and collapse map-side — never a
+    self-join of the lineitem table; at a real min-support threshold
+    the standard Apriori prune broadcast-filters candidate triples by
+    frequent-pair membership BEFORE the explode, cutting the fan-out to
+    the frequent sublattice. The pair-support join is three broadcast
+    probes of the (bounded) top-{k} rows against the pair counts.""".format(
+        k=_TRI_TOP
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    baskets = baskets.localCheckpoint(eager=False)  # triples + pairs branches
+    tri = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(flatten(transform(parts, (a, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), (b, j) ->"
+                    " transform(slice(parts, i + j + 3, size(parts)),"
+                    " c -> struct(a AS x, b AS y, c AS z))))))"
+                )
+            ).alias("t")
+        )
+        .groupBy(F.col("t.x").alias("x"), F.col("t.y").alias("y"), F.col("t.z").alias("z"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    top = tri.orderBy(F.desc("n_orders"), "x", "y", "z").limit(_TRI_TOP)
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(parts, (a, i) ->"
+            " transform(slice(parts, i + 2, size(parts)),"
+            " b -> struct(a AS pa, b AS pb))))"
+        )
+    ).alias("p")
+    pairs = (
+        baskets.select(pair)
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # probed three times
+    xy = pairs.select(
+        F.col("pa").alias("x"), F.col("pb").alias("y"), F.col("n").alias("n_xy")
+    )
+    xz = pairs.select(
+        F.col("pa").alias("x"), F.col("pb").alias("z"), F.col("n").alias("n_xz")
+    )
+    yz = pairs.select(
+        F.col("pa").alias("y"), F.col("pb").alias("z"), F.col("n").alias("n_yz")
+    )
+    return (
+        top.join(xy, on=["x", "y"])
+        .join(xz, on=["x", "z"])
+        .join(yz, on=["y", "z"])
+        .select(
+            "x",
+            "y",
+            "z",
+            "n_orders",
+            F.least("n_xy", "n_xz", "n_yz").alias("min_pair_support"),
         )
     )

@@ -204,3 +204,87 @@ def test_dbscan_roles_and_cluster_keys(spark, sf_dir):
                 nb = by_cell.get((r.cx + dx, r.cy + dy))
                 if nb is not None and nb.role == "core":
                     assert nb.cluster_key == r.cluster_key
+
+
+def test_markov_accuracy_matches_pure_python_recount(spark, sf_dir):
+    """Full independent recount: rebuild the split, the train argmax,
+    and the held-out accuracy in plain Python from the parquet rows.
+    (No signal assertion — the synthetic event stream is near-uniform,
+    so argmax accuracy ~ chance; the query's job is to MEASURE that.)"""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from ecommerce_lakehouse_spark.queries.mining import (
+        _MK_TRAIN_PCT,
+        markov_prediction_accuracy,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    train_pairs, test_pairs = Counter(), []
+    for uid, rs in by_user.items():
+        is_train = (
+            int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 100
+            < _MK_TRAIN_PCT
+        )
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rs, rs[1:]):
+            if is_train:
+                train_pairs[(a.event_type, b.event_type)] += 1
+            else:
+                test_pairs.append((a.event_type, b.event_type))
+    pred = {}
+    for (f, t), n in train_pairs.items():
+        cur = pred.get(f)
+        if cur is None or (-n, t) < cur:
+            pred[f] = (-n, t)
+    pred = {f: t for f, (_, t) in pred.items()}
+    want = defaultdict(lambda: [0, 0])
+    for f, t in test_pairs:
+        if f in pred:
+            want[f][0] += 1
+            want[f][1] += int(pred[f] == t)
+    rows = markov_prediction_accuracy(spark, sf_dir).collect()
+    got = {r.from_type: (r.predicted_type, r.n_test, r.n_correct) for r in rows}
+    assert set(got) == set(want)
+    for f, (n_test, n_correct) in want.items():
+        assert got[f] == (pred[f], n_test, n_correct)
+
+
+def test_frequent_triples_respect_apriori_bound(spark, sf_dir):
+    from ecommerce_lakehouse_spark.queries.mining import (
+        frequent_triple_itemsets,
+    )
+
+    from collections import Counter
+    from itertools import combinations
+
+    rows = frequent_triple_itemsets(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.x < r.y < r.z  # canonical ordering
+        # the Apriori monotonicity law: a triple's support never exceeds
+        # the support of any of its pairs
+        assert r.n_orders <= r.min_pair_support
+    # independent recount: the selected 20 ARE the global top-20
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    tri = Counter()
+    for parts in baskets.values():
+        for c in combinations(sorted(parts), 3):
+            tri[c] += 1
+    want = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(((r.x, r.y, r.z), r.n_orders) for r in rows)
+    assert got == sorted(want)
