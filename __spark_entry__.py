@@ -45,17 +45,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # gated — computed as registry − union(CORRECTNESS_r01..r05), NOT from a
 # hand-maintained list (the r05 comment here undercounted by 4) — enter
 # the window, plus this round's new operators (themselves never-gated).
-# A green CORRECTNESS_r06 means every registry query except two has a
-# driver-gated row in some round r01-r06.
+# A green CORRECTNESS_r06 means every registry query except the six in
+# _NEXT has a driver-gated row in some round r01-r06.
 #
-# The window is exactly 50 slots and round-6 added 17 new queries on top
-# of the 35 carryovers (52 never-gated names), so the four already-gated
-# anchors yield their slots to four of the six wave-3 mining queries;
-# the two deferred ones (simhash_hamming_pairs,
-# random_projection_distortion — both with an already-gated family twin
-# and full pytest + local-oracle coverage) lead the post-window order so
-# the r07 rotation picks them first. Regression anchoring this round
-# comes from the bench profile (all queries) + the 1290-test suite.
+# The window is exactly 50 slots and round-6 added 21 new queries on top
+# of the 35 carryovers (56 never-gated names), so the four already-gated
+# anchors yield their slots to four of the wave-3 mining queries; the
+# six deferred ones (_NEXT below — each with an already-gated family
+# twin and full pytest + 3-SF local-oracle coverage) lead the
+# post-window order so the r07 rotation picks them first. Regression
+# anchoring this round comes from the bench profile (all queries) + the
+# 1300+-test suite.
 _FIRST = [
     # wave-3 mining (4 of 6; see deferral note above)
     "pmi_collocations",
@@ -121,6 +121,7 @@ _NEXT = [
     "dbscan_customer_segments",
     "markov_prediction_accuracy",
     "frequent_triple_itemsets",
+    "isotonic_calibration",
 ]
 
 

@@ -1268,3 +1268,144 @@ def frequent_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("n_xy", "n_xz", "n_yz").alias("min_pair_support"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# isotonic calibration (PAVA) of the learned quality classifier
+# ---------------------------------------------------------------------------
+
+from ecommerce_lakehouse_spark.queries.llm10 import (  # noqa: E402
+    _QC_CTE,
+    _qc_test_scores,
+)
+
+_ISO_ROUNDS = 10  # buckets - 1: PAVA's worst-case merge count
+
+
+def _iso_round_sql(prev: str, cur: str) -> str:
+    # each block table is referenced twice (violation scan + merge), so
+    # it MUST be MATERIALIZED — inlined CTEs would re-evaluate the whole
+    # classifier-scoring chain 2^rounds times
+    return f"""v_{cur} AS (
+  SELECT min(bs) AS vmin FROM (
+    SELECT bs, p * lead(n) OVER w > lead(p) OVER w * n AS viol
+    FROM {prev} WINDOW w AS (ORDER BY bs)) WHERE viol),
+{cur} AS MATERIALIZED (
+  SELECT bs,
+         CASE WHEN bs = v.vmin THEN lead_be ELSE be END AS be,
+         CASE WHEN bs = v.vmin THEN n + lead_n ELSE n END AS n,
+         CASE WHEN bs = v.vmin THEN p + lead_p ELSE p END AS p
+  FROM (SELECT bs, be, n, p,
+               lead(be) OVER w AS lead_be,
+               lead(n) OVER w AS lead_n,
+               lead(p) OVER w AS lead_p,
+               lag(bs) OVER w AS prev_bs
+        FROM {prev} WINDOW w AS (ORDER BY bs)) t, v_{cur} v
+  WHERE v.vmin IS NULL OR prev_bs IS NULL OR prev_bs <> v.vmin)"""
+
+
+@query(
+    "isotonic_calibration",
+    oracle=_QC_CTE
+    + """,
+curve AS (
+  SELECT CAST(least(greatest(CAST(floor(score / 2000000000.0) AS BIGINT),
+                             -5), 5) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN label = 'pass' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pass
+  FROM test GROUP BY 1),
+b0 AS MATERIALIZED (SELECT bucket AS bs, bucket AS be, n_docs AS n,
+                           n_pass AS p FROM curve),
+"""
+    + ",\n".join(
+        _iso_round_sql(f"b{r}", f"b{r + 1}") for r in range(_ISO_ROUNDS)
+    )
+    + f"""
+SELECT CAST(bs AS INT) AS bucket_start, CAST(be AS INT) AS bucket_end,
+       n AS n_docs, p AS n_pass,
+       CAST(p AS DOUBLE) / n AS iso_rate
+FROM b{_ISO_ROUNDS}
+""",
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators, Ayer 1955) over the
+    quality classifier's held-out score buckets: merge adjacent buckets
+    while a LEFT bucket's pass rate exceeds its right neighbor's, until
+    the rate is monotone in score — turning the raw reliability diagram
+    (classifier_calibration_curve, which can wiggle) into the calibrated
+    score→P(pass) step function a production threshold reads off. The
+    output blocks ARE the calibrator: score in [start, end] ⇒
+    probability = block's pooled pass rate.
+
+    PAVA here is deterministic and exact: the violation test is the
+    cross-multiplied integer inequality p_i·n_{{i+1}} > p_{{i+1}}·n_i
+    (never a float rate compare), and all block sums are integer. The
+    two engines run different-but-equivalent merge schedules — Spark a
+    single in-row stack fold (push each bucket, merge-down while the
+    top two blocks violate), the oracle {r} unrolled leftmost-merge
+    rounds — which is safe because the strict-violation PAVA block
+    partition is merge-order-independent (the isotonic fit is a unique
+    projection and pooling is associative on violating runs); equality
+    is enforced by the oracle gate at three SFs. The pooled rate is one
+    exact division at the end.
+
+    Scale: the domain is the BUCKET table (≤11 rows however large the
+    corpus — the same bounded-domain contract as the calibration
+    curve), so the whole regression is ONE tiny aggregate after the
+    shared per-doc scoring body (one broadcast weight join). The
+    round-per-job form this replaced spent 10 window+join+barrier
+    rounds of pure job overhead (9.4 s → 1 aggregate).""".format(
+        r=_ISO_ROUNDS
+    )
+    t = _qc_test_scores(spark, sf_dir)
+    curve = t.groupBy(
+        F.least(
+            F.greatest(
+                F.floor(F.col("score") / F.lit(2000000000.0)).cast("long"),
+                F.lit(-5).cast("long"),
+            ),
+            F.lit(5).cast("long"),
+        ).alias("bs")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("label") == "pass", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+    )
+    # the whole PAVA runs as ONE in-row stack fold over the sorted bucket
+    # array (the domain is <=11 buckets by construction): push each bucket
+    # as a singleton block, then merge-down while the top two blocks
+    # violate — the inner bounded fold covers the worst-case cascade.
+    # Equivalent to the oracle's leftmost-merge rounds (the PAVA block
+    # partition under strict-violation pooling is merge-order-independent)
+    # at a fraction of the cost: the round-per-job form ran 10 tiny
+    # window+join+barrier rounds (9.4 s at sf0.1); this is one aggregate.
+    arr = curve.agg(
+        F.expr("array_sort(collect_list(struct(bs, n, p)))").alias("a")
+    )
+    folded = arr.select(
+        F.expr(
+            f"""
+aggregate(a,
+  CAST(array() AS array<struct<bs: bigint, be: bigint, n: bigint, p: bigint>>),
+  (st, x) -> aggregate(sequence(1, {_ISO_ROUNDS + 1}),
+    concat(st, array(struct(x.bs AS bs, x.bs AS be, x.n AS n, x.p AS p))),
+    (s, unused) -> IF(size(s) >= 2
+        AND element_at(s, -2).p * element_at(s, -1).n
+            > element_at(s, -1).p * element_at(s, -2).n,
+      concat(slice(s, 1, size(s) - 2), array(struct(
+        element_at(s, -2).bs AS bs,
+        element_at(s, -1).be AS be,
+        element_at(s, -2).n + element_at(s, -1).n AS n,
+        element_at(s, -2).p + element_at(s, -1).p AS p))),
+      s)))
+""".strip()
+        ).alias("blocks")
+    )
+    return folded.select(F.explode("blocks").alias("b")).select(
+        F.col("b.bs").cast("int").alias("bucket_start"),
+        F.col("b.be").cast("int").alias("bucket_end"),
+        F.col("b.n").alias("n_docs"),
+        F.col("b.p").alias("n_pass"),
+        (F.col("b.p").cast("double") / F.col("b.n")).alias("iso_rate"),
+    )

@@ -288,3 +288,39 @@ def test_frequent_triples_respect_apriori_bound(spark, sf_dir):
     want = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = sorted(((r.x, r.y, r.z), r.n_orders) for r in rows)
     assert got == sorted(want)
+
+
+def test_isotonic_calibration_is_monotone_and_mass_preserving(spark, sf_dir):
+    from ecommerce_lakehouse_spark.queries.llm10 import (
+        classifier_calibration_curve,
+    )
+    from ecommerce_lakehouse_spark.queries.mining import isotonic_calibration
+
+    blocks = sorted(
+        isotonic_calibration(spark, sf_dir).collect(),
+        key=lambda r: r.bucket_start,
+    )
+    curve = classifier_calibration_curve(spark, sf_dir).collect()
+    # mass preservation: blocks partition the curve's docs and passes
+    assert sum(b.n_docs for b in blocks) == sum(c.n_docs for c in curve)
+    assert sum(b.n_pass for b in blocks) == sum(c.n_pass for c in curve)
+    # block intervals are disjoint and ordered
+    for a, b in zip(blocks, blocks[1:]):
+        assert a.bucket_end < b.bucket_start
+    # the PAVA postcondition: pooled rates are non-decreasing in score
+    for a, b in zip(blocks, blocks[1:]):
+        # exact cross-multiplied comparison, same as the query's test
+        assert a.n_pass * b.n_docs <= b.n_pass * a.n_docs
+    for b in blocks:
+        assert math.isclose(b.iso_rate, b.n_pass / b.n_docs)
+    # PAVA only merges where the raw curve violated monotonicity:
+    # a multi-bucket block must contain at least one raw violation
+    raw = {c.score_bucket: (c.n_docs, c.n_pass) for c in curve}
+    for b in blocks:
+        members = sorted(k for k in raw if b.bucket_start <= k <= b.bucket_end)
+        if len(members) > 1:
+            viol = any(
+                raw[x][1] * raw[y][0] > raw[y][1] * raw[x][0]
+                for x, y in zip(members, members[1:])
+            )
+            assert viol
