@@ -24,7 +24,8 @@ everyday text-mining, graph-structure, and embedding-index primitives.
   embeddings and deliberately rejected, see docstring);
 - ``dbscan_customer_segments``: exact grid-accelerated DBSCAN over the
   integer customer behavior lattice — cell-level stencil counts,
-  core/border/noise roles, pointer-jump CC over the core-cell graph;
+  core/border/noise roles, one in-row min-label CC fold over the
+  domain-bounded core-cell graph;
 - ``markov_prediction_accuracy``: held-out argmax next-event accuracy
   of the transition matrix — model-vs-description for the Markov shelf;
 - ``frequent_triple_itemsets``: Apriori level 3 — top-k part triples
@@ -459,6 +460,10 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = adj.select("z").distinct().transform(iter_barrier)
     rows = None
     for r in range(_KC_ROUNDS + 1):
+        # endpoint probes stay shuffle joins: the node set shrinks but is
+        # part-dimension-sized at 100 TB (too big to force-broadcast);
+        # AQE broadcasts automatically when a round's survivor set is
+        # small (measured: forcing broadcast here changes nothing locally)
         xz = nodes.select(F.col("z").alias("xz"))
         yz = nodes.select(F.col("z").alias("yz"))
         deg = (
@@ -898,7 +903,10 @@ def dbscan_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     CELL-level arithmetic — neighbor counts are sums over ≤9 adjacent
     cell counts, core-ness (≥{mp} neighbors) is a per-cell property
     (co-located points are indistinguishable), clusters are connected
-    components of the CORE-CELL adjacency graph, and border cells attach
+    components of the CORE-CELL adjacency graph (computed as ONE in-row
+    min-label fold with pointer jumping — the cell graph is
+    domain-bounded, so distributing its CC is pure scheduler overhead),
+    and border cells attach
     to the min cluster key among adjacent core cells. Output is the
     density map: one row per occupied cell with its population, point
     neighbor count, core/border/noise role, and cluster key (min
@@ -920,8 +928,6 @@ def dbscan_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decimal domain ONCE); every count, threshold, and cluster key
     is integer; role ties cannot exist (core-ness is a deterministic
     inequality; border attachment takes the MIN key)."""
-    from ecommerce_lakehouse_spark.operators.graph import min_label_propagation
-
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     feats = (
@@ -991,22 +997,74 @@ def dbscan_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cid") < F.col("bcid"))
         .select(F.col("cid").alias("doc_a"), F.col("bcid").alias("doc_b"))
     )
-    ids = core.filter("is_core").select(F.col("cid").alias("doc_id"))
-    # pointer_jump: the core-cell graph is a LATTICE blob (diameter ~ grid
-    # side, not ~2-3 like near-dup star graphs) — plain min-label needs
-    # O(diameter) rounds (~40 here, measured 21 s); Shiloach-Vishkin
-    # doubling converges in O(log diameter) (~7 rounds, 6 s)
-    lab = min_label_propagation(ids, e, pointer_jump=True)
-    ckey = (
-        lab.join(
-            core.select(F.col("cid").alias("doc_id"), "min_key"), on="doc_id"
+    # The core-cell graph is DOMAIN-bounded (≤ |x-domain|·|y-domain|
+    # cells, ~2000 max here — never row-count-bounded), so distributing
+    # its connected components is pure scheduler overhead: the
+    # round-per-job propagation cost 40 rounds plain / 7 rounds with
+    # pointer jumping (21 s / 6 s at sf0.1). Instead the whole CC runs
+    # as ONE in-row fold (the isotonic_calibration pattern): collect
+    # cells+edges into a single row, build index-space adjacency once,
+    # then 32 rounds of (own, neighbor-min, label-of-label) min-label
+    # with pointer jumping — ≥ 2x the log2(V) bound, each round O(E)
+    # inside one task. Equality with the oracle's recursive closure is
+    # gated at three SFs.
+    nodes1 = (
+        core.filter("is_core")
+        .agg(
+            F.expr("array_sort(collect_list(struct(cid, min_key)))").alias(
+                "nodes"
+            )
         )
-        .groupBy("cluster_id")
-        .agg(F.min("min_key").alias("cluster_key"))
     )
-    cmap = lab.join(ckey, on="cluster_id").select(
-        F.col("doc_id").alias("cid"), "cluster_key"
+    edges1 = e.agg(
+        F.expr("collect_list(struct(doc_a, doc_b))").alias("edges")
     )
+    lab = (
+        nodes1.crossJoin(edges1)
+        .select(
+            "nodes",
+            F.expr(
+                """
+transform(edges, ed -> struct(
+  CAST(array_position(transform(nodes, x -> x.cid), ed.doc_a) AS INT) AS ai,
+  CAST(array_position(transform(nodes, x -> x.cid), ed.doc_b) AS INT) AS bi))
+""".strip()
+            ).alias("eidx"),
+        )
+        .select(
+            "nodes",
+            F.expr(
+                """
+transform(sequence(1, size(nodes)), i ->
+  concat(transform(filter(eidx, ed -> ed.ai = i), ed -> ed.bi),
+         transform(filter(eidx, ed -> ed.bi = i), ed -> ed.ai)))
+""".strip()
+            ).alias("adj_idx"),
+        )
+        .select(
+            "nodes",
+            F.expr(
+                """
+aggregate(sequence(1, 32), sequence(1, size(nodes)),
+  (labels, unused) -> zip_with(labels, adj_idx, (l, nbrs) ->
+    least(l,
+          coalesce(array_min(transform(nbrs,
+            j -> element_at(labels, j))), l),
+          element_at(labels, l))))
+""".strip()
+            ).alias("labels"),
+        )
+    )
+    member = lab.select(
+        F.expr(
+            "explode(zip_with(nodes, labels,"
+            " (nd, l) -> struct(nd.cid AS cid, nd.min_key AS min_key,"
+            " l AS root)))"
+        ).alias("m")
+    ).select("m.cid", "m.min_key", "m.root")
+    member = member.localCheckpoint(eager=False)
+    ckey = member.groupBy("root").agg(F.min("min_key").alias("cluster_key"))
+    cmap = member.join(F.broadcast(ckey), on="root").select("cid", "cluster_key")
     cmap = cmap.localCheckpoint(eager=False)
     battach = (
         core.filter(~F.col("is_core"))
