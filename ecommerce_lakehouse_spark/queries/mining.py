@@ -1467,3 +1467,195 @@ aggregate(a,
         F.col("b.p").alias("n_pass"),
         (F.col("b.p").cast("double") / F.col("b.n")).alias("iso_rate"),
     )
+
+# ---------------------------------------------------------------------------
+# binary-segmentation change points (depth 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "binary_segmentation_changepoints",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+        FROM d),
+s AS (
+  SELECT day, cents,
+         sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM d),
+c AS (
+  SELECT day, cents,
+         (CAST(cum AS DOUBLE)
+          - CAST(i AS DOUBLE) * (CAST(tot.t AS DOUBLE) / tot.n)) / 100.0
+           AS cusum,
+         tot.n AS n, tot.t AS t
+  FROM s CROSS JOIN tot),
+cp1 AS (SELECT day AS cp_day, cusum, n, t FROM c
+        ORDER BY abs(cusum) DESC, day LIMIT 1),
+seg AS (
+  SELECT d.day, d.cents,
+         CASE WHEN d.day <= cp1.cp_day THEN 'left' ELSE 'right' END AS segment
+  FROM d CROSS JOIN cp1),
+segtot AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS t
+  FROM seg GROUP BY 1),
+s2 AS (
+  SELECT seg.segment, seg.day,
+         sum(cents) OVER (PARTITION BY segment ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(row_number() OVER (PARTITION BY segment ORDER BY day)
+              AS BIGINT) AS i
+  FROM seg),
+c2 AS (
+  SELECT s2.segment, s2.day,
+         (CAST(s2.cum AS DOUBLE)
+          - CAST(s2.i AS DOUBLE)
+            * (CAST(st.t AS DOUBLE) / st.n)) / 100.0 AS cusum,
+         st.n, st.t
+  FROM s2 JOIN segtot st USING (segment)),
+best2 AS (
+  SELECT segment, day, cusum, n, t FROM (
+    SELECT *, row_number() OVER (PARTITION BY segment
+                                 ORDER BY abs(cusum) DESC, day) AS rn
+    FROM c2) WHERE rn = 1)
+SELECT 'full' AS segment, cp_day AS changepoint_day, cusum AS cusum_at_peak,
+       n AS n_days, (CAST(t AS DOUBLE) / n) / 100.0 AS seg_mean_daily
+FROM cp1
+UNION ALL
+SELECT segment, day, cusum, n, (CAST(t AS DOUBLE) / n) / 100.0
+FROM best2
+""",
+)
+def binary_segmentation_changepoints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary segmentation (Scott & Knott 1974; the standard greedy
+    multiple-change-point scheme) at depth 2 over daily revenue: the
+    global |CUSUM| argmax splits the series (the
+    revenue_cusum_changepoint estimator), then each half is re-scanned
+    against its OWN mean for a second-level change point — three rows
+    (full/left/right), each with the peak day, the peak CUSUM value,
+    and the segment's size and mean. One change point answers "did the
+    level shift"; the depth-2 tree answers "did it shift again inside
+    either regime" — the first question a drift analyst asks after the
+    first answer.
+
+    Determinism: daily sums are exact integer cents; per-segment
+    running sums are exact BIGINT windows keyed by the segment; each
+    CUSUM value is the same two fixed-order IEEE ops on exact inputs
+    in both engines; every argmax breaks ties by day.
+
+    Scale: the corpus collapses map-side to one row per day; both scan
+    levels are windows over that bounded day-level frame, partitioned
+    by segment at depth 2 (aggregate-bounded windows, the sanctioned
+    class); the split point broadcasts as one row."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    d = d.localCheckpoint(eager=False)  # both scan levels reuse it
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        d.select(
+            "day",
+            F.sum("cents").over(w_cum).alias("cum"),
+            F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            (
+                (
+                    F.col("cum").cast("double")
+                    - F.col("i").cast("double")
+                    * (F.col("t").cast("double") / F.col("n"))
+                )
+                / 100.0
+            ).alias("cusum"),
+            "n",
+            "t",
+        )
+    )
+    cp1 = (
+        c.orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("cp_day"), "cusum", "n", "t"
+        )
+    )
+    cp1 = cp1.localCheckpoint(eager=False)
+    seg = d.crossJoin(F.broadcast(cp1.select("cp_day"))).select(
+        "day",
+        "cents",
+        F.when(F.col("day") <= F.col("cp_day"), "left")
+        .otherwise("right")
+        .alias("segment"),
+    )
+    segtot = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    w_seg = (
+        Window.partitionBy("segment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("segment").orderBy("day")
+    s2 = seg.select(
+        "segment",
+        "day",
+        F.sum("cents").over(w_seg).alias("cum"),
+        F.row_number().over(w_rn).cast("long").alias("i"),
+    )
+    c2 = s2.join(F.broadcast(segtot), on="segment").select(
+        "segment",
+        "day",
+        (
+            (
+                F.col("cum").cast("double")
+                - F.col("i").cast("double")
+                * (F.col("t").cast("double") / F.col("n"))
+            )
+            / 100.0
+        ).alias("cusum"),
+        "n",
+        "t",
+    )
+    w_best = Window.partitionBy("segment").orderBy(
+        F.abs(F.col("cusum")).desc(), "day"
+    )
+    best2 = (
+        c2.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("segment", "day", "cusum", "n", "t")
+    )
+    mean_col = (F.col("t").cast("double") / F.col("n")) / F.lit(100.0)
+    full_row = cp1.select(
+        F.lit("full").alias("segment"),
+        F.col("cp_day").alias("changepoint_day"),
+        F.col("cusum").alias("cusum_at_peak"),
+        F.col("n").alias("n_days"),
+        mean_col.alias("seg_mean_daily"),
+    )
+    sub_rows = best2.select(
+        "segment",
+        F.col("day").alias("changepoint_day"),
+        F.col("cusum").alias("cusum_at_peak"),
+        F.col("n").alias("n_days"),
+        mean_col.alias("seg_mean_daily"),
+    )
+    return full_row.unionByName(sub_rows)

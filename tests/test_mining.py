@@ -324,3 +324,55 @@ def test_isotonic_calibration_is_monotone_and_mass_preserving(spark, sf_dir):
                 for x, y in zip(members, members[1:])
             )
             assert viol
+
+
+def test_binary_segmentation_matches_recount(spark, sf_dir):
+    from ecommerce_lakehouse_spark.queries.mining import (
+        binary_segmentation_changepoints,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    days = [r.day for r in daily]
+    cents = [r.cents for r in daily]
+
+    def argmax_cusum(ds, cs):
+        n, t = len(cs), sum(cs)
+        mu = t / n
+        best = None
+        cum = 0
+        for i, (dy, c) in enumerate(zip(ds, cs), start=1):
+            cum += c
+            cval = (float(cum) - float(i) * mu) / 100.0
+            key = (-abs(cval), dy)
+            if best is None or key < best[0]:
+                best = (key, dy, cval, n, (t / n) / 100.0)
+        return best[1:]
+
+    rows = {r.segment: r for r in binary_segmentation_changepoints(spark, sf_dir).collect()}
+    f_day, f_cusum, f_n, f_mean = argmax_cusum(days, cents)
+    assert rows["full"].changepoint_day == f_day
+    assert math.isclose(rows["full"].cusum_at_peak, f_cusum, rel_tol=1e-12)
+    assert rows["full"].n_days == f_n
+    cut = days.index(f_day)
+    for seg, (ds, cs) in {
+        "left": (days[: cut + 1], cents[: cut + 1]),
+        "right": (days[cut + 1 :], cents[cut + 1 :]),
+    }.items():
+        if not ds:
+            assert seg not in rows
+            continue
+        d2, c2, n2, m2 = argmax_cusum(ds, cs)
+        assert rows[seg].changepoint_day == d2
+        assert math.isclose(rows[seg].cusum_at_peak, c2, rel_tol=1e-12)
+        assert rows[seg].n_days == n2
+        assert math.isclose(rows[seg].seg_mean_daily, m2, rel_tol=1e-12)
