@@ -52,6 +52,14 @@ NAMES = {
     "scd2_asof_lookup": "interval lookup as an EQUI broadcast join on the dim key with the validity range as residual — no nested loop, no cartesian",
     "shingle_containment_pairs": "one-sided rarest-prefix postings against the full inverted index; candidates verified via two id-keyed array joins",
     "order_open_interval_concurrency": "boundary-delta collapse to the date domain; the running-sum window is over that aggregated bounded frame",
+    "pmi_collocations": "two vocabulary-bounded token groupBys + broadcast unigram joins; top-20 is TakeOrdered",
+    "simhash_hamming_pairs": "collapse-first signatures, 4x band fan-out, stop-band anti-join, in-row popcount verify",
+    "kcore_peeling_profile": "12 peel rounds over a checkpointed adjacency; per-round degree groupBy over the shrinking node set",
+    "dbscan_customer_segments": "9-cell stencil joins on cell coords; core-cell CC as ONE in-row fold (domain-bounded); no point-level distance join",
+    "frequent_triple_itemsets": "in-row C(basket,3) expansion collapsed map-side; three broadcast pair-support probes of the top-20",
+    "isotonic_calibration": "shared classifier scoring body -> <=11-bucket groupBy -> ONE in-row PAVA stack fold",
+    "binary_segmentation_changepoints": "day-level collapse; both CUSUM scans are aggregate-bounded windows keyed by segment",
+    "random_projection_distortion": "broadcast 16x64 sign matrix; projection is a narrow in-row map; fixed-width ratio histogram",
 }
 
 
