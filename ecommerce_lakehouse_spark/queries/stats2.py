@@ -2299,6 +2299,14 @@ def daily_revenue_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    return spike_flags_from_daily(daily)
+
+
+def spike_flags_from_daily(daily: DataFrame) -> DataFrame:
+    """Rolling-MAD flags from a (d, cents) daily frame — shared by the
+    batch query above and the streaming twin
+    (streaming/jobs.py::stream_spike_monitor), which folds daily cents
+    additively per micro-batch and recomputes flags from the state."""
     win = Window.orderBy("d").rowsBetween(-14, -1)
     w = daily.select(
         "d", "cents", F.sort_array(F.collect_list("cents").over(win)).alias("base")

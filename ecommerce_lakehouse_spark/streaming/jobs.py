@@ -839,3 +839,76 @@ def stream_kll_quantiles(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_spike_monitor(
+    orders: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+):
+    """Streaming rolling-MAD spike monitor — the streaming face of
+    `daily_revenue_spike_flags` (queries/stats2.py) and the fourth
+    member of the mergeable-state family (histogram/PSI drift, CMS
+    heavy hitters, KLL quantiles): each micro-batch folds its per-day
+    exact-cent revenue ADDITIVELY into a date-domain-bounded daily
+    state table, then recomputes the full flags table from that state
+    with the exact batch expression (`spike_flags_from_daily`) — so
+    after any chunking of the order stream the flags are BIT-IDENTICAL
+    to the batch query over the same data (tested).
+
+    Exactly-once: the daily fold is non-idempotent (cents accumulate),
+    so it commits with the Delta txn pattern and replays skip it; the
+    flags overwrite is idempotent and MUST still run on a replayed
+    batch (the stream_heavy_hitters torn-commit lesson: a crash between
+    the two commits otherwise leaves flags permanently stale), so its
+    replay guard is per-table.
+
+    Scale: state is one row per DATE (domain-bounded); the rolling
+    window runs over that aggregated frame — the sanctioned class."""
+    spark = orders.sparkSession
+    daily_t = LakeTable(spark, os.path.join(state_root, "daily"))
+    flags_t = LakeTable(spark, os.path.join(state_root, "flags"))
+    app = f"spike:{state_root}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ecommerce_lakehouse_spark.queries.stats2 import (
+            spike_flags_from_daily,
+        )
+
+        inc = (
+            batch_df.select(
+                F.to_date("o_orderdate").alias("d"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("d")
+            .agg(F.sum("cents").cast("long").alias("cents"))
+        )
+        if inc.isEmpty():
+            return
+        txn = {"app_id": app, "version": int(batch_id)}
+        if daily_t.exists() and (daily_t.last_txn(app) or -1) >= batch_id:
+            pass  # replayed micro-batch: cents already folded
+        elif daily_t.exists():
+            merged = (
+                daily_t.read()
+                .unionByName(inc)
+                .groupBy("d")
+                .agg(F.sum("cents").cast("long").alias("cents"))
+            )
+            daily_t.overwrite(merged, txn=txn)
+        else:
+            daily_t.overwrite(inc, txn=txn)
+        # idempotent recompute: still runs when the fold was replayed
+        if flags_t.exists() and (flags_t.last_txn(app) or -1) >= batch_id:
+            return
+        flags_t.overwrite(spike_flags_from_daily(daily_t.read()), txn=txn)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

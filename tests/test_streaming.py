@@ -714,3 +714,50 @@ def test_stream_kll_quantiles_matches_batch_sketch(spark, sf_dir, tmp_path):
     q2 = stream_kll_quantiles(stream, state, ckpt)
     q2.awaitTermination(60)
     assert sk_t.current_version() == v_before
+
+
+def test_stream_spike_monitor_matches_batch_flags(spark, sf_dir, tmp_path):
+    """Streamed==batch: folding the order stream in two micro-batches
+    and recomputing flags from the daily state must reproduce the batch
+    daily_revenue_spike_flags rows exactly; a checkpoint restart adds
+    nothing to either state table."""
+    import os
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_spike_monitor
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    t = _pq.read_table(src, columns=["o_orderdate", "o_totalprice"])
+    spool = tmp_path / "orders_spool"
+    spool.mkdir()
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(0, half), str(spool / "a.parquet"))
+    _pq.write_table(t.slice(half), str(spool / "b.parquet"))
+    stream = (
+        # o_orderdate ships as TIMESTAMP(MICROS) → TIMESTAMP_NTZ, the
+        # same dtype the batch load() sees (tables.py encoding notes)
+        spark.readStream.schema("o_orderdate timestamp_ntz, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "spike_state")
+    ckpt = str(tmp_path / "spike_ckpt")
+    q = stream_spike_monitor(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    want = sorted(
+        map(tuple, REGISTRY["daily_revenue_spike_flags"](spark, sf_dir).collect())
+    )
+    flags_t = LakeTable(spark, os.path.join(state, "flags"))
+    got = sorted(map(tuple, flags_t.read().collect()))
+    assert got == want
+    # exactly-once: restart with the same checkpoint adds nothing
+    daily_t = LakeTable(spark, os.path.join(state, "daily"))
+    v_daily, v_flags = daily_t.current_version(), flags_t.current_version()
+    q2 = stream_spike_monitor(stream, state, ckpt)
+    q2.awaitTermination(60)
+    assert daily_t.current_version() == v_daily
+    assert flags_t.current_version() == v_flags
