@@ -1659,3 +1659,247 @@ def binary_segmentation_changepoints(
         mean_col.alias("seg_mean_daily"),
     )
     return full_row.unionByName(sub_rows)
+
+# ---------------------------------------------------------------------------
+# quantile treatment effects (distributional A/B readout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_treatment_effects",
+    oracle="""
+WITH f AS (
+  SELECT c.c_custkey AS key,
+         ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS grp,
+         CAST(COALESCE(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp ORDER BY cents, key) AS rn,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM f),
+d AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS decile),
+q AS (
+  SELECT d.decile, r.grp, r.cents, r.n
+  FROM r JOIN d ON r.rn = (d.decile * r.n + 9) // 10)
+SELECT decile,
+       CAST(max(CASE WHEN grp = 1 THEN cents END) AS DOUBLE) / 100.0
+         AS q_treatment,
+       CAST(max(CASE WHEN grp = 0 THEN cents END) AS DOUBLE) / 100.0
+         AS q_control,
+       CAST(max(CASE WHEN grp = 1 THEN cents END)
+            - max(CASE WHEN grp = 0 THEN cents END) AS DOUBLE) / 100.0
+         AS qte,
+       max(CASE WHEN grp = 1 THEN n END) AS n_treatment,
+       max(CASE WHEN grp = 0 THEN n END) AS n_control
+FROM q GROUP BY 1
+""",
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974): the per-decile
+    difference between the treatment and control spend distributions
+    under the deterministic customer-hash split — the DISTRIBUTIONAL
+    A/B readout that mean-lift (ab_test_lift) and CUPED cannot give
+    (a treatment that helps the median but hurts the tail nets to
+    zero in the mean; QTE shows where the distribution moved). On
+    this synthetic corpus the split is an A/A, so near-zero QTE at
+    every decile doubles as the splitter's distributional
+    unbiasedness audit, decile by decile.
+
+    Exactness: spend is exact integer cents (DECIMAL sums); each
+    decile is a SELECTION statistic — the value at rank
+    ceil(d·n/10) = (d·n+9) DIV 10 within the group, ties broken by
+    customer key — never an interpolation; the reported values and
+    differences are exact-integer renders.
+
+    Scale: per-group rank windows over the customer-collapsed frame
+    (two hash partitions; at 100 TB pre-aggregate to (grp, cents,
+    freq) and rank over running frequency sums — the
+    grouped_median_doclen note, generalized); the decile spine is a
+    9-row broadcast."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    f = (
+        c.join(o, c["key"] == o["o_custkey"], "left")
+        .groupBy(
+            "key",
+            (
+                F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % 2
+            ).alias("grp"),
+        )
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0).cast("decimal(18,2)"),
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("cents"), F.asc("key"))
+    wc = Window.partitionBy("grp")
+    r = f.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n"),
+    )
+    d = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    q = r.join(
+        F.broadcast(d),
+        F.col("rn") == (F.col("decile") * F.col("n") + 9) / 10,
+    )
+    # integer DIV: rn is integral, so express ceil via (d*n+9) DIV 10
+    q = r.join(
+        F.broadcast(d),
+        F.col("rn") == F.expr("(decile * n + 9) DIV 10"),
+    )
+    return q.groupBy("decile").agg(
+        (
+            F.max(F.when(F.col("grp") == 1, F.col("cents"))).cast("double")
+            / 100.0
+        ).alias("q_treatment"),
+        (
+            F.max(F.when(F.col("grp") == 0, F.col("cents"))).cast("double")
+            / 100.0
+        ).alias("q_control"),
+        (
+            (
+                F.max(F.when(F.col("grp") == 1, F.col("cents")))
+                - F.max(F.when(F.col("grp") == 0, F.col("cents")))
+            ).cast("double")
+            / 100.0
+        ).alias("qte"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_treatment"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_control"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy profile of daily revenue
+# ---------------------------------------------------------------------------
+
+_HW_LEVELS = 12  # 2^12 = 4096 >= the ~2.4k-day order-date domain
+
+
+@query(
+    "haar_wavelet_energy",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({{'day': day, 'c': cents}})),
+                        x -> x.c) AS a
+  FROM d),
+pad AS (
+  SELECT a || list_transform(range(1, {2 ** _HW_LEVELS} + 1 - len(a)),
+               x -> CAST(0 AS BIGINT)) AS a
+  FROM arr),
+lv AS (
+  SELECT list_reduce(
+    list_prepend([{{'arr': a, 'en': CAST(0 AS DOUBLE), 'nc': CAST(0 AS BIGINT)}}],
+      list_transform(range(1, {_HW_LEVELS + 1}),
+                     x -> [{{'arr': CAST([] AS BIGINT[]),
+                             'en': CAST(0 AS DOUBLE),
+                             'nc': CAST(0 AS BIGINT)}}])),
+    (acc, e) -> list_append(acc, {{
+      'arr': list_transform(range(1, len(acc[-1].arr) // 2 + 1),
+                            i -> acc[-1].arr[2*i-1] + acc[-1].arr[2*i]),
+      'en': list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(range(1, len(acc[-1].arr) // 2 + 1),
+                i -> CAST(acc[-1].arr[2*i-1] - acc[-1].arr[2*i] AS DOUBLE)
+                     * CAST(acc[-1].arr[2*i-1] - acc[-1].arr[2*i]
+                            AS DOUBLE))),
+              (s, x) -> s + x),
+      'nc': CAST(len(acc[-1].arr) // 2 AS BIGINT)}})) AS st
+  FROM pad)
+SELECT CAST(h.i AS INT) AS level,
+       st[h.i + 1].nc AS n_coeffs,
+       st[h.i + 1].en / (CAST(1 AS BIGINT) << h.i) AS detail_energy
+FROM lv, (SELECT unnest(range(1, {_HW_LEVELS + 1})) AS i) h
+""",
+)
+def haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet multi-resolution energy profile of daily revenue
+    (Haar 1910; the O(n) discrete wavelet transform): the zero-padded
+    day-level series halves {lv} times, each level emitting its detail
+    (pairwise-difference) energy — level 1 is day-to-day noise, level
+    ~3 the weekly rhythm, level ~8 the quarterly swing. Where the ACF
+    and the seasonal decomposition each answer one fixed period, the
+    wavelet energy ladder localizes WHICH timescales carry the series'
+    variance in one pass — the standard multi-resolution screen before
+    fitting any seasonal model.
+
+    Determinism: the transform runs UNNORMALIZED — approx = a+b,
+    detail = a−b stay exact BIGINT at every level (true Haar divides
+    by √2 per level; equivalently energy at level L divides by 2^L,
+    done once at render). Squared details at the TOP levels exceed
+    int64 (the zero-pad boundary makes the last detail ≈ the series
+    total), so energies accumulate as explicitly LEFT-ORDERED double
+    folds of exact-integer-derived terms — the identical IEEE sequence
+    in both engines (holt_linear_forecast discipline). Zero-padding to
+    2^{lv} is part of the operator contract (both engines pad
+    identically).
+
+    Scale: the corpus collapses map-side to the date-domain-bounded
+    daily frame; the full transform is ONE in-row fold over the
+    4096-element padded array (total work Σ n/2^l < n — cheaper than
+    one extra scan)."""
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    arr = d.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))), x -> x.cents)"
+        ).alias("a")
+    )
+    n_pad = 2 ** _HW_LEVELS
+    pad = arr.select(
+        F.expr(
+            f"concat(a, array_repeat(CAST(0 AS BIGINT), {n_pad} - size(a)))"
+        ).alias("a")
+    )
+    lv = pad.select(
+        F.expr(
+            f"""
+aggregate(sequence(1, {_HW_LEVELS}),
+  array(struct(a AS arr, CAST(0.0 AS DOUBLE) AS en, CAST(0 AS BIGINT) AS nc)),
+  (acc, unused) -> concat(acc, array(struct(
+    transform(sequence(1, size(element_at(acc, -1).arr) DIV 2),
+      i -> element_at(element_at(acc, -1).arr, CAST(2*i-1 AS INT))
+           + element_at(element_at(acc, -1).arr, CAST(2*i AS INT))) AS arr,
+    aggregate(transform(sequence(1, size(element_at(acc, -1).arr) DIV 2),
+      i -> CAST(element_at(element_at(acc, -1).arr, CAST(2*i-1 AS INT))
+            - element_at(element_at(acc, -1).arr, CAST(2*i AS INT)) AS DOUBLE)
+           * CAST(element_at(element_at(acc, -1).arr, CAST(2*i-1 AS INT))
+              - element_at(element_at(acc, -1).arr, CAST(2*i AS INT)) AS DOUBLE)),
+      CAST(0.0 AS DOUBLE), (s, x) -> s + x) AS en,
+    CAST(size(element_at(acc, -1).arr) DIV 2 AS BIGINT) AS nc))))
+""".strip()
+        ).alias("st")
+    )
+    lvl = spark.range(1, _HW_LEVELS + 1).select(F.col("id").alias("i"))
+    return lv.crossJoin(F.broadcast(lvl)).select(
+        F.col("i").cast("int").alias("level"),
+        F.expr("element_at(st, CAST(i + 1 AS INT)).nc").alias("n_coeffs"),
+        (
+            F.expr("element_at(st, CAST(i + 1 AS INT)).en")
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) AS DOUBLE)")
+        ).alias("detail_energy"),
+    )

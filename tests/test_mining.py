@@ -376,3 +376,89 @@ def test_binary_segmentation_matches_recount(spark, sf_dir):
         assert math.isclose(rows[seg].cusum_at_peak, c2, rel_tol=1e-12)
         assert rows[seg].n_days == n2
         assert math.isclose(rows[seg].seg_mean_daily, m2, rel_tol=1e-12)
+
+
+def test_qte_deciles_match_python_selection(spark, sf_dir):
+    import hashlib
+
+    from ecommerce_lakehouse_spark.queries.mining import (
+        quantile_treatment_effects,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    spend = {r.c_custkey: 0 for r in cust.collect()}
+    for r in orders.collect():
+        spend[r.o_custkey] = spend.get(r.o_custkey, 0) + round(
+            r.o_totalprice * 100
+        )
+    groups = {0: [], 1: []}
+    for k, v in spend.items():
+        g = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 2
+        groups[g].append((v, k))
+    for g in groups:
+        groups[g].sort()
+    rows = sorted(
+        quantile_treatment_effects(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 10))
+    for r in rows:
+        for g, qcol, ncol in [
+            (1, r.q_treatment, r.n_treatment),
+            (0, r.q_control, r.n_control),
+        ]:
+            n = len(groups[g])
+            assert ncol == n
+            want = groups[g][(r.decile * n + 9) // 10 - 1][0] / 100.0
+            assert math.isclose(qcol, want, rel_tol=1e-12)
+        assert math.isclose(r.qte, r.q_treatment - r.q_control, abs_tol=1e-9)
+    # monotone deciles within each group
+    for col in ("q_treatment", "q_control"):
+        vals = [getattr(r, col) for r in rows]
+        assert vals == sorted(vals)
+
+
+def test_haar_energy_matches_numpy_and_conserves(spark, sf_dir):
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.queries.mining import (
+        _HW_LEVELS,
+        haar_wavelet_energy,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    a = np.zeros(2 ** _HW_LEVELS)
+    a[: len(daily)] = [r.cents for r in daily]
+    rows = sorted(
+        haar_wavelet_energy(spark, sf_dir).collect(), key=lambda r: r.level
+    )
+    assert len(rows) == _HW_LEVELS
+    total_detail = 0.0
+    cur = a
+    for r in rows:
+        approx = cur[0::2] + cur[1::2]
+        detail = cur[0::2] - cur[1::2]
+        assert r.n_coeffs == len(detail)
+        want = float((detail * detail).sum()) / (2 ** r.level)
+        assert math.isclose(r.detail_energy, want, rel_tol=1e-9)
+        total_detail += r.detail_energy
+        cur = approx
+    # Parseval: total detail energy + final approx energy = input energy
+    final_approx_energy = float((cur * cur).sum()) / (2 ** _HW_LEVELS)
+    input_energy = float((a * a).sum())
+    assert math.isclose(
+        total_detail + final_approx_energy, input_energy, rel_tol=1e-9
+    )
