@@ -1903,3 +1903,72 @@ aggregate(sequence(1, {_HW_LEVELS}),
             / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) AS DOUBLE)")
         ).alias("detail_energy"),
     )
+
+# ---------------------------------------------------------------------------
+# top event paths (3-step sequential patterns)
+# ---------------------------------------------------------------------------
+
+_EP_TOP = 20
+
+
+@query(
+    "event_path_trigrams",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (
+  SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+  FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+tot AS (SELECT CAST(sum(n_paths) AS BIGINT) AS n FROM p)
+SELECT e1, e2, e3, n_paths,
+       CAST(n_paths AS DOUBLE) / tot.n AS path_share
+FROM p CROSS JOIN tot
+ORDER BY n_paths DESC, e1, e2, e3 LIMIT {_EP_TOP}
+""",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} three-step user paths (the sequential-pattern summary one
+    level above the first-order picture): consecutive event-type
+    triples within each user's ts-ordered stream, ranked by frequency
+    with each path's share of all 3-step paths — the "what journeys
+    actually happen" view that the transition MATRIX
+    (event_transition_matrix) cannot give, because a Markov chain's
+    step-by-step products erase second-order structure (a high
+    view→click and click→purchase does not imply the full
+    view→click→purchase journey is common; the FIXED funnel query
+    checks one hypothesis, this ranks all of them).
+
+    Cross-engine determinism: ordering ties break by event_id; counts
+    are exact; the share is one IEEE division; the top-{k} breaks ties
+    by the path itself.
+
+    Scale: per-user windows (never global), map-side triple extraction,
+    a |types|³-bounded groupBy, TakeOrdered top-{k}.""".format(k=_EP_TOP)
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    p = s.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    tot = p.agg(F.sum("n_paths").cast("long").alias("n"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "e1",
+            "e2",
+            "e3",
+            "n_paths",
+            (F.col("n_paths").cast("double") / F.col("n")).alias("path_share"),
+        )
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(_EP_TOP)
+    )

@@ -462,3 +462,30 @@ def test_haar_energy_matches_numpy_and_conserves(spark, sf_dir):
     assert math.isclose(
         total_detail + final_approx_energy, input_energy, rel_tol=1e-9
     )
+
+
+def test_event_path_trigrams_match_recount(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from ecommerce_lakehouse_spark.queries.mining import event_path_trigrams
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r)
+    paths = Counter()
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b, c in zip(rs, rs[1:], rs[2:]):
+            paths[(a.event_type, b.event_type, c.event_type)] += 1
+    total = sum(paths.values())
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = event_path_trigrams(spark, sf_dir).collect()
+    got = [((r.e1, r.e2, r.e3), r.n_paths) for r in rows]
+    assert sorted(got) == sorted(want)
+    for r in rows:
+        assert math.isclose(r.path_share, paths[(r.e1, r.e2, r.e3)] / total)
