@@ -1755,11 +1755,7 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wc).cast("long").alias("n"),
     )
     d = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
-    q = r.join(
-        F.broadcast(d),
-        F.col("rn") == (F.col("decile") * F.col("n") + 9) / 10,
-    )
-    # integer DIV: rn is integral, so express ceil via (d*n+9) DIV 10
+    # ceil(d*n/10) expressed as the exact integer (d*n+9) DIV 10
     q = r.join(
         F.broadcast(d),
         F.col("rn") == F.expr("(decile * n + 9) DIV 10"),
