@@ -1968,3 +1968,73 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
         .limit(_EP_TOP)
     )
+
+# ---------------------------------------------------------------------------
+# Chao1 / Good-Turing vocabulary estimation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_chao1_estimate",
+    oracle=f"""
+WITH tok AS (
+  SELECT u AS w FROM (SELECT unnest({_TOKENIZE_SQL}) AS u FROM documents)),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+fof AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab_observed,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq)
+SELECT n_tokens, vocab_observed, f1, f2,
+       vocab_observed
+         + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1)) AS chao1_estimate,
+       1.0 - CAST(f1 AS DOUBLE) / n_tokens AS good_turing_coverage
+FROM fof
+""",
+)
+def vocab_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-species vocabulary estimation (Chao 1984, bias-corrected
+    form; Good-Turing 1953 coverage): from the token
+    frequency-of-frequencies alone — V observed types, f1 singletons,
+    f2 doubletons — estimate the TRUE vocabulary size
+    Chao1 = V + f1(f1−1)/(2(f2+1)) and the sample coverage
+    C = 1 − f1/N (the probability the next token is an already-seen
+    type). This is the sampling-side answer to "how many distinct
+    values exist" that the sketch shelf (KMV/HLL) cannot give: sketches
+    estimate the distinct count OF THE DATA SCANNED; Chao1 extrapolates
+    BEYOND it — the estimator a 100 TB pipeline runs on a 0.1% sample
+    to budget vocabulary-bounded structures (BPE vocab tables, hash
+    sizes, dictionary encodings) before paying for the full pass.
+
+    Exactness: every input is an exact BIGINT count; the two reported
+    estimates are single divisions of exact-integer products (the
+    bias-corrected +1 denominator also removes the f2=0 edge case).
+
+    Scale: one token-stream groupBy (vocabulary-bounded output) and one
+    4-number aggregate over it — strictly cheaper than any query that
+    touches the vocabulary at all."""
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(F.expr(_TOK_S)).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    fof = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_observed"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    return fof.select(
+        "n_tokens",
+        "vocab_observed",
+        "f1",
+        "f2",
+        (
+            F.col("vocab_observed")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1))
+        ).alias("chao1_estimate"),
+        (
+            F.lit(1.0) - F.col("f1").cast("double") / F.col("n_tokens")
+        ).alias("good_turing_coverage"),
+    )

@@ -489,3 +489,28 @@ def test_event_path_trigrams_match_recount(spark, sf_dir):
     assert sorted(got) == sorted(want)
     for r in rows:
         assert math.isclose(r.path_share, paths[(r.e1, r.e2, r.e3)] / total)
+
+
+def test_chao1_matches_python_fof_recount(spark, sf_dir):
+    import re
+    from collections import Counter
+
+    from ecommerce_lakehouse_spark.queries.mining import vocab_chao1_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    c = Counter()
+    for r in docs:
+        for w in re.sub(r"[^a-z]+", " ", r.text.lower()).split():
+            c[w] += 1
+    v = len(c)
+    n = sum(c.values())
+    f1 = sum(1 for x in c.values() if x == 1)
+    f2 = sum(1 for x in c.values() if x == 2)
+    row = vocab_chao1_estimate(spark, sf_dir).collect()[0]
+    assert (row.n_tokens, row.vocab_observed, row.f1, row.f2) == (n, v, f1, f2)
+    assert math.isclose(
+        row.chao1_estimate, v + f1 * (f1 - 1) / (2 * (f2 + 1)), rel_tol=1e-12
+    )
+    assert math.isclose(row.good_turing_coverage, 1 - f1 / n, rel_tol=1e-12)
+    # the estimator's lower-bound property: chao1 >= observed vocabulary
+    assert row.chao1_estimate >= v
