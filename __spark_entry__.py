@@ -45,13 +45,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # gated — computed as registry − union(CORRECTNESS_r01..r05), NOT from a
 # hand-maintained list (the r05 comment here undercounted by 4) — enter
 # the window, plus this round's new operators (themselves never-gated).
-# A green CORRECTNESS_r06 means every registry query except the eleven in
+# A green CORRECTNESS_r06 means every registry query except the twelve in
 # _NEXT has a driver-gated row in some round r01-r06.
 #
-# The window is exactly 50 slots and round-6 added 26 new queries on top
-# of the 35 carryovers (61 never-gated names), so the four already-gated
+# The window is exactly 50 slots and round-6 added 27 new queries on top
+# of the 35 carryovers (62 never-gated names), so the four already-gated
 # anchors yield their slots to four of the wave-3 mining queries; the
-# eleven deferred ones (_NEXT below — each with an already-gated family
+# twelve deferred ones (_NEXT below — each with an already-gated family
 # twin and full pytest + 3-SF local-oracle coverage) lead the
 # post-window order so the r07 rotation picks them first. Regression
 # anchoring this round comes from the bench profile (all queries) + the
@@ -127,6 +127,7 @@ _NEXT = [
     "haar_wavelet_energy",
     "event_path_trigrams",
     "vocab_chao1_estimate",
+    "hurst_rs_exponent",
 ]
 
 

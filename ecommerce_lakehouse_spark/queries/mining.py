@@ -2038,3 +2038,190 @@ def vocab_chao1_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("f1").cast("double") / F.col("n_tokens")
         ).alias("good_turing_coverage"),
     )
+
+# ---------------------------------------------------------------------------
+# Hurst exponent (rescaled-range analysis)
+# ---------------------------------------------------------------------------
+
+_HU_WINDOWS = [16, 32, 64, 128, 256]
+
+# per-block R/S over a BIGINT slice `blk` of width w (daily dollars):
+# cumulative deviations stay exact via w*prefix - k*total; the only
+# doubles are the final range/std divisions and sqrt (IEEE
+# correctly-rounded => identical both engines).
+_HU_BLOCK_S = """
+aggregate(sequence(0, CAST(size(a) DIV {w} AS INT) - 1),
+  CAST(0.0 AS DOUBLE),
+  (s, b) -> s + (
+    (CAST(aggregate(sequence(1, {w}), CAST(-9223372036854775808 AS BIGINT),
+        (mx, k) -> greatest(mx,
+          {w} * aggregate(slice(a, b * {w} + 1, CAST(k AS INT)),
+                          CAST(0 AS BIGINT), (p, x) -> p + x)
+          - k * aggregate(slice(a, b * {w} + 1, {w}),
+                          CAST(0 AS BIGINT), (p, x) -> p + x))) AS DOUBLE)
+     - CAST(aggregate(sequence(1, {w}), CAST(9223372036854775807 AS BIGINT),
+        (mn, k) -> least(mn,
+          {w} * aggregate(slice(a, b * {w} + 1, CAST(k AS INT)),
+                          CAST(0 AS BIGINT), (p, x) -> p + x)
+          - k * aggregate(slice(a, b * {w} + 1, {w}),
+                          CAST(0 AS BIGINT), (p, x) -> p + x))) AS DOUBLE))
+    / CAST({w} AS DOUBLE)
+    / sqrt((CAST(aggregate(slice(a, b * {w} + 1, {w}), CAST(0 AS BIGINT),
+                 (p, x) -> p + x * x) AS DOUBLE)
+            - CAST(aggregate(slice(a, b * {w} + 1, {w}), CAST(0 AS BIGINT),
+                   (p, x) -> p + x) AS DOUBLE)
+              * CAST(aggregate(slice(a, b * {w} + 1, {w}), CAST(0 AS BIGINT),
+                     (p, x) -> p + x) AS DOUBLE) / {w}) / {w}))
+  , s -> s / CAST(size(a) DIV {w} AS DOUBLE))
+""".strip()
+
+_HU_BLOCK_D = """
+list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+  list_transform(range(0, len(a) // {w}),
+    b -> (
+      (CAST(list_reduce(list_prepend(CAST(-9223372036854775808 AS BIGINT),
+          list_transform(range(1, {w} + 1),
+            k -> {w} * list_aggregate(a[b * {w} + 1 : b * {w} + k], 'sum')
+                 - k * list_aggregate(a[b * {w} + 1 : b * {w} + {w}], 'sum'))),
+          (mx, z) -> greatest(mx, z)) AS DOUBLE)
+       - CAST(list_reduce(list_prepend(CAST(9223372036854775807 AS BIGINT),
+          list_transform(range(1, {w} + 1),
+            k -> {w} * list_aggregate(a[b * {w} + 1 : b * {w} + k], 'sum')
+                 - k * list_aggregate(a[b * {w} + 1 : b * {w} + {w}], 'sum'))),
+          (mn, z) -> least(mn, z)) AS DOUBLE))
+      / CAST({w} AS DOUBLE)
+      / sqrt((CAST(list_aggregate(list_transform(
+                a[b * {w} + 1 : b * {w} + {w}], x -> x * x), 'sum') AS DOUBLE)
+              - CAST(list_aggregate(a[b * {w} + 1 : b * {w} + {w}], 'sum')
+                     AS DOUBLE)
+                * CAST(list_aggregate(a[b * {w} + 1 : b * {w} + {w}], 'sum')
+                       AS DOUBLE) / {w}) / {w})))),
+  (s, x) -> s + x) / CAST(len(a) // {w} AS DOUBLE)
+""".strip()
+
+
+def _hurst_slope(xs: list[int]) -> str:
+    """OLS slope literal over (log2 w, y_i) with y_i bound as columns
+    y0..y4 in nano units — identical closed form in both engines."""
+    n = len(xs)
+    xbar = sum(xs) / n
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    terms = " + ".join(
+        f"({x} - {xbar}) * (y{i} / 1e9)" for i, x in enumerate(xs)
+    )
+    return f"({terms}) / {sxx}"
+
+
+@query(
+    "hurst_rs_exponent",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS BIGINT)
+           AS dollars
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({{'day': day, 'v': dollars}})),
+                        x -> x.v) AS a
+  FROM d),
+rs AS (
+  SELECT len(a) AS n_days,
+         {", ".join(f"({_HU_BLOCK_D.format(w=w)}) AS rs_{w}" for w in _HU_WINDOWS)}
+  FROM arr),
+lg AS (
+  SELECT n_days,
+         {", ".join(f"rs_{w}" for w in _HU_WINDOWS)},
+         {", ".join(f"CAST(round(log2(rs_{w}) * 1e9) AS BIGINT) AS y{i}"
+                    for i, w in enumerate(_HU_WINDOWS))}
+  FROM rs),
+wd AS (SELECT unnest([{", ".join(str(w) for w in _HU_WINDOWS)}]) AS window_w)
+SELECT CAST(wd.window_w AS INT) AS window_w,
+       CAST(lg.n_days // wd.window_w AS BIGINT) AS n_blocks,
+       CASE {" ".join(f"WHEN wd.window_w = {w} THEN rs_{w}" for w in _HU_WINDOWS)}
+       END AS rs_mean,
+       CASE {" ".join(f"WHEN wd.window_w = {w} THEN y{i}"
+                      for i, w in enumerate(_HU_WINDOWS))}
+       END AS log2_rs_nanos,
+       {_hurst_slope([4, 5, 6, 7, 8])} AS hurst
+FROM lg, wd
+""",
+)
+def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    & Wallis 1969): for block sizes w in {ws}, partition the daily
+    revenue series into floor(n/w) blocks, compute each block's
+    R/S (range of mean-adjusted cumulative deviations over the block
+    std), and fit log2(mean R/S) against log2(w) — slope H ≈ 0.5 is a
+    memoryless walk, H > 0.5 persistent long-memory, H < 0.5
+    mean-reverting. The long-memory diagnostic that completes the
+    serial-structure shelf: the ACF sees fixed lags, the wavelet ladder
+    sees timescale energy, H sees the SCALING LAW across all of them.
+
+    Determinism: daily dollars are exact BIGINT; inside each block the
+    cumulative deviations stay exact integers via w·prefix_k − k·total
+    (no mean subtraction in floats), so R is an exact-integer range;
+    the variance numerator w·Σx² − T² folds in exact integers too
+    (dollars keep it inside int64 where cents would overflow); the only
+    doubles are two divisions and one sqrt per block (IEEE
+    correctly-rounded — identical engines) and the ordered block-mean
+    fold. log2 (libm, last-ULP engine-dependent) is rounded ONCE into
+    nanos per window, and the Hurst slope is a closed-form OLS literal
+    over those exact nano integers.
+
+    Scale: the corpus collapses map-side to the date-domain-bounded
+    daily frame; the whole analysis is ONE in-row pass over that
+    bounded array (the prefix recomputation is O(w) per step = O(n·w)
+    total ≈ 1M integer ops — noise next to a single scan).""".format(
+        ws=_HU_WINDOWS
+    )
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 0)
+        .cast("long")
+        .alias("dollars")
+    )
+    arr = d.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, dollars))),"
+            " x -> x.dollars)"
+        ).alias("a")
+    )
+    rs = arr.select(
+        F.size("a").cast("long").alias("n_days"),
+        *[
+            F.expr(_HU_BLOCK_S.format(w=w)).alias(f"rs_{w}")
+            for w in _HU_WINDOWS
+        ],
+    )
+    lg = rs.select(
+        "n_days",
+        *[F.col(f"rs_{w}") for w in _HU_WINDOWS],
+        *[
+            F.round(F.log2(f"rs_{w}") * F.lit(1e9), 0)
+            .cast("long")
+            .alias(f"y{i}")
+            for i, w in enumerate(_HU_WINDOWS)
+        ],
+    )
+    wd = spark.range(len(_HU_WINDOWS)).select(
+        F.explode(F.array(*[F.lit(w) for w in _HU_WINDOWS])).alias("window_w")
+    ).distinct()
+    rs_case = F.coalesce(
+        *[
+            F.when(F.col("window_w") == w, F.col(f"rs_{w}"))
+            for w in _HU_WINDOWS
+        ]
+    )
+    y_case = F.coalesce(
+        *[
+            F.when(F.col("window_w") == w, F.col(f"y{i}"))
+            for i, w in enumerate(_HU_WINDOWS)
+        ]
+    )
+    return lg.crossJoin(F.broadcast(wd)).select(
+        F.col("window_w").cast("int").alias("window_w"),
+        F.expr("n_days DIV window_w").cast("long").alias("n_blocks"),
+        rs_case.alias("rs_mean"),
+        y_case.alias("log2_rs_nanos"),
+        F.expr(_hurst_slope([4, 5, 6, 7, 8])).alias("hurst"),
+    )

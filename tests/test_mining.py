@@ -514,3 +514,54 @@ def test_chao1_matches_python_fof_recount(spark, sf_dir):
     assert math.isclose(row.good_turing_coverage, 1 - f1 / n, rel_tol=1e-12)
     # the estimator's lower-bound property: chao1 >= observed vocabulary
     assert row.chao1_estimate >= v
+
+
+def test_hurst_matches_numpy_rs_analysis(spark, sf_dir):
+    import numpy as np
+
+    from ecommerce_lakehouse_spark.queries.mining import (
+        _HU_WINDOWS,
+        hurst_rs_exponent,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 0)
+            .cast("long")
+            .alias("v")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    x = np.array([r.v for r in daily], dtype=np.float64)
+    rows = sorted(
+        hurst_rs_exponent(spark, sf_dir).collect(), key=lambda r: r.window_w
+    )
+    assert [r.window_w for r in rows] == _HU_WINDOWS
+    ys = []
+    for r in rows:
+        w = r.window_w
+        nb = len(x) // w
+        assert r.n_blocks == nb
+        rss = []
+        for b in range(nb):
+            blk = x[b * w : (b + 1) * w]
+            z = np.cumsum(blk - blk.mean())
+            rng = z.max() - z.min()
+            s = blk.std()  # population std, ddof=0
+            rss.append(rng / s)
+        want = float(np.mean(rss))
+        assert math.isclose(r.rs_mean, want, rel_tol=1e-9)
+        assert abs(r.log2_rs_nanos - round(math.log2(r.rs_mean) * 1e9)) <= 1
+        ys.append(r.log2_rs_nanos / 1e9)
+    # the slope column matches an OLS fit over (log2 w, log2 RS)
+    xs = np.array([math.log2(w) for w in _HU_WINDOWS])
+    slope = float(
+        ((xs - xs.mean()) * (np.array(ys))).sum() / ((xs - xs.mean()) ** 2).sum()
+    )
+    for r in rows:
+        assert math.isclose(r.hurst, slope, rel_tol=1e-9)
+    # an aggregated revenue series is noisy-stationary: H in a sane band
+    assert 0.1 < rows[0].hurst < 1.0
