@@ -29,7 +29,21 @@ everyday text-mining, graph-structure, and embedding-index primitives.
 - ``markov_prediction_accuracy``: held-out argmax next-event accuracy
   of the transition matrix — model-vs-description for the Markov shelf;
 - ``frequent_triple_itemsets``: Apriori level 3 — top-k part triples
-  with the min-pair-support Apriori bound reported alongside.
+  with the min-pair-support Apriori bound reported alongside;
+- ``isotonic_calibration``: pool-adjacent-violators (PAVA) monotone
+  regression calibrating classifier scores to empirical precision;
+- ``binary_segmentation_changepoints``: recursive binary-segmentation
+  change-point tree over the daily revenue series (SSE-gain splits);
+- ``quantile_treatment_effects``: per-quantile treatment-effect deltas
+  between matched cohorts (QTE ladder, not just the mean ATE);
+- ``haar_wavelet_energy``: Haar wavelet decomposition of daily revenue
+  with per-level detail-energy shares (timescale spectrum);
+- ``event_path_trigrams``: top within-session event-type trigram paths
+  (the order-3 extension of the Markov bigram transition matrix);
+- ``vocab_chao1_estimate``: Chao1 unseen-vocabulary estimate with
+  Good-Turing coverage from the exact token frequency-of-frequencies;
+- ``hurst_rs_exponent``: rescaled-range (R/S) Hurst exponent of daily
+  revenue — the long-memory scaling-law diagnostic.
 
 Reference parity: none of these exist in the reference (its Python
 surface is Glue ETL over business keys, src/processing/*.py); they
@@ -475,7 +489,7 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = deg.transform(iter_barrier)
         n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         n_edges = deg.agg(
-            (F.coalesce(F.sum("c"), F.lit(0)) / 2).cast("long").alias("n_edges")
+            F.expr("CAST(COALESCE(sum(c), 0) DIV 2 AS BIGINT)").alias("n_edges")
         )
         stat = (
             n_nodes.crossJoin(n_edges)
@@ -2161,7 +2175,11 @@ def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative deviations stay exact integers via w·prefix_k − k·total
     (no mean subtraction in floats), so R is an exact-integer range;
     the variance numerator w·Σx² − T² folds in exact integers too
-    (dollars keep it inside int64 where cents would overflow); the only
+    (dollars keep it inside int64 where cents would overflow — headroom
+    bound: w=256 needs d^2*256 < 2^63, i.e. daily dollars < ~1.9e8;
+    beyond that Spark's non-ANSI BIGINT fold wraps silently while
+    DuckDB promotes to HUGEINT, so re-derive the fold in DECIMAL on
+    both engines before scaling past that bound); the only
     doubles are two divisions and one sqrt per block (IEEE
     correctly-rounded — identical engines) and the ordered block-mean
     fold. log2 (libm, last-ULP engine-dependent) is rounded ONCE into

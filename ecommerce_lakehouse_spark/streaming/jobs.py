@@ -730,7 +730,8 @@ def stream_heavy_hitters(
         # candidate overwrite below is idempotent and must still run, or a
         # crash between the two commits would leave cand_t permanently
         # missing this batch's keys on replay.
-        if cells_t.exists() and (cells_t.last_txn(app) or -1) >= batch_id:
+        _cells_last = cells_t.last_txn(app) if cells_t.exists() else None
+        if _cells_last is not None and _cells_last >= batch_id:
             pass  # replayed micro-batch: sketch already folded
         elif cells_t.exists():
             merged = (
@@ -742,7 +743,8 @@ def stream_heavy_hitters(
             cells_t.overwrite(merged, txn={"app_id": app, "version": int(batch_id)})
         else:
             cells_t.overwrite(inc, txn={"app_id": app, "version": int(batch_id)})
-        if cand_t.exists() and (cand_t.last_txn(app) or -1) >= batch_id:
+        _cand_last = cand_t.last_txn(app) if cand_t.exists() else None
+        if _cand_last is not None and _cand_last >= batch_id:
             return  # candidate table also committed this batch already
         # candidate set: prior candidates + this batch's keys, re-estimated
         # against the UPDATED sketch, kept to the top max_candidates
@@ -823,7 +825,8 @@ def stream_kll_quantiles(
         if bsk.isEmpty():
             return  # empty micro-batch: nothing to fold
         if sk_t.exists():
-            if (sk_t.last_txn(app) or -1) >= batch_id:
+            _sk_last = sk_t.last_txn(app)
+            if _sk_last is not None and _sk_last >= batch_id:
                 return  # replayed micro-batch: n already accumulated
             from ecommerce_lakehouse_spark.operators.sketch import kll_merge
 
@@ -888,7 +891,8 @@ def stream_spike_monitor(
         if inc.isEmpty():
             return
         txn = {"app_id": app, "version": int(batch_id)}
-        if daily_t.exists() and (daily_t.last_txn(app) or -1) >= batch_id:
+        _daily_last = daily_t.last_txn(app) if daily_t.exists() else None
+        if _daily_last is not None and _daily_last >= batch_id:
             pass  # replayed micro-batch: cents already folded
         elif daily_t.exists():
             merged = (
@@ -901,7 +905,8 @@ def stream_spike_monitor(
         else:
             daily_t.overwrite(inc, txn=txn)
         # idempotent recompute: still runs when the fold was replayed
-        if flags_t.exists() and (flags_t.last_txn(app) or -1) >= batch_id:
+        _flags_last = flags_t.last_txn(app) if flags_t.exists() else None
+        if _flags_last is not None and _flags_last >= batch_id:
             return
         flags_t.overwrite(spike_flags_from_daily(daily_t.read()), txn=txn)
 

@@ -761,3 +761,81 @@ def test_stream_spike_monitor_matches_batch_flags(spark, sf_dir, tmp_path):
     q2.awaitTermination(60)
     assert daily_t.current_version() == v_daily
     assert flags_t.current_version() == v_flags
+
+
+def test_stream_spike_monitor_batch_zero_replay(spark, sf_dir, tmp_path):
+    """Regression (round-7 ADVICE): replay of batch_id 0 must not
+    re-fold its cents into the daily state. The old guard used
+    `(last_txn or -1) >= batch_id`, and Python's `0 or -1` is -1 —
+    so a crash-replay of the FIRST micro-batch silently double-counted
+    and rebuilt flags from the corrupted state. Simulated here by
+    wiping the checkpoint after batch 0 commits (Spark re-delivers the
+    file as a fresh batch 0 against the surviving state tables)."""
+    import os
+    import shutil
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_spike_monitor
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    t = _pq.read_table(src, columns=["o_orderdate", "o_totalprice"])
+    spool = tmp_path / "orders_spool"
+    spool.mkdir()
+    _pq.write_table(t, str(spool / "a.parquet"))
+    stream = (
+        spark.readStream.schema("o_orderdate timestamp_ntz, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "spike_state")
+    ckpt = str(tmp_path / "spike_ckpt")
+    q = stream_spike_monitor(stream, state, ckpt)
+    q.awaitTermination(120)
+    daily_t = LakeTable(spark, os.path.join(state, "daily"))
+    assert daily_t.last_txn(f"spike:{state}") == 0
+    want = sorted(map(tuple, daily_t.read().collect()))
+
+    # wipe the checkpoint → the same file replays as batch 0 against
+    # the existing state; the txn guard is the only double-count shield
+    shutil.rmtree(ckpt)
+    q2 = stream_spike_monitor(stream, state, ckpt)
+    q2.awaitTermination(120)
+    got = sorted(map(tuple, daily_t.read().collect()))
+    assert got == want  # cents not double-folded
+
+
+def test_stream_kll_batch_zero_replay(spark, sf_dir, tmp_path):
+    """Same batch-0 replay regression for the KLL fold: `0 or -1`
+    evaluated to -1, so a replayed first micro-batch re-merged its
+    items into the sketch (n doubled)."""
+    import os
+    import shutil
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_kll_quantiles
+
+    src = os.path.join(sf_dir, "events.parquet")
+    t = _pq.read_table(src, columns=["event_id", "value"])
+    spool = tmp_path / "events_spool"
+    spool.mkdir()
+    _pq.write_table(t, str(spool / "a.parquet"))
+    stream = (
+        spark.readStream.schema("event_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "kll_state")
+    ckpt = str(tmp_path / "kll_ckpt")
+    q = stream_kll_quantiles(stream, state, ckpt)
+    q.awaitTermination(120)
+    sk_t = LakeTable(spark, os.path.join(state, "sketch"))
+    n_before = sk_t.read().collect()[0].n
+
+    shutil.rmtree(ckpt)
+    q2 = stream_kll_quantiles(stream, state, ckpt)
+    q2.awaitTermination(120)
+    assert sk_t.read().collect()[0].n == n_before  # not re-folded
