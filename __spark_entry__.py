@@ -39,83 +39,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Rotation history: r02 gated the relational/gold core, r03 the lakehouse
 # DML + dedup families, r04 the TPC-H tail + round-4 features (each
-# round's _FIRST held only names never gated before, plus a few anchors).
+# round's _FIRST held only names never gated before, plus a few
+# anchors); r06 gated the 35-name never-gated backlog + 15 round-6
+# additions, deferring twelve late-round queries to r07.
 #
-# ROTATION r06 (VERDICT r05 item #1): ALL 35 queries the driver has never
-# gated — computed as registry − union(CORRECTNESS_r01..r05), NOT from a
-# hand-maintained list (the r05 comment here undercounted by 4) — enter
-# the window, plus this round's new operators (themselves never-gated).
-# A green CORRECTNESS_r06 means every registry query except the twelve in
-# _NEXT has a driver-gated row in some round r01-r06.
-#
-# The window is exactly 50 slots and round-6 added 27 new queries on top
-# of the 35 carryovers (62 never-gated names), so the four already-gated
-# anchors yield their slots to four of the wave-3 mining queries; the
-# twelve deferred ones (_NEXT below — each with an already-gated family
-# twin and full pytest + 3-SF local-oracle coverage) lead the
-# post-window order so the r07 rotation picks them first. Regression
-# anchoring this round comes from the bench profile (all queries) + the
-# 1300+-test suite.
+# ROTATION r07 (VERDICT r06 item #1): the twelve round-6 queries the
+# driver never sampled lead the window so CORRECTNESS_r07 proves them;
+# four already-gated cross-family anchors (gold mart, lakehouse MERGE,
+# streaming-twin window agg, MinHash-LSH dedup) guard against
+# regressions in the families every other query composes with. New
+# round-7 queries are appended to _FIRST as they land (themselves
+# never-gated). After a green r07, every registry query has a
+# driver-gated row in some round r01-r07.
 _FIRST = [
-    # wave-3 mining (4 of 6; see deferral note above)
-    "pmi_collocations",
-    "kcore_peeling_profile",
-    "ar2_yule_walker_forecast",
-    "readability_profile",
-    # new in r06 (11)
-    "kll_quantile_sketch",
-    "quality_classifier_scores",
-    "ivf_pq_search_recall",
-    "scd2_asof_lookup",
-    "croston_demand_forecast",
-    "shingle_containment_pairs",
-    "pq_trained_codebook_eval",
-    "order_open_interval_concurrency",
-    "classifier_calibration_curve",
-    "grouped_quantile_sketch",
-    "daily_revenue_spike_flags",
-    # never-gated tail (35 = registry − union of CORRECTNESS_r01..r05)
-    "abc_part_classification",
-    "adamic_adar_links",
-    "ann_ndcg_eval",
-    "best_split_infogain",
-    "cohort_ltv_curve",
-    "conformal_forecast_interval",
-    "copurchase_degree_profile",
-    "cuped_adjusted_lift",
-    "customer_feature_matrix",
-    "did_revenue_effect",
-    "dsir_effective_sample_size",
-    "event_overdispersion",
-    "forecast_backtest_mae",
-    "hhi_revenue_concentration",
-    "holt_linear_forecast",
-    "kendall_tau_b",
-    "ks_two_sample",
-    "label_centroid_similarity",
-    "label_propagation_communities",
-    "lsh_multiprobe_recall",
-    "mann_kendall_trend",
-    "mann_whitney_u",
-    "matryoshka_prefix_recall",
-    "pareto_customer_skyline",
-    "part_demand_intermittency",
-    "profile_constraint_suggestions",
-    "psi_value_drift",
-    "restore_table_snapshot",
-    "revenue_runs_test",
-    "revenue_theil_sen",
-    "revenue_trend_ols",
-    "seasonal_decompose_monthly",
-    "segment_migration_matrix",
-    "spearman_rank_corr",
-    "token_zipf_fit",
-]
-
-
-# Deferred never-gated queries lead the post-window tail (r07 rotation
-# picks them first; see the _FIRST comment).
-_NEXT = [
+    # never-gated round-6 tail (12) — pinned until each has a green
+    # CORRECTNESS_r07 row (VERDICT r06 item #1)
     "simhash_hamming_pairs",
     "random_projection_distortion",
     "dbscan_customer_segments",
@@ -128,6 +66,32 @@ _NEXT = [
     "event_path_trigrams",
     "vocab_chao1_estimate",
     "hurst_rs_exponent",
+    # cross-family regression anchors (already gated green r02-r06)
+    "daily_sales",
+    "merge_upsert_snapshot",
+    "tumbling_window_agg",
+    "minhash_lsh_pairs",
+]
+
+
+# Post-window order: recent rounds first (freshest code = highest
+# regression value), then everything else in registration order.
+_NEXT = [
+    "pmi_collocations",
+    "kcore_peeling_profile",
+    "ar2_yule_walker_forecast",
+    "readability_profile",
+    "kll_quantile_sketch",
+    "quality_classifier_scores",
+    "ivf_pq_search_recall",
+    "scd2_asof_lookup",
+    "croston_demand_forecast",
+    "shingle_containment_pairs",
+    "pq_trained_codebook_eval",
+    "order_open_interval_concurrency",
+    "classifier_calibration_curve",
+    "grouped_quantile_sketch",
+    "daily_revenue_spike_flags",
 ]
 
 
