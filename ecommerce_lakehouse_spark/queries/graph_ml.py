@@ -57,16 +57,20 @@ def _support2_graph(spark: SparkSession, sf_dir: str):
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(parts, (x, i) -> "
-            "transform(slice(parts, i + 2, size(parts)), "
-            "y -> struct(x AS s, y AS d))))"
-        )
-    ).alias("p")
+    # pair expansion as chained Generate operators (posexplode then
+    # explode of the tail slice) rather than a flatten(transform(...))
+    # lambda tree: generators pipeline row-by-row while the lambda form
+    # materializes each basket's full C(w,2) struct array before the
+    # explode — the same rewrite measured 8x on the triple expansion
+    # (queries/mining.py frequent_triple_itemsets)
+    p1 = per_order.filter(F.size("parts") >= 2).select(
+        "parts", F.posexplode("parts").alias("i", "s")
+    )
+    p2 = p1.select(
+        "s", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("d")
+    )
     e = (
-        per_order.select(pair)
-        .groupBy(F.col("p.s").alias("s"), F.col("p.d").alias("d"))
+        p2.groupBy("s", "d")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
         .select("s", "d")

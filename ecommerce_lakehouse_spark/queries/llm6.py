@@ -453,6 +453,8 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_VOCAB_PARTS = 4  # loop-table width: tasks per merge round
 
+_BPE_CHAIN = 2  # merge rounds per checkpoint barrier (see loop comment)
+
 _BPE_STEPS = 32  # fixed training budget shared with the oracle; the
 # corpus vocabulary supports 89 merges before pair exhaustion, so every
 # SF trains the full 32 without hitting the empty-pair edge
@@ -642,7 +644,18 @@ def _bpe_train(
             )
             .alias("seq"),
         )
-        wf = wf.transform(iter_barrier)
+        # CHAINED rounds (VERDICT r06 item #3): checkpoint every
+        # _BPE_CHAIN-th round instead of every round. Within a chain
+        # the next top-merge is computed over the UN-checkpointed
+        # merged frame — semantically identical (the plan applies the
+        # prior merge before counting pairs), and the broadcast
+        # subtrees it re-executes are scans of the tiny vocabulary
+        # table (re-execution doubles per chain level, so keep the
+        # chain short). Halves the per-round job count: each job's
+        # fixed cost is the dominant term at 32 rounds (BASELINE.md
+        # "per-job fixed-cost inflation" note).
+        if step % _BPE_CHAIN == 0 or step == steps:
+            wf = wf.transform(iter_barrier)
     # a corpus with fewer mergeable pairs than the budget exhausts early:
     # the scalar-agg top yields an all-NULL row per exhausted step (the
     # oracle's LIMIT 1 yields no row) — drop them so both agree

@@ -469,25 +469,46 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # adj is two in-row projections of the checkpointed edge list — the
+    # per-round probes re-derive it from that barrier (re-checkpointing
+    # the union would double-materialize 2x the edges for nothing)
     _, adj = _support2_graph(spark, sf_dir)
-    adj = adj.transform(iter_barrier)
-    nodes = adj.select("z").distinct().transform(iter_barrier)
+    return kcore_profile_frame(adj, k=_KC_K, rounds=_KC_ROUNDS)
+
+
+def kcore_profile_frame(
+    adj: DataFrame, k: int = _KC_K, rounds: int = _KC_ROUNDS
+) -> DataFrame:
+    """The peel itself over any symmetric (z, nbr) adjacency — factored
+    out of the query so hypothesis can drive it with adversarial graphs
+    (chains that peel one layer per round, stars, cliques) and assert
+    the in-band convergence signal: a run whose round budget reached
+    the fixpoint ends with n_removed = 0; a truncated run's final row
+    shows n_removed > 0 — never a silently-wrong "core".
+
+    INCREMENTAL peel (the Batagelj-Zaveršnik bookkeeping, distributed):
+    maintain per-survivor induced degree and per round SUBTRACT the
+    neighbors lost to that round's removal set instead of recomputing
+    induced degrees with two full adjacency joins — each node is
+    removed exactly once, so round r's only data-sized work is one
+    adjacency probe against the (rapidly shrinking, AQE-broadcastable)
+    removed set; post-fixpoint rounds probe an empty set. Measured
+    16.9 s -> ~6 s for the 13-round profile on the 10x-densified
+    co-purchase graph (tools/scale_smoke_mining.py). Semantics are
+    unchanged: deg(z) always equals z's degree in the subgraph induced
+    by current survivors, because an edge (z, w) is subtracted exactly
+    when w is removed, and zero-degree survivors fail c >= k the next
+    round exactly as the recompute form drops them."""
+    from pyspark.sql import Window
+
+    deg = (
+        adj.groupBy("z")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(iter_barrier)
+    )
     rows = None
-    for r in range(_KC_ROUNDS + 1):
-        # endpoint probes stay shuffle joins: the node set shrinks but is
-        # part-dimension-sized at 100 TB (too big to force-broadcast);
-        # AQE broadcasts automatically when a round's survivor set is
-        # small (measured: forcing broadcast here changes nothing locally)
-        xz = nodes.select(F.col("z").alias("xz"))
-        yz = nodes.select(F.col("z").alias("yz"))
-        deg = (
-            adj.join(xz, adj["z"] == xz["xz"])
-            .join(yz, adj["nbr"] == yz["yz"])
-            .groupBy("z")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        )
-        deg = deg.transform(iter_barrier)
-        n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    for r in range(rounds + 1):
+        n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         n_edges = deg.agg(
             F.expr("CAST(COALESCE(sum(c), 0) DIV 2 AS BIGINT)").alias("n_edges")
         )
@@ -496,10 +517,30 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
         )
         rows = stat if rows is None else rows.unionByName(stat)
-        if r < _KC_ROUNDS:
-            nodes = (
-                deg.filter(F.col("c") >= _KC_K)
-                .select("z")
+        if r < rounds:
+            removed = deg.filter(F.col("c") < k).select(
+                F.col("z").alias("rm")
+            )
+            # the removal frontier is broadcast: round 1 sheds the
+            # degree<k periphery of the support>=2 graph (already
+            # part-dimension-bounded by the support cut), later rounds
+            # shed only the peel front, and post-fixpoint rounds are
+            # empty — so the probe never re-shuffles the adjacency. On
+            # a cluster where even the periphery exceeds the broadcast
+            # limit, drop the hint and AQE picks the shuffle strategy
+            # at runtime from the frontier's materialized size.
+            lost = (
+                adj.join(F.broadcast(removed), adj["nbr"] == removed["rm"])
+                .groupBy("z")
+                .agg(F.count(F.lit(1)).cast("long").alias("lost"))
+            )
+            deg = (
+                deg.filter(F.col("c") >= k)
+                .join(lost, "z", "left")
+                .select(
+                    "z",
+                    (F.col("c") - F.coalesce("lost", F.lit(0))).alias("c"),
+                )
                 .transform(iter_barrier)
             )
     w = Window.orderBy("round")
@@ -847,6 +888,68 @@ _DB_MINPTS = 5
 _DB_CELLP = 1048576  # cell id packing: cid = cx * P + cy  (cy << P)
 
 
+_CC_FOLD_ROUNDS = 32  # >= 2x log2(max node count) with pointer jumping
+
+
+def inrow_min_label_cc(
+    nodes1: DataFrame, edges1: DataFrame, rounds: int = _CC_FOLD_ROUNDS
+) -> DataFrame:
+    """In-row min-label connected components with pointer jumping over a
+    DOMAIN-bounded graph: ``nodes1`` is a 1-row frame with an array
+    column ``nodes`` of struct<cid, min_key> (sorted by cid), ``edges1``
+    a 1-row frame with array column ``edges`` of struct<doc_a, doc_b>.
+    Returns a 1-row frame (nodes, labels) where labels[i] is the 1-based
+    index of node i's component representative (the min-cid member).
+
+    Each round takes, per node, the min of (own label, min over
+    neighbors' labels, label-of-label) — the pointer-jump term makes
+    label propagation contract in O(log diameter) rounds, so the fixed
+    budget of {r} rounds is >= 2x the bound for any graph that fits a
+    single row (factored out of dbscan_customer_segments so hypothesis
+    drives it with long chains and stars and asserts exact agreement
+    with a reference CC — tests/test_iterative_properties.py).
+
+    Scale: ONLY for domain-bounded graphs (grid cells, bucket lattices);
+    row-count-bounded graphs go through operators/scale.py's distributed
+    pointer-jump CC instead.""".format(r=_CC_FOLD_ROUNDS)
+    return (
+        nodes1.crossJoin(edges1)
+        .select(
+            "nodes",
+            F.expr(
+                """
+transform(edges, ed -> struct(
+  CAST(array_position(transform(nodes, x -> x.cid), ed.doc_a) AS INT) AS ai,
+  CAST(array_position(transform(nodes, x -> x.cid), ed.doc_b) AS INT) AS bi))
+""".strip()
+            ).alias("eidx"),
+        )
+        .select(
+            "nodes",
+            F.expr(
+                """
+transform(sequence(1, size(nodes)), i ->
+  concat(transform(filter(eidx, ed -> ed.ai = i), ed -> ed.bi),
+         transform(filter(eidx, ed -> ed.bi = i), ed -> ed.ai)))
+""".strip()
+            ).alias("adj_idx"),
+        )
+        .select(
+            "nodes",
+            F.expr(
+                f"""
+aggregate(sequence(1, {rounds}), sequence(1, size(nodes)),
+  (labels, unused) -> zip_with(labels, adj_idx, (l, nbrs) ->
+    least(l,
+          coalesce(array_min(transform(nbrs,
+            j -> element_at(labels, j))), l),
+          element_at(labels, l))))
+""".strip()
+            ).alias("labels"),
+        )
+    )
+
+
 @query(
     "dbscan_customer_segments",
     oracle=f"""
@@ -1033,42 +1136,7 @@ def dbscan_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges1 = e.agg(
         F.expr("collect_list(struct(doc_a, doc_b))").alias("edges")
     )
-    lab = (
-        nodes1.crossJoin(edges1)
-        .select(
-            "nodes",
-            F.expr(
-                """
-transform(edges, ed -> struct(
-  CAST(array_position(transform(nodes, x -> x.cid), ed.doc_a) AS INT) AS ai,
-  CAST(array_position(transform(nodes, x -> x.cid), ed.doc_b) AS INT) AS bi))
-""".strip()
-            ).alias("eidx"),
-        )
-        .select(
-            "nodes",
-            F.expr(
-                """
-transform(sequence(1, size(nodes)), i ->
-  concat(transform(filter(eidx, ed -> ed.ai = i), ed -> ed.bi),
-         transform(filter(eidx, ed -> ed.bi = i), ed -> ed.ai)))
-""".strip()
-            ).alias("adj_idx"),
-        )
-        .select(
-            "nodes",
-            F.expr(
-                """
-aggregate(sequence(1, 32), sequence(1, size(nodes)),
-  (labels, unused) -> zip_with(labels, adj_idx, (l, nbrs) ->
-    least(l,
-          coalesce(array_min(transform(nbrs,
-            j -> element_at(labels, j))), l),
-          element_at(labels, l))))
-""".strip()
-            ).alias("labels"),
-        )
-    )
+    lab = inrow_min_label_cc(nodes1, edges1)
     member = lab.select(
         F.expr(
             "explode(zip_with(nodes, labels,"
@@ -1291,33 +1359,36 @@ def frequent_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     baskets = baskets.localCheckpoint(eager=False)  # triples + pairs branches
-    tri = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(flatten(transform(parts, (a, i) ->"
-                    " transform(slice(parts, i + 2, size(parts)), (b, j) ->"
-                    " transform(slice(parts, i + j + 3, size(parts)),"
-                    " c -> struct(a AS x, b AS y, c AS z))))))"
-                )
-            ).alias("t")
-        )
-        .groupBy(F.col("t.x").alias("x"), F.col("t.y").alias("y"), F.col("t.z").alias("z"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    # C(w,3) expansion as a chain of Generate operators (posexplode x ->
+    # posexplode tail y -> explode tail z) instead of one
+    # flatten(flatten(transform(...))) lambda tree: the chain streams
+    # row-by-row through pipelined generators while the lambda form
+    # materializes the full nested triple array per basket before
+    # exploding — measured 9.3 s -> 1.1 s for the 16M-instance expansion
+    # on the 10x corpus (tools/scale_smoke_mining.py)
+    t1 = baskets.filter(F.size("parts") >= 3).select(
+        "parts", F.posexplode("parts").alias("i", "x")
+    )
+    t2 = t1.select(
+        "parts",
+        "i",
+        "x",
+        F.posexplode(F.expr("slice(parts, i + 2, size(parts))")).alias("j", "y"),
+    )
+    t3 = t2.select(
+        "x", "y", F.explode(F.expr("slice(parts, i + j + 3, size(parts))")).alias("z")
+    )
+    tri = t3.groupBy("x", "y", "z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
     )
     top = tri.orderBy(F.desc("n_orders"), "x", "y", "z").limit(_TRI_TOP)
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(parts, (a, i) ->"
-            " transform(slice(parts, i + 2, size(parts)),"
-            " b -> struct(a AS pa, b AS pb))))"
-        )
-    ).alias("p")
-    pairs = (
-        baskets.select(pair)
-        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    p1 = baskets.filter(F.size("parts") >= 2).select(
+        "parts", F.posexplode("parts").alias("i", "pa")
     )
+    p2 = p1.select(
+        "pa", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("pb")
+    )
+    pairs = p2.groupBy("pa", "pb").agg(F.count(F.lit(1)).cast("long").alias("n"))
     pairs = pairs.localCheckpoint(eager=False)  # probed three times
     xy = pairs.select(
         F.col("pa").alias("x"), F.col("pb").alias("y"), F.col("n").alias("n_xy")
@@ -1373,6 +1444,34 @@ def _iso_round_sql(prev: str, cur: str) -> str:
                lag(bs) OVER w AS prev_bs
         FROM {prev} WINDOW w AS (ORDER BY bs)) t, v_{cur} v
   WHERE v.vmin IS NULL OR prev_bs IS NULL OR prev_bs <> v.vmin)"""
+
+
+def pava_fold_sql(arr_col: str, rounds: int) -> str:
+    """SQL for the in-row PAVA stack fold over a sorted array column of
+    struct<bs, n, p> bucket stats: push each bucket as a singleton
+    block, then merge-down while the top two blocks strictly violate
+    monotonicity (integer cross-multiplied rate compare — never a float
+    division). ``rounds`` must be >= buckets - 1, the worst-case
+    single-push merge cascade; the fold is a no-op once the stack is
+    monotone, so an over-budget never changes the result (property:
+    tests/test_iterative_properties.py drives it with strict-violation
+    stacks against a reference PAVA). Returns blocks of
+    struct<bs, be, n, p> (bucket range, pooled counts)."""
+    return f"""
+aggregate({arr_col},
+  CAST(array() AS array<struct<bs: bigint, be: bigint, n: bigint, p: bigint>>),
+  (st, x) -> aggregate(sequence(1, {rounds + 1}),
+    concat(st, array(struct(x.bs AS bs, x.bs AS be, x.n AS n, x.p AS p))),
+    (s, unused) -> IF(size(s) >= 2
+        AND element_at(s, -2).p * element_at(s, -1).n
+            > element_at(s, -1).p * element_at(s, -2).n,
+      concat(slice(s, 1, size(s) - 2), array(struct(
+        element_at(s, -2).bs AS bs,
+        element_at(s, -1).be AS be,
+        element_at(s, -2).n + element_at(s, -1).n AS n,
+        element_at(s, -2).p + element_at(s, -1).p AS p))),
+      s)))
+""".strip()
 
 
 @query(
@@ -1455,25 +1554,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = curve.agg(
         F.expr("array_sort(collect_list(struct(bs, n, p)))").alias("a")
     )
-    folded = arr.select(
-        F.expr(
-            f"""
-aggregate(a,
-  CAST(array() AS array<struct<bs: bigint, be: bigint, n: bigint, p: bigint>>),
-  (st, x) -> aggregate(sequence(1, {_ISO_ROUNDS + 1}),
-    concat(st, array(struct(x.bs AS bs, x.bs AS be, x.n AS n, x.p AS p))),
-    (s, unused) -> IF(size(s) >= 2
-        AND element_at(s, -2).p * element_at(s, -1).n
-            > element_at(s, -1).p * element_at(s, -2).n,
-      concat(slice(s, 1, size(s) - 2), array(struct(
-        element_at(s, -2).bs AS bs,
-        element_at(s, -1).be AS be,
-        element_at(s, -2).n + element_at(s, -1).n AS n,
-        element_at(s, -2).p + element_at(s, -1).p AS p))),
-      s)))
-""".strip()
-        ).alias("blocks")
-    )
+    folded = arr.select(F.expr(pava_fold_sql("a", _ISO_ROUNDS)).alias("blocks"))
     return folded.select(F.explode("blocks").alias("b")).select(
         F.col("b.bs").cast("int").alias("bucket_start"),
         F.col("b.be").cast("int").alias("bucket_end"),
@@ -1569,14 +1650,23 @@ def binary_segmentation_changepoints(
     levels are windows over that bounded day-level frame, partitioned
     by segment at depth 2 (aggregate-bounded windows, the sanctioned
     class); the split point broadcasts as one row."""
-    from pyspark.sql import Window
-
     o = load(spark, sf_dir, "orders")
     d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("cents")
     )
+    return binseg_tree(d)
+
+
+def binseg_tree(d: DataFrame) -> DataFrame:
+    """Depth-2 binary segmentation over any exact (day, cents) daily
+    frame — factored out of the query so hypothesis can drive it with
+    synthetic series (step functions, monotone ramps, constants) and
+    assert the split/CUSUM agree with a pure-Python reference
+    (tests/test_iterative_properties.py)."""
+    from pyspark.sql import Window
+
     d = d.localCheckpoint(eager=False)  # both scan levels reuse it
     tot = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
