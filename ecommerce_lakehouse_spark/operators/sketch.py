@@ -124,6 +124,71 @@ def kll_level_sketch(
     )
 
 
+def kll_merge_grouped(
+    sketches: DataFrame, group_cols: list[str], k: int = 1024
+) -> DataFrame:
+    """Per-GROUP form of :func:`kll_merge`: merge sketch rows
+    (group..., n, level, items) into one sketch row per group. Same
+    bit-identity contract, per key: recompute each group's level from
+    its summed n, re-filter the concatenated items by the merged
+    threshold (survival is monotone in level), re-sort — equal to
+    building one sketch over that group's full input. Groups whose
+    survivors all miss the merged threshold keep an (n, level, [])
+    row (the empty-group contract shared with the build side).
+
+    Scale: every stage keys by the group — O(k) state per group, the
+    property that lets millions of tenant sketches fold in one shuffle
+    (this is the streaming state shape stream_grouped_quantiles
+    commits per micro-batch)."""
+    g = list(group_cols)
+    spark = sketches.sparkSession
+    tot = sketches.groupBy(*g).agg(F.sum("n").cast("long").alias("n"))
+    lvls = spark.range(0, MAX_LEVEL + 1).select(
+        F.col("id").cast("int").alias("__l")
+    )
+    lvl = (
+        tot.join(
+            F.broadcast(lvls),
+            F.expr(f"shiftleft(CAST({int(k)} AS BIGINT), __l)") >= F.col("n"),
+        )
+        .groupBy(*g, "n")
+        .agg(F.min("__l").alias("level"))
+    )
+    thr = lvl.withColumn(
+        "__thr",
+        F.expr(
+            f"CAST({HASH_SPACE} AS BIGINT)"
+            " DIV shiftleft(CAST(1 AS BIGINT), level)"
+        ),
+    )
+    items = sketches.select(*g, F.explode("items").alias("it")).select(
+        *g, F.col("it.v").alias("v"), F.col("it.h").alias("h")
+    )
+    kept = items.join(F.broadcast(thr), on=g).filter(
+        F.col("h") < F.col("__thr")
+    )
+    items_rows = kept.groupBy(*g).agg(
+        F.sort_array(F.collect_list(F.struct(F.col("v"), F.col("h")))).alias(
+            "__items"
+        )
+    )
+    return (
+        thr.select(*g, "n", "level")
+        .join(items_rows, on=g, how="left")
+        .select(
+            *g,
+            "n",
+            "level",
+            F.coalesce(
+                F.col("__items"),
+                F.expr(
+                    "CAST(array() AS array<struct<v: bigint, h: bigint>>)"
+                ),
+            ).alias("items"),
+        )
+    )
+
+
 def kll_merge(sketches: DataFrame, k: int = 1024) -> DataFrame:
     """Merge sketch rows (n, level, items) into ONE sketch row.
 

@@ -192,3 +192,30 @@ def test_kll_sketch_empty_survivor_group_keeps_its_n(spark):
     w, m = whole[0], merged[0]
     assert (w.n, w.level) == (m.n, m.level) == (10, 4)
     assert [(i.v, i.h) for i in w.items] == [(i.v, i.h) for i in m.items]
+
+
+def test_kll_grouped_merge_mergeable(spark, sf_dir):
+    """Grouped form of the merge law: per-group union of per-partition
+    sketches merged == per-group whole-data sketch, bit-identical for
+    every group (operators/sketch.py::kll_merge_grouped)."""
+    from ecommerce_lakehouse_spark.operators.sketch import kll_merge_grouped
+
+    src = _src(spark, sf_dir).withColumn(
+        "g", F.pmod("event_id", F.lit(3)).cast("int")
+    )
+    whole = {
+        r.g: r
+        for r in kll_level_sketch(src, "cents", "h", k=256, group_cols=["g"]).collect()
+    }
+    parts = src.withColumn("p", F.pmod(F.col("event_id") * 7, F.lit(5)))
+    per_part = kll_level_sketch(
+        parts, "cents", "h", k=256, group_cols=["g", "p"]
+    ).drop("p")
+    merged = {
+        r.g: r for r in kll_merge_grouped(per_part, ["g"], k=256).collect()
+    }
+    assert set(merged) == set(whole)
+    for g, w in whole.items():
+        m = merged[g]
+        assert (w.n, w.level) == (m.n, m.level), g
+        assert [(i.v, i.h) for i in w.items] == [(i.v, i.h) for i in m.items], g

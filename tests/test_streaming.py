@@ -839,3 +839,75 @@ def test_stream_kll_batch_zero_replay(spark, sf_dir, tmp_path):
     q2 = stream_kll_quantiles(stream, state, ckpt)
     q2.awaitTermination(120)
     assert sk_t.read().collect()[0].n == n_before  # not re-folded
+
+
+def test_stream_grouped_quantiles_matches_batch_sketch(spark, sf_dir, tmp_path):
+    """Grouped history independence: streaming the events table in two
+    micro-batches must leave the PER-TYPE KLL state bit-identical to
+    one grouped sketch built over the whole table in batch; a restart
+    with the same checkpoint adds nothing; and a checkpoint-wipe replay
+    of batch 0 must not re-fold (the round-7 `or -1` regression,
+    grouped flavor)."""
+    import os
+    import shutil
+    import pyarrow.parquet as _pq
+    import pyspark.sql.functions as F
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.operators.sketch import (
+        kll_level_sketch,
+        md5_hash60,
+    )
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_grouped_quantiles
+
+    src = os.path.join(sf_dir, "events.parquet")
+    t = _pq.read_table(src, columns=["event_id", "event_type", "value"])
+    spool = tmp_path / "events_spool"
+    spool.mkdir()
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(0, half), str(spool / "a.parquet"))
+    _pq.write_table(t.slice(half), str(spool / "b.parquet"))
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "gkll_state")
+    ckpt = str(tmp_path / "gkll_ckpt")
+    q = stream_grouped_quantiles(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    batch_src = spark.read.parquet(src).select(
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        md5_hash60(F.col("event_id")).alias("h"),
+    )
+    want = {
+        r.event_type: r
+        for r in kll_level_sketch(
+            batch_src, "cents", "h", k=256, group_cols=["event_type"]
+        ).collect()
+    }
+    sk_t = LakeTable(spark, os.path.join(state, "sketch"))
+    got = {r.event_type: r for r in sk_t.read().collect()}
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n, g.level) == (w.n, w.level), et
+        assert [(i.v, i.h) for i in g.items] == [(i.v, i.h) for i in w.items], et
+
+    # exactly-once: restart with the same checkpoint adds nothing
+    v_before = sk_t.current_version()
+    q2 = stream_grouped_quantiles(stream, state, ckpt)
+    q2.awaitTermination(60)
+    assert sk_t.current_version() == v_before
+
+    # batch-0 replay: wipe the checkpoint — the txn guard alone must
+    # prevent a double fold of the replayed batches
+    per_type_n = {et: g.n for et, g in got.items()}
+    shutil.rmtree(ckpt)
+    q3 = stream_grouped_quantiles(stream, state, ckpt)
+    q3.awaitTermination(120)
+    after = {r.event_type: r.n for r in sk_t.read().collect()}
+    assert after == per_type_n
