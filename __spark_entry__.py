@@ -66,6 +66,15 @@ _FIRST = [
     "event_path_trigrams",
     "vocab_chao1_estimate",
     "hurst_rs_exponent",
+    # new in r07 (never-gated by construction)
+    "mmr_diversified_topk",
+    "embedding_pca_power",
+    "dedup_mixture_shift",
+    "common_neighbors_jaccard",
+    "revenue_periodogram",
+    "pacf_durbin_levinson",
+    "page_hinkley_drift",
+    "propensity_strata_ate",
     # cross-family regression anchors (already gated green r02-r06)
     "daily_sales",
     "merge_upsert_snapshot",

@@ -58,5 +58,6 @@ from ecommerce_lakehouse_spark.queries import (  # noqa: E402,F401
     stats,
     stats2,
     tpch,
+    wave7,
     tpch2,
 )

@@ -1,0 +1,1269 @@
+"""Round-7 wave: spectral / sequential-monitoring / causal-adjustment /
+link-prediction analytics plus retrieval and embedding-geometry audits.
+
+- ``common_neighbors_jaccard``: neighborhood-Jaccard link prediction on
+  the support>=2 co-purchase graph — the set-overlap member of the
+  link-prediction shelf next to Adamic-Adar's weighted wedges;
+- ``revenue_periodogram``: discrete-Fourier power spectrum of monthly
+  revenue at integer frequencies — the frequency-domain member of the
+  serial-structure shelf (ACF sees fixed lags, wavelets see dyadic
+  timescales, the periodogram sees PERIODS);
+- ``pacf_durbin_levinson``: partial autocorrelation at lags 1..6 by the
+  Durbin-Levinson recursion — the AR-order diagnostic (where the PACF
+  cuts off) that ACF alone cannot answer;
+- ``page_hinkley_drift``: the Page-Hinkley sequential mean-shift
+  statistic over daily revenue — the ONLINE-shaped drift detector next
+  to the retrospective CUSUM changepoint;
+- ``propensity_strata_ate``: stratified average-treatment-effect with
+  order-count strata — the confounding-adjustment member of the causal
+  shelf (DiD removes time, CUPED removes variance, QTE reads the
+  distribution; stratification removes an observed confounder).
+
+Reference parity: none of these exist in the reference (src/processing
+is business-key ETL); they extend the engine's analytics families.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries.graph_ml import (
+    _COPURCHASE_EDGES,
+    _support2_graph,
+)
+from ecommerce_lakehouse_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# neighborhood-Jaccard link prediction
+# ---------------------------------------------------------------------------
+
+_CJ_TOP = 20
+
+
+@query(
+    "common_neighbors_jaccard",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES},
+deg AS (SELECT z, CAST(count(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+wedge AS (
+  SELECT a1.nbr AS u, a2.nbr AS v
+  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.nbr < a2.nbr),
+cn AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common
+  FROM wedge GROUP BY 1, 2),
+cand AS (
+  SELECT cn.* FROM cn ANTI JOIN e ON cn.u = e.s AND cn.v = e.d)
+SELECT u AS part_a, v AS part_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / (du.dg + dv.dg - n_common) AS jaccard
+FROM cand JOIN deg du ON du.z = cand.u JOIN deg dv ON dv.z = cand.v
+ORDER BY jaccard DESC, part_a, part_b LIMIT {_CJ_TOP}
+""",
+)
+def common_neighbors_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-of-neighborhoods link prediction (Liben-Nowell & Kleinberg
+    2003) over the support>=2 co-purchase graph: for every NON-edge
+    (u, v) sharing at least one neighbor, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|,
+    top-{k}. Adamic-Adar weights rare common neighbors up; Jaccard
+    normalizes by both degree masses — the two standard local link
+    predictors, now both on the shelf.
+
+    Exactness: intersection and degree counts are exact integers; the
+    Jaccard is ONE division of exact integers (IEEE identical both
+    engines); ordering ties break on the part ids.
+
+    Scale: the wedge fan-out is bounded by the support>=2 cut exactly
+    as adamic_adar_links (same materialized-graph barrier, same
+    degree-capped hub behavior); candidates collapse by (u, v) before
+    the top-k TakeOrdered.""".format(k=_CJ_TOP)
+    e, adj = _support2_graph(spark, sf_dir)
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    a1 = adj.select(F.col("z").alias("w"), F.col("nbr").alias("u"))
+    a2 = adj.select(F.col("z").alias("w"), F.col("nbr").alias("v"))
+    cn = (
+        a1.join(a2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    cand = cn.join(
+        e, (cn["u"] == e["s"]) & (cn["v"] == e["d"]), "left_anti"
+    )
+    du = deg.select(F.col("z").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("z").alias("v"), F.col("dg").alias("dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(_CJ_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# periodogram of monthly revenue
+# ---------------------------------------------------------------------------
+
+_PG_MAXK = 12
+_PI = "3.141592653589793"
+
+_PG_MONTHLY_SQL = """
+m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({'month': month, 'rev': revenue})),
+                        x -> x.rev) AS a
+  FROM m),
+base AS (
+  SELECT a, len(a) AS n,
+         list_reduce(a, (s, x) -> s + x) / len(a) AS mu
+  FROM arr),
+ctr AS (
+  SELECT n, list_transform(a, x -> x - mu) AS c,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(a, x -> (x - mu) * (x - mu))),
+           (s, x) -> s + x) AS denom
+  FROM base)
+""".strip()
+
+
+def _pg_row_sql(k: int) -> str:
+    return f"""
+SELECT {k} AS k, n,
+       CAST(n AS DOUBLE) / {k} AS period_months,
+       round(2.0 * (
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, n + 1),
+             t -> c[t] * cos(2 * {_PI} * {k} * (t - 1) / n))),
+           (s, x) -> s + x)
+         * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, n + 1),
+             t -> c[t] * cos(2 * {_PI} * {k} * (t - 1) / n))),
+           (s, x) -> s + x)
+         + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, n + 1),
+             t -> c[t] * sin(2 * {_PI} * {k} * (t - 1) / n))),
+           (s, x) -> s + x)
+         * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, n + 1),
+             t -> c[t] * sin(2 * {_PI} * {k} * (t - 1) / n))),
+           (s, x) -> s + x)
+       ) / (n * denom), 9) AS power_share
+FROM ctr"""
+
+
+@query(
+    "revenue_periodogram",
+    oracle="WITH "
+    + _PG_MONTHLY_SQL
+    + "\nUNION ALL".join(_pg_row_sql(k) for k in range(1, _PG_MAXK + 1)),
+)
+def revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of monthly revenue at integer
+    frequencies k=1..{mk} (Schuster 1898): for the mean-centered series
+    c_t, power_k = a_k^2 + b_k^2 with a_k = sum c_t cos(2*pi*k*t/n),
+    b_k the sine sum, reported as power_share = 2*power_k / (n * SS) —
+    the fraction of series variance at period n/k months (shares over
+    all k <= n/2 sum to ~1, the Parseval identity). The
+    FREQUENCY-domain member of the serial-structure shelf: the ACF sees
+    fixed lags, the Haar ladder sees dyadic timescales, the
+    periodogram names the PERIOD (k = n/12 is "annual seasonality").
+
+    Determinism: monthly revenue is exact (DECIMAL sum rounded in the
+    decimal domain, cast double last); every trig sum is an ORDERED
+    fold over the month-sorted array with the same literal pi, so both
+    engines execute the identical multiply-add sequence; cos/sin are
+    the only non-correctly-rounded ops, and power_share is rounded ONCE
+    to 9 decimals — a 1e-15-relative libm disagreement cannot move a
+    1e-9 rounding (the log2-in-nanos discipline, hurst_rs_exponent).
+
+    Scale: corpus collapses map-side to one row per month; the whole
+    spectrum is one in-row pass over the bounded array ({mk} folds of
+    n terms).""".format(mk=_PG_MAXK)
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(month, revenue))),"
+            " x -> x.revenue)"
+        ).alias("a")
+    )
+    ctr = arr.selectExpr(
+        "size(a) AS n",
+        "aggregate(a, CAST(0 AS DOUBLE), (s, x) -> s + x) / size(a) AS mu",
+        "a",
+    ).selectExpr(
+        "n",
+        "transform(a, x -> x - mu) AS c",
+        "aggregate(transform(a, x -> (x - mu) * (x - mu)),"
+        " CAST(0 AS DOUBLE), (s, x) -> s + x) AS denom",
+    )
+    out = None
+    for k in range(1, _PG_MAXK + 1):
+        row = ctr.selectExpr(
+            f"{k} AS k",
+            "n",
+            f"CAST(n AS DOUBLE) / {k} AS period_months",
+            f"""round(2.0 * (
+  aggregate(transform(sequence(1, n),
+    t -> element_at(c, t) * cos(2 * {_PI} * {k} * (t - 1) / n)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x)
+  * aggregate(transform(sequence(1, n),
+    t -> element_at(c, t) * cos(2 * {_PI} * {k} * (t - 1) / n)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x)
+  + aggregate(transform(sequence(1, n),
+    t -> element_at(c, t) * sin(2 * {_PI} * {k} * (t - 1) / n)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x)
+  * aggregate(transform(sequence(1, n),
+    t -> element_at(c, t) * sin(2 * {_PI} * {k} * (t - 1) / n)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x)
+) / (n * denom), 9) AS power_share""",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        "period_months",
+        "power_share",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PACF by Durbin-Levinson
+# ---------------------------------------------------------------------------
+
+_PACF_LAGS = 6
+
+
+def _pacf_pkk_sql(k: int, phi: str) -> str:
+    """Inlined reflection-coefficient expression for level k over the
+    previous level's coefficient list column ``phi``."""
+    num = (
+        f"(r[{k}] - list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, {k}), j -> {phi}[j] * r[{k} - j])),"
+        f" (s, x) -> s + x))"
+    )
+    den = (
+        f"(1 - list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, {k}), j -> {phi}[j] * r[j])),"
+        f" (s, x) -> s + x))"
+    )
+    return f"({num} / {den})"
+
+
+def _pacf_oracle() -> str:
+    parts = [
+        """m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_transform(list_sort(list({'month': month, 'rev': revenue})),
+                        x -> x.rev) AS a
+  FROM m),
+base AS (
+  SELECT a, len(a) AS n,
+         list_reduce(a, (s, x) -> s + x) / len(a) AS mu
+  FROM arr),
+ac AS (
+  SELECT n,
+         list_transform(range(1, """
+        + str(_PACF_LAGS)
+        + """ + 1), k ->
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, n - k + 1),
+               i -> (a[i] - mu) * (a[i + k] - mu))),
+             (s, x) -> s + x)
+           / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(a, x -> (x - mu) * (x - mu))),
+               (s, x) -> s + x)) AS r
+  FROM base),
+dl1 AS MATERIALIZED (SELECT n, r, [r[1]] AS phi FROM ac)"""
+    ]
+    # unrolled Durbin-Levinson levels: each level's pkk is inlined
+    # twice over the MATERIALIZED previous level (no fold-with-state —
+    # DuckDB lambdas cannot contain subqueries)
+    for k in range(2, _PACF_LAGS + 1):
+        pkk = _pacf_pkk_sql(k, "phi")
+        parts.append(
+            f"""dl{k} AS MATERIALIZED (
+  SELECT n, r,
+         list_append(
+           list_transform(range(1, {k}), j -> phi[j] - {pkk} * phi[{k} - j]),
+           {pkk}) AS phi
+  FROM dl{k - 1})"""
+        )
+    rows = ["SELECT 1 AS lag, n, round(r[1], 9) AS pacf FROM ac"]
+    for k in range(2, _PACF_LAGS + 1):
+        rows.append(f"SELECT {k}, n, round(phi[{k}], 9) FROM dl{k}")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(lag AS INT) AS lag, n, pacf FROM ("
+        + "\nUNION ALL ".join(rows)
+        + ") ORDER BY lag"
+    )
+
+
+@query("pacf_durbin_levinson", oracle=_pacf_oracle())
+def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of monthly revenue at lags 1..{L} by the
+    Durbin-Levinson recursion (Durbin 1960): phi_11 = r1, then for each
+    k the reflection coefficient phi_kk = (r_k - sum phi_(k-1),j *
+    r_(k-j)) / (1 - sum phi_(k-1),j * r_j) with the inner coefficients
+    updated as phi_kj = phi_(k-1),j - phi_kk * phi_(k-1),(k-j). The
+    PACF is where AR ORDER is read off (it cuts off after the true
+    order, while the ACF tails) — the diagnostic that justifies
+    ar2_yule_walker_forecast's choice of 2.
+
+    Determinism: the ACF vector r is the same ordered-fold construction
+    as revenue_autocorrelation; the recursion is a fixed-order in-row
+    fold with ascending-j inner sums — both engines execute the
+    identical IEEE sequence; pacf is rounded ONCE to 9 decimals.
+
+    Scale: one row per month map-side, then one in-row O(L^2) fold —
+    noise next to the scan.""".format(L=_PACF_LAGS)
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(month, revenue))),"
+            " x -> x.revenue)"
+        ).alias("a")
+    )
+    ac = arr.selectExpr(
+        "size(a) AS n",
+        "aggregate(a, CAST(0 AS DOUBLE), (s, x) -> s + x) / size(a) AS mu",
+        "a",
+    ).selectExpr(
+        "n",
+        f"""transform(sequence(1, {_PACF_LAGS}), k ->
+  aggregate(transform(sequence(1, n - k),
+    i -> (element_at(a, i) - mu) * (element_at(a, i + k) - mu)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x)
+  / aggregate(transform(a, x -> (x - mu) * (x - mu)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x)) AS r""",
+    )
+    dl_expr = """
+aggregate(sequence(2, {lag}), array(element_at(r, 1)),
+  (phi, k) -> concat(
+    transform(sequence(1, k - 1), j ->
+      element_at(phi, j)
+      - ((element_at(r, k)
+          - aggregate(transform(sequence(1, k - 1),
+              j2 -> element_at(phi, j2) * element_at(r, k - j2)),
+              CAST(0 AS DOUBLE), (s, x) -> s + x))
+         / (1 - aggregate(transform(sequence(1, k - 1),
+              j2 -> element_at(phi, j2) * element_at(r, j2)),
+              CAST(0 AS DOUBLE), (s, x) -> s + x)))
+        * element_at(phi, k - j)),
+    array((element_at(r, k)
+          - aggregate(transform(sequence(1, k - 1),
+              j2 -> element_at(phi, j2) * element_at(r, k - j2)),
+              CAST(0 AS DOUBLE), (s, x) -> s + x))
+         / (1 - aggregate(transform(sequence(1, k - 1),
+              j2 -> element_at(phi, j2) * element_at(r, j2)),
+              CAST(0 AS DOUBLE), (s, x) -> s + x)))))
+""".strip()
+    out = None
+    for lag in range(1, _PACF_LAGS + 1):
+        if lag == 1:
+            pacf = "round(element_at(r, 1), 9)"
+        else:
+            pacf = f"round(element_at({dl_expr.format(lag=lag)}, {lag}), 9)"
+        row = ac.selectExpr(f"{lag} AS lag", "n", f"{pacf} AS pacf")
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        "pacf",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley sequential drift statistic
+# ---------------------------------------------------------------------------
+
+_PH_LAMBDA_SIGMA = 3.0  # alarm threshold in units of daily-dollar stddev
+
+
+@query(
+    "page_hinkley_drift",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT day, cents,
+         CAST(sum(cents) OVER w AS BIGINT) AS cum_cents,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+t AS (
+  SELECT day, i,
+         CAST(round(CAST(i * cents - cum_cents AS DOUBLE) / i, 0)
+              AS BIGINT) AS dev_cents
+  FROM s),
+c AS (
+  SELECT day, i,
+         CAST(sum(dev_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM t),
+e AS (
+  SELECT day, cum,
+         cum - min(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS excess
+  FROM c),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sqrt(CAST(n2 AS DOUBLE) / (CAST(count(*) AS BIGINT)
+              * (CAST(count(*) AS BIGINT) - 1))) AS sigma_cents
+  FROM d, (SELECT CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT)
+                 * CAST(cents AS HUGEINT))
+                 - sum(CAST(cents AS HUGEINT)) * sum(CAST(cents AS HUGEINT))
+             AS n2 FROM d) q
+  GROUP BY n2)
+SELECT g.n AS n_days,
+       round(g.sigma_cents * {_PH_LAMBDA_SIGMA} / 100.0, 9)
+         AS lambda_threshold,
+       CAST(count(CASE WHEN CAST(e.excess AS DOUBLE)
+                            > g.sigma_cents * {_PH_LAMBDA_SIGMA}
+                       THEN 1 END) AS BIGINT) AS n_alarm_days,
+       min(CASE WHEN CAST(e.excess AS DOUBLE)
+                     > g.sigma_cents * {_PH_LAMBDA_SIGMA}
+                THEN e.day END) AS first_alarm_day,
+       round(CAST(max(e.excess) AS DOUBLE) / 100.0, 9) AS max_excess
+FROM e CROSS JOIN g
+GROUP BY g.n, g.sigma_cents
+""",
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift monitoring (Page 1954; Hinkley 1971,
+    no-reset form) over daily revenue: the cumulative deviation from the
+    RUNNING mean, cum_t = sum_(i<=t) (x_i - m_i), minus its running
+    minimum is the PH excess — it stays near zero under a stable mean
+    and ramps when the mean shifts up. Reported: alarm-day count at the
+    {L}-sigma threshold, the first alarm day, and the peak excess. The
+    ONLINE-shaped member of the drift shelf: revenue_cusum_changepoint
+    answers "where was the single best split, in hindsight";
+    Page-Hinkley answers "on which days would a monitor have fired".
+
+    Determinism — the windowed-double lesson: a running SUM of doubles
+    is NOT order-stable across engines (DuckDB's window aggregator uses
+    a segment tree, so its double additions group differently than
+    Spark's streaming frame — observed 1-ulp drift on this very query).
+    So every accumulated quantity here is an exact INTEGER: daily cents
+    are exact, i*x_i - S_i is exact BIGINT, each deviation rounds ONCE
+    to whole cents (one IEEE division + round, identical both engines),
+    and the running sum/min then accumulate in BIGINT (order-free).
+    Sigma comes from exact HUGEINT/DECIMAL moment sums cast to double
+    once. Headroom: |dev| <= ~1e9 cents/day at sf0.1 and the cum is
+    bounded by days * max|dev| — re-derive before daily cents approach
+    2^53 (the double-exactness edge of the i*x - S division).
+
+    Scale: one row per day map-side; three day-ordered windows over the
+    date-domain-bounded frame (the sanctioned aggregate-bounded window
+    class); output is ONE row.""".format(L=_PH_LAMBDA_SIGMA)
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    srt = d.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+    )
+    t = srt.select(
+        "day",
+        F.expr(
+            "CAST(round(CAST(i * cents - cum_cents AS DOUBLE) / i, 0)"
+            " AS BIGINT)"
+        ).alias("dev_cents"),
+    )
+    c = t.select(
+        "day", F.sum("dev_cents").over(w).cast("long").alias("cum")
+    )
+    e = c.select(
+        "day", "cum", (F.col("cum") - F.min("cum").over(w)).alias("excess")
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sqrt(
+            (
+                F.count(F.lit(1)).cast("decimal(38,0)")
+                * F.sum(
+                    F.col("cents").cast("decimal(19,0)")
+                    * F.col("cents").cast("decimal(19,0)")
+                )
+                - F.sum(F.col("cents").cast("decimal(19,0)"))
+                * F.sum(F.col("cents").cast("decimal(19,0)"))
+            ).cast("double")
+            / (
+                F.count(F.lit(1)).cast("long")
+                * (F.count(F.lit(1)).cast("long") - 1)
+            )
+        ).alias("sigma_cents"),
+    )
+    lam = F.col("sigma_cents") * F.lit(_PH_LAMBDA_SIGMA)
+    return (
+        e.crossJoin(F.broadcast(g))
+        .groupBy("n", "sigma_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("excess").cast("double") > lam, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alarm_days"),
+            F.min(
+                F.when(F.col("excess").cast("double") > lam, F.col("day"))
+            ).alias("first_alarm_day"),
+            F.round(F.max("excess").cast("double") / 100.0, 9).alias(
+                "max_excess"
+            ),
+        )
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(lam / 100.0, 9).alias("lambda_threshold"),
+            "n_alarm_days",
+            "first_alarm_day",
+            "max_excess",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# propensity-stratified average treatment effect
+# ---------------------------------------------------------------------------
+
+_PS_MAX_STRATUM = 5
+
+
+@query(
+    "propensity_strata_ate",
+    oracle=f"""
+WITH f AS (
+  SELECT c.c_custkey AS key,
+         ('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS grp,
+         CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+         CAST(COALESCE(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) * 100
+              AS BIGINT) AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+st AS (
+  SELECT least(n_orders, {_PS_MAX_STRATUM}) AS stratum, grp,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS t
+  FROM f GROUP BY 1, 2),
+w AS (
+  SELECT stratum,
+         max(CASE WHEN grp = 1 THEN n END) AS n_t,
+         max(CASE WHEN grp = 0 THEN n END) AS n_c,
+         max(CASE WHEN grp = 1 THEN t END) AS t_t,
+         max(CASE WHEN grp = 0 THEN t END) AS t_c
+  FROM st GROUP BY 1),
+a AS (
+  -- one-sided strata (a group absent at small n) carry no contrast and
+  -- are excluded, the standard subclassification practice
+  SELECT stratum, n_t, n_c,
+         CAST(t_t AS DOUBLE) / n_t / 100.0 AS mean_treatment,
+         CAST(t_c AS DOUBLE) / n_c / 100.0 AS mean_control,
+         CAST(t_t AS DOUBLE) / n_t / 100.0
+           - CAST(t_c AS DOUBLE) / n_c / 100.0 AS ate
+  FROM w WHERE n_t IS NOT NULL AND n_c IS NOT NULL),
+pool AS (
+  SELECT list_sort(list(struct_pack(stratum := stratum, n := n_t + n_c,
+                                    ate := ate))) AS rows_,
+         CAST(sum(n_t + n_c) AS BIGINT) AS nn
+  FROM a)
+SELECT CAST(stratum AS INT) AS stratum, n_t, n_c,
+       mean_treatment, mean_control, ate,
+       (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(rows_, x -> x.ate * x.n / nn)), (s, x) -> s + x)
+        FROM pool) AS pooled_ate
+FROM a
+""",
+)
+def propensity_strata_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average treatment effect (Cochran 1968 subclassification):
+    customers hash-split into treatment/control (the deterministic
+    assignment every experiment query here uses), stratified by ORDER
+    COUNT (capped at {m}) — the observable that would confound a naive
+    spend comparison — with per-stratum treatment/control means, the
+    per-stratum ATE, and the n-weighted POOLED ate repeated on every row
+    (the one number subclassification exists to produce). Completes the
+    causal shelf: DiD removes time trends, CUPED removes pre-period
+    variance, QTE reads the quantile ladder, stratification removes an
+    observed confounder. One-sided strata (a group absent) carry no
+    treatment-control contrast and are excluded from both the
+    per-stratum rows and the pooled weight.
+
+    Determinism: spend is exact integer cents; each mean is one exact
+    division (IEEE identical); the pooled sum is an in-row fold over
+    the stratum-sorted array (never a distributed double sum — the
+    order-free-sum ban).
+
+    Scale: one groupBy to customer grain, one to (stratum, grp) — both
+    map-side combinable; the stratum table is domain-bounded
+    (<= {m}+1 rows), so the pooled fold is a broadcast scalar.""".format(
+        m=_PS_MAX_STRATUM
+    )
+    from ecommerce_lakehouse_spark.operators.sketch import md5_hash60  # noqa: F401
+
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    f = (
+        c.join(o, c["key"] == o["o_custkey"], "left")
+        .groupBy("key")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            (
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                    F.lit(0).cast("decimal(18,2)"),
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            "key",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10)
+                .cast("long"),
+                F.lit(2),
+            ).alias("grp"),
+            F.least("n_orders", F.lit(_PS_MAX_STRATUM).cast("long")).alias(
+                "stratum"
+            ),
+            "cents",
+        )
+    )
+    st = f.groupBy("stratum", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    w = st.groupBy("stratum").agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("grp") == 1, F.col("t"))).alias("t_t"),
+        F.max(F.when(F.col("grp") == 0, F.col("t"))).alias("t_c"),
+    )
+    a = w.filter(
+        F.col("n_t").isNotNull() & F.col("n_c").isNotNull()
+    ).select(
+        "stratum",
+        "n_t",
+        "n_c",
+        (F.col("t_t").cast("double") / F.col("n_t") / 100.0).alias(
+            "mean_treatment"
+        ),
+        (F.col("t_c").cast("double") / F.col("n_c") / 100.0).alias(
+            "mean_control"
+        ),
+        (
+            F.col("t_t").cast("double") / F.col("n_t") / 100.0
+            - F.col("t_c").cast("double") / F.col("n_c") / 100.0
+        ).alias("ate"),
+    )
+    pool = a.agg(
+        F.expr(
+            "array_sort(collect_list(struct(stratum, n_t + n_c AS n, ate)))"
+        ).alias("rows_"),
+        F.sum(F.col("n_t") + F.col("n_c")).cast("long").alias("nn"),
+    ).select(
+        F.expr(
+            "aggregate(rows_, CAST(0 AS DOUBLE),"
+            " (s, x) -> s + x.ate * x.n / nn)"
+        ).alias("pooled_ate")
+    )
+    return a.crossJoin(F.broadcast(pool)).select(
+        F.col("stratum").cast("int").alias("stratum"),
+        "n_t",
+        "n_c",
+        "mean_treatment",
+        "mean_control",
+        "ate",
+        "pooled_ate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k retrieval
+# ---------------------------------------------------------------------------
+
+_MMR_K = 10
+_MMR_POOL = 40
+_MMR_LAMBDA = "0.7"
+_MMR_DIM = 64
+
+_MMR_DOT_SQL = (
+    "list_aggregate(list_transform(range(1, {d} + 1),"
+    " i -> {a}[i] * {b}[i]), 'sum')"
+)
+
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA
+    d = _MMR_DIM
+    dot_qc = _MMR_DOT_SQL.format(d=d, a="q.emb", b="c.emb")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                            x -> x * x), 'sum')) AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id, c.emb, c.nrm,
+         {dot_qc} / (q.nrm * c.nrm) AS rel
+  FROM v c CROSS JOIN q WHERE c.vec_id <> 0),
+pool AS (
+  SELECT * FROM scored
+  ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_POOL}),
+arrs AS (
+  SELECT list_transform(
+           list_sort(list(struct_pack(negrel := -rel, vid := vec_id,
+                                      emb := emb, nrm := nrm))),
+           x -> struct_pack(vid := x.vid, rel := -x.negrel,
+                            emb := x.emb, nrm := x.nrm)) AS cands
+  FROM pool),
+mat AS (
+  SELECT cands,
+         list_transform(cands, a ->
+           list_transform(cands, b ->
+             {_MMR_DOT_SQL.format(d=d, a="a.emb", b="b.emb")}
+               / (a.nrm * b.nrm))) AS m
+  FROM arrs),
+sel AS (
+  SELECT cands, m,
+         list_reduce(
+           list_prepend([1], list_transform(range(2, {_MMR_K} + 1),
+                                            k -> [CAST(k AS BIGINT)])),
+           (s, e) -> list_append(s,
+             list_sort(list_transform(
+               list_filter(range(1, len(cands) + 1),
+                           i -> NOT list_contains(s, i)),
+               i -> struct_pack(
+                 negscore := -({lam} * cands[i].rel
+                   - (1 - {lam}) * list_reduce(
+                       list_transform(s, j -> m[i][j]),
+                       (a, x) -> greatest(a, x))),
+                 vid := cands[i].vid,
+                 i := i)))[1].i)) AS sel
+  FROM mat),
+ranked AS (
+  SELECT r AS rank, cands[sel[r]].vid AS vec_id,
+         cands[sel[r]].rel AS rel,
+         CASE WHEN r = 1 THEN cands[sel[1]].rel
+              ELSE {lam} * cands[sel[r]].rel
+                   - (1 - {lam}) * list_reduce(
+                       list_transform(range(1, r),
+                                      j -> m[sel[r]][sel[j]]),
+                       (a, x) -> greatest(a, x))
+         END AS mmr
+  FROM sel, (SELECT CAST(unnest(range(1, {_MMR_K} + 1)) AS INT) AS r) rr)
+SELECT rank, vec_id, round(rel, 5) AS cosine_rel,
+       round(mmr, 5) AS mmr_score
+FROM ranked
+"""
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over the embedding corpus: retrieve a {p}-candidate cosine
+    shortlist for the query vector (vec_id 0), then greedily select
+    {k} results maximizing lambda*rel(i) - (1-lambda)*max_(j in S)
+    sim(i, j) — relevance traded against redundancy, the re-ranker that
+    keeps a RAG context window from being {k} copies of the same
+    paragraph. Completes the retrieval shelf: BM25 ranks text, kNN/IVF/
+    LSH rank vectors, RRF fuses lists — MMR DIVERSIFIES the final list.
+
+    Determinism: every dot product is the same ordered 64-term fold
+    both engines run everywhere else (the knn idiom); the greedy argmax
+    compares raw doubles produced by identical IEEE sequences, with
+    ties broken by vec_id; scores are rounded ONCE for output.
+
+    Scale: the shortlist is a broadcast-query scan + TakeOrdered
+    (embedding_knn_bruteforce's plan); everything after is ONE in-row
+    fold over a {p}x{p} bounded similarity matrix — the re-rank cost is
+    independent of corpus size by construction.""".format(
+        p=_MMR_POOL, k=_MMR_K
+    )
+    lam = _MMR_LAMBDA
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sq = F.aggregate(
+        F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    withn = e.withColumn("nrm", F.sqrt(sq))
+    q = withn.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    pool = (
+        withn.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("rel", dot / (F.col("q_nrm") * F.col("nrm")))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+    )
+    arrs = pool.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-rel AS negrel,"
+            " vec_id AS vid, emb, nrm))),"
+            " x -> struct(x.vid AS vid, -x.negrel AS rel,"
+            " x.emb AS emb, x.nrm AS nrm))"
+        ).alias("cands")
+    )
+    mat = arrs.selectExpr(
+        "cands",
+        f"""transform(cands, a -> transform(cands, b ->
+  aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y),
+    CAST(0 AS DOUBLE), (s, x) -> s + x) / (a.nrm * b.nrm))) AS m""",
+    )
+    sel = mat.selectExpr(
+        "cands",
+        "m",
+        f"""aggregate(sequence(2, {_MMR_K}), array(1),
+  (s, k) -> concat(s, array(
+    array_min(transform(
+      filter(sequence(1, size(cands)), i -> NOT array_contains(s, i)),
+      i -> struct(
+        -({lam} * element_at(cands, i).rel
+          - (1 - {lam}) * array_max(transform(s,
+              j -> element_at(element_at(m, i), j)))) AS negscore,
+        element_at(cands, i).vid AS vid,
+        i AS i))).i))) AS sel""",
+    )
+    # one-row barrier: the {k} per-rank projection branches below would
+    # otherwise each re-run the shortlist scan + the greedy fold
+    sel = sel.localCheckpoint(eager=False)
+    out = None
+    for r in range(1, _MMR_K + 1):
+        if r == 1:
+            mmr = "element_at(cands, element_at(sel, 1)).rel"
+        else:
+            mmr = f"""{lam} * element_at(cands, element_at(sel, {r})).rel
+  - (1 - {lam}) * array_max(transform(sequence(1, {r - 1}),
+      j -> element_at(element_at(m, element_at(sel, {r})),
+                      element_at(sel, j))))"""
+        row = sel.selectExpr(
+            f"{r} AS rank",
+            f"element_at(cands, element_at(sel, {r})).vid AS vec_id",
+            f"round(element_at(cands, element_at(sel, {r})).rel, 5)"
+            " AS cosine_rel",
+            f"round({mmr}, 5) AS mmr_score",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        "cosine_rel",
+        "mmr_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding anisotropy: top eigenpair by power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_SCALE = 1048576  # 2^20 fixed-point quantization (the llm9 idiom)
+_PCA_ROUNDS = 16  # power-iteration budget: the OUTPUT is defined as the
+# 16-round iterate (deterministic in both engines regardless of spectral
+# gap); anisotropic spectra converge in far fewer, and for near-isotropic
+# spectra no budget converges — lambda1_share still reads ~1/dim, which
+# IS the isotropy diagnosis
+
+
+def _pca_pos(i: str, j: str) -> str:
+    """1-based position of upper-triangle entry (i<=j) in the (i,j)-sorted
+    flat list: sum_(a<i)(65-a) + (j-i+1)."""
+    return (
+        f"CAST(({i} - 1) * 65 - ({i} * ({i} - 1)) DIV 2"
+        f" + ({j} - {i} + 1) AS INT)"
+    )
+
+
+def _pca_pos_duck(i: str, j: str) -> str:
+    return f"(({i} - 1) * 65 - ({i} * ({i} - 1)) // 2 + ({j} - {i} + 1))"
+
+
+@query(
+    "embedding_pca_power",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * {_PCA_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings),
+terms AS (
+  SELECT u.i, u.j, u.p
+  FROM (SELECT unnest(flatten(list_transform(range(1, {_PCA_DIM} + 1),
+          i -> list_transform(range(i, {_PCA_DIM} + 1),
+            j -> {{'i': i, 'j': j, 'p': qv[i] * qv[j]}})))) AS u
+        FROM q), LATERAL (SELECT u.i AS i, u.j AS j, u.p AS p) z),
+sums AS (
+  SELECT i, j, sum(CAST(p AS HUGEINT)) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM terms GROUP BY 1, 2),
+means AS (
+  SELECT i, CAST(sum(CASE WHEN u.k = i THEN u.q END) AS HUGEINT) AS m
+  FROM (SELECT unnest(list_transform(range(1, {_PCA_DIM} + 1),
+                 k -> {{'k': k, 'q': qv[k]}})) AS u FROM q),
+       LATERAL (SELECT u.k AS k, u.q AS q) z,
+       (SELECT unnest(range(1, {_PCA_DIM} + 1)) AS i) d
+  GROUP BY i),
+flat AS (
+  SELECT list_transform(
+           list_sort(list(struct_pack(i := s2.i, j := s2.j,
+             c := CAST(s2.n * s2.s - m1.m * m2.m AS DOUBLE)
+                  / (CAST(s2.n AS DOUBLE) * (s2.n - 1)
+                     * {_PCA_SCALE} * {_PCA_SCALE})))),
+           x -> x.c) AS f,
+         any_value(s2.n) AS n
+  FROM sums s2 JOIN means m1 ON m1.i = s2.i JOIN means m2 ON m2.i = s2.j),
+mat AS (
+  SELECT n, f,
+         list_transform(range(1, {_PCA_DIM} + 1), i ->
+           list_transform(range(1, {_PCA_DIM} + 1), j ->
+             CASE WHEN i <= j THEN f[{_pca_pos_duck("i", "j")}]
+                  ELSE f[{_pca_pos_duck("j", "i")}] END)) AS c
+  FROM flat),
+pw AS (
+  SELECT n, c,
+         list_reduce(
+           list_prepend(
+             list_transform(range(1, {_PCA_DIM} + 1),
+                            d -> CAST(1.0 AS DOUBLE)),
+             list_transform(range(1, {_PCA_ROUNDS} + 1),
+                            it -> [CAST(it AS DOUBLE)])),
+           (w, e) -> (
+             list_transform(
+               list_transform(range(1, {_PCA_DIM} + 1), i ->
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, {_PCA_DIM} + 1),
+                                  j -> c[i][j] * w[j])),
+                   (s, x) -> s + x)),
+               y -> y / sqrt(list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(
+                     list_transform(range(1, {_PCA_DIM} + 1), i2 ->
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(range(1, {_PCA_DIM} + 1),
+                                        j2 -> c[i2][j2] * w[j2])),
+                         (s, x) -> s + x)),
+                     z2 -> z2 * z2)),
+                   (s, x) -> s + x))))) AS w
+  FROM mat),
+fin AS (
+  SELECT n, c, w,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, {_PCA_DIM} + 1), i ->
+             w[i] * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, {_PCA_DIM} + 1),
+                              j -> c[i][j] * w[j])),
+               (s, x) -> s + x))),
+           (s, x) -> s + x) AS lambda1,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, {_PCA_DIM} + 1), i -> c[i][i])),
+           (s, x) -> s + x) AS trace
+  FROM pw)
+SELECT n, {_PCA_DIM} AS dim,
+       round(trace, 9) AS trace,
+       round(lambda1, 9) AS lambda1,
+       round(lambda1 / trace, 9) AS lambda1_share,
+       CAST(list_sort(list_transform(range(1, {_PCA_DIM} + 1),
+         i -> struct_pack(na := -abs(w[i]), i := i)))[1].i AS INT)
+         AS top_component_dim
+FROM fin
+""",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top covariance eigenpair of the embedding corpus by {r}-round
+    power iteration — the ANISOTROPY audit (Ethayarajh 2019; Mu &
+    Viswanath 2018 "all-but-the-top"): lambda1/trace is the variance
+    share of the dominant direction (1/dim = isotropic; near 1 =
+    representation collapse, where cosine similarity stops being
+    informative and every ANN/dedup operator upstream degrades). The
+    geometry check a pipeline runs BEFORE trusting its embedding
+    column.
+
+    Determinism — corpus-level float sums are banned (order-dependent),
+    so components quantize to exact 2^20 fixed-point integers (the
+    llm9 centroid idiom) and every covariance moment is an exact
+    integer sum (HUGEINT / DECIMAL(38)); each C_ij becomes a double via
+    ONE division. The power iteration then runs in-row over the
+    64x64 matrix with ascending-j matvec folds and a correctly-rounded
+    sqrt per normalize — both engines execute the identical IEEE
+    sequence; outputs round ONCE.
+
+    Scale: the moment pass is an explode to dim*(dim+1)/2 = 2080 terms
+    per row collapsing map-side to ONE row per (i, j) — state is
+    dim^2-bounded, never row-bounded; the iteration itself is an in-row
+    fold over the bounded matrix. Headroom: n * sum(q_i q_j) must stay
+    inside DECIMAL(38) — good to ~1e12 rows at 2^20 scaling.""".format(
+        r=_PCA_ROUNDS
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        F.expr(
+            f"transform(CAST(embedding AS array<double>),"
+            f" x -> CAST(round(x * {_PCA_SCALE}, 0) AS BIGINT))"
+        ).alias("qv")
+    )
+    # upper-triangle moment terms as chained Generate operators (the
+    # frequent_triple_itemsets lesson: pipelined generators beat a
+    # flatten(transform(...)) lambda tree that materializes all 2080
+    # structs per row before exploding)
+    t1 = e.select("qv", F.posexplode("qv").alias("i0", "qi"))
+    terms = t1.select(
+        (F.col("i0") + 1).alias("i"),
+        "qi",
+        F.posexplode(
+            F.expr(f"slice(qv, i0 + 1, {_PCA_DIM} - i0)")
+        ).alias("j0", "qj"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("j0")).alias("j"),
+        (F.col("qi") * F.col("qj")).alias("p"),
+    )
+    sums = terms.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    means = (
+        e.select(F.posexplode("qv").alias("k0", "q"))
+        .groupBy(F.col("k0").alias("mi"))
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("m"))
+        .select((F.col("mi") + 1).alias("mi"), "m")
+    )
+    m1 = means.select(F.col("mi").alias("i"), F.col("m").alias("m1"))
+    m2 = means.select(F.col("mi").alias("j"), F.col("m").alias("m2"))
+    cov = (
+        sums.join(F.broadcast(m1), "i")
+        .join(F.broadcast(m2), "j")
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("s")
+                    - F.col("m1") * F.col("m2")
+                ).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n") - 1)
+                    * F.lit(float(_PCA_SCALE) * _PCA_SCALE)
+                )
+            ).alias("c"),
+            "n",
+        )
+    )
+    flat = cov.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, j, c))), x -> x.c)"
+        ).alias("f"),
+        F.max("n").alias("n"),
+    )
+    mat = flat.selectExpr(
+        "n",
+        f"""transform(sequence(1, {_PCA_DIM}), i ->
+  transform(sequence(1, {_PCA_DIM}), j ->
+    IF(i <= j, element_at(f, {_pca_pos("i", "j")}),
+       element_at(f, {_pca_pos("j", "i")})))) AS c""",
+    )
+    matvec = f"""transform(sequence(1, {_PCA_DIM}), i ->
+  aggregate(transform(sequence(1, {_PCA_DIM}),
+    j -> element_at(element_at(c, i), j) * element_at(w, j)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x))"""
+    pw = mat.selectExpr(
+        "n",
+        "c",
+        f"""aggregate(sequence(1, {_PCA_ROUNDS}),
+  transform(sequence(1, {_PCA_DIM}), d -> CAST(1.0 AS DOUBLE)),
+  (w, it) -> transform({matvec},
+    y -> y / sqrt(aggregate(transform({matvec}, z -> z * z),
+                            CAST(0 AS DOUBLE), (s, x) -> s + x)))) AS w""",
+    )
+    pw = pw.localCheckpoint(eager=False)
+    return pw.selectExpr(
+        "n",
+        f"{_PCA_DIM} AS dim",
+        f"""round(aggregate(transform(sequence(1, {_PCA_DIM}),
+  i -> element_at(element_at(c, i), i)),
+  CAST(0 AS DOUBLE), (s, x) -> s + x), 9) AS trace""",
+        f"""round(aggregate(transform(sequence(1, {_PCA_DIM}), i ->
+  element_at(w, i) * aggregate(transform(sequence(1, {_PCA_DIM}),
+    j -> element_at(element_at(c, i), j) * element_at(w, j)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x)),
+  CAST(0 AS DOUBLE), (s, x) -> s + x), 9) AS lambda1""",
+        f"""round(aggregate(transform(sequence(1, {_PCA_DIM}), i ->
+  element_at(w, i) * aggregate(transform(sequence(1, {_PCA_DIM}),
+    j -> element_at(element_at(c, i), j) * element_at(w, j)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x)),
+  CAST(0 AS DOUBLE), (s, x) -> s + x)
+  / aggregate(transform(sequence(1, {_PCA_DIM}),
+    i -> element_at(element_at(c, i), i)),
+    CAST(0 AS DOUBLE), (s, x) -> s + x), 9) AS lambda1_share""",
+        f"""CAST(array_min(transform(sequence(1, {_PCA_DIM}),
+  i -> struct(-abs(element_at(w, i)) AS na, i AS i))).i AS INT)
+  AS top_component_dim""",
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("dim").cast("int").alias("dim"),
+        "trace",
+        "lambda1",
+        "lambda1_share",
+        "top_component_dim",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup mixture shift: per-source token share, raw vs deduplicated
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_mixture_shift",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+canon AS (
+  SELECT h, min(doc_id) AS keep FROM tok GROUP BY 1),
+per_source AS (
+  SELECT t.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t.n_tok) AS BIGINT) AS tok_raw,
+         CAST(count(CASE WHEN t.doc_id = c.keep THEN 1 END) AS BIGINT)
+           AS n_canonical,
+         CAST(sum(CASE WHEN t.doc_id = c.keep THEN t.n_tok ELSE 0 END)
+              AS BIGINT) AS tok_dedup
+  FROM tok t JOIN canon c ON t.h = c.h
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(tok_raw) AS BIGINT) AS raw_total,
+         CAST(sum(tok_dedup) AS BIGINT) AS dedup_total
+  FROM per_source)
+SELECT source, n_docs, n_canonical, tok_raw, tok_dedup,
+       CAST(tok_raw AS DOUBLE) / raw_total AS share_raw,
+       CAST(tok_dedup AS DOUBLE) / dedup_total AS share_dedup,
+       CAST(tok_dedup AS DOUBLE) / dedup_total
+         - CAST(tok_raw AS DOUBLE) / raw_total AS share_shift
+FROM per_source CROSS JOIN tot
+ORDER BY source
+""",
+)
+def dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-bias audit every mixture-weighted training run needs:
+    per SOURCE, the token share of the corpus BEFORE exact dedup vs
+    AFTER (canonical docs only, survivor = min doc_id per content
+    hash), and the shift between them. Boilerplate-heavy sources lose
+    share under dedup — silently changing the training mixture the
+    temperature/DSIR weights were tuned on; this query puts a number on
+    that drift per source BEFORE the weights are applied.
+
+    Exactness: token counts and content hashes are exact; shares are
+    single divisions of exact BIGINTs (IEEE identical); output ordered
+    by source.
+
+    Scale: one fixed-width groupBy on the md5 hash (text never shuffles
+    for it — the exact_dedup shape), one per-source aggregate, and a
+    broadcast of the 1-row totals; all map-side combinable."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    canon = d.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    per_source = (
+        d.join(canon, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tok_raw"),
+            F.sum(F.when(F.col("doc_id") == F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_canonical"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep"), F.col("n_tok")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tok_dedup"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("tok_raw").cast("long").alias("raw_total"),
+        F.sum("tok_dedup").cast("long").alias("dedup_total"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_canonical",
+            "tok_raw",
+            "tok_dedup",
+            (F.col("tok_raw").cast("double") / F.col("raw_total")).alias(
+                "share_raw"
+            ),
+            (F.col("tok_dedup").cast("double") / F.col("dedup_total")).alias(
+                "share_dedup"
+            ),
+            (
+                F.col("tok_dedup").cast("double") / F.col("dedup_total")
+                - F.col("tok_raw").cast("double") / F.col("raw_total")
+            ).alias("share_shift"),
+        )
+        .orderBy("source")
+    )
