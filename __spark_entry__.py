@@ -75,6 +75,9 @@ _FIRST = [
     "pacf_durbin_levinson",
     "page_hinkley_drift",
     "propensity_strata_ate",
+    "holt_winters_seasonal",
+    "heaps_law_fit",
+    "k_anonymity_audit",
     # cross-family regression anchors (already gated green r02-r06)
     "daily_sales",
     "merge_upsert_snapshot",

@@ -491,14 +491,22 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one row per day map-side; three day-ordered windows over the
     date-domain-bounded frame (the sanctioned aggregate-bounded window
     class); output is ONE row.""".format(L=_PH_LAMBDA_SIGMA)
-    from pyspark.sql import Window
-
     o = load(spark, sf_dir, "orders")
     d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long")
         .alias("cents")
     )
+    return ph_summary_from_daily(d)
+
+
+def ph_summary_from_daily(d: DataFrame) -> DataFrame:
+    """The PH statistic itself over any exact (day, cents) daily frame —
+    factored out so the streaming twin (streaming/jobs.py::
+    stream_page_hinkley) recomputes the identical summary from its
+    folded daily state (the spike_flags_from_daily pattern)."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     srt = d.select(
         "day",
@@ -1266,4 +1274,418 @@ def dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_shift"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = "0.2"
+_HW_BETA = "0.1"
+_HW_GAMMA = "0.3"
+_HW_H = 6
+
+
+@query(
+    "holt_winters_seasonal",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+arr AS (
+  SELECT list_sort(list({{'month': month, 'rev': revenue}})) AS a FROM m),
+init AS (
+  SELECT a, len(a) AS n,
+         list_reduce(list_transform(a[1:12], x -> x.rev),
+                     (s, x) -> s + x) / 12 AS m1,
+         list_reduce(list_transform(a[13:24], x -> x.rev),
+                     (s, x) -> s + x) / 12 AS m2
+  FROM arr),
+st0 AS (
+  SELECT a, n,
+         list_concat(
+           [m1, (m2 - m1) / 12],
+           list_transform(range(1, 13), i ->
+             a[CAST(i AS INT)].rev - m1)) AS s0
+  FROM init),
+folded AS (
+  SELECT a, n,
+         list_reduce(
+           list_prepend(s0,
+             list_transform(a[25:],
+               x -> [x.rev, CAST(month(x.month) AS DOUBLE)])),
+           (st, e) -> list_transform(range(1, 15), i -> CASE
+             WHEN i = 1 THEN
+               {_HW_ALPHA} * (e[1] - st[CAST(e[2] AS INT) + 2])
+               + (1 - {_HW_ALPHA}) * (st[1] + st[2])
+             WHEN i = 2 THEN
+               {_HW_BETA} * (({_HW_ALPHA} * (e[1] - st[CAST(e[2] AS INT) + 2])
+                 + (1 - {_HW_ALPHA}) * (st[1] + st[2])) - st[1])
+               + (1 - {_HW_BETA}) * st[2]
+             WHEN i = CAST(e[2] AS INT) + 2 THEN
+               {_HW_GAMMA} * (e[1]
+                 - ({_HW_ALPHA} * (e[1] - st[CAST(e[2] AS INT) + 2])
+                    + (1 - {_HW_ALPHA}) * (st[1] + st[2])))
+               + (1 - {_HW_GAMMA}) * st[CAST(e[2] AS INT) + 2]
+             ELSE st[i] END)) AS st
+  FROM st0),
+fc AS (
+  SELECT h,
+         CAST(a[n].month + to_months(h) AS DATE) AS forecast_month,
+         st[1] + h * st[2]
+           + st[CAST(month(a[n].month + to_months(h)) AS INT) + 2]
+           AS forecast,
+         st[1] AS level, st[2] AS trend
+  FROM folded, (SELECT CAST(unnest(range(1, {_HW_H} + 1)) AS INT) AS h) hh)
+SELECT h, forecast_month, forecast, level, trend FROM fc
+""",
+)
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (Winters 1960) over
+    monthly revenue with a {h}-month forecast: level/trend init from
+    the first two observed years (level = year-1 mean, trend =
+    year-over-year mean shift / 12, seasonal = year-1 deviations), then
+    the standard three-equation update folds months 25..n with the
+    seasonal slot keyed by CALENDAR month (robust to any future gap
+    semantics, identical both engines). Completes the smoothing shelf:
+    exponential smoothing carries level, Holt adds trend, Holt-Winters
+    adds the seasonal term the orders_seasonality profile showed.
+
+    Determinism: monthly revenue is exact; the fold state is a flat
+    14-vector of doubles updated by the same fixed-order IEEE
+    expressions in both engines (each update references only the
+    PREVIOUS state — the l'/b'/s' chain is inlined, not re-read);
+    forecasts are raw fold outputs, no rounding needed (the
+    holt_linear_forecast discipline).
+
+    Scale: map-side collapse to one row per month, one in-row fold —
+    noise next to the scan.""".format(h=_HW_H)
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    arr = m.agg(
+        F.expr("array_sort(collect_list(struct(month, revenue)))").alias("a")
+    )
+    st0 = arr.selectExpr(
+        "a",
+        "size(a) AS n",
+        """aggregate(transform(slice(a, 1, 12), x -> x.revenue),
+  CAST(0 AS DOUBLE), (s, x) -> s + x) / 12 AS m1""",
+        """aggregate(transform(slice(a, 13, 12), x -> x.revenue),
+  CAST(0 AS DOUBLE), (s, x) -> s + x) / 12 AS m2""",
+    ).selectExpr(
+        "a",
+        "n",
+        """concat(array(m1, (m2 - m1) / 12),
+  transform(sequence(1, 12),
+    i -> element_at(a, i).revenue - m1)) AS s0""",
+    )
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    folded = st0.selectExpr(
+        "a",
+        "n",
+        f"""aggregate(
+  transform(slice(a, 25, size(a) - 24),
+    x -> array(x.revenue, CAST(month(x.month) AS DOUBLE))),
+  s0,
+  (st, e) -> transform(sequence(1, 14), i -> CASE
+    WHEN i = 1 THEN
+      {a} * (element_at(e, 1)
+             - element_at(st, CAST(element_at(e, 2) AS INT) + 2))
+      + (1 - {a}) * (element_at(st, 1) + element_at(st, 2))
+    WHEN i = 2 THEN
+      {b} * (({a} * (element_at(e, 1)
+               - element_at(st, CAST(element_at(e, 2) AS INT) + 2))
+          + (1 - {a}) * (element_at(st, 1) + element_at(st, 2)))
+          - element_at(st, 1))
+      + (1 - {b}) * element_at(st, 2)
+    WHEN i = CAST(element_at(e, 2) AS INT) + 2 THEN
+      {g} * (element_at(e, 1)
+        - ({a} * (element_at(e, 1)
+             - element_at(st, CAST(element_at(e, 2) AS INT) + 2))
+           + (1 - {a}) * (element_at(st, 1) + element_at(st, 2))))
+      + (1 - {g}) * element_at(st, CAST(element_at(e, 2) AS INT) + 2)
+    ELSE element_at(st, i) END)) AS st""",
+    )
+    folded = folded.localCheckpoint(eager=False)  # h branches reuse it
+    out = None
+    for h in range(1, _HW_H + 1):
+        row = folded.selectExpr(
+            f"{h} AS h",
+            f"add_months(element_at(a, CAST(n AS INT)).month, {h})"
+            " AS forecast_month",
+            f"""element_at(st, 1) + {h} * element_at(st, 2)
+  + element_at(st,
+      CAST(month(add_months(element_at(a, CAST(n AS INT)).month, {h}))
+           AS INT) + 2) AS forecast""",
+            "element_at(st, 1) AS level",
+            "element_at(st, 2) AS trend",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        F.col("h").cast("int").alias("h"),
+        "forecast_month",
+        "forecast",
+        "level",
+        "trend",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit
+# ---------------------------------------------------------------------------
+
+_HL_POINTS = 10
+
+
+@query(
+    "heaps_law_fit",
+    oracle=f"""
+WITH dw AS (
+  SELECT doc_id, u.w AS word, u.i AS pos
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 list_filter(string_split(regexp_replace(lower(text),
+                   '[^a-z]+', ' ', 'g'), ' '), x -> x <> ''),
+                 (x, i) -> {{'w': x, 'i': i}})) AS u
+        FROM documents)),
+dc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+  FROM dw GROUP BY 1),
+off AS (
+  SELECT doc_id,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS base
+  FROM dc),
+gidx AS (
+  SELECT dw.word, min(off.base + dw.pos) AS first_idx
+  FROM dw JOIN off USING (doc_id)
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS nn FROM dc),
+pts AS (
+  SELECT p, CAST((p * nn) // {_HL_POINTS} AS BIGINT) AS n_tokens,
+         (SELECT CAST(count(*) AS BIGINT) FROM gidx
+          WHERE first_idx <= (p * nn) // {_HL_POINTS}) AS n_types
+  FROM tot, (SELECT CAST(unnest(range(1, {_HL_POINTS} + 1)) AS INT) AS p) q),
+lg AS (
+  SELECT p, n_tokens, n_types,
+         CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9, 0) AS BIGINT)
+           AS lx,
+         CAST(round(ln(CAST(n_types AS DOUBLE)) * 1e9, 0) AS BIGINT) AS ly
+  FROM pts),
+ols AS (
+  SELECT list_sort(list(struct_pack(p := p, lx := lx, ly := ly))) AS d
+  FROM lg),
+fit AS (
+  SELECT
+    (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(d, x -> (x.lx / 1e9) * (x.ly / 1e9))),
+       (s, x) -> s + x) * {_HL_POINTS}
+     - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(d, x -> x.lx / 1e9)), (s, x) -> s + x)
+       * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(d, x -> x.ly / 1e9)), (s, x) -> s + x))
+    / (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(d, x -> (x.lx / 1e9) * (x.lx / 1e9))),
+         (s, x) -> s + x) * {_HL_POINTS}
+       - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(d, x -> x.lx / 1e9)), (s, x) -> s + x)
+         * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(d, x -> x.lx / 1e9)), (s, x) -> s + x))
+    AS beta
+  FROM ols)
+SELECT lg.p AS decile, lg.n_tokens, lg.n_types,
+       round(fit.beta, 9) + 0.0 AS heaps_beta
+FROM lg CROSS JOIN fit
+""",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (Heaps 1978): distinct word TYPES as
+    a function of scanned TOKENS at {p} corpus-order checkpoints, plus
+    the fitted growth exponent beta from log-log OLS (V = K * N^beta;
+    English corpora sit near beta ~ 0.5). The forward-looking member of
+    the vocabulary shelf: Zipf fits the frequency SHAPE, Chao1
+    extrapolates the unseen MASS, Heaps says how vocabulary will GROW
+    with more data — the number a tokenizer-capacity plan reads.
+
+    Determinism: each type's first-occurrence index is an exact integer
+    (per-doc offsets from an exact prefix sum over the doc-id order);
+    checkpoint counts are exact; each log rounds ONCE to nanos and the
+    OLS runs over the checkpoint-sorted 10-point array in-row.
+
+    Scale: first-occurrence is one groupBy(word) min over exact global
+    indices — vocabulary-bounded state; the doc-offset prefix sum
+    windows over the doc table (id-ordered, the running_totals shape);
+    checkpoints are {p} broadcast probes of the type table."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "transform(filter(split(regexp_replace(lower(text),"
+            " '[^a-z]+', ' '), ' '), x -> x <> ''),"
+            " (x, i) -> struct(x AS w, i + 1 AS pos))"
+        ).alias("toks"),
+    )
+    dc = d.select("doc_id", F.size("toks").cast("long").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    off = dc.select(
+        "doc_id",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long").alias("base"),
+    )
+    dw = d.select("doc_id", F.explode("toks").alias("t")).select(
+        "doc_id", F.col("t.w").alias("word"), F.col("t.pos").alias("pos")
+    )
+    gidx = (
+        dw.join(off, "doc_id")
+        .groupBy("word")
+        .agg(F.min(F.col("base") + F.col("pos")).alias("first_idx"))
+    )
+    gidx = gidx.localCheckpoint(eager=False)  # probed once per checkpoint
+    tot = dc.agg(F.sum("n_tok").cast("long").alias("nn"))
+    pts = None
+    for p in range(1, _HL_POINTS + 1):
+        cut = tot.selectExpr(
+            f"{p} AS p", f"CAST(({p} * nn) DIV {_HL_POINTS} AS BIGINT) AS n_tokens"
+        )
+        row = (
+            gidx.crossJoin(F.broadcast(cut))
+            .filter(F.col("first_idx") <= F.col("n_tokens"))
+            .groupBy("p", "n_tokens")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        )
+        pts = row if pts is None else pts.unionByName(row)
+    lg = pts.select(
+        "p",
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(round(ln(CAST(n_types AS DOUBLE)) * 1e9, 0) AS BIGINT)"
+        ).alias("ly"),
+    )
+    lg = lg.localCheckpoint(eager=False)
+    fit = lg.agg(
+        F.expr("array_sort(collect_list(struct(p, lx, ly)))").alias("d")
+    ).selectExpr(
+        f"""(aggregate(transform(d, x -> (x.lx / 1e9) * (x.ly / 1e9)),
+  CAST(0 AS DOUBLE), (s, x) -> s + x) * {_HL_POINTS}
+ - aggregate(transform(d, x -> x.lx / 1e9),
+     CAST(0 AS DOUBLE), (s, x) -> s + x)
+   * aggregate(transform(d, x -> x.ly / 1e9),
+       CAST(0 AS DOUBLE), (s, x) -> s + x))
+/ (aggregate(transform(d, x -> (x.lx / 1e9) * (x.lx / 1e9)),
+     CAST(0 AS DOUBLE), (s, x) -> s + x) * {_HL_POINTS}
+   - aggregate(transform(d, x -> x.lx / 1e9),
+       CAST(0 AS DOUBLE), (s, x) -> s + x)
+     * aggregate(transform(d, x -> x.lx / 1e9),
+         CAST(0 AS DOUBLE), (s, x) -> s + x)) AS beta"""
+    )
+    return (
+        lg.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("p").cast("int").alias("decile"),
+            "n_tokens",
+            "n_types",
+            # + 0.0 canonicalizes IEEE negative zero (a saturated
+            # vocabulary fits beta ~ -1e-12, which rounds to -0.0 in
+            # one engine and 0.0 in the other)
+            (F.round("beta", 9) + F.lit(0.0)).alias("heaps_beta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over customer quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KA_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH f AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+         least(CAST(count(o.o_orderkey) AS BIGINT), 5) AS order_bucket
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3),
+eq AS (
+  SELECT c_nationkey, c_mktsegment, order_bucket,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM f GROUP BY 1, 2, 3)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(min(class_size) AS BIGINT) AS k_anonymity,
+       CAST(sum(CASE WHEN class_size < {_KA_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS rows_below_k,
+       CAST(sum(CASE WHEN class_size < {_KA_K} THEN class_size ELSE 0 END)
+            AS DOUBLE) / sum(class_size) AS risk_fraction,
+       CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS unique_rows
+FROM eq
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table's
+    quasi-identifiers (nation, market segment, order-count bucket): the
+    minimum equivalence-class size IS the table's k, plus the
+    re-identification risk mass — rows in classes smaller than
+    k={k} and fully UNIQUE rows (class size 1, re-identifiable by the
+    quasi-identifiers alone). The privacy gate a training-data export
+    runs AFTER pii_scan strips direct identifiers: direct PII gone
+    does not mean quasi-identifiers are safe.
+
+    Exactness: pure integer counting end to end; the risk fraction is
+    one exact division.
+
+    Scale: one groupBy to customer grain (the feature-matrix shape),
+    one to the quasi-identifier domain (bounded: nations x segments x
+    buckets), one 1-row reduce — all map-side combinable."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), "c_nationkey", "c_mktsegment"
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    f = (
+        c.join(o, c["key"] == o["o_custkey"], "left")
+        .groupBy("key", "c_nationkey", "c_mktsegment")
+        .agg(
+            F.least(
+                F.count("o_orderkey").cast("long"), F.lit(5).cast("long")
+            ).alias("order_bucket")
+        )
+    )
+    eq = f.groupBy("c_nationkey", "c_mktsegment", "order_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return eq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.sum(
+            F.when(F.col("class_size") < _KA_K, F.col("class_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_below_k"),
+        (
+            F.sum(
+                F.when(
+                    F.col("class_size") < _KA_K, F.col("class_size")
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum("class_size")
+        ).alias("risk_fraction"),
+        F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("unique_rows"),
     )

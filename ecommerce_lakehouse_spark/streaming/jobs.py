@@ -844,6 +844,77 @@ def stream_kll_quantiles(
     )
 
 
+def stream_page_hinkley(
+    orders: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+):
+    """Streaming Page-Hinkley monitor — the streaming face of
+    `page_hinkley_drift` (queries/wave7.py) and the natural deployment
+    shape of a SEQUENTIAL detector: each micro-batch folds its per-day
+    exact cents ADDITIVELY into the date-domain-bounded daily state
+    (the stream_spike_monitor pattern), then recomputes the full PH
+    summary from that state with the exact batch expression
+    (`ph_summary_from_daily`) — so after any chunking of the order
+    stream the summary is BIT-IDENTICAL to the batch query (tested).
+
+    Exactly-once: the daily fold is non-idempotent, so it commits with
+    the Delta txn pattern (explicit-None batch-0 guard); the summary
+    overwrite is idempotent and still runs on a replayed batch (the
+    torn-commit lesson).
+
+    Scale: state is one row per DATE; the PH windows run over that
+    bounded frame — the sanctioned class."""
+    spark = orders.sparkSession
+    daily_t = LakeTable(spark, os.path.join(state_root, "daily"))
+    sum_t = LakeTable(spark, os.path.join(state_root, "summary"))
+    app = f"ph:{state_root}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ecommerce_lakehouse_spark.queries.wave7 import (
+            ph_summary_from_daily,
+        )
+
+        inc = (
+            batch_df.select(
+                F.to_date("o_orderdate").alias("day"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("day")
+            .agg(F.sum("cents").cast("long").alias("cents"))
+        )
+        if inc.isEmpty():
+            return
+        txn = {"app_id": app, "version": int(batch_id)}
+        _daily_last = daily_t.last_txn(app) if daily_t.exists() else None
+        if _daily_last is not None and _daily_last >= batch_id:
+            pass  # replayed micro-batch: cents already folded
+        elif daily_t.exists():
+            merged = (
+                daily_t.read()
+                .unionByName(inc)
+                .groupBy("day")
+                .agg(F.sum("cents").cast("long").alias("cents"))
+            )
+            daily_t.overwrite(merged, txn=txn)
+        else:
+            daily_t.overwrite(inc, txn=txn)
+        _sum_last = sum_t.last_txn(app) if sum_t.exists() else None
+        if _sum_last is not None and _sum_last >= batch_id:
+            return
+        sum_t.overwrite(ph_summary_from_daily(daily_t.read()), txn=txn)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_grouped_quantiles(
     events: DataFrame,
     state_root: str,

@@ -911,3 +911,43 @@ def test_stream_grouped_quantiles_matches_batch_sketch(spark, sf_dir, tmp_path):
     q3.awaitTermination(120)
     after = {r.event_type: r.n for r in sk_t.read().collect()}
     assert after == per_type_n
+
+
+def test_stream_page_hinkley_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed==batch for the sequential PH monitor: folding the order
+    stream in two micro-batches and recomputing the summary from daily
+    state must reproduce the batch page_hinkley_drift row exactly; a
+    restart adds nothing."""
+    import os
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_page_hinkley
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    t = _pq.read_table(src, columns=["o_orderdate", "o_totalprice"])
+    spool = tmp_path / "orders_spool"
+    spool.mkdir()
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(0, half), str(spool / "a.parquet"))
+    _pq.write_table(t.slice(half), str(spool / "b.parquet"))
+    stream = (
+        spark.readStream.schema("o_orderdate timestamp_ntz, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "ph_state")
+    ckpt = str(tmp_path / "ph_ckpt")
+    q = stream_page_hinkley(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    want = sorted(map(tuple, REGISTRY["page_hinkley_drift"](spark, sf_dir).collect()))
+    sum_t = LakeTable(spark, os.path.join(state, "summary"))
+    got = sorted(map(tuple, sum_t.read().collect()))
+    assert got == want
+    v_before = sum_t.current_version()
+    q2 = stream_page_hinkley(stream, state, ckpt)
+    q2.awaitTermination(60)
+    assert sum_t.current_version() == v_before
