@@ -78,6 +78,12 @@ _FIRST = [
     "holt_winters_seasonal",
     "heaps_law_fit",
     "k_anonymity_audit",
+    "clustering_coefficient_profile",
+    "discount_uplift_profile",
+    "safety_stock_plan",
+    "semantic_contamination_audit",
+    "prefix_share_profile",
+    "duplication_spectrum",
     # cross-family regression anchors (already gated green r02-r06)
     "daily_sales",
     "merge_upsert_snapshot",

@@ -17,7 +17,27 @@ link-prediction analytics plus retrieval and embedding-geometry audits.
 - ``propensity_strata_ate``: stratified average-treatment-effect with
   order-count strata — the confounding-adjustment member of the causal
   shelf (DiD removes time, CUPED removes variance, QTE reads the
-  distribution; stratification removes an observed confounder).
+  distribution; stratification removes an observed confounder);
+- ``mmr_diversified_topk``: Maximal Marginal Relevance re-ranking over
+  a bounded cosine shortlist — the diversifying member of the
+  retrieval shelf;
+- ``embedding_pca_power``: top covariance eigenpair by power iteration
+  — the anisotropy / representation-collapse audit;
+- ``dedup_mixture_shift``: per-source token share before vs after
+  exact dedup — the mixture drift dedup silently applies;
+- ``holt_winters_seasonal``: additive seasonal smoothing + forecast;
+- ``heaps_law_fit``: vocabulary-growth checkpoints + Heaps exponent;
+- ``k_anonymity_audit``: quasi-identifier equivalence-class audit;
+- ``clustering_coefficient_profile``: degree-resolved local clustering
+  + global transitivity on the co-purchase graph;
+- ``discount_uplift_profile``: discount-level response profile with a
+  null-instrument OLS slope;
+- ``safety_stock_plan``: newsvendor P95 reorder points from
+  intermittent weekly demand (zero weeks by rank arithmetic);
+- ``semantic_contamination_audit``: train/test max-cosine leakage
+  histogram — the paraphrase-level complement of the n-gram audit;
+- ``prefix_share_profile``: shared-prefix KV-cache shareability;
+- ``duplication_spectrum``: exact-dup multiplicity spectrum (dedup ROI).
 
 Reference parity: none of these exist in the reference (src/processing
 is business-key ETL); they extend the engine's analytics families.
@@ -1688,4 +1708,705 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0))
         .cast("long")
         .alias("unique_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# clustering-coefficient profile (per exact degree) + global transitivity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clustering_coefficient_profile",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES},
+deg AS (SELECT z AS node, CAST(count(*) AS BIGINT) AS dg
+        FROM adj GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (ds.dg, e.s) < (dd.dg, e.d) THEN e.s ELSE e.d END AS lo,
+         CASE WHEN (ds.dg, e.s) < (dd.dg, e.d) THEN e.d ELSE e.s END AS hi
+  FROM e JOIN deg ds ON e.s = ds.node JOIN deg dd ON e.d = dd.node),
+tri AS (
+  SELECT o1.lo AS a, o1.hi AS b, o2.hi AS c
+  FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi
+  JOIN o o3 ON o3.lo = o1.hi AND o3.hi = o2.hi),
+pernode AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1),
+joined AS (
+  SELECT deg.node, deg.dg, COALESCE(pernode.t, 0) AS t
+  FROM deg LEFT JOIN pernode USING (node)
+  WHERE deg.dg >= 2),
+gstat AS (
+  SELECT CAST(3 * (SELECT count(*) FROM tri) AS BIGINT) AS closed,
+         CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS wedges
+  FROM joined)
+SELECT CAST(j.dg AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(j.t) AS BIGINT) AS sum_triangles,
+       CAST(2 * sum(j.t) AS DOUBLE)
+         / (count(*) * j.dg * (j.dg - 1)) AS avg_local_cc,
+       CAST(g.closed AS DOUBLE) / g.wedges AS global_transitivity
+FROM joined j CROSS JOIN gstat g
+GROUP BY j.dg, g.closed, g.wedges
+""",
+)
+def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998) profiled by
+    EXACT degree over the support>=2 co-purchase graph, plus the global
+    transitivity ratio 3*triangles/wedges: do well-connected parts sit
+    in tight co-purchase cliques (bundle structure) or span unrelated
+    baskets (hub structure)? The degree-resolved answer is how the
+    hierarchy is read (cc falling with degree = hierarchical modularity,
+    Ravasz & Barabasi 2003). Completes the graph-structure shelf:
+    triangle counts say HOW MANY, the cc profile says how many RELATIVE
+    to each node's own wedge budget.
+
+    Exactness — the order-free-sum discipline: within a degree class
+    every node shares the wedge denominator d(d-1)/2, so the class mean
+    cc is the exact integer sum of per-node triangle counts in ONE
+    exact division 2*sum_t / (n*d*(d-1)) — no per-node float cc is ever
+    summed. Global transitivity is one division of exact integers.
+
+    Scale: the degree-ordered rank-join triangle enumeration
+    (triangle_copurchase's plan — each triangle materializes once, hub
+    wedges capped by the orientation trick); the profile groupBy runs
+    over the degree domain."""
+    e, adj = _support2_graph(spark, sf_dir)
+    deg = adj.groupBy(F.col("z").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("dgs"))
+    dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("dgd"))
+    o = (
+        e.join(ds, "s")
+        .join(dd, "d")
+        .select(
+            F.when(
+                F.struct("dgs", "s") < F.struct("dgd", "d"), F.col("s")
+            )
+            .otherwise(F.col("d"))
+            .alias("lo"),
+            F.when(
+                F.struct("dgs", "s") < F.struct("dgd", "d"), F.col("d")
+            )
+            .otherwise(F.col("s"))
+            .alias("hi"),
+        )
+    )
+    o = o.localCheckpoint(eager=False)  # three-way self-join reuses it
+    o2 = o.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
+    o3 = o.select(F.col("lo").alias("lo3"), F.col("hi").alias("hi3"))
+    tri = (
+        o.join(o2, (F.col("lo") == F.col("lo2")) & (F.col("hi") < F.col("hi2")))
+        .join(o3, (F.col("lo3") == F.col("hi")) & (F.col("hi3") == F.col("hi2")))
+        .select(F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hi2").alias("c"))
+    )
+    tri = tri.localCheckpoint(eager=False)  # per-node roles + global count
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    joined = (
+        deg.join(pernode, "node", "left")
+        .select("node", "dg", F.coalesce("t", F.lit(0)).alias("t"))
+        .filter(F.col("dg") >= 2)
+    )
+    glob = joined.agg(
+        F.expr("CAST(sum(dg * (dg - 1) DIV 2) AS BIGINT)").alias("wedges")
+    ).crossJoin(
+        F.broadcast(
+            tri.agg((3 * F.count(F.lit(1))).cast("long").alias("closed"))
+        )
+    )
+    return (
+        joined.groupBy("dg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("t").cast("long").alias("sum_triangles"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("dg").cast("long").alias("degree"),
+            "n_nodes",
+            "sum_triangles",
+            (
+                (2 * F.col("sum_triangles")).cast("double")
+                / (F.col("n_nodes") * F.col("dg") * (F.col("dg") - 1))
+            ).alias("avg_local_cc"),
+            (F.col("closed").cast("double") / F.col("wedges")).alias(
+                "global_transitivity"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# discount uplift profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "discount_uplift_profile",
+    oracle="""
+WITH lvl AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+              AS DOUBLE) AS net_revenue
+  FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(sum(n_lines) AS BIGINT) AS nl FROM lvl),
+pts AS (
+  SELECT list_sort(list(struct_pack(x := discount_pct,
+                                    y := CAST(total_qty AS DOUBLE) / n_lines)))
+           AS d,
+         CAST(count(*) AS BIGINT) AS k
+  FROM lvl),
+fit AS (
+  SELECT
+    (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(d, p -> p.x * p.y)), (s, x) -> s + x) * k
+     - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(d, p -> CAST(p.x AS DOUBLE))), (s, x) -> s + x)
+       * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(d, p -> p.y)), (s, x) -> s + x))
+    / (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(d, p -> CAST(p.x AS DOUBLE) * p.x)),
+         (s, x) -> s + x) * k
+       - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(d, p -> CAST(p.x AS DOUBLE))), (s, x) -> s + x)
+         * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(d, p -> CAST(p.x AS DOUBLE))), (s, x) -> s + x))
+    AS slope
+  FROM pts)
+SELECT lvl.discount_pct, lvl.n_lines, lvl.total_qty,
+       CAST(lvl.total_qty AS DOUBLE) / lvl.n_lines AS avg_qty,
+       lvl.net_revenue,
+       CAST(lvl.n_lines AS DOUBLE) / tot.nl AS line_share,
+       round(fit.slope, 9) + 0.0 AS qty_per_discount_pt
+FROM lvl CROSS JOIN tot CROSS JOIN fit
+""",
+)
+def discount_uplift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount response profile over the lineitem fact: per discount
+    level (0..10%), line count, total and average quantity, net
+    revenue, and the OLS slope of average quantity against the discount
+    level — the first-order answer to "do discounts move volume?" that
+    a pricing analyst reads before any causal machinery (and the
+    within-dataset sanity check FOR that machinery: TPC-H assigns
+    discounts uniformly, so the fitted uplift should be ~0 — a nonzero
+    slope here would flag a broken generator, the same
+    null-instrument logic as priority_status_independence).
+
+    Exactness: quantities and revenue are exact (integer quantity sums,
+    DECIMAL revenue rounded in the decimal domain); each average is one
+    exact division; the OLS runs in-row over the level-sorted <=11-point
+    array; slope rounds once (+0.0 canonicalizes negative zero).
+
+    Scale: one map-side groupBy on the 11-value discount domain;
+    everything after is broadcast scalars."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_discount * 100, 0) AS BIGINT)").alias(
+            "discount_pct"
+        ),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    lvl = li.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("net_revenue"),
+    )
+    lvl = lvl.localCheckpoint(eager=False)  # totals + fit + output reuse
+    tot = lvl.agg(F.sum("n_lines").cast("long").alias("nl"))
+    fit = lvl.agg(
+        F.expr(
+            "array_sort(collect_list(struct(discount_pct AS x,"
+            " CAST(total_qty AS DOUBLE) / n_lines AS y)))"
+        ).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ).selectExpr(
+        """(aggregate(transform(d, p -> p.x * p.y),
+  CAST(0 AS DOUBLE), (s, x) -> s + x) * k
+ - aggregate(transform(d, p -> CAST(p.x AS DOUBLE)),
+     CAST(0 AS DOUBLE), (s, x) -> s + x)
+   * aggregate(transform(d, p -> p.y),
+       CAST(0 AS DOUBLE), (s, x) -> s + x))
+/ (aggregate(transform(d, p -> CAST(p.x AS DOUBLE) * p.x),
+     CAST(0 AS DOUBLE), (s, x) -> s + x) * k
+   - aggregate(transform(d, p -> CAST(p.x AS DOUBLE)),
+       CAST(0 AS DOUBLE), (s, x) -> s + x)
+     * aggregate(transform(d, p -> CAST(p.x AS DOUBLE)),
+         CAST(0 AS DOUBLE), (s, x) -> s + x)) AS slope"""
+    )
+    return (
+        lvl.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "discount_pct",
+            "n_lines",
+            "total_qty",
+            (F.col("total_qty").cast("double") / F.col("n_lines")).alias(
+                "avg_qty"
+            ),
+            "net_revenue",
+            (F.col("n_lines").cast("double") / F.col("nl")).alias(
+                "line_share"
+            ),
+            (F.round("slope", 9) + F.lit(0.0)).alias("qty_per_discount_pt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# safety-stock plan from intermittent weekly demand
+# ---------------------------------------------------------------------------
+
+_SS_TOP = 50
+_SS_Q = "0.95"
+
+
+@query(
+    "safety_stock_plan",
+    oracle=f"""
+WITH wk AS (
+  SELECT l_partkey,
+         CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2),
+spine AS (
+  SELECT CAST(count(DISTINCT date_trunc('week', l_shipdate)) AS BIGINT)
+    AS n_weeks FROM lineitem),
+r AS (
+  SELECT l_partkey, qty,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY qty, week)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS w_obs,
+         CAST(sum(qty) OVER (PARTITION BY l_partkey) AS BIGINT) AS total
+  FROM wk),
+-- P95 over the FULL W-week distribution (unobserved weeks are exact
+-- zeros, never materialized): index k = ceil(q*W); if k <= W - w_obs
+-- the quantile is 0, else it is observed order statistic k-(W-w_obs)
+q AS (
+  SELECT r.l_partkey, r.total, r.w_obs, s.n_weeks,
+         max(CASE WHEN r.rn = CAST(ceil({_SS_Q} * s.n_weeks) AS BIGINT)
+                       - (s.n_weeks - r.w_obs)
+                  THEN r.qty END) AS p95_obs
+  FROM r CROSS JOIN spine s
+  GROUP BY 1, 2, 3, 4),
+plan AS (
+  SELECT l_partkey, total, w_obs, n_weeks,
+         CAST(COALESCE(p95_obs, 0) AS BIGINT) AS p95_weekly,
+         CAST(total AS DOUBLE) / n_weeks AS mean_weekly
+  FROM q)
+SELECT l_partkey, total AS total_qty, w_obs AS weeks_with_demand,
+       n_weeks, mean_weekly, p95_weekly,
+       p95_weekly - mean_weekly AS safety_stock,
+       2 * mean_weekly + (p95_weekly - mean_weekly) AS reorder_point_2w
+FROM plan
+ORDER BY total_qty DESC, l_partkey LIMIT {_SS_TOP}
+""",
+)
+def safety_stock_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety-stock / reorder-point plan from INTERMITTENT weekly demand
+    (the newsvendor quantile rule with an empirical P95): per part, mean
+    weekly demand over the FULL week spine, the P95 week, safety stock =
+    P95 - mean, and a 2-week reorder point — for the top-{k} movers.
+    Operationalizes the intermittency shelf: part_demand_intermittency
+    DESCRIBES the sparsity, Croston forecasts the mean; this answers
+    the warehouse question ("how much buffer").
+
+    The zero-week trick (the 100 TB shape): most part-weeks have NO
+    demand and are never materialized — the P95 over the full W-week
+    distribution comes from RANK ARITHMETIC instead: with W - w_obs
+    exact zeros below every observed value, order statistic
+    k = ceil(0.95 W) is 0 when k <= W - w_obs and otherwise the
+    (k - (W - w_obs))-th smallest OBSERVED week. Exactness: selection
+    statistics and integer sums only; the mean is one exact division.
+
+    Scale: one (part, week) map-side rollup, per-part rank windows
+    (largest group = weeks domain, bounded), a broadcast 1-row spine,
+    TakeOrdered top-{k}.""".format(k=_SS_TOP)
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    wk = li.groupBy("l_partkey", "week").agg(
+        F.sum("qty").cast("long").alias("qty")
+    )
+    spine = li.agg(
+        F.countDistinct("week").cast("long").alias("n_weeks")
+    )
+    w_rank = Window.partitionBy("l_partkey").orderBy("qty", "week")
+    w_all = Window.partitionBy("l_partkey")
+    r = wk.select(
+        "l_partkey",
+        "qty",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("w_obs"),
+        F.sum("qty").over(w_all).cast("long").alias("total"),
+    )
+    q = (
+        r.crossJoin(F.broadcast(spine))
+        .groupBy("l_partkey", "total", "w_obs", "n_weeks")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"CAST(ceil({_SS_Q} * n_weeks) AS BIGINT)")
+                    - (F.col("n_weeks") - F.col("w_obs")),
+                    F.col("qty"),
+                )
+            ).alias("p95_obs")
+        )
+    )
+    plan = q.select(
+        "l_partkey",
+        F.col("total").alias("total_qty"),
+        F.col("w_obs").alias("weeks_with_demand"),
+        "n_weeks",
+        (F.col("total").cast("double") / F.col("n_weeks")).alias(
+            "mean_weekly"
+        ),
+        F.coalesce("p95_obs", F.lit(0)).cast("long").alias("p95_weekly"),
+    )
+    return (
+        plan.select(
+            "l_partkey",
+            "total_qty",
+            "weeks_with_demand",
+            "n_weeks",
+            "mean_weekly",
+            "p95_weekly",
+            (F.col("p95_weekly") - F.col("mean_weekly")).alias("safety_stock"),
+            (
+                2 * F.col("mean_weekly")
+                + (F.col("p95_weekly") - F.col("mean_weekly"))
+            ).alias("reorder_point_2w"),
+        )
+        .orderBy(F.desc("total_qty"), "l_partkey")
+        .limit(_SS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic contamination audit (train/test embedding overlap)
+# ---------------------------------------------------------------------------
+
+_SC_THRESHOLD = "0.95"
+_SC_DIM = 64
+
+
+@query(
+    "semantic_contamination_audit",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                            x -> x * x), 'sum')) AS nrm,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
+           AS is_train
+  FROM embeddings),
+mx AS (
+  SELECT t.vec_id,
+         max(list_aggregate(list_transform(range(1, {_SC_DIM} + 1),
+               i -> t.emb[i] * c.emb[i]), 'sum') / (t.nrm * c.nrm))
+           AS max_train_sim
+  FROM v t JOIN v c ON c.is_train AND NOT t.is_train
+  GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN max_train_sim >= {_SC_THRESHOLD}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+  FROM mx)
+SELECT CAST(least(greatest(CAST(floor(mx.max_train_sim * 10) AS BIGINT),
+                           -10), 9) AS BIGINT) AS sim_bucket,
+       CAST(count(*) AS BIGINT) AS n_test_docs,
+       CAST(round(min(mx.max_train_sim), 6) AS DOUBLE) AS bucket_min_sim,
+       CAST(round(max(mx.max_train_sim), 6) AS DOUBLE) AS bucket_max_sim,
+       CAST(tot.n_contaminated AS DOUBLE) / tot.n_test
+         AS contamination_rate
+FROM mx CROSS JOIN tot
+GROUP BY 1, tot.n_contaminated, tot.n_test
+""",
+)
+def semantic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/test contamination audit: hash-split the embedding
+    corpus 80/20, compute each test vector's maximum cosine to ANY train
+    vector, and report the distribution (decile buckets of max-sim) plus
+    the contamination rate at cosine >= {t}. The embedding-space
+    complement of split_contamination_audit's exact n-gram check — the
+    leakage n-grams cannot see (paraphrases, translations, near-dups
+    that tokenize differently) is exactly what an embedding
+    similarity sees (the eval-integrity methodology of GPT-4/Llama
+    technical reports).
+
+    Exactness: the dot products are the fixed-order 64-term folds used
+    corpus-wide; max is order-free; bucket edges are exact integer
+    floors; the rate is one exact division.
+
+    Scale: the TEST side is the small side by construction (eval sets
+    are bounded) — it broadcasts, the train corpus streams, and state
+    collapses to one row per test vector (the knn plan). At extreme
+    corpus sizes the max-sim pass composes with the IVF/LSH shortlists
+    instead of the full scan — same contract, bucketed candidates.""".format(
+        t=_SC_THRESHOLD
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(10),
+            )
+            < 8
+        ).alias("is_train"),
+    )
+    sq = F.aggregate(
+        F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    v = e.withColumn("nrm", F.sqrt(sq))
+    test = v.filter(~F.col("is_train")).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("emb").alias("t_emb"),
+        F.col("nrm").alias("t_nrm"),
+    )
+    train = v.filter(F.col("is_train")).select("emb", "nrm")
+    dot = F.aggregate(
+        F.zip_with("t_emb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    mx = (
+        train.crossJoin(F.broadcast(test))
+        .select(
+            "t_id", (dot / (F.col("t_nrm") * F.col("nrm"))).alias("sim")
+        )
+        .groupBy("t_id")
+        .agg(F.max("sim").alias("max_train_sim"))
+    )
+    mx = mx.localCheckpoint(eager=False)  # totals + buckets reuse it
+    tot = mx.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(
+            F.when(
+                F.col("max_train_sim") >= F.expr(_SC_THRESHOLD), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+    return (
+        mx.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("max_train_sim") * 10).cast("long"),
+                    F.lit(-10).cast("long"),
+                ),
+                F.lit(9).cast("long"),
+            ).alias("sim_bucket"),
+            "n_contaminated",
+            "n_test",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+            F.round(F.min("max_train_sim"), 6).alias("bucket_min_sim"),
+            F.round(F.max("max_train_sim"), 6).alias("bucket_max_sim"),
+        )
+        .select(
+            "sim_bucket",
+            "n_test_docs",
+            "bucket_min_sim",
+            "bucket_max_sim",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_test")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix-share profile (KV-cache shareability)
+# ---------------------------------------------------------------------------
+
+_PS_KS = [4, 8, 16]
+
+
+def _prefix_oracle_row(k: int) -> str:
+    return f"""
+SELECT {k} AS prefix_tokens, n_docs,
+       n_prefixes,
+       CAST(n_docs - n_prefixes AS DOUBLE) / n_docs AS cache_hit_fraction,
+       max_share AS max_prefix_docs
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT p) AS BIGINT) AS n_prefixes,
+         CAST(max(cnt) AS BIGINT) AS max_share
+  FROM (
+    SELECT p, count(*) OVER (PARTITION BY p) AS cnt
+    FROM (
+      SELECT array_to_string(
+               list_filter(string_split(regexp_replace(lower(text),
+                 '[^a-z]+', ' ', 'g'), ' '), x -> x <> '')[1:{k}], ' ')
+               AS p
+      FROM documents) q1) q2) q3"""
+
+
+@query(
+    "prefix_share_profile",
+    oracle="\nUNION ALL".join(_prefix_oracle_row(k) for k in _PS_KS)
+    + "\nORDER BY prefix_tokens",
+)
+def prefix_share_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix profile at {ks} tokens — the KV-CACHE shareability
+    estimate for inference serving (vLLM/SGLang prefix caching; RadixAttention): if two
+    requests share their first k tokens, the second's prefill reuses
+    the first's KV entries, so cache_hit_fraction = 1 - distinct
+    prefixes / docs is the upper bound on prefix-cache hit rate at
+    depth k. Boilerplate-heavy corpora (and system-prompt-shaped
+    requests) show high shares at small k — the number a serving-cost
+    model reads off the corpus BEFORE provisioning.
+
+    Exactness: prefixes are exact token joins; all counts exact; the
+    fraction is one division.
+
+    Scale: one groupBy per k on the fixed-width prefix string (text
+    never shuffles beyond its first k tokens) — the exact_dedup shape
+    with a prefix key.""".format(ks=_PS_KS)
+    d = load(spark, sf_dir, "documents").select(
+        F.expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z]+', ' '), ' '),"
+            " x -> x <> '')"
+        ).alias("toks")
+    )
+    d = d.localCheckpoint(eager=False)  # one tokenize, three prefix passes
+    out = None
+    for k in _PS_KS:
+        pref = d.select(
+            F.expr(f"array_join(slice(toks, 1, {k}), ' ')").alias("p")
+        )
+        per = pref.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        row = per.agg(
+            F.lit(k).cast("int").alias("prefix_tokens"),
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+            (
+                (F.sum("cnt") - F.count(F.lit(1))).cast("double")
+                / F.sum("cnt")
+            ).alias("cache_hit_fraction"),
+            F.max("cnt").cast("long").alias("max_prefix_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("prefix_tokens")
+
+
+# ---------------------------------------------------------------------------
+# duplication spectrum (dedup ROI by multiplicity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "duplication_spectrum",
+    oracle="""
+WITH tok AS (
+  SELECT md5(text) AS h,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+grp AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS copies,
+         CAST(max(n_tok) AS BIGINT) AS tok_each
+  FROM tok GROUP BY 1),
+spec AS (
+  SELECT copies,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(copies) AS BIGINT) AS n_docs,
+         CAST(sum(copies * tok_each) AS BIGINT) AS tok_total,
+         CAST(sum((copies - 1) * tok_each) AS BIGINT) AS tok_removable
+  FROM grp GROUP BY 1),
+tot AS (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_tok FROM spec)
+SELECT copies, n_groups, n_docs, tok_total, tok_removable,
+       CAST(tok_removable AS DOUBLE) / tot.corpus_tok AS removable_share
+FROM spec CROSS JOIN tot
+ORDER BY copies
+""",
+)
+def duplication_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate multiplicity spectrum — the dedup ROI statement:
+    for each copy-count k, how many content groups occur exactly k
+    times, the docs and tokens they hold, and the token mass dedup
+    would REMOVE (k-1 copies per group) as a share of the corpus. The
+    spectrum is what decides whether dedup is worth a pass at all and
+    which multiplicity band pays for it (one 1M-copy boilerplate page
+    vs a million 2-copy pages are very different jobs) — the
+    read-before-you-run complement to dup_rate_metric's single number
+    and dedup_mixture_shift's per-source drift.
+
+    Exactness: pure integer counting over content hashes; one final
+    division.
+
+    Scale: one fixed-width hash groupBy (text never shuffles), then a
+    multiplicity-domain groupBy — both map-side combinable."""
+    tok = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    grp = tok.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("copies"),
+        F.max("n_tok").cast("long").alias("tok_each"),
+    )
+    spec = grp.groupBy("copies").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("copies").cast("long").alias("n_docs"),
+        F.sum(F.col("copies") * F.col("tok_each")).cast("long").alias(
+            "tok_total"
+        ),
+        F.sum((F.col("copies") - 1) * F.col("tok_each"))
+        .cast("long")
+        .alias("tok_removable"),
+    )
+    tot = spec.agg(F.sum("tok_total").cast("long").alias("corpus_tok"))
+    return (
+        spec.crossJoin(F.broadcast(tot))
+        .select(
+            "copies",
+            "n_groups",
+            "n_docs",
+            "tok_total",
+            "tok_removable",
+            (
+                F.col("tok_removable").cast("double") / F.col("corpus_tok")
+            ).alias("removable_share"),
+        )
+        .orderBy("copies")
     )

@@ -141,3 +141,100 @@ def test_common_neighbors_jaccard_bounds(spark, sf_dir):
         assert 0.0 < r.jaccard <= 1.0
         assert r.n_common >= 1
         assert r.part_a < r.part_b
+
+
+def test_holt_winters_forecast_months_contiguous(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["holt_winters_seasonal"](spark, sf_dir).collect(),
+        key=lambda r: r.h,
+    )
+    assert [r.h for r in rows] == list(range(1, 7))
+    # forecasts follow level + h*trend + seasonal: bounded by level band
+    lvl, tr = rows[0].level, rows[0].trend
+    assert all(r.level == lvl and r.trend == tr for r in rows)
+    months = [r.forecast_month for r in rows]
+    assert all(
+        (b.year - a.year) * 12 + b.month - a.month == 1
+        for a, b in zip(months, months[1:])
+    )
+
+
+def test_heaps_points_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["heaps_law_fit"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_tokens >= a.n_tokens
+        assert b.n_types >= a.n_types  # vocabulary never shrinks
+    assert len({r.heaps_beta for r in rows}) == 1
+
+
+def test_k_anonymity_consistency(spark, sf_dir):
+    row = REGISTRY["k_anonymity_audit"](spark, sf_dir).collect()[0]
+    assert row.n_rows >= row.n_classes >= 1
+    assert 1 <= row.k_anonymity
+    assert 0 <= row.unique_rows <= row.n_classes
+    assert 0.0 <= row.risk_fraction <= 1.0
+    if row.k_anonymity >= 5:
+        assert row.rows_below_k == 0
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    rows = REGISTRY["clustering_coefficient_profile"](spark, sf_dir).collect()
+    assert rows, "support>=2 graph has degree>=2 nodes at every SF"
+    gt = {r.global_transitivity for r in rows}
+    assert len(gt) == 1 and 0.0 <= gt.pop() <= 1.0
+    for r in rows:
+        assert r.degree >= 2
+        assert 0.0 <= r.avg_local_cc <= 1.0 + 1e-9
+
+
+def test_safety_stock_rank_arithmetic(spark, sf_dir):
+    rows = REGISTRY["safety_stock_plan"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.weeks_with_demand <= r.n_weeks
+        assert r.p95_weekly >= 0
+        assert abs(r.reorder_point_2w - (2 * r.mean_weekly + r.safety_stock)) < 1e-9
+        # P95 cannot exceed the largest single week, which is <= total
+        assert r.p95_weekly <= r.total_qty
+
+
+def test_semantic_contamination_buckets(spark, sf_dir):
+    rows = REGISTRY["semantic_contamination_audit"](spark, sf_dir).collect()
+    assert rows
+    rate = {r.contamination_rate for r in rows}
+    assert len(rate) == 1 and 0.0 <= rate.pop() <= 1.0
+    for r in rows:
+        assert -10 <= r.sim_bucket <= 9
+        assert r.bucket_min_sim <= r.bucket_max_sim
+
+
+def test_prefix_share_monotone_in_depth(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["prefix_share_profile"](spark, sf_dir).collect(),
+        key=lambda r: r.prefix_tokens,
+    )
+    assert [r.prefix_tokens for r in rows] == [4, 8, 16]
+    for a, b in zip(rows, rows[1:]):
+        # deeper prefixes can only split groups: hit fraction never rises
+        assert b.cache_hit_fraction <= a.cache_hit_fraction + 1e-9
+        assert b.n_prefixes >= a.n_prefixes
+
+
+def test_duplication_spectrum_accounting(spark, sf_dir):
+    rows = REGISTRY["duplication_spectrum"](spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    total_tok = sum(r.tok_total for r in rows)
+    from ecommerce_lakehouse_spark.tables import load
+
+    assert total_docs == load(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.n_docs == r.copies * r.n_groups
+        assert r.tok_removable <= r.tok_total
+        assert 0.0 <= r.removable_share <= 1.0
+    assert abs(sum(r.removable_share for r in rows)
+               - sum(r.tok_removable for r in rows) / total_tok) < 1e-9
