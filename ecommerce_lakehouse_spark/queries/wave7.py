@@ -1542,10 +1542,14 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     OLS runs over the checkpoint-sorted 10-point array in-row.
 
     Scale: first-occurrence is one groupBy(word) min over exact global
-    indices — vocabulary-bounded state; the doc-offset prefix sum
-    windows over the doc table (id-ordered, the running_totals shape);
-    checkpoints are {p} broadcast probes of the type table."""
-    from pyspark.sql import Window
+    indices — vocabulary-bounded state; the doc-offset prefix sum is
+    the bucketed two-pass form (operators/scale.py::bucketed_prefix_sum
+    — never a single-task global-order window over the row-count-bound
+    doc table); checkpoints are {p} broadcast probes of the type
+    table."""
+    from ecommerce_lakehouse_spark.operators.scale import (
+        bucketed_prefix_sum,
+    )
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1556,11 +1560,12 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     )
     dc = d.select("doc_id", F.size("toks").cast("long").alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    off = dc.select(
-        "doc_id",
-        (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long").alias("base"),
-    )
+    # doc-order offsets via the bucketed two-pass prefix sum — the doc
+    # table is ROW-count-bounded, so a single global-order window here
+    # would be the one-task sort the plan guard bans
+    off = bucketed_prefix_sum(
+        dc, F.col("doc_id"), ["doc_id"], "n_tok", out_col="base"
+    ).select("doc_id", "base")
     dw = d.select("doc_id", F.explode("toks").alias("t")).select(
         "doc_id", F.col("t.w").alias("word"), F.col("t.pos").alias("pos")
     )

@@ -238,3 +238,30 @@ def test_duplication_spectrum_accounting(spark, sf_dir):
         assert 0.0 <= r.removable_share <= 1.0
     assert abs(sum(r.removable_share for r in rows)
                - sum(r.tok_removable for r in rows) / total_tok) < 1e-9
+
+
+def test_bucketed_prefix_sum_matches_global_window(spark):
+    """The two-pass bucketed exclusive prefix sum must equal the naive
+    single-window form on any input (operators/scale.py)."""
+    from pyspark.sql import Window
+
+    from ecommerce_lakehouse_spark.operators.scale import bucketed_prefix_sum
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 7919 % 501).alias("k"),
+        (F.col("id") % 13 + 1).alias("v"),
+    ).dropDuplicates(["k"])
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.p
+        for r in df.select(
+            "k", (F.sum("v").over(w) - F.col("v")).cast("long").alias("p")
+        ).collect()
+    }
+    got = {
+        r.k: r.prefix
+        for r in bucketed_prefix_sum(
+            df, F.col("k"), ["k"], "v", buckets=16
+        ).collect()
+    }
+    assert got == want
