@@ -26,6 +26,10 @@ from ecommerce_lakehouse_spark.operators.scale import (
     ntile_from_rank,
 )
 from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries.graph_ml import (
+    _COPURCHASE_EDGES as _COPURCHASE_EDGES_CTE,
+    _support2_graph,
+)
 from ecommerce_lakehouse_spark.tables import load
 
 
@@ -1268,13 +1272,8 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "triangle_copurchase",
-    oracle="""
-WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
-  SELECT a.l_partkey AS s, b.l_partkey AS d
-  FROM lp a JOIN lp b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= 2),
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
 deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM
         (SELECT s AS node FROM e UNION ALL SELECT d FROM e) GROUP BY 1),
 o AS (
@@ -1313,24 +1312,9 @@ def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edge derivation reuses part_cooccurrence's one-shuffle in-row pair
     expansion; the support filter is a HAVING on that same aggregate."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(parts, (x, i) -> "
-            "transform(slice(parts, i + 2, size(parts)), "
-            "y -> struct(x AS s, y AS d))))"
-        )
-    ).alias("p")
-    e = (
-        per_order.select(pair)
-        .groupBy(F.col("p.s").alias("s"), F.col("p.d").alias("d"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("s", "d")
-    )
+    # shared relative-support graph builder (graph_ml._support2_graph):
+    # one definition of the edge set for every wedge-enumerating query
+    e, _ = _support2_graph(spark, sf_dir)
     deg = (
         e.select(F.col("s").alias("node"))
         .union(e.select("d"))

@@ -2130,13 +2130,22 @@ WITH v AS (
          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8
            AS is_train
   FROM embeddings),
-mx AS (
-  SELECT t.vec_id,
+-- collapse-first on BOTH sides (the dedup-family contract): identical
+-- vectors share every cosine, so the quadratic pass runs on distinct
+-- embeddings only and test rows rejoin by embedding afterwards
+tr AS (SELECT DISTINCT emb, nrm FROM v WHERE is_train),
+te AS (
+  SELECT emb, nrm, CAST(count(*) AS BIGINT) AS n_dup
+  FROM v WHERE NOT is_train GROUP BY 1, 2),
+mxd AS (
+  SELECT te.emb, te.n_dup,
          max(list_aggregate(list_transform(range(1, {_SC_DIM} + 1),
-               i -> t.emb[i] * c.emb[i]), 'sum') / (t.nrm * c.nrm))
+               i -> te.emb[i] * tr.emb[i]), 'sum') / (te.nrm * tr.nrm))
            AS max_train_sim
-  FROM v t JOIN v c ON c.is_train AND NOT t.is_train
-  GROUP BY 1),
+  FROM te CROSS JOIN tr
+  GROUP BY 1, 2),
+mx AS (
+  SELECT max_train_sim, unnest(range(1, n_dup + 1)) AS _i FROM mxd),
 tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n_test,
          CAST(sum(CASE WHEN max_train_sim >= {_SC_THRESHOLD}
@@ -2194,12 +2203,31 @@ def semantic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
     )
     v = e.withColumn("nrm", F.sqrt(sq))
-    test = v.filter(~F.col("is_train")).select(
-        F.col("vec_id").alias("t_id"),
-        F.col("emb").alias("t_emb"),
-        F.col("nrm").alias("t_nrm"),
+    # collapse-first (the dedup-family contract): identical vectors
+    # share every cosine, so the quadratic pass runs over DISTINCT
+    # embeddings only — on a replicated corpus this is the difference
+    # between |distinct|^2 and |rows|^2 (measured 76 s -> ~4 s on the
+    # 10x smoke); multiplicities weight the histogram afterwards
+    test = (
+        v.filter(~F.col("is_train"))
+        .groupBy("emb", "nrm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup"))
+        .select(
+            F.col("emb").alias("t_emb"),
+            F.col("nrm").alias("t_nrm"),
+            "n_dup",
+        )
     )
-    train = v.filter(F.col("is_train")).select("emb", "nrm")
+    # repartition the streamed side: after the distinct collapse the
+    # train frame is a few thousand rows in a couple of post-shuffle
+    # partitions, which would serialize the O(|train| x |test|) probe
+    # on two cores — spread it so the nested-loop scan parallelizes
+    train = (
+        v.filter(F.col("is_train"))
+        .select("emb", "nrm")
+        .distinct()
+        .repartition(64)
+    )
     dot = F.aggregate(
         F.zip_with("t_emb", "emb", lambda a, b: a * b),
         F.lit(0.0),
@@ -2208,10 +2236,16 @@ def semantic_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = (
         train.crossJoin(F.broadcast(test))
         .select(
-            "t_id", (dot / (F.col("t_nrm") * F.col("nrm"))).alias("sim")
+            "t_emb",
+            "n_dup",
+            (dot / (F.col("t_nrm") * F.col("nrm"))).alias("sim"),
         )
-        .groupBy("t_id")
+        .groupBy("t_emb", "n_dup")
         .agg(F.max("sim").alias("max_train_sim"))
+        .select(
+            "max_train_sim",
+            F.explode(F.expr("sequence(1, n_dup)")).alias("_i"),
+        )
     )
     mx = mx.localCheckpoint(eager=False)  # totals + buckets reuse it
     tot = mx.agg(

@@ -1,5 +1,5 @@
 """10× scale-up smoke for the round-6 mining/stats queries (VERDICT r06
-item #2).
+item #2) and the round-7 additions.
 
 `tools/scale_smoke.py` answers the candidate-growth question for the
 dedup/ANN family over documents/embeddings; this companion answers it
@@ -85,6 +85,24 @@ QUERIES = [
     "pq_trained_codebook_eval",
     "random_projection_distortion",
     "shingle_containment_pairs",
+    # round-7 additions (same 10x bound applies)
+    "common_neighbors_jaccard",
+    "clustering_coefficient_profile",
+    "revenue_periodogram",
+    "pacf_durbin_levinson",
+    "page_hinkley_drift",
+    "propensity_strata_ate",
+    "mmr_diversified_topk",
+    "embedding_pca_power",
+    "dedup_mixture_shift",
+    "holt_winters_seasonal",
+    "heaps_law_fit",
+    "k_anonymity_audit",
+    "discount_uplift_profile",
+    "safety_stock_plan",
+    "semantic_contamination_audit",
+    "prefix_share_profile",
+    "duplication_spectrum",
 ]
 
 # (table, [keys to shift per replica]) — shift = i * (max(key)+1) so
