@@ -324,12 +324,17 @@ def main() -> None:
     # dict doesn't fit, keep the slowest queries and count the rest.
     full = json.dumps(payload)
     print(full, file=sys.stderr)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
-            f.write(full + "\n")
-    except OSError:
-        pass
+    # the committed profile is only meaningful for FULL-registry runs:
+    # a --queries subset run must never clobber it (it silently did
+    # once, emptying the --check anchor baseline until the next full
+    # run — the round-7 lesson)
+    if len(times) == len(REGISTRY):
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json"), "w") as f:
+                f.write(full + "\n")
+        except OSError:
+            pass
     if len(json.dumps(payload)) > 1800:
         slowest = dict(sorted(times.items(), key=lambda kv: -kv[1]))
         kept: dict[str, float] = {}
