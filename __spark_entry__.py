@@ -84,6 +84,9 @@ _FIRST = [
     "semantic_contamination_audit",
     "prefix_share_profile",
     "duplication_spectrum",
+    "quality_rater_agreement",
+    "knn_label_precision",
+    "brier_decomposition",
     # cross-family regression anchors (already gated green r02-r06)
     "daily_sales",
     "merge_upsert_snapshot",

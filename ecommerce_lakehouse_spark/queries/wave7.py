@@ -2449,3 +2449,394 @@ def duplication_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-rater agreement: Gopher rules vs the learned classifier
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    from ecommerce_lakehouse_spark.queries import ORACLES
+    from ecommerce_lakehouse_spark.queries.llm10 import _QC_CTE
+
+    # compose the two REGISTERED artifacts verbatim: the classifier's
+    # held-out scoring CTE chain and the gopher oracle (nested WITH in
+    # a CTE body — supported by DuckDB)
+    gopher = ORACLES["gopher_quality_flags"]
+    return (
+        _QC_CTE
+        + f""",
+gop AS ({gopher}),
+pair AS (
+  SELECT t.doc_id,
+         CASE WHEN t.score > 0 THEN 1 ELSE 0 END AS clf,
+         CASE WHEN g.passes_gopher THEN 1 ELSE 0 END AS gph
+  FROM test t JOIN gop g USING (doc_id)),
+cm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(clf * gph) AS BIGINT) AS n11,
+         CAST(sum(clf * (1 - gph)) AS BIGINT) AS n10,
+         CAST(sum((1 - clf) * gph) AS BIGINT) AS n01,
+         CAST(sum((1 - clf) * (1 - gph)) AS BIGINT) AS n00
+  FROM pair)
+SELECT n, n11, n10, n01, n00,
+       CAST(n11 + n00 AS DOUBLE) / n AS observed_agreement,
+       CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+            AS DOUBLE) / (n * n) AS expected_agreement,
+       CAST(n * (n11 + n00)
+            - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+            AS DOUBLE)
+         / (n * n
+            - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+         AS cohen_kappa
+FROM cm
+"""
+    )
+
+
+@query("quality_rater_agreement", oracle=_kappa_oracle())
+def quality_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the engine's two quality
+    raters on the held-out split: the rule-based Gopher composite and
+    the learned hashed-NB classifier. Raw agreement flatters any pair
+    of raters that both say "pass" most of the time; kappa subtracts
+    the chance-agreement floor — the standard before trusting EITHER
+    filter as ground truth for the other (and the consistency number a
+    two-stage rules-then-model curation pipeline reports). Completes
+    the classifier-eval shelf: confusion counts, calibration curve,
+    isotonic fit, now rater agreement.
+
+    Exactness: the 2x2 table is exact integer counting; kappa collapses
+    algebraically to ONE division of exact integers
+    (n*(n11+n00) - chance) / (n^2 - chance) — no intermediate float.
+
+    Scale: both raters are existing one-pass bodies (the classifier
+    join is broadcast weights; the gopher flags are row-local); the
+    agreement is one 1-row reduce."""
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+    from ecommerce_lakehouse_spark.queries.llm10 import _qc_test_scores
+
+    clf = _qc_test_scores(spark, sf_dir).select(
+        "doc_id", (F.col("score") > 0).cast("int").alias("clf")
+    )
+    gph = REGISTRY["gopher_quality_flags"](spark, sf_dir).select(
+        "doc_id", F.col("passes_gopher").cast("int").alias("gph")
+    )
+    pair = clf.join(gph, "doc_id")
+    cm = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("clf") * F.col("gph")).cast("long").alias("n11"),
+        F.sum(F.col("clf") * (1 - F.col("gph"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("clf")) * F.col("gph")).cast("long").alias("n01"),
+        F.sum((1 - F.col("clf")) * (1 - F.col("gph")))
+        .cast("long")
+        .alias("n00"),
+    )
+    chance = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return cm.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        ((F.col("n11") + F.col("n00")).cast("double") / F.col("n")).alias(
+            "observed_agreement"
+        ),
+        (chance.cast("double") / (F.col("n") * F.col("n"))).alias(
+            "expected_agreement"
+        ),
+        (
+            (F.col("n") * (F.col("n11") + F.col("n00")) - chance).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n") - chance)
+        ).alias("cohen_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# label-grounded retrieval quality: precision@k + MRR per label
+# ---------------------------------------------------------------------------
+
+_LP_K = 10
+_LP_NQ = 50  # query set: vec_id < 50 (the knn convention, wider)
+
+
+@query(
+    "knn_label_precision",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                            x -> x * x), 'sum')) AS nrm
+  FROM embeddings
+), q AS (SELECT * FROM v WHERE vec_id < {_LP_NQ}),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         c.vec_id AS neighbor_id, c.label AS c_label,
+         list_aggregate(list_transform(range(1, len(q.emb) + 1),
+                                       i -> q.emb[i] * c.emb[i]), 'sum')
+           / (q.nrm * c.nrm) AS sim
+  FROM q, v c WHERE c.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, q_label,
+         CAST(c_label = q_label AS INT) AS rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM pairs),
+perq AS (
+  SELECT query_id, q_label,
+         CAST(sum(rel) AS BIGINT) AS n_rel,
+         CAST(COALESCE(min(CASE WHEN rel = 1
+           THEN CAST(round(1e9 / rn) AS BIGINT) END), 0) AS BIGINT)
+           AS rr_nanos
+  FROM ranked WHERE rn <= {_LP_K}
+  GROUP BY 1, 2)
+SELECT q_label AS label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(n_rel) AS BIGINT) AS n_relevant_in_topk,
+       CAST(sum(n_rel) AS DOUBLE) / (count(*) * {_LP_K})
+         AS precision_at_k,
+       CAST(sum(rr_nanos) AS DOUBLE) / count(*) / 1e9 AS mrr
+FROM perq GROUP BY 1
+""",
+)
+def knn_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRINSIC retrieval quality: precision@{k} and MRR of brute-force
+    cosine top-{k} against the LABEL ground truth (a neighbor is
+    relevant iff it shares the query's label), per label over the first
+    {nq} query vectors. The recall@k / nDCG audits grade the ANN
+    indexes against exact kNN (does the index approximate the metric);
+    this grades the METRIC against labels (does cosine proximity mean
+    semantic sameness) — the upstream question that decides whether
+    embedding dedup/search operate on signal at all.
+
+    Exactness: dot products are the ordered knn folds; relevance counts
+    are exact integers; each reciprocal rank rounds ONCE to nanos (an
+    exact division of small ints) and accumulates as BIGINT — never an
+    order-dependent float sum. MRR uses rank WITHIN top-{k} (0 when no
+    relevant neighbor surfaces), the cutoff convention.
+
+    Scale: the knn plan — bounded query set broadcasts, corpus streams,
+    per-query top-{k} via window partitioned by query.""".format(
+        k=_LP_K, nq=_LP_NQ
+    )
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sq = F.aggregate(
+        F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    v = e.withColumn("nrm", F.sqrt(sq))
+    q = v.filter(F.col("vec_id") < _LP_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    pairs = v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "q_label",
+        (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+        (dot / (F.col("q_nrm") * F.col("nrm"))).alias("sim"),
+        "vec_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    perq = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _LP_K)
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.expr("CAST(round(1e9 / rn) AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rr_nanos"),
+        )
+    )
+    return perq.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_rel").cast("long").alias("n_relevant_in_topk"),
+        (
+            F.sum("n_rel").cast("double") / (F.count(F.lit(1)) * _LP_K)
+        ).alias("precision_at_k"),
+        (F.sum("rr_nanos").cast("double") / F.count(F.lit(1)) / 1e9).alias(
+            "mrr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition of the quality classifier
+# ---------------------------------------------------------------------------
+
+
+def _brier_oracle() -> str:
+    from ecommerce_lakehouse_spark.queries.llm10 import _QC_CTE
+
+    return (
+        _QC_CTE
+        + """,
+pm AS (
+  SELECT doc_id, CASE WHEN label = 'pass' THEN 1 ELSE 0 END AS o,
+         CAST(round(1e6 / (1 + power(2.0, -score / 1e9))) AS BIGINT)
+           AS p_micro,
+         least(greatest(CAST(floor(score / 2000000000.0) AS BIGINT), -5), 5)
+           AS bs
+  FROM test),
+bk AS (
+  SELECT bs, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(o) AS BIGINT) AS n_pass,
+         CAST(sum(p_micro) AS BIGINT) AS sp,
+         CAST(sum(p_micro * p_micro) AS BIGINT) AS spp,
+         CAST(sum(o * p_micro) AS BIGINT) AS spo
+  FROM pm GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n_pass) AS BIGINT) AS np
+  FROM bk),
+arr AS (
+  SELECT list_sort(list(struct_pack(bs := bs, n := n, n_pass := n_pass,
+                                    sp := sp, spp := spp, spo := spo)))
+           AS a, max(tot.nn) AS nn, max(tot.np) AS np
+  FROM bk CROSS JOIN tot),
+dec AS (
+  SELECT a, nn, np,
+         CAST(np AS DOUBLE) / nn AS obar,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(a, x ->
+           (CAST(x.spp AS DOUBLE) / 1e12
+            - 2 * CAST(x.spo AS DOUBLE) / 1e6
+            + CAST(x.n_pass AS DOUBLE)))), (s, x) -> s + x) / nn AS brier,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(a, x ->
+           x.n * (CAST(x.sp AS DOUBLE) / x.n / 1e6
+                  - CAST(x.n_pass AS DOUBLE) / x.n)
+               * (CAST(x.sp AS DOUBLE) / x.n / 1e6
+                  - CAST(x.n_pass AS DOUBLE) / x.n))), (s, x) -> s + x)
+           / nn AS reliability,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(a, x ->
+           x.n * (CAST(x.n_pass AS DOUBLE) / x.n - CAST(np AS DOUBLE) / nn)
+               * (CAST(x.n_pass AS DOUBLE) / x.n
+                  - CAST(np AS DOUBLE) / nn))), (s, x) -> s + x)
+           / nn AS resolution
+  FROM arr)
+SELECT u.bs AS bucket, u.n AS n_docs,
+       CAST(u.n_pass AS DOUBLE) / u.n AS empirical_rate,
+       CAST(u.sp AS DOUBLE) / u.n / 1e6 AS mean_forecast,
+       round(d.brier, 9) AS brier,
+       round(d.reliability, 9) AS reliability,
+       round(d.resolution, 9) AS resolution,
+       round(d.obar * (1 - d.obar), 9) AS uncertainty
+FROM dec d, (SELECT unnest(a) AS u FROM dec) q
+"""
+    )
+
+
+@query("brier_decomposition", oracle=_brier_oracle())
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition for the quality
+    classifier's held-out probabilities: per score bucket the empirical
+    pass rate and mean forecast, plus the corpus-level BRIER =
+    RELIABILITY - RESOLUTION + UNCERTAINTY split repeated on every row —
+    reliability is the calibration gap the isotonic fit removes,
+    resolution is the discrimination no recalibration can add, and
+    uncertainty is the floor set by the base rate. Completes the
+    classifier-eval shelf with the proper-scoring-rule view: the curve
+    shows WHERE calibration fails, kappa shows rater consistency, the
+    decomposition says how much of the error is fixable.
+
+    Exactness: log-odds scores convert to probabilities with one pow()
+    per doc rounded ONCE to exact integer micros (the log2-nanos
+    discipline), so every corpus sum (sum p, sum p^2, sum p*o) is an
+    exact BIGINT — never an order-dependent float sum; the bucket-level
+    decomposition folds over the bucket-sorted <=11-row array in-row.
+    Headroom: sum(p_micro^2) stays under 2^63 to ~9e6 held-out docs —
+    promote to DECIMAL(38) past that.
+
+    Scale: one broadcast-weight scoring pass (the shared classifier
+    body), one bucket-domain groupBy, one in-row fold."""
+    from ecommerce_lakehouse_spark.queries.llm10 import _qc_test_scores
+
+    t = _qc_test_scores(spark, sf_dir)
+    pm = t.select(
+        F.when(F.col("label") == "pass", 1).otherwise(0).alias("o"),
+        F.expr(
+            "CAST(round(1e6 / (1 + power(2.0, -score / 1e9))) AS BIGINT)"
+        ).alias("p_micro"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("score") / F.lit(2000000000.0)).cast("long"),
+                F.lit(-5).cast("long"),
+            ),
+            F.lit(5).cast("long"),
+        ).alias("bs"),
+    )
+    bk = pm.groupBy("bs").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o").cast("long").alias("n_pass"),
+        F.sum("p_micro").cast("long").alias("sp"),
+        F.sum(F.col("p_micro") * F.col("p_micro")).cast("long").alias("spp"),
+        F.sum(F.col("o") * F.col("p_micro")).cast("long").alias("spo"),
+    )
+    arr = bk.agg(
+        F.expr(
+            "array_sort(collect_list(struct(bs, n, n_pass, sp, spp, spo)))"
+        ).alias("a"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n_pass").cast("long").alias("np"),
+    )
+    dec = arr.selectExpr(
+        "a",
+        "nn",
+        "np",
+        "CAST(np AS DOUBLE) / nn AS obar",
+        """aggregate(transform(a, x ->
+  CAST(x.spp AS DOUBLE) / 1e12 - 2 * CAST(x.spo AS DOUBLE) / 1e6
+  + CAST(x.n_pass AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x)
+  / nn AS brier""",
+        """aggregate(transform(a, x ->
+  x.n * (CAST(x.sp AS DOUBLE) / x.n / 1e6 - CAST(x.n_pass AS DOUBLE) / x.n)
+      * (CAST(x.sp AS DOUBLE) / x.n / 1e6
+         - CAST(x.n_pass AS DOUBLE) / x.n)),
+  CAST(0 AS DOUBLE), (s, x) -> s + x) / nn AS reliability""",
+        """aggregate(transform(a, x ->
+  x.n * (CAST(x.n_pass AS DOUBLE) / x.n - CAST(np AS DOUBLE) / nn)
+      * (CAST(x.n_pass AS DOUBLE) / x.n - CAST(np AS DOUBLE) / nn)),
+  CAST(0 AS DOUBLE), (s, x) -> s + x) / nn AS resolution""",
+    )
+    dec = dec.localCheckpoint(eager=False)
+    return dec.select(
+        F.explode("a").alias("u"),
+        "obar",
+        "brier",
+        "reliability",
+        "resolution",
+    ).select(
+        F.col("u.bs").alias("bucket"),
+        F.col("u.n").alias("n_docs"),
+        (F.col("u.n_pass").cast("double") / F.col("u.n")).alias(
+            "empirical_rate"
+        ),
+        (F.col("u.sp").cast("double") / F.col("u.n") / 1e6).alias(
+            "mean_forecast"
+        ),
+        F.round("brier", 9).alias("brier"),
+        F.round("reliability", 9).alias("reliability"),
+        F.round("resolution", 9).alias("resolution"),
+        F.round(F.col("obar") * (1 - F.col("obar")), 9).alias("uncertainty"),
+    )

@@ -265,3 +265,37 @@ def test_bucketed_prefix_sum_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_kappa_identity(spark, sf_dir):
+    row = REGISTRY["quality_rater_agreement"](spark, sf_dir).collect()[0]
+    assert row.n == row.n11 + row.n10 + row.n01 + row.n00
+    po, pe, k = row.observed_agreement, row.expected_agreement, row.cohen_kappa
+    assert abs(k - (po - pe) / (1 - pe)) < 1e-9
+    assert -1.0 - 1e-9 <= k <= 1.0 + 1e-9
+
+
+def test_knn_label_precision_bounds(spark, sf_dir):
+    rows = REGISTRY["knn_label_precision"](spark, sf_dir).collect()
+    assert sum(r.n_queries for r in rows) == 50
+    for r in rows:
+        assert 0.0 <= r.precision_at_k <= 1.0
+        assert 0.0 <= r.mrr <= 1.0 + 1e-9
+        assert r.n_relevant_in_topk <= r.n_queries * 10
+
+
+def test_brier_murphy_identity(spark, sf_dir):
+    rows = REGISTRY["brier_decomposition"](spark, sf_dir).collect()
+    b = rows[0]
+    # Murphy: brier = reliability - resolution + uncertainty (the binned
+    # identity holds exactly when forecasts are replaced by bucket means;
+    # with raw per-doc forecasts inside buckets there is a within-bucket
+    # variance remainder, so check the inequality chain instead)
+    assert 0.0 <= b.brier <= 1.0
+    assert b.reliability >= 0.0 and b.resolution >= -1e-12
+    assert 0.0 <= b.uncertainty <= 0.25 + 1e-9
+    # resolution can never exceed uncertainty
+    assert b.resolution <= b.uncertainty + 1e-9
+    for r in rows:
+        assert 0.0 <= r.empirical_rate <= 1.0
+        assert 0.0 <= r.mean_forecast <= 1.0

@@ -103,6 +103,9 @@ QUERIES = [
     "semantic_contamination_audit",
     "prefix_share_profile",
     "duplication_spectrum",
+    "quality_rater_agreement",
+    "knn_label_precision",
+    "brier_decomposition",
 ]
 
 # (table, [keys to shift per replica]) — shift = i * (max(key)+1) so
