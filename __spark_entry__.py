@@ -87,6 +87,7 @@ _FIRST = [
     "quality_rater_agreement",
     "knn_label_precision",
     "brier_decomposition",
+    "source_quality_independence",
     # cross-family regression anchors (already gated green r02-r06)
     "daily_sales",
     "merge_upsert_snapshot",

@@ -2840,3 +2840,132 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("resolution", 9).alias("resolution"),
         F.round(F.col("obar") * (1 - F.col("obar")), 9).alias("uncertainty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source x quality independence (chi-square + Cramér's V)
+# ---------------------------------------------------------------------------
+
+
+def _sqi_oracle() -> str:
+    from ecommerce_lakehouse_spark.queries import ORACLES
+
+    gopher = ORACLES["gopher_quality_flags"]
+    return f"""
+WITH gop AS ({gopher}),
+cell AS (
+  SELECT d.source, CAST(g.passes_gopher AS INT) AS q,
+         CAST(count(*) AS BIGINT) AS o
+  FROM documents d JOIN gop g USING (doc_id)
+  GROUP BY 1, 2),
+mrg AS (
+  SELECT s.source, qq.q, COALESCE(cell.o, 0) AS o
+  FROM (SELECT DISTINCT source FROM cell) s
+  CROSS JOIN (SELECT unnest([0, 1]) AS q) qq
+  LEFT JOIN cell ON cell.source = s.source AND cell.q = qq.q),
+rowm AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM mrg GROUP BY 1),
+colm AS (SELECT q, CAST(sum(o) AS BIGINT) AS c FROM mrg GROUP BY 1),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM mrg),
+arr AS (
+  SELECT list_sort(list(struct_pack(source := m.source, q := m.q,
+           o := m.o, r := rowm.r, c := colm.c))) AS a,
+         max(nn.n) AS n,
+         CAST(max(rc.k) AS BIGINT) AS n_sources
+  FROM mrg m JOIN rowm USING (source) JOIN colm USING (q)
+  CROSS JOIN nn
+  CROSS JOIN (SELECT count(*) AS k FROM rowm) rc),
+stat AS (
+  SELECT n, n_sources,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(a, x -> CASE WHEN x.r = 0 OR x.c = 0
+             THEN CAST(0 AS DOUBLE) ELSE
+             (x.o - CAST(x.r AS DOUBLE) * x.c / n)
+             * (x.o - CAST(x.r AS DOUBLE) * x.c / n)
+             / (CAST(x.r AS DOUBLE) * x.c / n) END)),
+           (s, x) -> s + x) AS chi2
+  FROM arr)
+SELECT n AS n_docs, n_sources,
+       CAST((n_sources - 1) * 1 AS BIGINT) AS dof,
+       round(chi2, 9) AS chi2,
+       round(sqrt(chi2 / n), 9) AS cramers_v
+FROM stat
+"""
+
+
+@query("source_quality_independence", oracle=_sqi_oracle())
+def source_quality_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of SOURCE x gopher-quality with Cramér's
+    V (Cramér 1946) — is document quality independent of provenance?
+    The mixture-design input dedup_mixture_shift doesn't answer: a
+    nonzero V means source weights double as quality weights, so tuning
+    one silently moves the other. V normalizes chi-square to [0, 1]
+    (for a 2-column table, V = sqrt(chi2/n)) — comparable across
+    corpus sizes where the raw statistic is not. Extends the
+    independence shelf (priority_status_independence) with the effect
+    SIZE, not just the statistic. A degenerate margin (every document
+    on one side of the quality gate, real at small SFs) contributes
+    zero cells — chi2 = 0, V = 0, the correct "no evidence" reading.
+
+    Exactness: observed counts and margins are exact integers; each
+    cell's (O-E)^2/E uses E from one division; the 2x|sources| cell
+    fold runs in-row over the cell-sorted array (never a distributed
+    float sum); outputs round once.
+
+    Scale: the gopher flags are row-local; the contingency table is
+    domain-bounded (sources x 2) — one map-side groupBy then scalars."""
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    gph = REGISTRY["gopher_quality_flags"](spark, sf_dir).select(
+        "doc_id", F.col("passes_gopher").cast("int").alias("q")
+    )
+    cell = (
+        docs.join(gph, "doc_id")
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    # complete the grid (a source with zero fails must still contribute
+    # its zero cell to the statistic)
+    srcs = cell.select("source").distinct()
+    grid = srcs.crossJoin(
+        F.broadcast(
+            cell.sparkSession.range(2).select(F.col("id").cast("int").alias("q"))
+        )
+    )
+    mrg = grid.join(cell, ["source", "q"], "left").select(
+        "source", "q", F.coalesce("o", F.lit(0)).cast("long").alias("o")
+    )
+    rowm = mrg.groupBy("source").agg(F.sum("o").cast("long").alias("r"))
+    colm = mrg.groupBy("q").agg(F.sum("o").cast("long").alias("c"))
+    arr = (
+        mrg.join(rowm, "source")
+        .join(F.broadcast(colm), "q")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(source, q, o, r, c)))"
+            ).alias("a"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .selectExpr(
+            "a",
+            "aggregate(a, CAST(0 AS BIGINT), (s, x) -> s + x.o) AS n",
+            "n_sources",
+        )
+    )
+    stat = arr.selectExpr(
+        "n",
+        "n_sources",
+        """aggregate(transform(a, x -> IF(x.r = 0 OR x.c = 0,
+  CAST(0 AS DOUBLE),
+  (x.o - CAST(x.r AS DOUBLE) * x.c / n)
+  * (x.o - CAST(x.r AS DOUBLE) * x.c / n)
+  / (CAST(x.r AS DOUBLE) * x.c / n))),
+  CAST(0 AS DOUBLE), (s, x) -> s + x) AS chi2""",
+    )
+    return stat.select(
+        F.col("n").alias("n_docs"),
+        "n_sources",
+        ((F.col("n_sources") - 1) * 1).cast("long").alias("dof"),
+        F.round("chi2", 9).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / F.col("n")), 9).alias("cramers_v"),
+    )

@@ -106,6 +106,7 @@ QUERIES = [
     "quality_rater_agreement",
     "knn_label_precision",
     "brier_decomposition",
+    "source_quality_independence",
 ]
 
 # (table, [keys to shift per replica]) — shift = i * (max(key)+1) so
