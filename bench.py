@@ -95,7 +95,7 @@ _LOOP_PIPELINES = {
     "cdc_change_feed",
     "restore_table_snapshot",
     "scd2_asof_lookup",
-    "copurchase_pagerank",
+    "pagerank_copurchase",
     "neardup_clusters",
     "label_propagation_communities",
     "kcore_peeling_profile",

@@ -164,9 +164,11 @@ def kll_merge_grouped(
     items = sketches.select(*g, F.explode("items").alias("it")).select(
         *g, F.col("it.v").alias("v"), F.col("it.h").alias("h")
     )
-    kept = items.join(F.broadcast(thr), on=g).filter(
-        F.col("h") < F.col("__thr")
-    )
+    # no broadcast hint on thr: it carries one row per GROUP, and the
+    # millions-of-tenants contract above means it can exceed the
+    # broadcast limit — AQE picks broadcast at small group counts and
+    # a key-partitioned join at scale (both sides already shuffle on g).
+    kept = items.join(thr, on=g).filter(F.col("h") < F.col("__thr"))
     items_rows = kept.groupBy(*g).agg(
         F.sort_array(F.collect_list(F.struct(F.col("v"), F.col("h")))).alias(
             "__items"

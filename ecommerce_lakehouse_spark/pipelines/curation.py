@@ -191,7 +191,19 @@ def curate(
         to_band = canon_now.join(indexed, "doc_id", "left_anti")
     else:
         to_band = canon_now
-    batch_v = F.lit(txn["version"] if txn else -1).cast("bigint")
+    # Txn-less batches need a UNIQUE tag too (ADVICE r07): a constant -1
+    # made every txn-less batch's stage-4 read-back match ALL prior
+    # txn-less bands, silently degrading the incremental new⋈index
+    # contract to full index⋈index (correct results — the pairs merge
+    # dedups — but quadratic candidate cost). Derive the tag from the
+    # table log (strictly increasing per batch) and keep it negative so
+    # it can never collide with a caller-supplied txn version.
+    if txn is not None:
+        batch_v_val = int(txn["version"])
+    else:
+        pre_v = t["band_index"].current_version() if had_index else -1
+        batch_v_val = -(pre_v + 2)
+    batch_v = F.lit(batch_v_val).cast("bigint")
     new_bands = (
         minhash_bands_df(minhash_signatures_df(to_band.select("doc_id", "text")))
         .select("doc_id", "sig", "band_key")
@@ -218,7 +230,7 @@ def curate(
     # time — the signatures are computed exactly once, inside the
     # commit (measured ~1.5 s of the driver query's wall).
     new_bands = t["band_index"].read().filter(
-        F.col("batch_v") == (txn["version"] if txn is not None else -1)
+        F.col("batch_v") == batch_v_val
     ).select("doc_id", "sig", "band_key")
 
     # ---- stage 4: candidate pairs (incremental: new ⋈ full index),

@@ -10,7 +10,7 @@ remaining everyday graph-ML primitives:
   (Raghavan 2007), the near-linear community detector that segments the
   catalog into co-purchase clusters finer than connected components.
 
-Both run on the support>=2 co-purchase graph (edge = part pair ordered
+Both run on the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets) (edge = part pair ordered
 together in >= 2 orders), reusing part_cooccurrence's one-shuffle in-row
 pair expansion — the thresholding that keeps degree, and therefore every
 wedge/vote fan-out below, tractable on any corpus (see
@@ -65,8 +65,8 @@ adj AS (SELECT s AS z, d AS nbr FROM e UNION ALL SELECT d, s FROM e)
 """
 
 
-def _support2_graph(spark: SparkSession, sf_dir: str):
-    """(canonical s<d edges, symmetric adjacency) for the support>=2
+def _support_graph(spark: SparkSession, sf_dir: str):
+    """(canonical s<d edges, symmetric adjacency) for the relative-support
     co-purchase graph; edge list localCheckpointed once — both queries
     below iterate/fan out over it (same rationale as pagerank's
     materialize-the-graph-once barrier)."""
@@ -134,7 +134,7 @@ FROM cand ORDER BY aa_nanos DESC, part_a, part_b LIMIT 20
 """,
 )
 def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic-Adar link prediction on the support>=2 co-purchase graph:
+    """Adamic-Adar link prediction on the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets):
     for part pairs NOT currently co-purchased, score = sum over common
     neighbors z of 1/ln(deg(z)) (Adamic & Adar 2003 — a rare shared
     neighbor is stronger evidence than a promiscuous hub), top-20
@@ -154,7 +154,7 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion happens in-row after one groupBy(z) (no self-join
     shuffle); existing edges drop via an anti-join on the canonical
     (lo, hi) pair; top-20 is TakeOrdered, never a global sort."""
-    e, adj = _support2_graph(spark, sf_dir)
+    e, adj = _support_graph(spark, sf_dir)
     nb = adj.groupBy("z").agg(F.sort_array(F.collect_set("nbr")).alias("nbrs"))
     wt = nb.filter(F.size("nbrs") >= 2).select(
         "z",
@@ -224,7 +224,7 @@ FROM l4 GROUP BY 1 ORDER BY n_members DESC, community
 @query("label_propagation_communities", oracle=_lpa_oracle())
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (Raghavan 2007), 4 fixed rounds, on
-    the support>=2 co-purchase graph: every node starts as its own
+    the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets): every node starts as its own
     label; each round it adopts its neighbors' most frequent label
     (tie -> smallest label). Communities segment the catalog into
     co-purchase clusters FINER than connected components (`neardup`'s CC
@@ -245,7 +245,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     truncates lineage so round k's broadcast does not re-execute rounds
     1..k-1 (the measured pagerank trap). Output is the bounded
     per-community rollup, not per-node rows."""
-    _, adj = _support2_graph(spark, sf_dir)
+    _, adj = _support_graph(spark, sf_dir)
     labels = (
         adj.select(F.col("z").alias("node"))
         .distinct()
@@ -303,7 +303,7 @@ FROM hist h, mle m ORDER BY h.degree
 """,
 )
 def copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree distribution of the support>=2 co-purchase graph plus the
+    """Degree distribution of the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets) plus the
     continuous power-law MLE exponent alpha = 1 + n_tail / Σ ln(d/dmin)
     (Clauset-Shalizi-Newman 2009, dmin = 2): the shape diagnostic every
     graph-algorithm cost model starts from — a heavy power-law tail is
@@ -318,7 +318,7 @@ def copurchase_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: degrees come from one collapse of the symmetric edge list;
     the histogram is bounded by the distinct-degree domain; the MLE is
     a 1-row aggregate broadcast onto it."""
-    _, adj = _support2_graph(spark, sf_dir)
+    _, adj = _support_graph(spark, sf_dir)
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("dg"))
     hist = deg.groupBy(F.col("dg").alias("degree")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")

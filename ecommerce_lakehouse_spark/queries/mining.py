@@ -11,7 +11,7 @@ everyday text-mining, graph-structure, and embedding-index primitives.
   signatures (llm2.simhash_signatures) to actual near-dup PAIRS via
   pigeonhole banding + exact Hamming verification;
 - ``kcore_peeling_profile``: iterative k-core peeling (Seidman 1983,
-  Batagelj-Zaveršnik shape) over the support>=2 co-purchase graph —
+  Batagelj-Zaveršnik shape) over the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets) —
   the density-hierarchy summary (per-round nodes/edges) that PageRank
   and components don't expose;
 - ``ar2_yule_walker_forecast``: AR(2) fit by Yule-Walker moment
@@ -399,7 +399,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ecommerce_lakehouse_spark.queries.graph_ml import (  # noqa: E402
     _COPURCHASE_EDGES,
-    _support2_graph,
+    _support_graph,
 )
 
 _KC_K = 3  # core order
@@ -443,14 +443,14 @@ FROM prof
 )
 def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core peeling (Seidman 1983; the synchronous Batagelj-Zaveršnik
-    shape) at k={k} over the support>=2 co-purchase graph: repeatedly
+    shape) at k={k} over the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets): repeatedly
     delete every part whose degree in the surviving subgraph is < {k},
     and report the PROFILE — per round, surviving nodes, induced edges,
     and nodes removed — rather than only the final core. The profile is
     the density-hierarchy summary PageRank and connected components
     don't expose (how fast the graph sheds its periphery; where the
     plateau is = the core), it stays informative when the core is empty
-    (true at sf0.1 — the support>=2 graph there has no 3-core, and the
+    (true at sf0.1 — the relative-support graph there has no 3-core, and the
     trailing zero rows SAY so), and the plateau makes convergence
     auditable: {r} fixed rounds both engines unroll identically, chosen
     above the measured fixpoint depth (11 rounds at sf0.01, the worst
@@ -461,7 +461,7 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is degree-count + filter over a monotonically
     SHRINKING node set (two hash joins + one groupBy), the standard
     distributed peel; the adjacency is materialized once
-    (graph_ml._support2_graph barrier) and per-round node sets are
+    (graph_ml._support_graph barrier) and per-round node sets are
     checkpointed so round r's plan never replays rounds 1..r-1. At
     100 TB the support threshold bounds degree skew before any round
     runs (the triangle_copurchase lesson).""".format(
@@ -472,7 +472,7 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adj is two in-row projections of the checkpointed edge list — the
     # per-round probes re-derive it from that barrier (re-checkpointing
     # the union would double-materialize 2x the edges for nothing)
-    _, adj = _support2_graph(spark, sf_dir)
+    _, adj = _support_graph(spark, sf_dir)
     return kcore_profile_frame(adj, k=_KC_K, rounds=_KC_ROUNDS)
 
 
@@ -522,7 +522,7 @@ def kcore_profile_frame(
                 F.col("z").alias("rm")
             )
             # the removal frontier is broadcast: round 1 sheds the
-            # degree<k periphery of the support>=2 graph (already
+            # degree<k periphery of the relative-support graph (already
             # part-dimension-bounded by the support cut), later rounds
             # shed only the peel front, and post-fixpoint rounds are
             # empty — so the probe never re-shuffles the adjacency. On

@@ -28,7 +28,7 @@ from ecommerce_lakehouse_spark.operators.scale import (
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.queries.graph_ml import (
     _COPURCHASE_EDGES as _COPURCHASE_EDGES_CTE,
-    _support2_graph,
+    _support_graph,
 )
 from ecommerce_lakehouse_spark.tables import load
 
@@ -1312,9 +1312,9 @@ def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edge derivation reuses part_cooccurrence's one-shuffle in-row pair
     expansion; the support filter is a HAVING on that same aggregate."""
-    # shared relative-support graph builder (graph_ml._support2_graph):
+    # shared relative-support graph builder (graph_ml._support_graph):
     # one definition of the edge set for every wedge-enumerating query
-    e, _ = _support2_graph(spark, sf_dir)
+    e, _ = _support_graph(spark, sf_dir)
     deg = (
         e.select(F.col("s").alias("node"))
         .union(e.select("d"))

@@ -2,7 +2,7 @@
 link-prediction analytics plus retrieval and embedding-geometry audits.
 
 - ``common_neighbors_jaccard``: neighborhood-Jaccard link prediction on
-  the support>=2 co-purchase graph — the set-overlap member of the
+  the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets) — the set-overlap member of the
   link-prediction shelf next to Adamic-Adar's weighted wedges;
 - ``revenue_periodogram``: discrete-Fourier power spectrum of monthly
   revenue at integer frequencies — the frequency-domain member of the
@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.queries.graph_ml import (
     _COPURCHASE_EDGES,
-    _support2_graph,
+    _support_graph,
 )
 from ecommerce_lakehouse_spark.tables import load
 
@@ -84,7 +84,7 @@ ORDER BY jaccard DESC, part_a, part_b LIMIT {_CJ_TOP}
 )
 def common_neighbors_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard-of-neighborhoods link prediction (Liben-Nowell & Kleinberg
-    2003) over the support>=2 co-purchase graph: for every NON-edge
+    2003) over the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets): for every NON-edge
     (u, v) sharing at least one neighbor, |N(u) ∩ N(v)| / |N(u) ∪ N(v)|,
     top-{k}. Adamic-Adar weights rare common neighbors up; Jaccard
     normalizes by both degree masses — the two standard local link
@@ -94,11 +94,11 @@ def common_neighbors_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is ONE division of exact integers (IEEE identical both
     engines); ordering ties break on the part ids.
 
-    Scale: the wedge fan-out is bounded by the support>=2 cut exactly
+    Scale: the wedge fan-out is bounded by the relative-support cut exactly
     as adamic_adar_links (same materialized-graph barrier, same
     degree-capped hub behavior); candidates collapse by (u, v) before
     the top-k TakeOrdered.""".format(k=_CJ_TOP)
-    e, adj = _support2_graph(spark, sf_dir)
+    e, adj = _support_graph(spark, sf_dir)
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("dg"))
     a1 = adj.select(F.col("z").alias("w"), F.col("nbr").alias("u"))
     a2 = adj.select(F.col("z").alias("w"), F.col("nbr").alias("v"))
@@ -1759,7 +1759,7 @@ GROUP BY j.dg, g.closed, g.wedges
 )
 def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient (Watts & Strogatz 1998) profiled by
-    EXACT degree over the support>=2 co-purchase graph, plus the global
+    EXACT degree over the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets), plus the global
     transitivity ratio 3*triangles/wedges: do well-connected parts sit
     in tight co-purchase cliques (bundle structure) or span unrelated
     baskets (hub structure)? The degree-resolved answer is how the
@@ -1778,7 +1778,7 @@ def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFram
     (triangle_copurchase's plan — each triangle materializes once, hub
     wedges capped by the orientation trick); the profile groupBy runs
     over the degree domain."""
-    e, adj = _support2_graph(spark, sf_dir)
+    e, adj = _support_graph(spark, sf_dir)
     deg = adj.groupBy(F.col("z").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("dg")
     )

@@ -72,11 +72,28 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[b
     return True, f"OK ({len(srows)} rows)"
 
 
-def check_query(spark, name: str, fn, sql: str | None, sf_dir: str) -> tuple[bool, str]:
+def check_query(
+    spark, name: str, fn, sql: str | None, sf_dir: str,
+    oracle_budget_sec: float | None = None,
+) -> tuple[bool, str]:
+    """Run the Spark query and its DuckDB oracle, compare.
+
+    ``oracle_budget_sec``: warn (in the returned message) when the
+    ORACLE alone exceeds this wall time — an oracle whose cost silently
+    dominates the gate (the frequent_triple lesson: 167 s at sf0.1
+    before its rewrite) should be caught at authoring time, not in a
+    slow verify round."""
+    import time as _time
+
     sdf = fn(spark, sf_dir)
     spdf = sdf.toPandas()
     if sql is None:
         ok = len(spdf) >= 0
         return ok, f"rows-only ({len(spdf)} rows, no oracle)"
+    t0 = _time.time()
     opdf = run_oracle(sql, sf_dir)
-    return compare_frames(spdf, opdf)
+    o_sec = _time.time() - t0
+    ok, msg = compare_frames(spdf, opdf)
+    if ok and oracle_budget_sec is not None and o_sec > oracle_budget_sec:
+        msg += f"  [ORACLE SLOW: {o_sec:.1f}s > {oracle_budget_sec:.0f}s budget]"
+    return ok, msg

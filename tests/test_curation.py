@@ -7,6 +7,8 @@ verdict item #2's 'done' test)."""
 import glob
 import hashlib
 
+import pyspark.sql.functions as F
+
 from ecommerce_lakehouse_spark.pipelines.curation import curate, funnel
 
 BASE_EN = "the quick brown fox jumps over the lazy dog near the river bank"
@@ -293,3 +295,29 @@ def test_clusters_incremental_equals_full_recompute(spark, tmp_path):
     assert {(r.doc_id, r.cluster_id) for r in sub_labels.collect()} == {
         (1, 1), (2, 1), (10, 1), (11, 11)
     }
+
+
+def test_txnless_batches_get_unique_band_tags(spark, tmp_path):
+    """ADVICE r07 regression: every txn-less batch must write a DISTINCT
+    batch_v tag into the band index — a shared constant tag made the
+    stage-4 read-back return ALL prior txn-less bands, degrading the
+    incremental new⋈index candidate join to full index⋈index."""
+    root = str(tmp_path / "cur_txnless")
+    b1 = _docs(spark, [(1, "en", "web", BASE_EN), (2, "fr", "web", BASE_FR)])
+    t = curate(spark, b1, root)
+    tags1 = {r.batch_v for r in t["band_index"].read().select("batch_v").distinct().collect()}
+    assert len(tags1) == 1
+
+    b2 = _docs(
+        spark,
+        [(10, "en", "web",
+          "a completely different english sentence that shares no shingles at all here")],
+    )
+    t = curate(spark, b2, root)
+    bands = t["band_index"].read()
+    tags2 = {r.batch_v for r in bands.select("batch_v").distinct().collect()}
+    assert len(tags2) == 2, f"txn-less batches must not share a tag: {tags2}"
+    # the second batch's tag covers exactly the new doc's bands
+    new_tag = (tags2 - tags1).pop()
+    assert {r.doc_id for r in bands.filter(F.col("batch_v") == new_tag)
+            .select("doc_id").distinct().collect()} == {10}

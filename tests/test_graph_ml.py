@@ -1,5 +1,5 @@
 """Graph-ML wave (graph_ml.py) against independent Python
-recomputations on the same support>=2 co-purchase graph."""
+recomputations on the same relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets)."""
 
 import math
 import os

@@ -75,3 +75,13 @@ def test_comparator_catches_corruption():
     b = pd.DataFrame({"x": [float("nan")]})
     ok, _ = compare_frames(a, b)
     assert ok
+
+
+def test_bench_loop_pipelines_exist_in_registry():
+    """ADVICE r07: a misspelled _LOOP_PIPELINES entry silently
+    misclassifies a query's drift class, skewing the per-class bench
+    medians. Every name in the list must be a registered query."""
+    import bench
+
+    unknown = bench._LOOP_PIPELINES - set(REGISTRY)
+    assert not unknown, f"_LOOP_PIPELINES names not in registry: {sorted(unknown)}"

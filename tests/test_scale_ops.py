@@ -257,7 +257,7 @@ def test_pagerank_copurchase_matches_python_recompute(spark):
 
 def test_triangle_copurchase_matches_python_recompute(spark):
     """Per-node triangle counts must equal a pure-Python recomputation
-    (support>=2 edges, degree-ordered orientation) at sf0.01."""
+    (relative-support edges, degree-ordered orientation) at sf0.01."""
     from collections import Counter, defaultdict
     from itertools import combinations
 

@@ -183,7 +183,7 @@ def test_k_anonymity_consistency(spark, sf_dir):
 
 def test_clustering_coefficient_bounds(spark, sf_dir):
     rows = REGISTRY["clustering_coefficient_profile"](spark, sf_dir).collect()
-    assert rows, "support>=2 graph has degree>=2 nodes at every SF"
+    assert rows, "relative-support graph has degree>=2 nodes at every SF"
     gt = {r.global_transitivity for r in rows}
     assert len(gt) == 1 and 0.0 <= gt.pop() <= 1.0
     for r in rows:

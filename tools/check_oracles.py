@@ -1,10 +1,16 @@
 """Run every registered query against its DuckDB oracle and report.
 
-Usage: python tools/check_oracles.py [--tz ZONE] [sf_dir] [query_name ...]
+Usage: python tools/check_oracles.py [--tz ZONE] [--oracle-budget SEC]
+       [sf_dir] [query_name ...]
 
 --tz runs the whole gate under a non-UTC session timezone (e.g.
 America/New_York) — the probe that catches timestamp normalization bugs
 whose rendered wall clock depends on the session zone.
+
+--oracle-budget SEC (default 5) tags any query whose DUCKDB ORACLE alone
+exceeds SEC wall seconds — expensive oracles silently dominate the gate
+(frequent_triple's original oracle: 167 s at sf0.1) and should be
+rewritten at authoring time. The tag is a warning, not a failure.
 """
 
 from __future__ import annotations
@@ -23,6 +29,11 @@ from ecommerce_lakehouse_spark.testing import check_query
 def main() -> int:
     args = sys.argv[1:]
     tz = None
+    budget = 5.0
+    if "--oracle-budget" in args:
+        i = args.index("--oracle-budget")
+        budget = float(args[i + 1])
+        args = args[:i] + args[i + 2 :]
     if "--tz" in args:
         i = args.index("--tz")
         tz = args[i + 1]
@@ -36,12 +47,16 @@ def main() -> int:
         spark.conf.set("spark.sql.session.timeZone", tz)
         print(f"session timezone: {tz}")
     failures = []
+    slow_oracles = []
+    n_run = 0
     for name, fn in REGISTRY.items():
         if names and name not in names:
             continue
+        n_run += 1
         t0 = time.time()
         try:
-            ok, msg = check_query(spark, name, fn, ORACLES.get(name), sf_dir)
+            ok, msg = check_query(spark, name, fn, ORACLES.get(name), sf_dir,
+                                  oracle_budget_sec=budget)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
         dt = time.time() - t0
@@ -49,7 +64,11 @@ def main() -> int:
         print(f"[{status}] {name:32s} {dt:6.2f}s  {msg}")
         if not ok:
             failures.append(name)
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} passed")
+        if "ORACLE SLOW" in msg:
+            slow_oracles.append(name)
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
+    if slow_oracles:
+        print("slow oracles (over budget):", ", ".join(slow_oracles))
     if failures:
         print("failed:", ", ".join(failures))
     return 1 if failures else 0
