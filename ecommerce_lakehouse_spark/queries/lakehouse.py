@@ -401,7 +401,7 @@ merged AS (
   UNION ALL
   SELECT t.* FROM target t
   WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)),
-final AS (SELECT * FROM merged WHERE NOT (o_orderkey % 15 = 2))
+final AS (SELECT * FROM merged WHERE NOT (o_orderkey % 15 = 4))
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM final GROUP BY 1
@@ -456,9 +456,15 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.overwrite(target.coalesce(8))  # v1
     mv.refresh()  # bootstrap at v1
     src.merge(updates, keys=["o_orderkey"])  # v2: group-moving updates
-    mv.refresh()  # incremental
-    src.delete("o_orderkey % 15 = 2")  # v3
-    mv.refresh()  # incremental
+    src.delete("o_orderkey % 15 = 4")  # v3 (4 mod 3 = 1 so the base
+    # %6==1 filter intersects — the delete really removes rows; the old
+    # %15==2 predicate was vacuous against %6==1, fixed r08)
+    # ONE feed-ranged incremental refresh folds commits v2..v3 (refresh
+    # slices changes(cursor+1, head)) — the fold is associative over the
+    # slice, so per-commit refreshes land on the identical mart state
+    # (tests/test_mv.py locks that equivalence); ranged catch-up is also
+    # the operational shape (a refresh schedule lags the write path).
+    mv.refresh()  # incremental: folds the v2 MERGE + v3 DELETE slice
     return mart.read().select(
         "o_orderstatus",
         "n_rows",

@@ -67,6 +67,17 @@ def test_mv_incremental_equals_recompute(spark, tmp_path):
     assert mv.refresh() is None
     assert dst.current_version() == v
 
+    # RANGED catch-up: two source commits folded by ONE refresh land on
+    # the identical state per-commit refreshes would (fold associativity
+    # over the slice — the shape mv_incremental_refresh benches)
+    src.merge(
+        spark.createDataFrame([(6, "d", 9.00)], "k int, g string, amt double"),
+        keys=["k"],
+    )
+    src.delete("k = 1")
+    assert mv.refresh() == src.current_version()
+    assert _state(dst) == _recompute(src)
+
 
 def test_mv_cursor_survives_reconstruction(spark, tmp_path):
     """The refresh cursor lives in the TABLE (txn metadata), not the
