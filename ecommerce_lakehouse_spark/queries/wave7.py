@@ -1270,6 +1270,16 @@ def dedup_mixture_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tok_dedup"),
         )
     )
+    return mixture_shift_summary(per_source)
+
+
+def mixture_shift_summary(per_source: DataFrame) -> DataFrame:
+    """Shares + shift from an exact-integer per-source frame (source,
+    n_docs, n_canonical, tok_raw, tok_dedup) — factored out so the
+    streaming twin (streaming/jobs.py::stream_mixture_shift) derives
+    the identical summary from its folded state (the
+    ph_summary_from_daily pattern): equal integers in, bit-identical
+    doubles out (each share is a single division of exact BIGINTs)."""
     tot = per_source.agg(
         F.sum("tok_raw").cast("long").alias("raw_total"),
         F.sum("tok_dedup").cast("long").alias("dedup_total"),
@@ -1391,6 +1401,18 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+    return hw_forecast_from_monthly(m)
+
+
+def hw_forecast_from_monthly(m: DataFrame) -> DataFrame:
+    """The Holt-Winters fit + forecast over any exact (month, revenue)
+    monthly frame - factored out so the streaming twin
+    (streaming/jobs.py::stream_holt_winters) recomputes the identical
+    forecast from its folded monthly-cents state (the
+    ph_summary_from_daily pattern). Bit-equality rests on the monthly
+    revenue doubles matching: the stream folds exact cents (BIGINT) and
+    divides by 100 once, landing on the same nearest-double as the
+    batch decimal sum."""
     arr = m.agg(
         F.expr("array_sort(collect_list(struct(month, revenue)))").alias("a")
     )

@@ -1054,3 +1054,220 @@ def stream_spike_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_holt_winters(
+    orders: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+):
+    """Streaming Holt-Winters forecaster — the streaming face of
+    `holt_winters_seasonal` (queries/wave7.py) and the fifth member of
+    the fold-state-then-recompute family (PH drift, spike flags, KLL,
+    heavy hitters): each micro-batch folds its per-MONTH exact cents
+    additively into the calendar-domain-bounded monthly state, then
+    recomputes the full level/trend/seasonal fit + 6-month forecast
+    from that state with the exact batch expression
+    (`hw_forecast_from_monthly`) — so after any chunking of the order
+    stream the forecast is BIT-IDENTICAL to the batch query (tested;
+    the monthly revenue double is one division of exact cents, the
+    same nearest-double the batch decimal sum lands on).
+
+    Exactly-once: the monthly fold is non-idempotent, so it commits
+    with the Delta txn pattern (explicit-None batch-0 guard); the
+    forecast overwrite is idempotent and still runs on a replayed
+    batch (the torn-commit lesson).
+
+    Scale: state is one row per MONTH; the fit is an in-row fold over
+    that bounded frame — the sanctioned class."""
+    spark = orders.sparkSession
+    monthly_t = LakeTable(spark, os.path.join(state_root, "monthly"))
+    fc_t = LakeTable(spark, os.path.join(state_root, "forecast"))
+    app = f"hw:{state_root}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ecommerce_lakehouse_spark.queries.wave7 import (
+            hw_forecast_from_monthly,
+        )
+
+        inc = (
+            batch_df.select(
+                F.to_date(F.date_trunc("month", "o_orderdate")).alias(
+                    "month"
+                ),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("month")
+            .agg(F.sum("cents").cast("long").alias("cents"))
+        )
+        if inc.isEmpty():
+            return
+        txn = {"app_id": app, "version": int(batch_id)}
+        _m_last = monthly_t.last_txn(app) if monthly_t.exists() else None
+        if _m_last is not None and _m_last >= batch_id:
+            pass  # replayed micro-batch: cents already folded
+        elif monthly_t.exists():
+            merged = (
+                monthly_t.read()
+                .unionByName(inc)
+                .groupBy("month")
+                .agg(F.sum("cents").cast("long").alias("cents"))
+            )
+            monthly_t.overwrite(merged, txn=txn)
+        else:
+            monthly_t.overwrite(inc, txn=txn)
+        _f_last = fc_t.last_txn(app) if fc_t.exists() else None
+        if _f_last is not None and _f_last >= batch_id:
+            return
+        m = monthly_t.read().select(
+            "month",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+        )
+        fc_t.overwrite(hw_forecast_from_monthly(m), txn=txn)
+
+    return (
+        orders.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_mixture_shift(
+    docs: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+):
+    """Streaming dedup-mixture-shift audit — the streaming face of
+    `dedup_mixture_shift` (queries/wave7.py): per micro-batch it folds
+    (a) per-SOURCE raw counters (n_docs, tok_raw — additive BIGINTs)
+    and (b) the per-HASH canonical-survivor state (keep = min doc_id
+    seen so far, with the keep's source and token count — merged by
+    min, so a later batch's duplicate of an earlier doc attributes its
+    canonical mass exactly as the batch query over the union would),
+    then recomputes the full per-source summary from the two states
+    with the exact batch expression (`mixture_shift_summary`) — so
+    after any chunking of the document stream the shares are
+    BIT-IDENTICAL to the batch query (tested; equal exact integers in,
+    identical single-division doubles out).
+
+    Exactly-once: the raw-counter fold is non-idempotent, so it
+    commits with the Delta txn pattern (explicit-None batch-0 guard).
+    The hash-state merge is idempotent by construction (min of min),
+    but carries the same guard so a replay costs nothing; the summary
+    overwrite is idempotent and still runs on a replayed batch (the
+    torn-commit lesson).
+
+    Scale: raw state is one row per SOURCE; hash state is one row per
+    DISTINCT content hash — exactly the state any streaming exact-dedup
+    keeps (the fixed-width md5 groupBy shape; text never enters the
+    state). The summary is a source-cardinality aggregate over the
+    hash state plus one broadcast of 1-row totals."""
+    spark = docs.sparkSession
+    raw_t = LakeTable(spark, os.path.join(state_root, "raw_counts"))
+    hash_t = LakeTable(spark, os.path.join(state_root, "hash_state"))
+    sum_t = LakeTable(spark, os.path.join(state_root, "summary"))
+    app = f"mix:{state_root}"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ecommerce_lakehouse_spark.queries.wave7 import (
+            mixture_shift_summary,
+        )
+
+        d = batch_df.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+                )
+            )
+            .cast("long")
+            .alias("n_tok"),
+        )
+        if d.isEmpty():
+            return
+        d = d.localCheckpoint(eager=True)  # both folds read it
+        txn = {"app_id": app, "version": int(batch_id)}
+
+        raw_inc = d.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tok_raw"),
+        )
+        _r_last = raw_t.last_txn(app) if raw_t.exists() else None
+        if _r_last is not None and _r_last >= batch_id:
+            pass  # replayed micro-batch: counters already folded
+        elif raw_t.exists():
+            merged = (
+                raw_t.read()
+                .unionByName(raw_inc)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("tok_raw").cast("long").alias("tok_raw"),
+                )
+            )
+            raw_t.overwrite(merged, txn=txn)
+        else:
+            raw_t.overwrite(raw_inc, txn=txn)
+
+        hash_inc = d.groupBy("h").agg(
+            F.min("doc_id").alias("keep"),
+            F.min_by("source", "doc_id").alias("keep_source"),
+            F.min_by("n_tok", "doc_id").alias("keep_ntok"),
+        )
+        _h_last = hash_t.last_txn(app) if hash_t.exists() else None
+        if _h_last is not None and _h_last >= batch_id:
+            pass  # replayed: min-merge is idempotent anyway
+        elif hash_t.exists():
+            merged = (
+                hash_t.read()
+                .unionByName(hash_inc)
+                .groupBy("h")
+                .agg(
+                    F.min("keep").alias("keep"),
+                    F.min_by("keep_source", "keep").alias("keep_source"),
+                    F.min_by("keep_ntok", "keep").alias("keep_ntok"),
+                )
+            )
+            hash_t.overwrite(merged, txn=txn)
+        else:
+            hash_t.overwrite(hash_inc, txn=txn)
+
+        _s_last = sum_t.last_txn(app) if sum_t.exists() else None
+        if _s_last is not None and _s_last >= batch_id:
+            return
+        canon = hash_t.read().groupBy(
+            F.col("keep_source").alias("source")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_canonical"),
+            F.sum("keep_ntok").cast("long").alias("tok_dedup"),
+        )
+        per_source = (
+            raw_t.read()
+            .join(canon, "source", "left")
+            .select(
+                "source",
+                "n_docs",
+                F.coalesce("n_canonical", F.lit(0)).cast("long").alias(
+                    "n_canonical"
+                ),
+                "tok_raw",
+                F.coalesce("tok_dedup", F.lit(0)).cast("long").alias(
+                    "tok_dedup"
+                ),
+            )
+        )
+        sum_t.overwrite(mixture_shift_summary(per_source), txn=txn)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -951,3 +951,165 @@ def test_stream_page_hinkley_matches_batch(spark, sf_dir, tmp_path):
     q2 = stream_page_hinkley(stream, state, ckpt)
     q2.awaitTermination(60)
     assert sum_t.current_version() == v_before
+
+
+def test_stream_holt_winters_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed==batch for the Holt-Winters twin: folding the order
+    stream in two micro-batches and recomputing the fit from the
+    monthly-cents state must reproduce the batch holt_winters_seasonal
+    rows bit-exactly; a checkpoint restart adds nothing."""
+    import os
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_holt_winters
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    t = _pq.read_table(src, columns=["o_orderdate", "o_totalprice"])
+    spool = tmp_path / "orders_spool"
+    spool.mkdir()
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(0, half), str(spool / "a.parquet"))
+    _pq.write_table(t.slice(half), str(spool / "b.parquet"))
+    stream = (
+        spark.readStream.schema("o_orderdate timestamp_ntz, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "hw_state")
+    ckpt = str(tmp_path / "hw_ckpt")
+    q = stream_holt_winters(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    want = sorted(
+        map(tuple, REGISTRY["holt_winters_seasonal"](spark, sf_dir).collect())
+    )
+    fc_t = LakeTable(spark, os.path.join(state, "forecast"))
+    got = sorted(map(tuple, fc_t.read().collect()))
+    assert got == want
+    monthly_t = LakeTable(spark, os.path.join(state, "monthly"))
+    v_m, v_f = monthly_t.current_version(), fc_t.current_version()
+    q2 = stream_holt_winters(stream, state, ckpt)
+    q2.awaitTermination(60)
+    assert monthly_t.current_version() == v_m
+    assert fc_t.current_version() == v_f
+
+
+def test_stream_holt_winters_batch_zero_replay(spark, sf_dir, tmp_path):
+    """Batch-0 replay (checkpoint wiped after the first commit) must
+    not re-fold cents into the monthly state."""
+    import os
+    import shutil
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_holt_winters
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    t = _pq.read_table(src, columns=["o_orderdate", "o_totalprice"])
+    spool = tmp_path / "orders_spool"
+    spool.mkdir()
+    _pq.write_table(t, str(spool / "a.parquet"))
+    stream = (
+        spark.readStream.schema("o_orderdate timestamp_ntz, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "hw_state")
+    ckpt = str(tmp_path / "hw_ckpt")
+    q = stream_holt_winters(stream, state, ckpt)
+    q.awaitTermination(120)
+    monthly_t = LakeTable(spark, os.path.join(state, "monthly"))
+    assert monthly_t.last_txn(f"hw:{state}") == 0
+    want = sorted(map(tuple, monthly_t.read().collect()))
+
+    shutil.rmtree(ckpt)
+    q2 = stream_holt_winters(stream, state, ckpt)
+    q2.awaitTermination(120)
+    got = sorted(map(tuple, monthly_t.read().collect()))
+    assert got == want  # cents not double-folded
+
+
+def test_stream_mixture_shift_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed==batch for the dedup-mixture-shift twin: the split is
+    by doc_id parity so cross-batch duplicates exist (the canonical
+    min-doc_id survivor must resolve ACROSS batches); the recomputed
+    summary must equal the batch dedup_mixture_shift bit-exactly."""
+    import os
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.queries import REGISTRY
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_mixture_shift
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = _pq.read_table(src, columns=["doc_id", "source", "text"])
+    spool = tmp_path / "docs_spool"
+    spool.mkdir()
+    # later half (higher doc_ids) FIRST: the keep must migrate to the
+    # earlier doc when its batch arrives second
+    half = t.num_rows // 2
+    _pq.write_table(t.slice(half), str(spool / "a.parquet"))
+    _pq.write_table(t.slice(0, half), str(spool / "b.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "mix_state")
+    ckpt = str(tmp_path / "mix_ckpt")
+    q = stream_mixture_shift(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    want = sorted(
+        map(tuple, REGISTRY["dedup_mixture_shift"](spark, sf_dir).collect())
+    )
+    sum_t = LakeTable(spark, os.path.join(state, "summary"))
+    got = sorted(map(tuple, sum_t.read().collect()))
+    assert got == want
+    raw_t = LakeTable(spark, os.path.join(state, "raw_counts"))
+    v_r, v_s = raw_t.current_version(), sum_t.current_version()
+    q2 = stream_mixture_shift(stream, state, ckpt)
+    q2.awaitTermination(60)
+    assert raw_t.current_version() == v_r
+    assert sum_t.current_version() == v_s
+
+
+def test_stream_mixture_shift_batch_zero_replay(spark, sf_dir, tmp_path):
+    """Batch-0 replay must not double the raw per-source counters (the
+    non-idempotent fold; the hash min-merge is idempotent by shape)."""
+    import os
+    import shutil
+    import pyarrow.parquet as _pq
+
+    from ecommerce_lakehouse_spark.lake import LakeTable
+    from ecommerce_lakehouse_spark.streaming.jobs import stream_mixture_shift
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = _pq.read_table(src, columns=["doc_id", "source", "text"])
+    spool = tmp_path / "docs_spool"
+    spool.mkdir()
+    _pq.write_table(t, str(spool / "a.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(spool))
+    )
+    state = str(tmp_path / "mix_state")
+    ckpt = str(tmp_path / "mix_ckpt")
+    q = stream_mixture_shift(stream, state, ckpt)
+    q.awaitTermination(120)
+    raw_t = LakeTable(spark, os.path.join(state, "raw_counts"))
+    assert raw_t.last_txn(f"mix:{state}") == 0
+    want = sorted(map(tuple, raw_t.read().collect()))
+
+    shutil.rmtree(ckpt)
+    q2 = stream_mixture_shift(stream, state, ckpt)
+    q2.awaitTermination(120)
+    got = sorted(map(tuple, raw_t.read().collect()))
+    assert got == want  # counters not double-folded
