@@ -353,24 +353,42 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs too short to have spans carry rate 0 and survive — absence of
     evidence is not boilerplate.
 
-    Scale: the collapse groupBy shuffles only (md5, doc_id); the rate
-    side is span_dup_rate's bounded shape; the final join is id-to-id
-    on already-slim frames. Nothing here is pairwise in duplicate
-    multiplicity."""
+    Scale — COLLAPSE-FIRST (r08, the embedding-dedup discipline):
+    span content is a function of TEXT, so both sides run over the
+    distinct-text table: global span multiplicities weight each
+    distinct text's spans by its copy count (identical totals to
+    per-occurrence counting), and rates are computed once per
+    canonical doc instead of once per raw doc. On the 10x-replication
+    smoke (90% exact dups) the span shuffles shrink 10x; the raw-doc
+    corpus never feeds the span stage at all. The collapse groupBy's
+    combiner keeps at most one text per distinct hash per task, so
+    text crosses the wire once per distinct text, not per copy."""
     d = load(spark, sf_dir, "documents")
-    canon = d.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id")
+    collapsed = d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
-    spans = _span_hashes(d)
-    counts = spans.groupBy("h").agg(F.count("*").alias("n"))
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    spans_expr = F.transform(
+        F.sequence(F.lit(1), F.size("w") - F.lit(_K - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _K))),
+    )
+    spans_w = (
+        collapsed.select("doc_id", "n_copies", w.alias("w"))
+        .filter(F.size("w") >= _K)
+        .select("doc_id", "n_copies", F.explode(spans_expr).alias("h"))
+    )
+    counts = spans_w.groupBy("h").agg(F.sum("n_copies").alias("n"))
     isdup = F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0))
     rates = (
-        spans.join(counts, "h")
+        spans_w.join(counts, "h")
         .groupBy("doc_id")
         .agg((F.sum(isdup).cast("double") / F.count("*")).alias("dup_span_rate"))
     )
     return (
-        canon.join(rates, "doc_id", "left")
+        collapsed.select("doc_id")
+        .join(rates, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("dup_span_rate", F.lit(0.0)).alias("dup_span_rate"),
