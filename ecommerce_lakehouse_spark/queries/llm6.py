@@ -15,7 +15,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -451,10 +450,6 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_VOCAB_PARTS = 4  # loop-table width: tasks per merge round
-
-_BPE_CHAIN = 2  # merge rounds per checkpoint barrier (see loop comment)
-
 _BPE_STEPS = 32  # fixed training budget shared with the oracle; the
 # corpus vocabulary supports 89 merges before pair exhaustion, so every
 # SF trains the full 32 without hitting the empty-pair edge
@@ -517,151 +512,26 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: THE trick is that BPE never touches the corpus after the
     first pass — each iteration runs over the distinct-WORD frequency
     table (vocabulary-bounded: millions of rows at 100 TB, not
-    trillions), so a 50k-merge vocab is 50k tiny jobs over a table that
-    fits in a fraction of one executor (exercised here at 32 real
-    merges, per-step checkpoint barriers bounding every job's lineage); the chosen merge joins back via
-    a 1-row broadcast, never a collect of data rows. Symbol sequences
-    ride as padded strings so the merge apply is a single JVM
-    ``replace`` (left-to-right non-overlapping in both engines — greedy
-    BPE order)."""
+    trillions), so the round loop is a FIXED-COST problem — run here as
+    grouped 1-row top-merge collects with literal replace re-entry
+    (operators/bpe.py: 8 driver actions for the 32 merges over one
+    checkpointed 4-partition vocab frame, flat lineage, no per-round
+    jobs). Symbol sequences ride as padded strings so the merge apply
+    is a single JVM ``replace`` (left-to-right non-overlapping in both
+    engines — greedy BPE order)."""
     merges, _ = _bpe_train(spark, sf_dir)
     return merges.orderBy("step")
 
 
-def _bpe_top_merge(wf: DataFrame) -> DataFrame:
-    """Most frequent adjacent symbol pair, corpus-weighted, lexicographic
-    tiebreak — one tiny job over the vocabulary-bounded word table."""
-    t = F.filter(F.split("seq", " "), lambda x: x != "")
-    return (
-        wf.select("freq", t.alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(t, 1, size(t)-1), slice(t, 2,"
-                    " size(t)-1), (a, b) -> struct(a AS l, b AS r))"
-                )
-            ).alias("g"),
-        )
-        .groupBy(
-            F.concat("g.l", F.lit(" "), "g.r").alias("pair"),
-            F.concat("g.l", "g.r").alias("token"),
-        )
-        .agg(F.sum("freq").cast("long").alias("wc"))
-        # scalar struct-min instead of ORDER BY wc DESC, token LIMIT 1:
-        # same winner (negated count, then token — the oracle's ordering,
-        # with pair as a final disambiguator), but a pure partial-agg
-        # single-row reduce, no TakeOrdered driver round-trip — measured
-        # ~2 s over the 32 training rounds
-        .agg(
-            F.min(
-                F.struct((-F.col("wc")).alias("nwc"), "token", "pair")
-            ).alias("b")
-        )
-        .select(
-            F.col("b.pair").alias("pair"),
-            F.col("b.token").alias("token"),
-            (-F.col("b.nwc")).cast("long").alias("wc"),
-        )
-    )
-
-
-_BPE_CACHE: dict = {}
-
-
-def _bpe_train(
-    spark: SparkSession, sf_dir: str, steps: int = _BPE_STEPS
-) -> tuple[DataFrame, DataFrame]:
-    """Run BPE training: returns (merge table, final word table). The
-    word table keeps the raw ``word`` column so consumers can map any
-    word to its post-merge symbol sequence (the encode path).
-
-    Training is memoized per (application, sf_dir, steps): the merge
-    table and post-merge vocabulary are deterministic artifacts backed
-    by checkpointed frames, so a session that both trains and encodes
-    (the deployment shape: train once, ship the vocab, every encode job
-    reuses it) pays the 32 sequential merge rounds once."""
-    key = (spark.sparkContext.applicationId, sf_dir, steps)
-    if key in _BPE_CACHE:
-        return _BPE_CACHE[key]
-    toks = load(spark, sf_dir, "documents").select(
-        F.explode(
-            F.filter(
-                F.split(
-                    F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "
-                ),
-                lambda x: x != "",
-            )
-        ).alias("word")
-    )
-    wf = (
-        toks.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .select(
-            "word",
-            "freq",
-            F.concat(
-                F.lit(" "),
-                F.array_join(F.expr("regexp_extract_all(word, '(.)', 1)"), " "),
-                F.lit(" "),
-            ).alias("seq"),
-        )
-        # shrink the vocab table to a few partitions ONCE before the loop:
-        # every merge round re-materializes it, and task count per round
-        # should scale with the vocabulary (tiny), not with
-        # spark.sql.shuffle.partitions — measured 14.3 s -> 9.5 s for the
-        # 32-round training at sf0.1. Production sizes _BPE_VOCAB_PARTS by
-        # vocab bytes / target partition bytes; the word-count groupBy
-        # itself still runs at full shuffle width (the corpus-sized stage).
-        .repartition(_BPE_VOCAB_PARTS)
-        .transform(iter_barrier)  # vocabulary-bounded; each merge re-reads it
-    )
-    out = None
-    for step in range(1, steps + 1):
-        # the wf checkpoint is load-bearing at 32 merges (the pagerank
-        # lesson): without it step k's plan chains k crossJoins and
-        # every job re-derives all prior merges — quadratic in steps.
-        # top is NOT checkpointed: each wf_k materialization computes it
-        # as a broadcast subtree over the checkpointed wf_{k-1} (one job
-        # per step total), and the final merge-table union re-derives
-        # the 32 one-row aggregates inside a single action — 32 tiny
-        # stages over materialized inputs, not 32 extra jobs.
-        top = _bpe_top_merge(wf).select(
-            F.lit(step).cast("int").alias("step"), "pair", "token", "wc"
-        )
-        out = top if out is None else out.unionByName(top)
-        wf = wf.crossJoin(F.broadcast(top.select("pair", "token"))).select(
-            "word",
-            "freq",
-            F.when(F.col("pair").isNull(), F.col("seq"))
-            .otherwise(
-                F.replace(
-                    F.col("seq"),
-                    F.concat(F.lit(" "), "pair", F.lit(" ")),
-                    F.concat(F.lit(" "), "token", F.lit(" ")),
-                )
-            )
-            .alias("seq"),
-        )
-        # CHAINED rounds (VERDICT r06 item #3): checkpoint every
-        # _BPE_CHAIN-th round instead of every round. Within a chain
-        # the next top-merge is computed over the UN-checkpointed
-        # merged frame — semantically identical (the plan applies the
-        # prior merge before counting pairs), and the broadcast
-        # subtrees it re-executes are scans of the tiny vocabulary
-        # table (re-execution doubles per chain level, so keep the
-        # chain short). Halves the per-round job count: each job's
-        # fixed cost is the dominant term at 32 rounds (BASELINE.md
-        # "per-job fixed-cost inflation" note).
-        if step % _BPE_CHAIN == 0 or step == steps:
-            wf = wf.transform(iter_barrier)
-    # a corpus with fewer mergeable pairs than the budget exhausts early:
-    # the scalar-agg top yields an all-NULL row per exhausted step (the
-    # oracle's LIMIT 1 yields no row) — drop them so both agree
-    out = out.filter(F.col("pair").isNotNull())
-    _BPE_CACHE[key] = (out, wf)
-    return out, wf
+# The training loop itself is a control-plane operator (grouped 1-row
+# top-merge collects + literal replace re-entry) and lives in
+# operators/bpe.py; re-exported here under the historical names for the
+# tests and the encode/persist consumers below.
+from ecommerce_lakehouse_spark.operators.bpe import (  # noqa: E402
+    _BPE_CACHE,
+    bpe_top_merge as _bpe_top_merge,
+    bpe_train as _bpe_train,
+)
 
 
 def bpe_train_to_table(

@@ -88,7 +88,11 @@ def build_corpus(spark, base: str, out: str, k: int) -> dict:
         )
         for c in keys:
             reps = reps.withColumn(c, F.col(c) + F.col("__rep") * strides[c])
-        reps.drop("__rep").write.mode("overwrite").parquet(
+        # replicated text compresses so well that a naive write lands in
+        # ONE input split (a 5M-doc table under 128 MB) and every scan
+        # runs 1-2 tasks — write 64 files so the fixture parallelizes
+        # like real data of this row count would
+        reps.drop("__rep").repartition(64).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
         sizes[t] = df.count() * k
