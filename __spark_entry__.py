@@ -52,8 +52,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-gated). After a green r07, every registry query has a
 # driver-gated row in some round r01-r07.
 _FIRST = [
-    # never-gated round-6 tail (12) — pinned until each has a green
-    # CORRECTNESS_r07 row (VERDICT r06 item #1)
+    # ROTATION r08: every registry query has been driver-gated green in
+    # some round r01-r07 (zero never-sampled remain), so the window now
+    # leads with the queries whose IMPLEMENTATIONS changed in round 8 —
+    # the mv fold checkpoint + ranged refresh + non-vacuous delete, the
+    # BPE collect-loop restructure, the collapse-first span clean, the
+    # curation batch-tag fix, the graph-helper rename consumers, and
+    # the kll grouped-merge broadcast removal.
+    "mv_incremental_refresh",
+    "bpe_merge_steps",
+    "bpe_encode_stats",
+    "span_dedup_clean",
+    "span_dedup_spans",
+    "span_dup_rate",
+    "corpus_curation_pipeline",
+    "grouped_quantile_sketch",
+    "kll_quantile_sketch",
+    "holt_winters_seasonal",
+    "dedup_mixture_shift",
+    "adamic_adar_links",
+    "common_neighbors_jaccard",
+    "kcore_peeling_profile",
+    "pagerank_copurchase",
+    "label_propagation_communities",
+    "copurchase_degree_profile",
+    "clustering_coefficient_profile",
+    # r07 rotation below (kept: recent code, high regression value)
     "simhash_hamming_pairs",
     "random_projection_distortion",
     "dbscan_customer_segments",

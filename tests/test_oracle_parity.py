@@ -85,3 +85,19 @@ def test_bench_loop_pipelines_exist_in_registry():
 
     unknown = bench._LOOP_PIPELINES - set(REGISTRY)
     assert not unknown, f"_LOOP_PIPELINES names not in registry: {sorted(unknown)}"
+
+
+def test_rotation_window_names_exist_in_registry():
+    """Same failure mode as _LOOP_PIPELINES: a misspelled _FIRST/_NEXT
+    rotation name silently drops out of the driver's correctness window
+    instead of erroring — every curated name must be a registered query."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    src = open(entry_mod.__file__).read()
+    for block in ("_FIRST = [", "_NEXT = ["):
+        body = src.split(block)[1].split("]")[0]
+        names = re.findall(r'"([a-z0-9_]+)"', body)
+        unknown = [n for n in names if n not in REGISTRY]
+        assert not unknown, f"{block[:-4]} names not in registry: {unknown}"
