@@ -8,6 +8,10 @@ from ecommerce_lakehouse_spark.lake import LakeTable
 from ecommerce_lakehouse_spark.pipelines import run_medallion
 from ecommerce_lakehouse_spark.quality import AlertPolicy, QualityAlertError
 
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def _write_inputs(spark, d, orders_rows, lineitem_rows):
     spark.createDataFrame(

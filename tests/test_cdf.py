@@ -6,6 +6,10 @@ import pytest
 
 from ecommerce_lakehouse_spark.lake.table import LakeTable
 
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def _df(spark, rows):
     return spark.createDataFrame(rows, "id int, k string, v double")

@@ -11,6 +11,12 @@ import pyspark.sql.functions as F
 
 from ecommerce_lakehouse_spark.pipelines.curation import curate, funnel
 
+import pytest
+
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
 BASE_EN = "the quick brown fox jumps over the lazy dog near the river bank"
 BASE_FR = "le chat noir dort sur le tapis rouge pres de la fenetre ce soir"
 

@@ -29,6 +29,13 @@ from ecommerce_lakehouse_spark.queries.mining import (
     pava_fold_sql,
 )
 
+import pytest
+
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
+
 SETTINGS = dict(
     max_examples=10,
     deadline=None,

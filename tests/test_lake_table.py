@@ -6,6 +6,10 @@ import pytest
 
 from ecommerce_lakehouse_spark.lake import LakeTable, merge_upsert
 
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def tbl(spark, tmp_path):

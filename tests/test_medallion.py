@@ -5,6 +5,12 @@ import pyspark.sql.functions as F
 from ecommerce_lakehouse_spark.pipelines import run_medallion
 from ecommerce_lakehouse_spark.tables import load
 
+import pytest
+
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def test_medallion_end_to_end(spark, sf_dir, tmp_path):
     t = run_medallion(spark, sf_dir, str(tmp_path / "lake"))

@@ -6,6 +6,12 @@ import pyspark.sql.functions as F
 from ecommerce_lakehouse_spark.lake import LakeTable
 from ecommerce_lakehouse_spark.lake.mv import MaterializedAggregate
 
+import pytest
+
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
 
 def _state(t):
     return {

@@ -9,6 +9,12 @@ import pytest
 from ecommerce_lakehouse_spark.queries import ORACLES, REGISTRY
 from ecommerce_lakehouse_spark.testing import check_query
 
+# The full 273-query DuckDB parity sweep (the same gate tools/check_oracles.py
+# runs standalone at three SFs in round-close). Slow tier: ~7 min of the suite;
+# iterate per-query with  python tools/check_oracles.py <sf_dir> <name>  instead.
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(spark, sf_dir, name):

@@ -582,6 +582,13 @@ from ecommerce_lakehouse_spark.operators.sketch import (  # noqa: E402
     md5_hash60,
 )
 
+import pytest
+
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
+
 sk_vals = st.lists(
     st.tuples(st.integers(min_value=0, max_value=10**6), st.integers(0, 2)),
     min_size=1,

@@ -13,6 +13,13 @@ from ecommerce_lakehouse_spark.streaming import (
     windowed_event_counts,
 )
 
+import pytest
+
+# end-to-end storage/streaming/property tier (README two-tier note):
+# the fast path skips these with  -m "not slow"
+pytestmark = pytest.mark.slow
+
+
 
 def _run_to_memory(stream_df, spark, name, checkpoint, output_mode="complete"):
     q = (
