@@ -1053,19 +1053,25 @@ def pq_trained_codebook_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg0 = assign(cent).transform(iter_barrier)  # sampled-codebook encoding
     asg = asg0
     for r in range(_PT_ROUNDS):
-        sums = (
-            asg.select("k", "cid", F.posexplode("sv").alias("d", "val"))
-            .groupBy("k", "cid", "d")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "k", "cid", "d", F.expr("(2 * s + n) DIV (2 * n)").alias("comp")
-            )
+        # centroid update as 8 column-wise sums instead of a posexplode
+        # fanout (the semantic_cluster_dups r08 rewrite): the explode
+        # form shuffled members×8 rows per round; this aggregates member
+        # rows map-side into 9 combiner cells per (k, cid) — identical
+        # exact integers; the round's shuffle shrinks 8×, the term that
+        # grows with corpus size at 100 TB
+        agg = asg.groupBy("k", "cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("sv", i + 1)).alias(f"s{i}")
+                for i in range(8)
+            ],
         )
-        newc = sums.groupBy("k", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "comp"))),
-                lambda x: x["comp"],
-            ).alias("nc")
+        newc = agg.select(
+            "k",
+            "cid",
+            F.array(
+                *[F.expr(f"(2 * s{i} + n) DIV (2 * n)") for i in range(8)]
+            ).alias("nc"),
         )
         cent = (
             cent.join(newc, ["k", "cid"], "left")

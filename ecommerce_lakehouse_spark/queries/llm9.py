@@ -239,17 +239,30 @@ def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(_SD_ROUNDS):
         asg = assign(cent)
-        sums = (
-            asg.select("cid", F.posexplode("u").alias("d", "val"))
-            .groupBy("cid", "d")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select("cid", "d", F.expr("(2 * s + n) DIV (2 * n)").alias("comp"))
+        # centroid update as _DIM column-wise sums instead of a
+        # posexplode fanout: the explode form shuffled members×_DIM rows
+        # per round, this aggregates member rows map-side into
+        # (_DIM+1) combiner cells per cid — same exact integers (n is
+        # the member count for every dimension of a cid, each s_i the
+        # BIGINT sum of u[i]), same rounded-mean DIV. Local wall is flat
+        # (the assign() distance map dominates on 32 warm cores); the
+        # win is the round's shuffle shrinking _DIM× — the term that
+        # grows with corpus size at 100 TB
+        agg = asg.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("u", i + 1)).alias(f"s{i}")
+                for i in range(_DIM)
+            ],
         )
-        newc = sums.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "comp"))),
-                lambda x: x["comp"],
-            ).alias("nc")
+        newc = agg.select(
+            "cid",
+            F.array(
+                *[
+                    F.expr(f"(2 * s{i} + n) DIV (2 * n)")
+                    for i in range(_DIM)
+                ]
+            ).alias("nc"),
         )
         cent = (
             cent.join(newc, "cid", "left")
