@@ -93,16 +93,12 @@ _FIRST = [
     # new in r07 (never-gated by construction)
     "mmr_diversified_topk",
     "embedding_pca_power",
-    "dedup_mixture_shift",
-    "common_neighbors_jaccard",
     "revenue_periodogram",
     "pacf_durbin_levinson",
     "page_hinkley_drift",
     "propensity_strata_ate",
-    "holt_winters_seasonal",
     "heaps_law_fit",
     "k_anonymity_audit",
-    "clustering_coefficient_profile",
     "discount_uplift_profile",
     "safety_stock_plan",
     "semantic_contamination_audit",

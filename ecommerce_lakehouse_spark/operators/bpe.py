@@ -36,16 +36,6 @@ from ecommerce_lakehouse_spark.tables import load
 
 _BPE_VOCAB_PARTS = 4  # loop-table width: tasks per merge round
 
-_BPE_COLLECT = 1  # merge rounds resolved per driver action. Grouping
-# (c > 1) embeds branch j-1's pair-agg SHUFFLE inside branch j's
-# subtree, so in-action re-execution grows 2^c in shuffles, not just
-# scans — measured at sf0.1 (fresh-JVM, matched protocol): c=1 8.8 s,
-# c=2 ~9.2 s, c=4 ~14 s vs the round-7 chained-checkpoint form's
-# 11.6 s; with the loop-scoped conf trims below, c=1 lands at 6.8-7.7 s.
-# One action per merge with literal re-entry is the floor: each action
-# is scan→pair-agg→scalar-min over the checkpointed 4-partition vocab
-# with NO re-execution anywhere.
-
 
 def bpe_top_merge(wf: DataFrame) -> DataFrame:
     """Most frequent adjacent symbol pair, corpus-weighted, lexicographic
@@ -86,25 +76,6 @@ def bpe_top_merge(wf: DataFrame) -> DataFrame:
 
 
 _BPE_CACHE: dict = {}
-
-
-def _apply_merge_subtree(wf: DataFrame, top: DataFrame) -> DataFrame:
-    """Apply a 1-row (pair, token) frame to the word table as a plan
-    subtree (broadcast crossJoin) — used only WITHIN a collect group,
-    where the merge value isn't known yet."""
-    return wf.crossJoin(F.broadcast(top.select("pair", "token"))).select(
-        "word",
-        "freq",
-        F.when(F.col("pair").isNull(), F.col("seq"))
-        .otherwise(
-            F.replace(
-                F.col("seq"),
-                F.concat(F.lit(" "), "pair", F.lit(" ")),
-                F.concat(F.lit(" "), "token", F.lit(" ")),
-            )
-        )
-        .alias("seq"),
-    )
 
 
 def bpe_train(
@@ -162,18 +133,27 @@ def bpe_train(
     # costs more than it can save on a plan this small). Both are
     # restored after the loop — the corpus-sized word-count stage above
     # already ran at full width (the checkpoint is eager).
-    conf = spark.conf
-    saved = {
-        "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
-        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
-    }
-    conf.set("spark.sql.shuffle.partitions", str(_BPE_VOCAB_PARTS))
-    conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    # SQLConf is session-global, so the trim is skipped when streaming
+    # queries share this session (their micro-batches would silently
+    # plan at width 4 with AQE off while the loop runs); the sequential
+    # batch harness — where the loop is the only work — gets the trim.
+    if spark.streams.active:
         merges, wf = _merge_loop(spark, wf, steps)
-    finally:
-        for k, v in saved.items():
-            conf.set(k, v)
+    else:
+        conf = spark.conf
+        saved = {
+            "spark.sql.shuffle.partitions": conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+            "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+        }
+        conf.set("spark.sql.shuffle.partitions", str(_BPE_VOCAB_PARTS))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            merges, wf = _merge_loop(spark, wf, steps)
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
     # materialize the post-merge vocabulary once for encode consumers
     # (32 stacked map-side replaces over the checkpointed base)
     wf = wf.transform(iter_barrier)
@@ -188,43 +168,33 @@ def _merge_loop(
     spark: SparkSession, wf: DataFrame, steps: int
 ) -> tuple[list[tuple], DataFrame]:
     """The sequential merge rounds: one control-plane action per round,
-    literal replace re-entry (see module docstring)."""
+    literal replace re-entry (see module docstring). Grouping several
+    rounds into one action was measured and rejected — each grouped
+    branch embeds the prior branch's pair-agg shuffle as an unexecuted
+    subtree, so in-action re-execution grows 2^group (c=2 ~9.2 s,
+    c=4 ~14 s vs c=1's 6.8-7.8 s at sf0.1)."""
     merges: list[tuple] = []
-    step = 1
-    while step <= steps:
-        c = min(_BPE_COLLECT, steps - step + 1)
-        branches = []
-        cur = wf
-        for j in range(c):
-            top = bpe_top_merge(cur).select(
-                F.lit(step + j).cast("int").alias("step"), "pair", "token", "wc"
-            )
-            branches.append(top)
-            if j < c - 1:
-                cur = _apply_merge_subtree(cur, top)
-        allb = branches[0]
-        for b in branches[1:]:
-            allb = allb.unionByName(b)
-        # ONE action resolves the whole group: ≤ c rows, control-plane
-        rows = sorted(allb.collect(), key=lambda r: r["step"])
-        for r in rows:
+    for step in range(1, steps + 1):
+        row = (
+            bpe_top_merge(wf)
+            .select(F.lit(step).cast("int").alias("step"), "pair", "token", "wc")
+            .collect()[0]
+        )
+        if row["pair"] is None:
             # pair exhaustion: the scalar agg yields an all-NULL row
-            # (the oracle's LIMIT 1 yields none) — stop recording, and
-            # the literal-apply below skips it, so both engines agree
-            if r["pair"] is not None:
-                merges.append((r["step"], r["pair"], r["token"], int(r["wc"])))
-        # re-enter the plan as LITERALS: flat lineage, no checkpoint
-        for r in rows:
-            if r["pair"] is None:
-                continue
-            wf = wf.select(
-                "word",
-                "freq",
-                F.replace(
-                    F.col("seq"),
-                    F.lit(f" {r['pair']} "),
-                    F.lit(f" {r['token']} "),
-                ).alias("seq"),
-            )
-        step += c
+            # (the oracle's LIMIT 1 yields none) — later rounds would
+            # all be NULL too, so stop; both engines agree
+            break
+        merges.append((row["step"], row["pair"], row["token"], int(row["wc"])))
+        # re-enter the plan as a LITERAL replace: flat lineage, no
+        # checkpoint, no broadcast-subtree re-execution
+        wf = wf.select(
+            "word",
+            "freq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {row['pair']} "),
+                F.lit(f" {row['token']} "),
+            ).alias("seq"),
+        )
     return merges, wf

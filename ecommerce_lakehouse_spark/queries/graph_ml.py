@@ -10,8 +10,8 @@ remaining everyday graph-ML primitives:
   (Raghavan 2007), the near-linear community detector that segments the
   catalog into co-purchase clusters finer than connected components.
 
-Both run on the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets) (edge = part pair ordered
-together in >= 2 orders), reusing part_cooccurrence's one-shuffle in-row
+Both run on the relative-support co-purchase graph (threshold max(2, ceil(2n/150000)) baskets) (edge = part pair whose
+co-order count clears that threshold), reusing part_cooccurrence's one-shuffle in-row
 pair expansion — the thresholding that keeps degree, and therefore every
 wedge/vote fan-out below, tractable on any corpus (see
 triangle_copurchase's measured 33x edge / 1600x wedge blowup without it).

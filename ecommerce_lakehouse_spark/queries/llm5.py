@@ -33,8 +33,12 @@ from ecommerce_lakehouse_spark.tables import load
 _K = 8
 
 
-def _span_hashes(d: DataFrame) -> DataFrame:
-    """(doc_id, pos, h): md5 of each K-word window, computed map-side.
+def _span_hashes(d: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(doc_id, *carry, pos, h): md5 of each K-word window, computed
+    map-side. ``carry`` names extra columns of ``d`` to pass through
+    (e.g. the copy-count weight in span_dedup_clean's collapse-first
+    form) — ONE definition of the span window, so the tokenizer/K/hash
+    can never drift between the span queries and their shared oracle.
 
     Only the 32-char hash and the position leave the scan stage — at
     100 TB the shuffle payload is ~40 bytes/span regardless of document
@@ -46,9 +50,9 @@ def _span_hashes(d: DataFrame) -> DataFrame:
         lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _K))),
     )
     return (
-        d.select("doc_id", w.alias("w"))
+        d.select("doc_id", *carry, w.alias("w"))
         .filter(F.size("w") >= _K)
-        .select("doc_id", F.posexplode(spans).alias("pos", "h"))
+        .select("doc_id", *carry, F.posexplode(spans).alias("pos", "h"))
     )
 
 
@@ -369,15 +373,8 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("text", "doc_id").alias("text"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
-    w = F.split(F.trim(F.col("text")), r"\s+")
-    spans_expr = F.transform(
-        F.sequence(F.lit(1), F.size("w") - F.lit(_K - 1)),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _K))),
-    )
-    spans_w = (
-        collapsed.select("doc_id", "n_copies", w.alias("w"))
-        .filter(F.size("w") >= _K)
-        .select("doc_id", "n_copies", F.explode(spans_expr).alias("h"))
+    spans_w = _span_hashes(collapsed, carry=("n_copies",)).select(
+        "doc_id", "n_copies", "h"
     )
     counts = spans_w.groupBy("h").agg(F.sum("n_copies").alias("n"))
     isdup = F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0))

@@ -513,9 +513,9 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     first pass — each iteration runs over the distinct-WORD frequency
     table (vocabulary-bounded: millions of rows at 100 TB, not
     trillions), so the round loop is a FIXED-COST problem — run here as
-    grouped 1-row top-merge collects with literal replace re-entry
-    (operators/bpe.py: 8 driver actions for the 32 merges over one
-    checkpointed 4-partition vocab frame, flat lineage, no per-round
+    one control-plane collect per merge with literal replace re-entry
+    (operators/bpe.py: 32 micro-actions over one checkpointed
+    4-partition vocab frame, flat lineage, no per-round checkpoint
     jobs). Symbol sequences ride as padded strings so the merge apply
     is a single JVM ``replace`` (left-to-right non-overlapping in both
     engines — greedy BPE order)."""

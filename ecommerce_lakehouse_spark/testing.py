@@ -94,6 +94,8 @@ def check_query(
     opdf = run_oracle(sql, sf_dir)
     o_sec = _time.time() - t0
     ok, msg = compare_frames(spdf, opdf)
-    if ok and oracle_budget_sec is not None and o_sec > oracle_budget_sec:
+    # tag independently of pass/fail: a slow oracle on a still-failing
+    # query is exactly the authoring-time moment the flag exists for
+    if oracle_budget_sec is not None and o_sec > oracle_budget_sec:
         msg += f"  [ORACLE SLOW: {o_sec:.1f}s > {oracle_budget_sec:.0f}s budget]"
     return ok, msg

@@ -107,3 +107,8 @@ def test_rotation_window_names_exist_in_registry():
         names = re.findall(r'"([a-z0-9_]+)"', body)
         unknown = [n for n in names if n not in REGISTRY]
         assert not unknown, f"{block[:-4]} names not in registry: {unknown}"
+        dups = sorted({n for n in names if names.count(n) > 1})
+        assert not dups, (
+            f"{block[:-4]} duplicate names (they collapse silently in the "
+            f"ordered-dict build, shrinking the curated window): {dups}"
+        )

@@ -30,14 +30,23 @@ def main() -> int:
     args = sys.argv[1:]
     tz = None
     budget = 5.0
-    if "--oracle-budget" in args:
-        i = args.index("--oracle-budget")
-        budget = float(args[i + 1])
-        args = args[:i] + args[i + 2 :]
-    if "--tz" in args:
-        i = args.index("--tz")
-        tz = args[i + 1]
-        args = args[:i] + args[i + 2 :]
+    def _flag_value(flag: str) -> str | None:
+        if flag not in args:
+            return None
+        i = args.index(flag)
+        if i + 1 >= len(args):
+            raise SystemExit(f"usage: {flag} <value> (value missing)")
+        v = args[i + 1]
+        del args[i : i + 2]
+        return v
+
+    v = _flag_value("--oracle-budget")
+    if v is not None:
+        try:
+            budget = float(v)
+        except ValueError:
+            raise SystemExit(f"usage: --oracle-budget <seconds>, got {v!r}")
+    tz = _flag_value("--tz")
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = args[1:] if args and os.path.isdir(args[0]) else args
     extra = {"spark.sql.session.timeZone": tz} if tz else None

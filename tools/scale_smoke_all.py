@@ -26,7 +26,8 @@ Usage:
   python tools/scale_smoke_all.py [K] [base_sf_dir] [--queries a,b,c]
          [--skip-build] [--start-at NAME]
 Writes the corpus under /tmp/spark_graft_scale_smoke_all, prints one
-JSON report line (recorded in BASELINE.md), exit code = #over-bound.
+JSON report line (recorded in BASELINE.md); exit code = #over-bound
+capped at 125 (0 = all under bound), 2 = bad --queries name.
 """
 
 from __future__ import annotations
@@ -64,6 +65,12 @@ def main() -> int:
 
     import bench
     from tools.scale_smoke_mining import build_corpus
+
+    if only:
+        unknown = [n for n in only if n not in REGISTRY]
+        if unknown:
+            print(f"unknown --queries names: {unknown}", file=sys.stderr)
+            return 2
 
     with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_DETAIL.json")) as f:
         profile = json.load(f)["queries"]
@@ -112,7 +119,9 @@ def main() -> int:
               file=sys.stderr, flush=True)
     report["over_bound"] = over
     print(json.dumps(report))
-    return len(over)
+    # bounded exit code (a raw count wraps mod 256 — 256 failures would
+    # read as success); the report carries the exact list
+    return min(len(over), 125)
 
 
 if __name__ == "__main__":
