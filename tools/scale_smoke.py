@@ -60,6 +60,10 @@ QUERIES = [
     # spans, bigger counts), not with the pair count C(copies,2)
     "span_dedup_spans",
     "span_dup_rate",
+    # collapse-first survivor filter (r08): spans computed once per
+    # DISTINCT text with copy-count-weighted multiplicities, so K× exact
+    # replication must leave the span stage's input unchanged
+    "span_dedup_clean",
     # rewrite shuffles text once (id-keyed join); at 10x duplication most
     # tokens are covered by duplicated windows, the adversarial direction
     "span_dedup_rewrite",
