@@ -198,11 +198,30 @@ def curate(
     # dedups — but quadratic candidate cost). Derive the tag from the
     # table log (strictly increasing per batch) and keep it negative so
     # it can never collide with a caller-supplied txn version.
+    #
+    # Crash-resume for txn-less tags (ADVICE r08): unique tags alone
+    # would orphan a batch that died between the band_index append and
+    # the pairs merge — the re-run's left_anti skips its (banded) docs,
+    # its fresh tag matches nothing, and those docs' new-vs-index pairs
+    # are skipped forever. A PAIRED-THROUGH WATERMARK closes the gap:
+    # after stage 4 commits, the most recent completed tag is recorded
+    # as a band_index table property; tags are strictly decreasing, so
+    # every tag strictly below the watermark is either the current
+    # batch or an orphan, and the stage-4 read-back recovers both. The
+    # pairs merge dedups any re-discovered pair, so recovery is
+    # idempotent.
     if txn is not None:
         batch_v_val = int(txn["version"])
     else:
         pre_v = t["band_index"].current_version() if had_index else -1
         batch_v_val = -(pre_v + 2)
+        # default 0 = "nothing paired yet": every txn-less tag is
+        # negative, so a fresh table's first batch (tag -1) is covered
+        paired_through = int(
+            (t["band_index"].properties() if had_index else {}).get(
+                "txnless_paired_through", 0
+            )
+        )
     batch_v = F.lit(batch_v_val).cast("bigint")
     new_bands = (
         minhash_bands_df(minhash_signatures_df(to_band.select("doc_id", "text")))
@@ -228,10 +247,18 @@ def curate(
     # pre-crash). Reading back also for the txn-less single-batch run
     # stops stage 4 from re-deriving the whole minhash lineage a second
     # time — the signatures are computed exactly once, inside the
-    # commit (measured ~1.5 s of the driver query's wall).
-    new_bands = t["band_index"].read().filter(
+    # commit (measured ~1.5 s of the driver query's wall). Txn runs
+    # read exactly this version's rows (the txn guard handles replay);
+    # txn-less runs read every tag below the paired-through watermark —
+    # the current batch plus any crash-orphaned predecessors.
+    readback = (
         F.col("batch_v") == batch_v_val
-    ).select("doc_id", "sig", "band_key")
+        if txn is not None
+        else F.col("batch_v") < paired_through
+    )
+    new_bands = t["band_index"].read().filter(readback).select(
+        "doc_id", "sig", "band_key"
+    )
 
     # ---- stage 4: candidate pairs (incremental: new ⋈ full index),
     # with the stop-band skew guard (llm2._BUCKET_CAP policy): band keys
@@ -277,6 +304,14 @@ def curate(
         t["pairs"].overwrite(new_pairs, txn=txn)
         t["pairs"].set_properties(
             {"auto_compact": True, "auto_compact_min_files": 16}
+        )
+    if txn is None:
+        # advance the txn-less paired-through watermark only AFTER the
+        # pairs commit: a crash anywhere above leaves the watermark at
+        # its old value, so the next run's read-back recovers this
+        # batch's bands (tags strictly decrease, so this is monotone)
+        t["band_index"].set_properties(
+            {"txnless_paired_through": batch_v_val}
         )
 
     # ---- stage 5: near-dup clusters — INCREMENTAL when seeds exist

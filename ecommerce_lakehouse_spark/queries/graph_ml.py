@@ -65,27 +65,43 @@ adj AS (SELECT s AS z, d AS nbr FROM e UNION ALL SELECT d, s FROM e)
 """
 
 
-def _support_graph(spark: SparkSession, sf_dir: str):
+def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
     """(canonical s<d edges, symmetric adjacency) for the relative-support
-    co-purchase graph; edge list localCheckpointed once — both queries
-    below iterate/fan out over it (same rationale as pagerank's
-    materialize-the-graph-once barrier)."""
+    co-purchase graph; edge list localCheckpointed once — every graph
+    consumer iterates/fans out over it.
+
+    r09 (VERDICT r08 #1) — two edge-preserving cuts BEFORE the C(w,2)
+    pair expansion, the one corpus-linear stage of the graph family:
+
+    1. **Apriori endpoint prune** (Agrawal & Srikant 1994): an edge
+       (s,d) needs >= t distinct orders containing BOTH parts, so each
+       endpoint alone appears in >= t orders; the raw per-part row count
+       upper-bounds that (within-order duplicates only inflate it), so
+       parts with count(*) < t are dropped from baskets before
+       expansion with provably identical surviving edges. The frequent
+       set is broadcast-safe BY CONSTRUCTION at any corpus size:
+       |frequent| <= total_rows / t, and t scales linearly with
+       n_baskets (~= total_rows / avg_width), so the bound is
+       ~ avg_width * 150000 / 2 rows (~300k longs, a few MB) whether
+       the corpus is 1 GB or 100 TB. This is the long-tail win: on a
+       real catalog most parts are rare and never survive the HAVING,
+       so their pair fan-out was pure waste.
+    2. **Collapse-first basket weighting** (the span_dedup_clean
+       discipline, queries/llm5.py): identical part-sets expand ONCE,
+       weighted by their order multiplicity — support(s,d) =
+       sum(w) over distinct baskets containing both, exactly count(*)
+       over per-order rows. This is the duplicated-corpus win (the
+       100x replica smoke re-issues the same baskets 100x; measured
+       pagerank 127.4 -> ~13 s at 100x) and costs one extra map-side-
+       combinable shuffle of one slim row per order when every basket
+       is unique.
+
+    Both cuts are Spark-side only — the DuckDB oracle CTE
+    (_COPURCHASE_EDGES) is UNCHANGED, so oracle parity at every gated
+    SF is itself the edge-set-invariance proof; ``prune=False`` keeps
+    the un-pruned path alive for the direct invariance test
+    (tests/test_scale_ops.py)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    # pair expansion as chained Generate operators (posexplode then
-    # explode of the tail slice) rather than a flatten(transform(...))
-    # lambda tree: generators pipeline row-by-row while the lambda form
-    # materializes each basket's full C(w,2) struct array before the
-    # explode — the same rewrite measured 8x on the triple expansion
-    # (queries/mining.py frequent_triple_itemsets)
-    p1 = per_order.filter(F.size("parts") >= 2).select(
-        "parts", F.posexplode("parts").alias("i", "s")
-    )
-    p2 = p1.select(
-        "s", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("d")
-    )
     thr = li.agg(
         F.greatest(
             F.lit(2).cast("long"),
@@ -96,9 +112,40 @@ def _support_graph(spark: SparkSession, sf_dir: str):
             ).cast("long"),
         ).alias("t")
     )
+    if prune:
+        freq = (
+            li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("pw"))
+            .crossJoin(F.broadcast(thr))
+            .filter(F.col("pw") >= F.col("t"))
+            .select("l_partkey")
+        )
+        li = li.join(F.broadcast(freq), "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    baskets = (
+        per_order.filter(F.size("parts") >= 2)
+        .groupBy("parts")
+        .agg(F.count(F.lit(1)).alias("bw"))
+    )
+    # pair expansion as chained Generate operators (posexplode then
+    # explode of the tail slice) rather than a flatten(transform(...))
+    # lambda tree: generators pipeline row-by-row while the lambda form
+    # materializes each basket's full C(w,2) struct array before the
+    # explode — the same rewrite measured 8x on the triple expansion
+    # (queries/mining.py frequent_triple_itemsets)
+    p1 = baskets.select(
+        "parts", "bw", F.posexplode("parts").alias("i", "s")
+    )
+    p2 = p1.select(
+        "s",
+        "bw",
+        F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("d"),
+    )
     e = (
         p2.groupBy("s", "d")
-        .agg(F.count(F.lit(1)).alias("w"))
+        .agg(F.sum("bw").alias("w"))
         .crossJoin(F.broadcast(thr))
         .filter(F.col("w") >= F.col("t"))
         .select("s", "d")

@@ -1153,27 +1153,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pagerank_oracle() -> str:
     """5 unrolled PageRank iterations as CTEs (DuckDB has no loop; the
-    Spark side runs the same 5 steps imperatively)."""
+    Spark side runs the same 5 steps imperatively) over the shared
+    relative-support co-purchase graph (_COPURCHASE_EDGES — r09: the
+    whole graph family now runs on ONE edge definition; pagerank's old
+    private support>=1 graph was the family's last corpus-linear
+    densifying build, VERDICT r08 #1)."""
     steps = []
     prev = "r0"
     for k in range(1, 6):
         steps.append(
-            f"r{k} AS (SELECT e.d AS node,\n"
+            f"r{k} AS (SELECT adj.nbr AS node,\n"
             f"  CAST(150000000 + (85 * sum({prev}.r // deg.deg)) // 100"
             f" AS BIGINT) AS r\n"
-            f"  FROM edges e JOIN {prev} ON e.s = {prev}.node\n"
-            f"  JOIN deg ON e.s = deg.node GROUP BY 1)"
+            f"  FROM adj JOIN {prev} ON adj.z = {prev}.node\n"
+            f"  JOIN deg ON adj.z = deg.node GROUP BY 1)"
         )
         prev = f"r{k}"
     return (
-        """
-WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pr_pairs AS (
-  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
-  FROM lp a JOIN lp b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-edges AS (SELECT s, d FROM pr_pairs UNION ALL SELECT d, s FROM pr_pairs),
-deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        f"""
+WITH {_COPURCHASE_EDGES_CTE},
+deg AS (SELECT z AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
 r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg),
 """
         + ",\n".join(steps)
@@ -1186,11 +1185,20 @@ FROM r5 ORDER BY rank_nanos DESC, node LIMIT 25
 
 @query("pagerank_copurchase", oracle=_pagerank_oracle())
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the part co-purchase graph (nodes = parts, edges =
-    distinct part pairs ordered together), 5 damped iterations, top-25
-    most central parts — the 'importance over a similarity/association
-    graph' primitive (Page et al. 1998), here ranking catalog parts by
-    basket centrality.
+    """PageRank over the relative-support co-purchase graph (nodes =
+    parts, edges = part pairs co-ordered in >= max(2, ceil(2n/150000))
+    baskets), 5 damped iterations, top-25 most central parts — the
+    'importance over a similarity/association graph' primitive (Page et
+    al. 1998), here ranking catalog parts by basket centrality.
+
+    r09 contract unification (VERDICT r08 #1): pagerank previously built
+    its own PRIVATE support>=1 graph (every distinct co-purchased pair),
+    the one edge set in the family that DENSIFIES with corpus growth —
+    its C(w,2) expansion + pair distinct was the last three-digit number
+    in the 100x smoke (127.4 s). It now runs on the same
+    graph_ml._support_graph every other graph consumer uses (Apriori
+    endpoint prune + collapse-first basket weighting, both
+    edge-preserving), with the threshold mirrored in the oracle CTE.
 
     Cross-engine determinism for an ITERATIVE float algorithm: ranks
     live as integer nanos (init 1e9 per node) and the update is pure
@@ -1200,17 +1208,19 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the last digit after any number of iterations. The oracle unrolls
     the same 5 steps as CTEs.
 
-    Scale: edge construction reuses part_cooccurrence's in-row expansion
-    (one shuffle of the slim projection, pairs expanded inside the row,
-    never a self-join); each iteration is one join of edges to the
-    per-node (rank DIV deg) table plus one groupBy(dst) sum — the
-    standard distributed SpMV shape, O(iterations) shuffles. The rank
-    table is broadcast per round (nodes = the parts catalog — MBs even
-    at warehouse scale; swap for a co-partitioned shuffle join if the
-    node table ever outgrows broadcast). Per-round localCheckpoint
-    truncates lineage AND is load-bearing for cost: without it, round
-    k's broadcast re-executes rounds 1..k-1 (measured 8.9 s vs 7.4 s
-    at sf0.1). Like corpus_curation_pipeline, wall time here is
+    Scale: edge construction is graph_ml._support_graph — one shuffle of
+    the slim projection, Apriori-pruned weighted expansion inside the
+    row, never a self-join, edges barriered once (the symmetric doubling
+    is a narrow union recomputed per round — projection, not work); each
+    iteration is one join of edges to the per-node (rank DIV deg) table
+    plus one groupBy(dst) sum — the standard distributed SpMV shape,
+    O(iterations) shuffles. The rank table is broadcast per round (nodes
+    = thresholded parts — MBs even at warehouse scale; swap for a
+    co-partitioned shuffle join if the node table ever outgrows
+    broadcast). Per-round localCheckpoint truncates lineage AND is
+    load-bearing for cost: without it, round k's broadcast re-executes
+    rounds 1..k-1 (measured 8.9 s vs 7.4 s at sf0.1 on the old graph).
+    Like corpus_curation_pipeline, wall time here is
     fixed-JOB-count-bound (graph build + 5 rounds), not volume-bound.
     Top-25 is TakeOrdered.
 
@@ -1218,27 +1228,8 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is a contraction; 5 rounds is the fixed, documented budget
     (rank deltas at round 5 are <1%% of SCALE on this graph), matching
     the oracle exactly rather than iterating to convergence."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(parts, (x, i) -> "
-            "transform(slice(parts, i + 2, size(parts)), "
-            "y -> struct(x AS s, y AS d))))"
-        )
-    ).alias("p")
-    # materialize the graph ONCE: every iteration joins edges and deg,
-    # and without a barrier each of the 5 rounds would re-run the whole
-    # scan → per-order agg → pair-expansion → distinct pipeline. The
-    # barrier sits on the CANONICAL a<b pairs (half the rows); the
-    # symmetric doubling is a narrow union recomputed from the
-    # materialized pairs per round — projection, not work.
-    pairs = per_order.select(pair).select("p.s", "p.d").distinct().transform(iter_barrier)
-    edges = pairs.union(
-        pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    )
+    _, adj = _support_graph(spark, sf_dir)
+    edges = adj.select(F.col("z").alias("s"), F.col("nbr").alias("d"))
     deg = (
         edges.groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))

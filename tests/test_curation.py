@@ -86,8 +86,11 @@ def test_curation_stages_and_incremental_rerun(spark, tmp_path):
     assert c2 == {(1, 2), (3, 2), (11, 1)}
 
     # band index is append-only (incremental LSH: new docs join the full
-    # index, old bands are never recomputed)
-    assert t["band_index"].history()[-1]["operation"] == "append"
+    # index, old bands are never recomputed; the trailing commit may be
+    # the r09 txn-less paired-through watermark, a metadata-only write)
+    ops = [h["operation"] for h in t["band_index"].history()]
+    assert "append" in ops and ops.count("overwrite") == 1
+    assert all(o in ("append", "overwrite", "set-properties") for o in ops)
     # index holds bands for new canonical texts only: 3 distinct texts,
     # doc 10's dup text added no bands
     assert t["band_index"].read().select("doc_id").distinct().count() == 3
@@ -327,3 +330,50 @@ def test_txnless_batches_get_unique_band_tags(spark, tmp_path):
     new_tag = (tags2 - tags1).pop()
     assert {r.doc_id for r in bands.filter(F.col("batch_v") == new_tag)
             .select("doc_id").distinct().collect()} == {10}
+
+
+def test_txnless_crash_between_band_append_and_pairs_is_recovered(spark, tmp_path):
+    """ADVICE r08: unique txn-less tags must not orphan a batch that
+    dies between the band_index append and the pairs merge — the
+    paired-through watermark makes the next run's stage-4 read-back
+    cover the crashed batch's bands, so its new-vs-index candidate
+    pairs are recovered (idempotently: the pairs merge dedups)."""
+    from ecommerce_lakehouse_spark.lake.table import LakeTable
+    from ecommerce_lakehouse_spark.pipelines.curation import _tables
+
+    root = str(tmp_path / "cur_orphan")
+    b1 = _docs(spark, [(1, "en", "web", BASE_EN), (2, "fr", "web", BASE_FR)])
+    curate(spark, b1, root)
+
+    near = BASE_EN.replace("lazy", "sleepy")  # near-dup of doc 1
+    b2 = _docs(spark, [(10, "en", "web", near)])
+    orig_merge = LakeTable.merge
+
+    def boom(self, *a, **k):
+        if self.root.endswith("pairs"):
+            raise RuntimeError("simulated crash")
+        return orig_merge(self, *a, **k)
+
+    LakeTable.merge = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            curate(spark, b2, root)
+    finally:
+        LakeTable.merge = orig_merge
+    t = _tables(spark, root)
+    banded = {
+        r.doc_id
+        for r in t["band_index"].read().select("doc_id").distinct().collect()
+    }
+    assert banded == {1, 2, 10}  # batch 2 IS banded ...
+    assert t["pairs"].read().count() == 0  # ... but currently orphaned
+
+    # any follow-up txn-less batch resumes it via the watermark read-back
+    b3 = _docs(
+        spark,
+        [(20, "fr", "web",
+          "texte nouveau totalement distinct de tous les precedents ici present")],
+    )
+    t = curate(spark, b3, root)
+    got = {(r.doc_a, r.doc_b) for r in t["pairs"].read().select("doc_a", "doc_b").collect()}
+    assert (1, 10) in got, f"orphaned batch's pairs must be recovered: {got}"

@@ -216,24 +216,29 @@ def test_pointer_jump_converges_in_log_rounds(spark):
 
 def test_pagerank_copurchase_matches_python_recompute(spark):
     """The 5-round integer-nano PageRank must agree exactly with a pure-
-    Python recomputation of the same integer recurrence at sf0.001."""
-    from collections import defaultdict
+    Python recomputation of the same integer recurrence at sf0.01 over
+    the relative-support graph (r09: pagerank unified onto the shared
+    thresholded edge set, VERDICT r08 #1)."""
+    from collections import Counter, defaultdict
     from itertools import combinations
+    from math import ceil
 
     import pyarrow.parquet as pq
 
     from ecommerce_lakehouse_spark.queries.stats import pagerank_copurchase
 
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"
     t = pq.read_table(sf + "/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
     per_order = defaultdict(set)
     for ok, pk in zip(t["l_orderkey"].to_pylist(), t["l_partkey"].to_pylist()):
         per_order[ok].add(pk)
-    pairs = {
-        (a, b)
+    support = Counter(
+        pair
         for parts in per_order.values()
-        for a, b in combinations(sorted(parts), 2)
-    }
+        for pair in combinations(sorted(parts), 2)
+    )
+    thr = max(2, ceil(2.0 * len(per_order) / 150000.0))
+    pairs = {p for p, c in support.items() if c >= thr}
     adj = defaultdict(list)
     for a, b in pairs:
         adj[a].append(b)
@@ -253,6 +258,23 @@ def test_pagerank_copurchase_matches_python_recompute(spark):
         for r in pagerank_copurchase(spark, sf).collect()
     ]
     assert got == expect
+
+
+def test_support_graph_apriori_prune_preserves_edges(spark):
+    """VERDICT r08 #1 'done' criterion: the Apriori endpoint prune +
+    collapse-first basket weighting must yield IDENTICAL edge sets to
+    the un-pruned expansion (an edge's support <= min over endpoints of
+    their order frequency, so no part below threshold can appear in a
+    surviving edge; weighting by distinct-basket multiplicity is exact
+    support counting)."""
+    from ecommerce_lakehouse_spark.queries.graph_ml import _support_graph
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pruned, _ = _support_graph(spark, sf, prune=True)
+        plain, _ = _support_graph(spark, sf, prune=False)
+        got = {(r.s, r.d) for r in pruned.collect()}
+        want = {(r.s, r.d) for r in plain.collect()}
+        assert got == want, sf
 
 
 def test_triangle_copurchase_matches_python_recompute(spark):
