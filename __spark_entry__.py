@@ -52,32 +52,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-gated). After a green r07, every registry query has a
 # driver-gated row in some round r01-r07.
 _FIRST = [
-    # ROTATION r08: every registry query has been driver-gated green in
-    # some round r01-r07 (zero never-sampled remain), so the window now
-    # leads with the queries whose IMPLEMENTATIONS changed in round 8 —
-    # the mv fold checkpoint + ranged refresh + non-vacuous delete, the
-    # BPE collect-loop restructure, the collapse-first span clean, the
-    # curation batch-tag fix, the graph-helper rename consumers, and
-    # the kll grouped-merge broadcast removal.
-    "mv_incremental_refresh",
-    "bpe_merge_steps",
-    "bpe_encode_stats",
-    "span_dedup_clean",
-    "span_dedup_spans",
-    "span_dup_rate",
-    "corpus_curation_pipeline",
-    "grouped_quantile_sketch",
-    "kll_quantile_sketch",
-    "holt_winters_seasonal",
-    "dedup_mixture_shift",
+    # ROTATION r09: the window leads with the queries whose
+    # IMPLEMENTATIONS changed in round 9 — the Apriori-pruned
+    # collapse-first co-purchase edge build and pagerank's unification
+    # onto it (all eight graph consumers re-gate), the collapse-first
+    # span candidate/rate rewrites, the BPE private-clone conf
+    # isolation, the curation txn-less crash-resume watermark, and the
+    # mixture-shift pruned-upsert streaming twin — then recent-round
+    # queries with high regression value, then the four cross-family
+    # anchors. EXACTLY 50 names (the driver samples 50; the r08 list
+    # held 51 and silently dropped its last anchor —
+    # tests/test_oracle_parity.py now pins the cap and bans
+    # cross-list duplicates).
+    "pagerank_copurchase",
+    "triangle_copurchase",
     "adamic_adar_links",
     "common_neighbors_jaccard",
     "kcore_peeling_profile",
-    "pagerank_copurchase",
+    "clustering_coefficient_profile",
     "label_propagation_communities",
     "copurchase_degree_profile",
-    "clustering_coefficient_profile",
-    # r07 rotation below (kept: recent code, high regression value)
+    "span_dedup_spans",
+    "span_dup_rate",
+    "span_dedup_clean",
+    "span_dedup_rewrite",
+    "bpe_merge_steps",
+    "bpe_encode_stats",
+    "corpus_curation_pipeline",
+    "dedup_mixture_shift",
+    "ann_recall_eval",
+    "ann_ndcg_eval",
+    # r08 rotation below (kept: recent code, high regression value)
+    "mv_incremental_refresh",
+    "grouped_quantile_sketch",
+    "kll_quantile_sketch",
+    "holt_winters_seasonal",
     "simhash_hamming_pairs",
     "random_projection_distortion",
     "dbscan_customer_segments",
@@ -90,7 +99,6 @@ _FIRST = [
     "event_path_trigrams",
     "vocab_chao1_estimate",
     "hurst_rs_exponent",
-    # new in r07 (never-gated by construction)
     "mmr_diversified_topk",
     "embedding_pca_power",
     "revenue_periodogram",
@@ -103,12 +111,7 @@ _FIRST = [
     "safety_stock_plan",
     "semantic_contamination_audit",
     "prefix_share_profile",
-    "duplication_spectrum",
-    "quality_rater_agreement",
-    "knn_label_precision",
-    "brier_decomposition",
-    "source_quality_independence",
-    # cross-family regression anchors (already gated green r02-r06)
+    # cross-family regression anchors (gated green every round since r02)
     "daily_sales",
     "merge_upsert_snapshot",
     "tumbling_window_agg",
@@ -118,12 +121,17 @@ _FIRST = [
 
 # Post-window order: recent rounds first (freshest code = highest
 # regression value), then everything else in registration order.
+# Disjoint from _FIRST by test (duplicates collapse silently in the
+# ordered-dict build, wasting window slots).
 _NEXT = [
+    "duplication_spectrum",
+    "quality_rater_agreement",
+    "knn_label_precision",
+    "brier_decomposition",
+    "source_quality_independence",
     "pmi_collocations",
-    "kcore_peeling_profile",
     "ar2_yule_walker_forecast",
     "readability_profile",
-    "kll_quantile_sketch",
     "quality_classifier_scores",
     "ivf_pq_search_recall",
     "scd2_asof_lookup",
@@ -132,7 +140,6 @@ _NEXT = [
     "pq_trained_codebook_eval",
     "order_open_interval_concurrency",
     "classifier_calibration_curve",
-    "grouped_quantile_sketch",
     "daily_revenue_spike_flags",
 ]
 

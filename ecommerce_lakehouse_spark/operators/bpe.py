@@ -126,34 +126,31 @@ def bpe_train(
         .transform(iter_barrier)  # the ONE materialization the loop reads
     )
     # The loop's jobs are micro-actions over a vocabulary-bounded frame:
-    # per-action fixed cost IS the runtime. Two session knobs cut it
+    # per-action fixed cost IS the runtime. Two conf knobs cut it
     # ~35% (measured 0.24 -> 0.16 s/action at sf0.1): shuffle width
     # sized to the loop table (32 reducer tasks for a 4-partition frame
     # is pure scheduling waste) and AQE off (its per-shuffle re-planning
-    # costs more than it can save on a plan this small). Both are
-    # restored after the loop — the corpus-sized word-count stage above
-    # already ran at full width (the checkpoint is eager).
-    # SQLConf is session-global, so the trim is skipped when streaming
-    # queries share this session (their micro-batches would silently
-    # plan at width 4 with AQE off while the loop runs); the sequential
-    # batch harness — where the loop is the only work — gets the trim.
-    if spark.streams.active:
-        merges, wf = _merge_loop(spark, wf, steps)
-    else:
-        conf = spark.conf
-        saved = {
-            "spark.sql.shuffle.partitions": conf.get(
-                "spark.sql.shuffle.partitions"
-            ),
-            "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
-        }
-        conf.set("spark.sql.shuffle.partitions", str(_BPE_VOCAB_PARTS))
-        conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            merges, wf = _merge_loop(spark, wf, steps)
-        finally:
-            for k, v in saved.items():
-                conf.set(k, v)
+    # costs more than it can save on a plan this small).
+    #
+    # SQLConf is session-global, so the trim runs on a PRIVATE CLONE
+    # (spark.newSession(): same SparkContext + checkpointed RDDs, own
+    # SQLConf) instead of the caller's session — ADVICE r08: the old
+    # point-in-time spark.streams.active guard could not see a
+    # concurrent batch query or a stream started after the check, which
+    # would silently plan at width 4 with AQE off. The frame crosses
+    # sessions via a global temp view (plan handoff, no data movement);
+    # the corpus-sized word-count stage above already ran at full width
+    # on the caller's session (the checkpoint is eager), and the
+    # post-loop view hands the final vocabulary back so downstream
+    # consumers plan on the caller's session again.
+    loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", str(_BPE_VOCAB_PARTS))
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    view = f"bpe_wf_{abs(hash((sf_dir, steps))):x}"
+    wf.createOrReplaceGlobalTempView(view)
+    merges, wf_loop = _merge_loop(loop, loop.table(f"global_temp.{view}"), steps)
+    wf_loop.createOrReplaceGlobalTempView(view + "_out")
+    wf = spark.table(f"global_temp.{view}_out")
     # materialize the post-merge vocabulary once for encode consumers
     # (32 stacked map-side replaces over the checkpointed base)
     wf = wf.transform(iter_barrier)

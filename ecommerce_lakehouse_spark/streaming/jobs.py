@@ -1224,17 +1224,49 @@ def stream_mixture_shift(
         if _h_last is not None and _h_last >= batch_id:
             pass  # replayed: min-merge is idempotent anyway
         elif hash_t.exists():
-            merged = (
-                hash_t.read()
-                .unionByName(hash_inc)
-                .groupBy("h")
-                .agg(
-                    F.min("keep").alias("keep"),
-                    F.min_by("keep_source", "keep").alias("keep_source"),
-                    F.min_by("keep_ntok", "keep").alias("keep_ntok"),
-                )
+            # Upsert ONLY the batch's hashes (ADVICE r08: the old
+            # read-union-groupBy-overwrite rewrote the corpus-sized
+            # state on every micro-batch, so per-batch write cost grew
+            # with total corpus size). Two batch-broadcast joins keep
+            # the corpus off the wire: a broadcast LEFT-SEMI (batch
+            # hash set broadcast, build=right — the one outer/semi
+            # shape Spark CAN build-broadcast on the small preserved
+            # side) prunes the state scan to the batch's matched rows
+            # without shuffling it, then the batch left-joins that
+            # batch-sized slice (broadcast again) to decide the
+            # min-winner per row. The MERGE's touched-file pruning then
+            # rewrites only files containing a batch hash. Tie policy
+            # (keep == e_keep, i.e. the same doc_id delivered again by
+            # an at-least-once source): the EXISTING row wins
+            # deterministically — for the exactly-once file source ties
+            # carry identical payloads anyway, and an at-least-once
+            # redelivery of the same doc_id is assumed to carry the
+            # same (source, n_tok).
+            existing = hash_t.read().select(
+                "h",
+                F.col("keep").alias("e_keep"),
+                F.col("keep_source").alias("e_source"),
+                F.col("keep_ntok").alias("e_ntok"),
             )
-            hash_t.overwrite(merged, txn=txn)
+            relevant = existing.join(
+                F.broadcast(hash_inc.select("h")), "h", "left_semi"
+            )
+            new_wins = F.col("e_keep").isNull() | (
+                F.col("keep") < F.col("e_keep")
+            )
+            delta = hash_inc.join(F.broadcast(relevant), "h", "left").select(
+                "h",
+                F.when(new_wins, F.col("keep"))
+                .otherwise(F.col("e_keep"))
+                .alias("keep"),
+                F.when(new_wins, F.col("keep_source"))
+                .otherwise(F.col("e_source"))
+                .alias("keep_source"),
+                F.when(new_wins, F.col("keep_ntok"))
+                .otherwise(F.col("e_ntok"))
+                .alias("keep_ntok"),
+            )
+            hash_t.merge(delta, keys=["h"], txn=txn)
         else:
             hash_t.overwrite(hash_inc, txn=txn)
 

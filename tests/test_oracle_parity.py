@@ -102,9 +102,11 @@ def test_rotation_window_names_exist_in_registry():
     import __spark_entry__ as entry_mod
 
     src = open(entry_mod.__file__).read()
+    blocks = {}
     for block in ("_FIRST = [", "_NEXT = ["):
         body = src.split(block)[1].split("]")[0]
         names = re.findall(r'"([a-z0-9_]+)"', body)
+        blocks[block[:-4]] = names
         unknown = [n for n in names if n not in REGISTRY]
         assert not unknown, f"{block[:-4]} names not in registry: {unknown}"
         dups = sorted({n for n in names if names.count(n) > 1})
@@ -112,3 +114,15 @@ def test_rotation_window_names_exist_in_registry():
             f"{block[:-4]} duplicate names (they collapse silently in the "
             f"ordered-dict build, shrinking the curated window): {dups}"
         )
+    # VERDICT r08: the driver samples exactly 50 queries — a 51st
+    # _FIRST name is silently never gated (r08 lost its
+    # minhash_lsh_pairs anchor this way), and a shorter list wastes
+    # window slots on uncurated registration order.
+    assert len(blocks["_FIRST"]) == 50, (
+        f"_FIRST must hold exactly 50 names (driver window size), "
+        f"got {len(blocks['_FIRST'])}"
+    )
+    overlap = sorted(set(blocks["_FIRST"]) & set(blocks["_NEXT"]))
+    assert not overlap, (
+        f"_FIRST/_NEXT overlap (the _NEXT slots are dead weight): {overlap}"
+    )
