@@ -481,13 +481,16 @@ _PLANES = [
 ]
 
 
-def _plane_sql(p: int) -> str:
-    return "[" + ", ".join(repr(x) for x in _PLANES[p]) + "]::DOUBLE[]"
-
-
+# Explicit 64-term multiply-add per plane: DuckDB evaluates this as flat
+# vectorized scalar arithmetic. The previous list_transform(range, j ->
+# emb[j] * literal_list[j]) form re-materialized the 64-literal plane
+# list per element and ran ~29x slower (4.05 s -> 0.14 s for the bucket
+# stage at sf0.01), pushing every composed eval oracle over the 5 s
+# check_oracles budget (VERDICT r08 #4).
 _BUCKET_D = " + ".join(
-    f"(CASE WHEN list_sum(list_transform(range(1, {_DIM} + 1),"
-    f" j -> emb[j] * ({_plane_sql(p)})[j])) > 0 THEN {1 << p} ELSE 0 END)"
+    "(CASE WHEN ("
+    + " + ".join(f"emb[{j + 1}] * ({_PLANES[p][j]!r})" for j in range(_DIM))
+    + f") > 0 THEN {1 << p} ELSE 0 END)"
     for p in range(_N_PLANES)
 )
 

@@ -47,15 +47,16 @@ _PLANES_CD = [
 ]
 
 
-def _plane_sql(p: int) -> str:
-    return "[" + ", ".join(repr(x) for x in _PLANES_CD[p]) + "]::DOUBLE[]"
-
-
 def _band_bucket_sql(b: int) -> str:
+    # Explicit multiply-add sums (see llm2._BUCKET_D): flat scalar
+    # arithmetic instead of per-element literal-list materialization.
     return " + ".join(
-        f"(CASE WHEN list_sum(list_transform(range(1, {_DIM} + 1),"
-        f" j -> emb[j] * ({_plane_sql(_CD_PLANES * b + i)})[j])) > 0"
-        f" THEN {1 << i} ELSE 0 END)"
+        "(CASE WHEN ("
+        + " + ".join(
+            f"emb[{j + 1}] * ({_PLANES_CD[_CD_PLANES * b + i][j]!r})"
+            for j in range(_DIM)
+        )
+        + f") > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(_CD_PLANES)
     )
 
