@@ -30,6 +30,19 @@ from pyspark.sql import DataFrame, SparkSession
 from ecommerce_lakehouse_spark.lake.merge import merge_upsert
 
 
+def _crash_hook(point: str) -> None:
+    """Fault-injection seam for the commit protocol (no-op in
+    production). tests/test_lake_fault_injection.py monkeypatches this
+    to abort a commit at a named internal step and asserts the table
+    reads back EITHER exactly the pre-commit version (crash before the
+    manifest link) OR exactly the committed version (crash after it) —
+    never partial state — and that the next writer is never wedged.
+    Points, in commit order: ``commit_enter`` (data files written, no
+    manifest yet), ``manifest_tmp_written`` (content durable in a temp
+    file, version not claimed), ``manifest_linked`` (commit point
+    passed, ``_LATEST`` pointer not yet moved)."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed a conflicting version this operation
     didn't see.
@@ -351,12 +364,51 @@ class LakeTable:
 
     def exists(self) -> bool:
         """K6 create-if-absent check (cleaner than the reference's exception
-        sniffing at src/glue_etl.py:465-467)."""
-        return os.path.exists(self._latest_path())
+        sniffing at src/glue_etl.py:465-467).
+
+        A table exists once its FIRST manifest is durably linked — the
+        ``_LATEST`` pointer is a roll-forward cache (see
+        :meth:`current_version`), so a writer that crashed between
+        linking v1 and writing the pointer still created the table."""
+        return os.path.exists(self._latest_path()) or os.path.exists(
+            os.path.join(self._manifest_dir, "v00000001.json")
+        )
 
     def current_version(self) -> int:
-        with open(self._latest_path()) as f:
-            return int(f.read().strip())
+        """Head version. The COMMIT POINT of the protocol is the atomic
+        ``os.link`` of a version's manifest (see :meth:`_commit`); the
+        ``_LATEST`` pointer is only an O(1) cache of the head and may lag
+        by any number of versions if writers crash between the link and
+        the pointer swap. Reads roll FORWARD from the pointer over
+        contiguously-present manifests — a lagging pointer can therefore
+        never hide a durable commit, and a crashed writer can never wedge
+        the next one (fault-injection contract:
+        tests/test_lake_fault_injection.py). The healed head is written
+        back opportunistically so the next read is O(1) again."""
+        try:
+            with open(self._latest_path()) as f:
+                head = int(f.read().strip())
+        except FileNotFoundError:
+            head = 0
+        rolled = head
+        while os.path.exists(
+            os.path.join(self._manifest_dir, f"v{rolled + 1:08d}.json")
+        ):
+            rolled += 1
+        if rolled == 0:
+            # neither pointer nor any manifest: preserve the historical
+            # "missing table" contract (callers guard with exists())
+            with open(self._latest_path()) as f:
+                return int(f.read().strip())
+        if rolled > head:
+            try:
+                fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(rolled))
+                os.replace(tmp, self._latest_path())
+            except OSError:
+                pass  # healing is best-effort; roll-forward re-applies
+        return rolled
 
     def _manifest(self, version: int) -> dict:
         with open(os.path.join(self._manifest_dir, f"v{version:08d}.json")) as f:
@@ -385,6 +437,7 @@ class LakeTable:
         dropped_columns: list[str] | None = None,
         features_override: tuple[set, set] | None = None,
     ) -> int:
+        _crash_hook("commit_enter")
         current = self.current_version() if self.exists() else 0
         if properties is None:
             # table properties ride every commit (Delta TBLPROPERTIES)
@@ -499,18 +552,38 @@ class LakeTable:
             "committed_at": time.time(),
         }
         mpath = os.path.join(self._manifest_dir, f"v{version:08d}.json")
+        # ATOMIC CLAIM: the manifest content is fully written (and synced)
+        # to a temp file first, then os.link() publishes it under the
+        # version name — link is atomic and fails if the name exists, so
+        # exactly one writer wins the version AND a manifest can never be
+        # observed truncated (the old O_EXCL-create-then-dump left a
+        # partial file owning the version if the writer died mid-dump).
+        # The link IS the commit point; the _LATEST pointer below is a
+        # cache that current_version() rolls forward over, so dying
+        # anywhere after the link still yields a durable, visible commit
+        # and dying before it yields exactly the pre-commit table.
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
         try:
-            # O_EXCL: exactly one writer can create this version's manifest
-            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            raise ConcurrentWriteError(
-                f"{operation}: lost the race for v{version} "
-                f"(another writer committed it); re-read and retry"
-            ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            _crash_hook("manifest_tmp_written")
+            try:
+                os.link(tmp, mpath)
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"{operation}: lost the race for v{version} "
+                    f"(another writer committed it); re-read and retry"
+                ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+        _crash_hook("manifest_linked")
         # atomic pointer swap: write temp file then rename
-        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir)
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._latest_path())

@@ -217,19 +217,65 @@ def test_optimistic_concurrency_detects_conflicts(spark, tbl):
     with _pytest.raises(ConcurrentWriteError, match="advanced"):
         tbl._commit(["/nonexistent"], "merge", [], base_version=base)
 
-    # manifest-file race: the next version's manifest already exists
-    nxt = tbl.current_version() + 1
-    race = os.path.join(tbl._manifest_dir, f"v{nxt:08d}.json")
-    with open(race, "w") as f:
-        json.dump({"version": nxt, "data_dirs": [], "partition_by": []}, f)
-    with _pytest.raises(ConcurrentWriteError, match="race"):
-        tbl.append(_df(spark, [(3, "c", "x")]))
-    os.remove(race)
+    # helper: simulate a concurrent writer committing version v as a
+    # metadata-only copy of the current head (real data_dirs — a
+    # rebasing loser rebuilds its entries on top of this manifest)
+    def _plant(v):
+        m = dict(tbl._manifest(tbl.current_version()))
+        m["version"] = v
+        m["operation"] = "concurrent-noop"
+        m["touched_partitions"] = []
+        with open(
+            os.path.join(tbl._manifest_dir, f"v{v:08d}.json"), "w"
+        ) as f:
+            json.dump(m, f)
 
-    # after cleanup the writer retries successfully and data is intact
+    # a complete next-version manifest left by ANOTHER writer is a
+    # durable commit (the link is the commit point; _LATEST is a cache):
+    # this writer observes it via roll-forward and commits on top — no
+    # false conflict
+    nxt = tbl.current_version() + 1
+    _plant(nxt)
     tbl.append(_df(spark, [(3, "c", "x")]))
+    assert tbl.current_version() == nxt + 1
+
+    # manifest-file race: a competing writer links the SAME version in
+    # the window between this writer's manifest staging and its link —
+    # the loser must never clobber (simulated at the fault-injection
+    # seam; see tests/test_lake_fault_injection.py)
+    import ecommerce_lakehouse_spark.lake.table as lake_table
+
+    saved_hook = lake_table._crash_hook
+
+    fired = {"n": False}
+
+    def racer(point):
+        if point == "manifest_tmp_written" and not fired["n"]:
+            fired["n"] = True
+            _plant(tbl.current_version() + 1)
+
+    race_v = tbl.current_version() + 1
+    lake_table._crash_hook = racer
+    try:
+        # blind append loses the link, auto-rebases over the planted
+        # winner, and lands one version later — the Delta retry loop
+        tbl.append(_df(spark, [(4, "d", "x")]))
+    finally:
+        lake_table._crash_hook = saved_hook
+    assert tbl.current_version() == race_v + 1
+
+    # a non-rebasable op (full-table overwrite) surfaces the race to
+    # the caller instead of retrying blind
+    fired["n"] = False
+    lake_table._crash_hook = racer
+    try:
+        with _pytest.raises(ConcurrentWriteError):
+            tbl.overwrite(_df(spark, [(9, "z", "x")]))
+    finally:
+        lake_table._crash_hook = saved_hook
+
     assert {(r.k, r.v) for r in tbl.read().collect()} == {
-        (1, "a"), (2, "b"), (3, "c"),
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
     }
 
 
