@@ -32,11 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ecommerce_lakehouse_spark import get_spark  # noqa: E402
 from ecommerce_lakehouse_spark.queries import REGISTRY  # noqa: E402
 
-# Headline queries: stable, plan-pure (no /tmp storage pipelines whose
-# physical file counts could drift the scan structure), spanning the
-# family axes — gold marts, TPC-H join shapes, dedup/LSH, ANN, windows,
-# ordering, anti/semi joins, streaming batch twins, graph preagg.
+# Headline queries (VERDICT r08 #5): the r07 family anchors PLUS every
+# query in the committed profile's top-30 by wall — exactly the plans
+# whose silent broadcast->SMJ flip or extra Exchange would cost the
+# most. Iterative/pipeline queries (bpe, pagerank, curation, cdc/scd2)
+# fingerprint their FINAL plan — loop bodies collapse behind
+# checkpoints, but the terminal join/agg structure is still pinned.
 HEADLINE = [
+    # family anchors (r07 set)
     "daily_sales",
     "product_performance",
     "customer_insights",
@@ -52,6 +55,33 @@ HEADLINE = [
     "anti_join_orphans",
     "tumbling_window_agg",
     "semantic_contamination_audit",
+    # committed-profile top-30 additions (r08 profile order)
+    "corpus_curation_pipeline",
+    "semantic_cluster_dups",
+    "bpe_merge_steps",
+    "lsh_recall_eval",
+    "dbscan_customer_segments",
+    "bfs_hops_copurchase",
+    "shingle_similarity_join",
+    "pagerank_copurchase",
+    "embedding_cosine_dups_expanded",
+    "profile_constraint_suggestions",
+    "neardup_clusters",
+    "kcore_peeling_profile",
+    "mv_incremental_refresh",
+    "sssp_copurchase",
+    "cdc_apply_snapshot",
+    "label_propagation_communities",
+    "pq_trained_codebook_eval",
+    "department_analytics",
+    "span_dedup_clean",
+    "cdc_change_feed",
+    "bloom_skipping_snapshot",
+    "scd2_asof_lookup",
+    "shingle_containment_pairs",
+    "scd2_apply_snapshot",
+    "quality_rater_agreement",
+    "frequent_triple_itemsets",
 ]
 
 _OP_LINE = re.compile(r"^\(\d+\) (\w+)", re.MULTILINE)
