@@ -3,6 +3,27 @@
 can't skip work), printed as ONE JSON line.
 
 Usage: python bench.py [--warmup N] [--queries a,b,c]
+
+PROFILE-COMMIT PROTOCOL (when a run may become the committed
+BENCH_DETAIL.json profile that --check and future drift analyses
+compare against):
+
+  1. FULL registry only — a --queries subset never overwrites the
+     profile (enforced below; a subset clobber silently emptied the
+     --check anchor baseline once, the round-7 lesson).
+  2. FRESH JVM — start a new process for the profile run; in-session
+     repeats of the same queries drift systematically slower (measured
+     on this host), so a profile taken mid-session flatters nothing
+     and penalizes everything after it.
+  3. NO CONCURRENT LOAD — any other Spark suite / pytest run on the
+     host invalidates the numbers; re-run flagged queries in isolation
+     before believing them.
+  4. CLASS MEDIANS IN BAND — the run's per-class median ratio vs the
+     prior profile must lie in [0.6, 1.67] (the documented uniform
+     host-drift envelope). Outside the band the run is either
+     contended or genuinely regressed; bench.py REFUSES to overwrite
+     the committed profile and says so on stderr. Pass
+     --force-profile after diagnosing (and say why in the commit).
 """
 
 from __future__ import annotations
@@ -245,6 +266,15 @@ def main() -> None:
         "documented in BASELINE.md; skewed inflation = a real "
         "regression). Never overwrites the committed profile.",
     )
+    ap.add_argument(
+        "--force-profile",
+        action="store_true",
+        help="overwrite the committed BENCH_DETAIL.json profile even when "
+        "this run's class-median ratios vs the prior profile fall outside "
+        "the [0.6, 1.67] host-drift band (see the module docstring's "
+        "profile-commit protocol; without this flag such a run prints its "
+        "numbers but refuses to become the new baseline).",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -289,13 +319,15 @@ def main() -> None:
     }
     # class-aware drift annotation vs the PRIOR committed profile (read
     # before this run overwrites BENCH_DETAIL.json below)
+    prior_sf = None
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")) as f:
             prior_payload = json.load(f)
         prior = prior_payload["queries"]
+        prior_sf = prior_payload.get("sf")
         # ratios are only meaningful against a same-SF profile
-        if prior_payload.get("sf") != sf:
+        if prior_sf != sf:
             raise ValueError("profile sf mismatch")
         ratios = {
             n: round(t / prior[n], 3)
@@ -327,14 +359,36 @@ def main() -> None:
     # the committed profile is only meaningful for FULL-registry runs:
     # a --queries subset run must never clobber it (it silently did
     # once, emptying the --check anchor baseline until the next full
-    # run — the round-7 lesson)
+    # run — the round-7 lesson). A full run whose class medians fall
+    # outside the host-drift band is refused too (protocol rule 4 in
+    # the module docstring): it is either contended or regressed, and
+    # committing it would poison every later drift comparison.
     if len(times) == len(REGISTRY):
-        try:
-            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_DETAIL.json"), "w") as f:
-                f.write(full + "\n")
-        except OSError:
-            pass
+        cm = payload.get("class_medians") or {}
+        med_vals = [v for k, v in cm.items() if not k.startswith("n_")]
+        out_of_band = [v for v in med_vals if not 0.6 <= v <= 1.67]
+        sf_clobber = prior_sf is not None and prior_sf != sf
+        if (out_of_band or sf_clobber) and not args.force_profile:
+            why = (
+                f"run sf={sf} would clobber the committed sf={prior_sf} "
+                "profile (every later --check ratio would be nonsense)"
+                if sf_clobber
+                else f"class medians {cm} outside the [0.6, 1.67] "
+                "host-drift band"
+            )
+            print(
+                f"REFUSING to overwrite the committed profile: {why}. "
+                "Diagnose (contention? regression? wrong SPARK_GRAFT_SF_DIR?) "
+                "and re-run, or pass --force-profile.",
+                file=sys.stderr,
+            )
+        else:
+            try:
+                with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "BENCH_DETAIL.json"), "w") as f:
+                    f.write(full + "\n")
+            except OSError:
+                pass
     if len(json.dumps(payload)) > 1800:
         slowest = dict(sorted(times.items(), key=lambda kv: -kv[1]))
         kept: dict[str, float] = {}
