@@ -89,7 +89,11 @@ def min_label_propagation(
 
 
 def incremental_components(
-    prev_labels: DataFrame, ids: DataFrame, pairs: DataFrame, max_iters: int = 64
+    prev_labels: DataFrame,
+    ids: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 64,
+    pointer_jump: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental connected components, seeded from a previous labeling
     (the curation pipeline's clusters table): recompute ONLY the
@@ -144,6 +148,9 @@ def incremental_components(
     )
     sub_ids = new_ids.unionAll(affected.select("doc_id")).distinct()
     sub_labels = min_label_propagation(
-        sub_ids, new_edges.unionAll(star_edges), max_iters=max_iters
+        sub_ids,
+        new_edges.unionAll(star_edges),
+        max_iters=max_iters,
+        pointer_jump=pointer_jump,
     )
     return sub_labels, sub_ids

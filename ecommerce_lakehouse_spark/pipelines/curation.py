@@ -336,7 +336,9 @@ def curate(
         )
 
         prev = t["clusters"].read().select("doc_id", "cluster_id")
-        sub_labels, _sub_ids = incremental_components(prev, ids, pairs)
+        sub_labels, _sub_ids = incremental_components(
+            prev, ids, pairs, pointer_jump=True
+        )
         t["clusters"].merge(sub_labels, keys=["doc_id"], txn=txn)
     labels = t["clusters"].read().select("doc_id", "cluster_id")
 
@@ -373,12 +375,16 @@ def curate(
 
 
 def _connected_components(ids: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Shared min-label propagation engine (operators/graph.py): converges
-    in O(diameter) iterations, raises rather than returning half-merged
-    clusters if the bound is exceeded."""
+    """Shared min-label propagation engine (operators/graph.py) in
+    POINTER-JUMP mode — O(log diameter) rounds, so the pipeline survives
+    pathological dup topologies (a templated page with an incrementing
+    counter makes a near-dup CHAIN whose diameter is the chain length;
+    the r09 100x smoke's synthetic batch hit exactly that and blew the
+    plain mode's 64-round bound). Raises rather than returning
+    half-merged clusters if even the doubling bound is exceeded."""
     from ecommerce_lakehouse_spark.operators.graph import min_label_propagation
 
-    return min_label_propagation(ids, pairs)
+    return min_label_propagation(ids, pairs, pointer_jump=True)
 
 
 def funnel(

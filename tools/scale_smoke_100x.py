@@ -67,6 +67,10 @@ QUERIES = [
     "value_quantiles_exact",
     "customer_spend_deciles",
     "pagerank_copurchase",
+    # r09: the corpus-sized word-count stage runs once at full width,
+    # then the vocabulary-bounded merge loop — its wall should be FLAT
+    # across 10x/100x (the loop never touches the corpus again)
+    "bpe_merge_steps",
 ]
 
 
@@ -176,6 +180,64 @@ def ceilings(spark, out: str, width: int = 32) -> dict:
     return m
 
 
+def curation_two_batches(spark, out: str) -> dict:
+    """100x evidence for the flagship MERGE-incremental pipeline
+    (VERDICT r08 #3): run ``curate()`` as TWO committed batches and
+    report per-batch wall plus the stage-4 candidate-pair volume — the
+    number the "new ⋈ index, never index ⋈ index" contract keeps
+    batch-driven as the index grows.
+
+    - batch 1 (bootstrap): the full 100x replicated documents table
+      (500k rows collapsing to the base corpus's distinct texts) — the
+      heavy-duplication ingest shape.
+    - batch 2 (incremental): an equally-sized batch of entirely NEW
+      distinct texts (ids monotonically above batch 1 per the
+      pipeline's contract). Each text is 8 md5 words from a sliding
+      window over the id space, so every new doc is a genuine near-dup
+      of its ~7 id-neighbors — the index grows by the full batch AND
+      stage 4 does real bounded-fanout candidate work, never
+      index ⋈ index.
+    """
+    import shutil as _sh
+
+    from ecommerce_lakehouse_spark.pipelines.curation import curate
+
+    root = os.path.join("/tmp", "spark_graft_curation_100x")
+    _sh.rmtree(root, ignore_errors=True)
+    d = load(spark, out, "documents")
+
+    rep: dict = {}
+    t0 = time.time()
+    t = curate(spark, d, root, txn={"app_id": "scale100", "version": 1})
+    rep["batch1_sec"] = round(time.time() - t0, 2)
+    rep["batch1_pairs"] = t["pairs"].read().count()
+    rep["batch1_canonicals"] = t["canonical"].read().count()
+
+    # monotone ids above batch 1; unique 8-word texts (pass the quality
+    # gate: >=5 words, no duplicate bigrams, no emails)
+    hi = d.agg(F.max("doc_id")).first()[0] + 1
+    words = [F.md5((F.col("doc_id") + F.lit(i)).cast("string")) for i in range(8)]
+    batch2 = d.select(
+        (F.col("doc_id") + F.lit(hi)).alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+        "lang",
+        "source",
+    )
+    t0 = time.time()
+    t = curate(spark, batch2, root, txn={"app_id": "scale100", "version": 2})
+    rep["batch2_sec"] = round(time.time() - t0, 2)
+    rep["batch2_pairs_delta"] = t["pairs"].read().count() - rep["batch1_pairs"]
+    rep["batch2_canonicals_delta"] = (
+        t["canonical"].read().count() - rep["batch1_canonicals"]
+    )
+    rep["final_index_max_bucket"] = (
+        t["band_index"].read().groupBy("band_key").count().agg(F.max("count")).first()[0]
+    )
+    rep["survivors"] = t["survivors"].read().count()
+    _sh.rmtree(root, ignore_errors=True)
+    return rep
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 100
@@ -203,6 +265,14 @@ def main() -> None:
     t0 = time.time()
     report["max_task_rows"] = ceilings(spark, OUT)
     report["ceilings_sec"] = round(time.time() - t0, 2)
+    if "--skip-pipelines" not in sys.argv:
+        t0 = time.time()
+        report["curation_two_batches"] = curation_two_batches(spark, OUT)
+        report["curation_sec"] = round(time.time() - t0, 2)
+        print(
+            f"curation 2-batch: {report['curation_two_batches']}",
+            file=sys.stderr, flush=True,
+        )
     print(json.dumps(report))
 
 
