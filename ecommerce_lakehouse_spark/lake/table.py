@@ -2183,25 +2183,9 @@ class LakeTable:
             )
         return best
 
-    def restore(self, version: int) -> int:
-        """Delta ``RESTORE TABLE .. TO VERSION AS OF``: commit a NEW
-        version whose content is the old version's (data dirs are reused
-        by reference — no rewrite; history is preserved, so the restore
-        itself can be time-traveled past or restored away again)."""
-        old = self._manifest(version)  # raises if the version never existed
-        prior = self._manifest(self.current_version())
-        return self._commit(
-            old["data_dirs"],
-            "restore",
-            old["partition_by"],
-            base_version=prior["version"],
-            # a faithful rollback restores table METADATA too — otherwise
-            # restored rows would be governed by constraints/generated
-            # definitions they never satisfied
-            constraints=old.get("constraints", {}),
-            generated=old.get("generated_columns", {}),
-            deletion_vectors=old.get("deletion_vectors", []),
-        )
+    # NOTE: restore() is defined once, below (the vacuum-guarded,
+    # metadata-carrying implementation) — an earlier duplicate def that
+    # this class shadowed was removed in r09.
 
     def read(
         self,

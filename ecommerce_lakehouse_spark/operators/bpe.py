@@ -152,8 +152,13 @@ def bpe_train(
     wf_loop.createOrReplaceGlobalTempView(view + "_out")
     wf = spark.table(f"global_temp.{view}_out")
     # materialize the post-merge vocabulary once for encode consumers
-    # (32 stacked map-side replaces over the checkpointed base)
+    # (32 stacked map-side replaces over the checkpointed base); the
+    # barrier is EAGER, so the handoff views can be dropped right after
+    # (global_temp is app-scoped — leaving them would leak one pair per
+    # (corpus, steps) for the application's lifetime)
     wf = wf.transform(iter_barrier)
+    spark.catalog.dropGlobalTempView(view)
+    spark.catalog.dropGlobalTempView(view + "_out")
     out = spark.createDataFrame(
         merges, "step int, pair string, token string, wc long"
     )
