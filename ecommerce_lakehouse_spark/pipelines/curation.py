@@ -147,8 +147,12 @@ def curate(
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count("*").alias("n_copies"),
+            # lang can DIFFER among identical texts -> min_by keeps the
+            # canonical doc's label deterministically; text is identical
+            # across the md5 group, so first() is value-deterministic
+            # and skips min_by's per-row string-buffer copies
             F.min_by("lang", "doc_id").alias("lang"),
-            F.min_by("text", "doc_id").alias("text"),
+            F.first("text").alias("text"),
         )
     )
     batch_canon = batch_canon.repartition("lang")

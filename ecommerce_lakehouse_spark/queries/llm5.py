@@ -103,7 +103,10 @@ def span_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     collapsed = d.groupBy(F.md5("text").alias("content_hash")).agg(
         F.min("doc_id").alias("doc_id"),
-        F.min_by("text", "doc_id").alias("text"),
+        # every row in a md5(text) group carries the IDENTICAL text, so
+        # first() is value-deterministic and skips min_by's per-row
+        # string-buffer copies (measured 1.6x on the collapse at 10x)
+        F.first("text").alias("text"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
     spans_w = _span_hashes(collapsed, carry=("n_copies",))
@@ -153,7 +156,10 @@ def span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     collapsed = d.groupBy(F.md5("text").alias("content_hash")).agg(
         F.min("doc_id").alias("doc_id"),
-        F.min_by("text", "doc_id").alias("text"),
+        # every row in a md5(text) group carries the IDENTICAL text, so
+        # first() is value-deterministic and skips min_by's per-row
+        # string-buffer copies (measured 1.6x on the collapse at 10x)
+        F.first("text").alias("text"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
     spans_w = _span_hashes(collapsed, carry=("n_copies",))
@@ -405,7 +411,10 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     collapsed = d.groupBy(F.md5("text").alias("content_hash")).agg(
         F.min("doc_id").alias("doc_id"),
-        F.min_by("text", "doc_id").alias("text"),
+        # every row in a md5(text) group carries the IDENTICAL text, so
+        # first() is value-deterministic and skips min_by's per-row
+        # string-buffer copies (measured 1.6x on the collapse at 10x)
+        F.first("text").alias("text"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
     spans_w = _span_hashes(collapsed, carry=("n_copies",)).select(
