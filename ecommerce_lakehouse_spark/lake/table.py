@@ -576,6 +576,16 @@ class LakeTable:
                     f"{operation}: lost the race for v{version} "
                     f"(another writer committed it); re-read and retry"
                 ) from None
+            # POSIX: a new directory entry is only durable once the
+            # PARENT DIRECTORY is fsynced — without this, a power loss
+            # after the link could roll back an acknowledged commit
+            # (the process-crash fault-injection tests cannot see this;
+            # it is the power-failure half of the durability contract)
+            dfd = os.open(self._manifest_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         finally:
             try:
                 os.unlink(tmp)

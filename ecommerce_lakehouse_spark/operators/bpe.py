@@ -28,6 +28,8 @@ chained pairs of rounds (~10 s); this form is round 8 (VERDICT item #3).
 
 from __future__ import annotations
 
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -146,19 +148,27 @@ def bpe_train(
     loop = spark.newSession()
     loop.conf.set("spark.sql.shuffle.partitions", str(_BPE_VOCAB_PARTS))
     loop.conf.set("spark.sql.adaptive.enabled", "false")
-    view = f"bpe_wf_{abs(hash((sf_dir, steps))):x}"
-    wf.createOrReplaceGlobalTempView(view)
-    merges, wf_loop = _merge_loop(loop, loop.table(f"global_temp.{view}"), steps)
-    wf_loop.createOrReplaceGlobalTempView(view + "_out")
-    wf = spark.table(f"global_temp.{view}_out")
-    # materialize the post-merge vocabulary once for encode consumers
-    # (32 stacked map-side replaces over the checkpointed base); the
-    # barrier is EAGER, so the handoff views can be dropped right after
-    # (global_temp is app-scoped — leaving them would leak one pair per
-    # (corpus, steps) for the application's lifetime)
-    wf = wf.transform(iter_barrier)
-    spark.catalog.dropGlobalTempView(view)
-    spark.catalog.dropGlobalTempView(view + "_out")
+    # per-INVOCATION unique view names: global_temp is app-scoped and
+    # shared, so a deterministic (sf_dir, steps) name would let two
+    # concurrent first calls (the unsynchronized cache check-then-act)
+    # drop each other's handoff mid-loop
+    view = f"bpe_wf_{uuid.uuid4().hex[:12]}"
+    try:
+        wf.createOrReplaceGlobalTempView(view)
+        merges, wf_loop = _merge_loop(
+            loop, loop.table(f"global_temp.{view}"), steps
+        )
+        wf_loop.createOrReplaceGlobalTempView(view + "_out")
+        wf = spark.table(f"global_temp.{view}_out")
+        # materialize the post-merge vocabulary once for encode consumers
+        # (32 stacked map-side replaces over the checkpointed base); the
+        # barrier is EAGER, so the finally can drop the handoff views
+        # even on success (global_temp is app-scoped — leaking them
+        # would pin one pair per invocation for the app's lifetime)
+        wf = wf.transform(iter_barrier)
+    finally:
+        spark.catalog.dropGlobalTempView(view)
+        spark.catalog.dropGlobalTempView(view + "_out")
     out = spark.createDataFrame(
         merges, "step int, pair string, token string, wc long"
     )

@@ -112,6 +112,11 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
             ).cast("long"),
         ).alias("t")
     )
+    # barrier the 1-row threshold: it feeds TWO broadcast consumers (the
+    # Apriori freq filter and the edge support filter), and without the
+    # barrier each subplan re-runs the corpus-sized countDistinct —
+    # exactly the cost class the prune exists to cut
+    thr = thr.transform(iter_barrier)
     if prune:
         freq = (
             li.groupBy("l_partkey")

@@ -56,6 +56,22 @@ def _span_hashes(d: DataFrame, carry: tuple = ()) -> DataFrame:
     )
 
 
+def _collapsed_docs(d: DataFrame) -> DataFrame:
+    """(content_hash, doc_id, text, n_copies): the corpus collapsed to
+    DISTINCT texts — ONE definition of the collapse-first base all three
+    span queries share (the r09 min_by→first change had to touch three
+    copies; drift here would break the 'spans are a function of TEXT'
+    invariant they share with one oracle). doc_id is the canonical
+    (minimum) id; every row in a md5(text) group carries the IDENTICAL
+    text, so first() is value-deterministic and skips min_by's per-row
+    string-buffer copies (measured 1.6x on the collapse at 10x)."""
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("text").alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
 _SPAN_TOKS = f"string_split_regex(trim(text), '\\s+')"
 _SPAN_ORACLE_BASE = f"""
 WITH t AS (
@@ -101,14 +117,7 @@ def span_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy's combiner collapses within-text repeats before the
     exchange; the second shuffles only distinct span hashes."""
     d = load(spark, sf_dir, "documents")
-    collapsed = d.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id"),
-        # every row in a md5(text) group carries the IDENTICAL text, so
-        # first() is value-deterministic and skips min_by's per-row
-        # string-buffer copies (measured 1.6x on the collapse at 10x)
-        F.first("text").alias("text"),
-        F.count(F.lit(1)).cast("long").alias("n_copies"),
-    )
+    collapsed = _collapsed_docs(d)
     spans_w = _span_hashes(collapsed, carry=("n_copies",))
     per_text = spans_w.groupBy("h", "doc_id").agg(
         F.count(F.lit(1)).alias("m"), F.min("n_copies").alias("c")
@@ -154,14 +163,7 @@ def span_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned on the 32-char span hash; nothing wider than
     (hash, text-id, count) shuffles until the final fan-out."""
     d = load(spark, sf_dir, "documents")
-    collapsed = d.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id"),
-        # every row in a md5(text) group carries the IDENTICAL text, so
-        # first() is value-deterministic and skips min_by's per-row
-        # string-buffer copies (measured 1.6x on the collapse at 10x)
-        F.first("text").alias("text"),
-        F.count(F.lit(1)).cast("long").alias("n_copies"),
-    )
+    collapsed = _collapsed_docs(d)
     spans_w = _span_hashes(collapsed, carry=("n_copies",))
     counts = spans_w.groupBy("h").agg(F.sum("n_copies").alias("n"))
     isdup = F.when(F.col("n") > 1, F.lit(1)).otherwise(F.lit(0))
@@ -409,14 +411,7 @@ def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     combiner keeps at most one text per distinct hash per task, so
     text crosses the wire once per distinct text, not per copy."""
     d = load(spark, sf_dir, "documents")
-    collapsed = d.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id"),
-        # every row in a md5(text) group carries the IDENTICAL text, so
-        # first() is value-deterministic and skips min_by's per-row
-        # string-buffer copies (measured 1.6x on the collapse at 10x)
-        F.first("text").alias("text"),
-        F.count(F.lit(1)).cast("long").alias("n_copies"),
-    )
+    collapsed = _collapsed_docs(d)
     spans_w = _span_hashes(collapsed, carry=("n_copies",)).select(
         "doc_id", "n_copies", "h"
     )

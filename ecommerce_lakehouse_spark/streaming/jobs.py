@@ -1254,17 +1254,17 @@ def stream_mixture_shift(
             new_wins = F.col("e_keep").isNull() | (
                 F.col("keep") < F.col("e_keep")
             )
-            delta = hash_inc.join(F.broadcast(relevant), "h", "left").select(
-                "h",
-                F.when(new_wins, F.col("keep"))
-                .otherwise(F.col("e_keep"))
-                .alias("keep"),
-                F.when(new_wins, F.col("keep_source"))
-                .otherwise(F.col("e_source"))
-                .alias("keep_source"),
-                F.when(new_wins, F.col("keep_ntok"))
-                .otherwise(F.col("e_ntok"))
-                .alias("keep_ntok"),
+            # WINNERS ONLY: a batch hash whose existing row already wins
+            # (including redelivered duplicates, where values tie) is a
+            # no-op — dropping it before the MERGE leaves state
+            # unchanged and keeps touched-file pruning to files with
+            # GENUINE updates (an at-least-once redelivery of a large
+            # already-seen batch would otherwise rewrite every file it
+            # touches with identical bytes)
+            delta = (
+                hash_inc.join(F.broadcast(relevant), "h", "left")
+                .filter(new_wins)
+                .select("h", "keep", "keep_source", "keep_ntok")
             )
             hash_t.merge(delta, keys=["h"], txn=txn)
         else:
