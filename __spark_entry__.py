@@ -64,6 +64,11 @@ _FIRST = [
     # held 51 and silently dropped its last anchor —
     # tests/test_oracle_parity.py now pins the cap and bans
     # cross-list duplicates).
+    # r09-OPTIMIZATION changes first: the Lloyd-loop queries rebuilt on
+    # the driver-literal kmeans operator (results bit-identical; plan
+    # reshaped, so they re-gate first)
+    "semantic_cluster_dups",
+    "pq_trained_codebook_eval",
     "pagerank_copurchase",
     "triangle_copurchase",
     "adamic_adar_links",
@@ -107,8 +112,6 @@ _FIRST = [
     "propensity_strata_ate",
     "heaps_law_fit",
     "k_anonymity_audit",
-    "discount_uplift_profile",
-    "safety_stock_plan",
     "semantic_contamination_audit",
     "prefix_share_profile",
     # cross-family regression anchors (gated green every round since r02)
@@ -124,6 +127,10 @@ _FIRST = [
 # Disjoint from _FIRST by test (duplicates collapse silently in the
 # ordered-dict build, wasting window slots).
 _NEXT = [
+    # displaced from _FIRST by the r09-optimization leads (both gated
+    # green in r08; unchanged since)
+    "discount_uplift_profile",
+    "safety_stock_plan",
     "duplication_spectrum",
     "quality_rater_agreement",
     "knn_label_precision",
@@ -137,7 +144,6 @@ _NEXT = [
     "scd2_asof_lookup",
     "croston_demand_forecast",
     "shingle_containment_pairs",
-    "pq_trained_codebook_eval",
     "order_open_interval_concurrency",
     "classifier_calibration_curve",
     "daily_revenue_spike_flags",

@@ -31,6 +31,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ecommerce_lakehouse_spark.operators.kmeans import (
+    assign_nearest,
+    collect_seed_vectors,
+    lloyd_rounds,
+)
 from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.operators.sketch import (
     kll_level_sketch,
@@ -985,15 +990,15 @@ def pq_trained_codebook_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of rounds; the oracle unrolls the same rounds as MATERIALIZED
     CTEs keyed (subspace, cid).
 
-    Scale: the codebook is M x K x 8 bigints (KBs) — assignment is
-    shuffle-free (in-row array_min against the per-subspace broadcast
-    centroid array); the update explodes to (subspace, cid, dim) keys
-    where map-side combine collapses each task to <= M*K*8 rows; each
-    round is one job over an iter_barrier. Training cost is R bounded
+    Scale: the codebook is M x K x 8 bigints (KBs) — control-plane-sized
+    by definition, so it lives on the driver and re-enters each round as
+    a literal array (the BPE literal-replace pattern). Assignment is
+    shuffle-free (in-row array_min against the per-subspace literal
+    codeword array); the update aggregates member rows map-side into 9
+    combiner cells per (subspace, cid) and collects the M*CW-row result;
+    each round is ONE aggregate-collect job. Training cost is R bounded
     aggregates over the corpus — the standard distributed k-means
     shape, M-way parallel across subspaces."""
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "embeddings")
     u = F.transform(
         F.col("embedding").cast("array<double>"),
@@ -1010,78 +1015,23 @@ def pq_trained_codebook_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(iter_barrier)
     )
-    samp = (
-        v.select(F.md5(F.col("vec_id").cast("string")).alias("m"), "vec_id", "u")
-        .orderBy("m", "vec_id")
-        .limit(_PT_CW)
-        .select(
-            F.row_number().over(Window.orderBy("m", "vec_id")).cast("int").alias("cid"),
-            "u",
-        )
-    )
-    cent = (
-        samp.crossJoin(F.broadcast(sub))
-        .select(
-            "k", "cid", F.expr("slice(u, CAST(k * 8 + 1 AS INT), 8)").alias("c")
-        )
-        .transform(iter_barrier)
-    )
-
-    def assign(c_tbl: DataFrame) -> DataFrame:
-        # in-row argmin against the per-subspace broadcast centroid array
-        cs = c_tbl.groupBy("k").agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
-        )
-        j = pts.join(F.broadcast(cs), on="k")
-        best = F.array_min(
-            F.transform(
-                "cs",
-                lambda s: F.struct(
-                    F.aggregate(
-                        F.zip_with(F.col("sv"), s["c"], lambda a, b: (a - b) * (a - b)),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    s["cid"].alias("cid"),
-                ),
-            )
-        )
-        return j.select(
-            "vec_id", "k", "sv", best["cid"].alias("cid"), best["dist"].alias("dist")
-        )
-
-    asg0 = assign(cent).transform(iter_barrier)  # sampled-codebook encoding
-    asg = asg0
-    for r in range(_PT_ROUNDS):
-        # centroid update as 8 column-wise sums instead of a posexplode
-        # fanout (the semantic_cluster_dups r08 rewrite): the explode
-        # form shuffled members×8 rows per round; this aggregates member
-        # rows map-side into 9 combiner cells per (k, cid) — identical
-        # exact integers; the round's shuffle shrinks 8×, the term that
-        # grows with corpus size at 100 TB
-        agg = asg.groupBy("k", "cid").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("sv", i + 1)).alias(f"s{i}")
-                for i in range(8)
-            ],
-        )
-        newc = agg.select(
-            "k",
-            "cid",
-            F.array(
-                *[F.expr(f"(2 * s{i} + n) DIV (2 * n)") for i in range(8)]
-            ).alias("nc"),
-        )
-        cent = (
-            cent.join(newc, ["k", "cid"], "left")
-            .select("k", "cid", F.coalesce("nc", "c").alias("c"))
-            .transform(iter_barrier)
-        )
-        if r < _PT_ROUNDS - 1:
-            asg = assign(cent).transform(iter_barrier)
-    af = assign(cent)
-    s0 = asg0.groupBy("vec_id").agg(
+    # Lloyd loop via operators/kmeans.py: codebook state is
+    # control-plane-sized BY DEFINITION (M*CW*8 bigints, a few KB), so
+    # init + rounds run as the BPE literal-replace pattern — one
+    # aggregate-collect job per round, codebooks re-entering as literal
+    # per-subspace arrays — instead of the former per-round broadcast
+    # join + codebook join + three eager localCheckpoints (r09 opt —
+    # see OPTIMIZATION_r09.md). cid is 1-based (the oracle's
+    # row_number); cent[(k, cid)] = subspace k's 8-wide codeword.
+    samp_u = collect_seed_vectors(v, "vec_id", "u", _PT_CW)
+    cent0 = {
+        (k, cid): uu[k * 8 : k * 8 + 8]
+        for cid, uu in enumerate(samp_u, start=1)
+        for k in range(_PT_M)
+    }
+    cent = lloyd_rounds(pts, "sv", cent0, _PT_ROUNDS, 8, group_col="k")
+    af = assign_nearest(pts, "sv", cent, group_col="k")
+    s0 = assign_nearest(pts, "sv", cent0, group_col="k").groupBy("vec_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sub"),
         F.sum("dist").cast("long").alias("sq_err_sampled"),
     )

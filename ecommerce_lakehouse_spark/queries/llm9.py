@@ -42,6 +42,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ecommerce_lakehouse_spark.operators.kmeans import (
+    assign_nearest,
+    collect_seed_vectors,
+    lloyd_rounds,
+)
 from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
@@ -151,14 +156,6 @@ FROM ex JOIN sz s ON ex.cid = s.cid
 """
 
 
-def _int_l2(u, c):
-    return F.aggregate(
-        F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 @query("semantic_cluster_dups", oracle=_SD_ORACLE)
 def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup disposition, one row per vector: final
@@ -198,79 +195,25 @@ def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u"),
     ).transform(iter_barrier)
 
-    # centroid init: the K md5-smallest canonical vectors. TakeOrdered
-    # (per-partition heads) bounds the sort; the cid-assigning
-    # row_number runs on the K-row frame only (pq_encode_eval idiom).
-    top = (
-        v.select(F.md5(F.col("vec_id").cast("string")).alias("m"), "vec_id", "u")
-        .orderBy("m", "vec_id")
-        .limit(_SD_K)
+    # Lloyd loop via operators/kmeans.py: centroid state is
+    # control-plane-sized BY DEFINITION (K*(_DIM+1) bigints, a few KB),
+    # so init + rounds run as the BPE literal-replace pattern — one
+    # aggregate-collect job per round, centroids re-entering as
+    # literals — instead of the former per-round broadcast crossJoin +
+    # centroid join + eager localCheckpoint chain (r09 opt: that shape
+    # cost ~4 driver-planned jobs per round; this one costs 1 — see
+    # OPTIMIZATION_r09.md). cid = seed list index, matching the
+    # oracle's row_number()-1.
+    cent = {
+        (None, cid): u
+        for cid, u in enumerate(collect_seed_vectors(v, "vec_id", "u", _SD_K))
+    }
+    cent = lloyd_rounds(
+        v.select("vec_id", "u"), "u", cent, _SD_ROUNDS, _DIM
     )
-    cent = top.select(
-        (F.row_number().over(Window.orderBy("m", "vec_id")) - 1)
-        .cast("int")
-        .alias("cid"),
-        F.col("u").alias("c"),
-    ).transform(iter_barrier)
-
-    def assign(c_tbl: DataFrame) -> DataFrame:
-        # Assignment is SHUFFLE-FREE: the K centroids collapse to ONE
-        # broadcast row holding a cid-sorted struct array; each vector
-        # computes all K integer distances in-row (transform) and takes
-        # the lexicographic (dist, cid) array_min — pure map-side
-        # whole-stage-codegen work, no N*K shuffle, ties to the lowest
-        # cid exactly like the oracle's ORDER BY dist, cid.
-        cs = c_tbl.agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cs")
-        )
-        j = v.select("vec_id", "u").crossJoin(F.broadcast(cs))
-        best = F.array_min(
-            F.transform(
-                "cs",
-                lambda s: F.struct(
-                    _int_l2(F.col("u"), s["c"]).alias("dist"),
-                    s["cid"].alias("cid"),
-                ),
-            )
-        )
-        return j.select(
-            "vec_id", "u", best["cid"].alias("cid"), best["dist"].alias("dist")
-        )
-
-    for _ in range(_SD_ROUNDS):
-        asg = assign(cent)
-        # centroid update as _DIM column-wise sums instead of a
-        # posexplode fanout: the explode form shuffled members×_DIM rows
-        # per round, this aggregates member rows map-side into
-        # (_DIM+1) combiner cells per cid — same exact integers (n is
-        # the member count for every dimension of a cid, each s_i the
-        # BIGINT sum of u[i]), same rounded-mean DIV. Local wall is flat
-        # (the assign() distance map dominates on 32 warm cores); the
-        # win is the round's shuffle shrinking _DIM× — the term that
-        # grows with corpus size at 100 TB
-        agg = asg.groupBy("cid").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("u", i + 1)).alias(f"s{i}")
-                for i in range(_DIM)
-            ],
-        )
-        newc = agg.select(
-            "cid",
-            F.array(
-                *[
-                    F.expr(f"(2 * s{i} + n) DIV (2 * n)")
-                    for i in range(_DIM)
-                ]
-            ).alias("nc"),
-        )
-        cent = (
-            cent.join(newc, "cid", "left")
-            .select("cid", F.coalesce("nc", "c").alias("c"))
-            .transform(iter_barrier)
-        )
-
-    af = assign(cent).select("vec_id", "cid", "dist")
+    af = assign_nearest(v.select("vec_id", "u"), "u", cent).select(
+        "vec_id", "cid", "dist"
+    )
     jx = af.join(v, "vec_id").transform(iter_barrier)
     sz = jx.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("csize"),
