@@ -102,38 +102,57 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
     the un-pruned path alive for the direct invariance test
     (tests/test_scale_ops.py)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    thr = li.agg(
-        F.greatest(
-            F.lit(2).cast("long"),
-            F.ceil(
-                F.countDistinct("l_orderkey")
-                * _SUPPORT_REL_NUM
-                / _SUPPORT_REL_DEN
-            ).cast("long"),
-        ).alias("t")
-    )
-    # barrier the 1-row threshold: it feeds TWO broadcast consumers (the
-    # Apriori freq filter and the edge support filter), and without the
-    # barrier each subplan re-runs the corpus-sized countDistinct —
-    # exactly the cost class the prune exists to cut
-    thr = thr.transform(iter_barrier)
-    if prune:
-        freq = (
-            li.groupBy("l_partkey")
-            .agg(F.count(F.lit(1)).alias("pw"))
-            .crossJoin(F.broadcast(thr))
-            .filter(F.col("pw") >= F.col("t"))
-            .select("l_partkey")
-        )
-        li = li.join(F.broadcast(freq), "l_partkey")
+    # r09 opt (ONE corpus pass instead of three): the former shape paid
+    # a countDistinct(l_orderkey) pass for the threshold, a
+    # groupBy(l_partkey) pass for the Apriori frequencies, and the
+    # per-order groupBy — three corpus-sized shuffles. Collapsing FIRST
+    # (per-order part-sets, then identical baskets merged with their
+    # multiplicity) makes every later quantity derivable from the
+    # basket-collapsed frame: n_baskets = sum(bw) (orders with >= 1
+    # lineitem, exactly countDistinct(l_orderkey)), part frequency =
+    # sum(bw) over baskets containing the part (the number of DISTINCT
+    # orders containing it — a TIGHTER Apriori bound than the raw row
+    # count the old pass used, still >= support of any edge at that
+    # endpoint, so the surviving edge set is provably unchanged), and
+    # the pruned expansion runs over frequent-filtered basket arrays as
+    # before. The one corpus-sized shuffle left is the per-order
+    # groupBy every variant needs.
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    baskets = (
-        per_order.filter(F.size("parts") >= 2)
-        .groupBy("parts")
+    baskets0 = (
+        per_order.groupBy("parts")
         .agg(F.count(F.lit(1)).alias("bw"))
+        .transform(iter_barrier)  # the ONE corpus materialization
     )
+    thr = baskets0.agg(
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.ceil(
+                F.sum("bw") * _SUPPORT_REL_NUM / _SUPPORT_REL_DEN
+            ).cast("long"),
+        ).alias("t")
+    )
+    # 1-row threshold over the checkpointed collapsed frame: its two
+    # broadcast consumers each re-run only a tiny checkpoint-scan agg
+    baskets = baskets0.filter(F.size("parts") >= 2)
+    if prune:
+        freq = (
+            baskets0.select(F.explode("parts").alias("p"), "bw")
+            .groupBy("p")
+            .agg(F.sum("bw").alias("pw"))
+            .crossJoin(F.broadcast(thr))
+            .filter(F.col("pw") >= F.col("t"))
+            .select("p")
+        )
+        baskets = (
+            baskets.select("parts", "bw", F.explode("parts").alias("p"))
+            .join(F.broadcast(freq), "p")
+            .groupBy("parts", "bw")
+            .agg(F.sort_array(F.collect_list("p")).alias("fparts"))
+            .select(F.col("fparts").alias("parts"), "bw")
+            .filter(F.size("parts") >= 2)
+        )
     # pair expansion as chained Generate operators (posexplode then
     # explode of the tail slice) rather than a flatten(transform(...))
     # lambda tree: generators pipeline row-by-row while the lambda form

@@ -553,14 +553,15 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(parts, (x, i) -> "
-            "transform(slice(parts, i + 2, size(parts)), "
-            "y -> struct(x AS s, y AS d))))"
-        )
-    ).alias("p")
-    pairs = per_order.select(pair).select("p.s", "p.d").distinct().transform(iter_barrier)
+    # chained Generate expansion (posexplode + tail-slice explode): the
+    # graph_ml/frequent_triple rewrite — the flatten(transform(...))
+    # lambda form materializes each basket's full C(w,2) struct array
+    # before exploding it
+    p1 = per_order.select("parts", F.posexplode("parts").alias("i", "s"))
+    p2 = p1.select(
+        "s", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("d")
+    )
+    pairs = p2.distinct().transform(iter_barrier)
     edges = pairs.union(
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )

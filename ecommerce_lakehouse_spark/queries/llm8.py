@@ -559,16 +559,17 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(parts, (x, i) -> "
-            "transform(slice(parts, i + 2, size(parts)), "
-            "y -> struct(x AS s, y AS d))))"
-        )
-    ).alias("p")
+    # pair expansion as chained Generate operators (posexplode then
+    # explode of the tail slice) rather than a flatten(transform(...))
+    # lambda tree: generators pipeline row-by-row while the lambda form
+    # materializes each basket's full C(w,2) struct array before the
+    # explode (the graph_ml/frequent_triple rewrite, measured 8x there)
+    p1 = per_order.select("parts", F.posexplode("parts").alias("i", "s"))
+    p2 = p1.select(
+        "s", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("d")
+    )
     pr = (
-        per_order.select(pair)
-        .groupBy(F.col("p.s").alias("s"), F.col("p.d").alias("d"))
+        p2.groupBy("s", "d")
         .agg(
             F.expr("CAST((100 + count(1) - 1) DIV count(1) AS BIGINT)").alias("w")
         )

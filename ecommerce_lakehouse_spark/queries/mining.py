@@ -486,69 +486,96 @@ def kcore_profile_frame(
     the fixpoint ends with n_removed = 0; a truncated run's final row
     shows n_removed > 0 — never a silently-wrong "core".
 
-    INCREMENTAL peel (the Batagelj-Zaveršnik bookkeeping, distributed):
-    maintain per-survivor induced degree and per round SUBTRACT the
-    neighbors lost to that round's removal set instead of recomputing
-    induced degrees with two full adjacency joins — each node is
-    removed exactly once, so round r's only data-sized work is one
-    adjacency probe against the (rapidly shrinking, AQE-broadcastable)
-    removed set; post-fixpoint rounds probe an empty set. Measured
-    16.9 s -> ~6 s for the 13-round profile on the 10x-densified
-    co-purchase graph (tools/scale_smoke_mining.py). Semantics are
-    unchanged: deg(z) always equals z's degree in the subgraph induced
-    by current survivors, because an edge (z, w) is subtracted exactly
-    when w is removed, and zero-degree survivors fail c >= k the next
-    round exactly as the recompute form drops them."""
+    IN-ROW peel over a SUPPORT-BOUNDED graph (r09 opt): the
+    relative-support cut bounds the surviving graph independent of
+    corpus size (E <= C(avg_width, 2) * 150000/2 — the edge-weight
+    budget divided by the threshold, which scales with n_baskets), so
+    the graph is control-plane-sized BY CONSTRUCTION and distributing
+    the 13 peel rounds was pure scheduler overhead: the former
+    round-per-job form (per round: eager localCheckpoint + 2 aggregates
+    + a broadcast-join degree subtract) cost ~0.5 s/round of fixed cost
+    at sf0.1 against a ~3.6k-edge graph. Here the DENSE adjacency index
+    is built distributedly (posexplode index + two hash joins + one
+    groupBy — the dbscan inrow_min_label_cc idiom, O(E)), then all
+    rounds run as ONE in-row fold, O(rounds * (V + E)) inside a single
+    task, stats accumulated per round in the same fold. Semantics are
+    the same incremental Batagelj-Zaveršnik bookkeeping: deg(z) always
+    equals z's degree in the subgraph induced by current survivors
+    (an edge (z, w) is subtracted exactly when w is removed; removed
+    slots go NULL), and each round's stats are taken BEFORE its
+    removal, exactly like the round-per-job form."""
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("c"))
     from pyspark.sql import Window
 
-    deg = (
-        adj.groupBy("z")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .transform(iter_barrier)
+    idx = deg.select(
+        "z",
+        "c",
+        F.row_number().over(Window.orderBy("z")).cast("int").alias("i"),
     )
-    rows = None
-    for r in range(rounds + 1):
-        n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        n_edges = deg.agg(
-            F.expr("CAST(COALESCE(sum(c), 0) DIV 2 AS BIGINT)").alias("n_edges")
+    eidx = (
+        adj.join(F.broadcast(idx.select("z", "i")), "z")
+        .join(
+            F.broadcast(
+                idx.select(F.col("z").alias("nbr"), F.col("i").alias("j"))
+            ),
+            "nbr",
         )
-        stat = (
-            n_nodes.crossJoin(n_edges)
-            .select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        .select("i", "j")
+    )
+    adjp = eidx.groupBy("i").agg(F.collect_list("j").alias("nbrs"))
+    one = (
+        idx.join(adjp, "i", "left")
+        .select(
+            "i",
+            "c",
+            F.coalesce("nbrs", F.array().cast("array<int>")).alias("nbrs"),
         )
-        rows = stat if rows is None else rows.unionByName(stat)
-        if r < rounds:
-            removed = deg.filter(F.col("c") < k).select(
-                F.col("z").alias("rm")
-            )
-            # the removal frontier is broadcast: round 1 sheds the
-            # degree<k periphery of the relative-support graph (already
-            # part-dimension-bounded by the support cut), later rounds
-            # shed only the peel front, and post-fixpoint rounds are
-            # empty — so the probe never re-shuffles the adjacency. On
-            # a cluster where even the periphery exceeds the broadcast
-            # limit, drop the hint and AQE picks the shuffle strategy
-            # at runtime from the frontier's materialized size.
-            lost = (
-                adj.join(F.broadcast(removed), adj["nbr"] == removed["rm"])
-                .groupBy("z")
-                .agg(F.count(F.lit(1)).cast("long").alias("lost"))
-            )
-            deg = (
-                deg.filter(F.col("c") >= k)
-                .join(lost, "z", "left")
-                .select(
-                    "z",
-                    (F.col("c") - F.coalesce("lost", F.lit(0))).alias("c"),
-                )
-                .transform(iter_barrier)
-            )
-    w = Window.orderBy("round")
-    return rows.select(
-        "round",
-        "n_nodes",
-        "n_edges",
-        F.coalesce(F.lag("n_nodes").over(w) - F.col("n_nodes"), F.lit(0))
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(i, c, nbrs)))"
+            ).alias("nd")
+        )
+        .select(
+            # nullif forces containsNull=true on d0's element type: the
+            # fold marks removed nodes by writing NULL slots, and with a
+            # non-nullable zero the analyzer constant-folds the fold's
+            # IS (NOT) NULL guards away (c is a count, never -1, so the
+            # values are unchanged)
+            F.expr("transform(nd, x -> nullif(x.c, CAST(-1 AS BIGINT)))").alias("d0"),
+            F.expr("transform(nd, x -> x.nbrs)").alias("adj_idx"),
+        )
+    )
+    folded = one.select(
+        F.expr(
+            f"""
+aggregate(sequence(0, {rounds}),
+  struct(d0 AS d,
+         CAST(array() AS array<struct<n_nodes: BIGINT, n_edges: BIGINT>>) AS rows),
+  (st, r) -> struct(
+    zip_with(st.d, adj_idx, (x, nbrs) ->
+      CASE WHEN x IS NULL OR x < {k} THEN CAST(NULL AS BIGINT)
+           ELSE x - size(filter(nbrs, j ->
+                  element_at(st.d, j) IS NOT NULL
+                  AND element_at(st.d, j) < {k}))
+      END) AS d,
+    array_append(st.rows, struct(
+      CAST(size(filter(st.d, x -> x IS NOT NULL)) AS BIGINT) AS n_nodes,
+      CAST(COALESCE(aggregate(filter(st.d, x -> x IS NOT NULL),
+                              CAST(0 AS BIGINT), (a, x) -> a + x), 0) DIV 2
+           AS BIGINT) AS n_edges)) AS rows)).rows
+""".strip()
+        ).alias("rows")
+    )
+    return folded.select(
+        F.posexplode("rows").alias("round", "s"), F.col("rows").alias("all")
+    ).select(
+        F.col("round").cast("int").alias("round"),
+        F.col("s.n_nodes").alias("n_nodes"),
+        F.col("s.n_edges").alias("n_edges"),
+        F.when(F.col("round") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.element_at("all", F.col("round"))["n_nodes"] - F.col("s.n_nodes")
+        )
         .cast("long")
         .alias("n_removed"),
     )
@@ -912,28 +939,46 @@ def inrow_min_label_cc(
     Scale: ONLY for domain-bounded graphs (grid cells, bucket lattices);
     row-count-bounded graphs go through operators/scale.py's distributed
     pointer-jump CC instead.""".format(r=_CC_FOLD_ROUNDS)
+    # Adjacency is built DISTRIBUTEDLY (r09 opt): the former in-row form
+    # resolved each edge endpoint with array_position (O(V) per lookup)
+    # and built each node's neighbor list by filtering the full edge
+    # array (O(E) per node) — O(V*E) interpreted-HOF work in ONE task
+    # (measured 3.1 s of dbscan's wall at sf0.1). Here endpoints resolve
+    # via two broadcast hash joins against the posexploded node index
+    # and neighbor lists come from one groupBy — O(E) distributed — so
+    # only the O(rounds*(V+E)) label fold stays in-row. Same labels:
+    # identical fold, and duplicate/self edges were tolerated before and
+    # after (min over neighbor labels is idempotent).
+    idx = nodes1.select(
+        F.posexplode("nodes").alias("pos", "nd")
+    ).select((F.col("pos") + 1).cast("int").alias("i"), F.col("nd.cid").alias("cid"))
+    ed = edges1.select(F.explode("edges").alias("ed"))
+    eidx = (
+        ed.join(
+            F.broadcast(idx.select(F.col("cid").alias("ca"), F.col("i").alias("ai"))),
+            F.col("ed.doc_a") == F.col("ca"),
+        )
+        .join(
+            F.broadcast(idx.select(F.col("cid").alias("cb"), F.col("i").alias("bi"))),
+            F.col("ed.doc_b") == F.col("cb"),
+        )
+        .select("ai", "bi")
+    )
+    sym = eidx.union(eidx.select(F.col("bi").alias("ai"), F.col("ai").alias("bi")))
+    adjp = sym.groupBy(F.col("ai").alias("i")).agg(
+        F.collect_list("bi").alias("nbrs")
+    )
+    adj1 = (
+        idx.join(adjp, "i", "left")
+        .select("i", F.coalesce("nbrs", F.array().cast("array<int>")).alias("nbrs"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, nbrs))), x -> x.nbrs)"
+            ).alias("adj_idx")
+        )
+    )
     return (
-        nodes1.crossJoin(edges1)
-        .select(
-            "nodes",
-            F.expr(
-                """
-transform(edges, ed -> struct(
-  CAST(array_position(transform(nodes, x -> x.cid), ed.doc_a) AS INT) AS ai,
-  CAST(array_position(transform(nodes, x -> x.cid), ed.doc_b) AS INT) AS bi))
-""".strip()
-            ).alias("eidx"),
-        )
-        .select(
-            "nodes",
-            F.expr(
-                """
-transform(sequence(1, size(nodes)), i ->
-  concat(transform(filter(eidx, ed -> ed.ai = i), ed -> ed.bi),
-         transform(filter(eidx, ed -> ed.bi = i), ed -> ed.ai)))
-""".strip()
-            ).alias("adj_idx"),
-        )
+        nodes1.crossJoin(adj1)
         .select(
             "nodes",
             F.expr(
