@@ -295,3 +295,28 @@ def iter_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
 
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
     return df.checkpoint(eager=eager)
+
+
+#: Partition width for DOMAIN-BOUNDED iteration frames (see
+#: narrow_barrier). 4 keeps the materialization parallel while bounding
+#: the per-round task count; the frames it applies to are MB-scale at
+#: any corpus size, so this is not a data-volume ceiling.
+NARROW_ITER_WIDTH = 4
+
+
+def narrow_barrier(df: DataFrame, width: int = NARROW_ITER_WIDTH) -> DataFrame:
+    """iter_barrier for iteration frames whose size is bounded by a
+    DOMAIN, not the corpus (rank/label/frontier/distance tables over the
+    support-thresholded co-purchase graph: rows <= the part catalog, MBs
+    even at warehouse scale — the same argument that lets the queries
+    broadcast them every round).
+
+    Rationale (r09): the AQE coalescing floor (session.py) deliberately
+    keeps small-but-compute-heavy shuffle outputs wide. For THESE frames
+    that is the wrong trade — each round re-materializes and re-scans a
+    few-KB table, so partition count is pure task-launch overhead
+    multiplied by rounds (measured: pagerank 7.0 -> 8.5 s at sf0.1 from
+    ~31 extra tasks x 2 jobs x 5 rounds). coalesce(width) bounds that
+    without a shuffle; corpus-sized frames must NOT use this (their
+    barriers stay at iter_barrier)."""
+    return iter_barrier(df.coalesce(width))

@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_lakehouse_spark.operators.scale import iter_barrier
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier, narrow_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -132,9 +132,13 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
                 F.sum("bw") * _SUPPORT_REL_NUM / _SUPPORT_REL_DEN
             ).cast("long"),
         ).alias("t")
-    )
-    # 1-row threshold over the checkpointed collapsed frame: its two
-    # broadcast consumers each re-run only a tiny checkpoint-scan agg
+    ).transform(iter_barrier)
+    # barrier the 1-row threshold: it feeds TWO broadcast consumers (the
+    # Apriori freq filter and the edge support filter); un-barriered,
+    # each consumer re-runs the checkpoint-scan agg — one full-width
+    # task wave per consumer over the collapsed frame (the AQE
+    # small-partition floor keeps that frame wide, so the waves are no
+    # longer 1-task no-ops)
     baskets = baskets0.filter(F.size("parts") >= 2)
     if prune:
         freq = (
@@ -173,7 +177,9 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
         .crossJoin(F.broadcast(thr))
         .filter(F.col("w") >= F.col("t"))
         .select("s", "d")
-        .transform(iter_barrier)
+        # support-bounded edge list: narrow width (task-count hygiene
+        # for the many control-plane consumers), see narrow_barrier
+        .transform(narrow_barrier)
     )
     adj = e.select(F.col("s").alias("z"), F.col("d").alias("nbr")).union(
         e.select(F.col("d").alias("z"), F.col("s").alias("nbr"))
@@ -321,7 +327,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         adj.select(F.col("z").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .transform(iter_barrier)
+        .transform(narrow_barrier)
     )
     for _ in range(4):
         votes = (
@@ -337,7 +343,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
                 ).alias("best")
             )
             .select("node", (-F.col("best.nl")).alias("lbl"))
-            .transform(iter_barrier)
+            .transform(narrow_barrier)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_lakehouse_spark.operators.scale import iter_barrier
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier, narrow_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -566,7 +566,7 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     seed = edges.agg(F.min("s").alias("node"))
-    frontier = seed.withColumn("hop", F.lit(0)).transform(iter_barrier)
+    frontier = seed.withColumn("hop", F.lit(0)).transform(narrow_barrier)
     reached = frontier
     for k in range(1, _BFS_ROUNDS + 1):
         nxt = (
@@ -579,9 +579,9 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = (
             nxt.join(reached.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(k))
-            .transform(iter_barrier)
+            .transform(narrow_barrier)
         )
-        reached = reached.union(new).transform(iter_barrier)
+        reached = reached.union(new).transform(narrow_barrier)
         frontier = new
     hist = reached.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

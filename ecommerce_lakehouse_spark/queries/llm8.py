@@ -29,7 +29,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ecommerce_lakehouse_spark.operators.scale import iter_barrier
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier, narrow_barrier
 from ecommerce_lakehouse_spark.queries import query
 from ecommerce_lakehouse_spark.tables import load
 
@@ -579,7 +579,7 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = (
         edges.agg(F.min("s").alias("node"))
         .withColumn("dist", F.lit(0).cast("long"))
-        .transform(iter_barrier)
+        .transform(narrow_barrier)
     )
     for _ in range(_SSSP_ROUNDS):
         relaxed = (
@@ -592,7 +592,7 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.union(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .transform(iter_barrier)
+            .transform(narrow_barrier)
         )
     nr = dist.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
     return (

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ecommerce_lakehouse_spark.operators.scale import iter_barrier
+from ecommerce_lakehouse_spark.operators.scale import iter_barrier, narrow_barrier
 from ecommerce_lakehouse_spark.money import dec2, money_sum
 from ecommerce_lakehouse_spark.operators.scale import (
     bucketed_global_row_number,
@@ -1234,7 +1234,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .withColumnRenamed("s", "node")
-        .transform(iter_barrier)
+        .transform(narrow_barrier)
     )
     ranks = deg.select("node", F.lit(1000000000).cast("long").alias("r"))
     for _ in range(5):
@@ -1252,7 +1252,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("r")
             )
-            .transform(iter_barrier)
+            .transform(narrow_barrier)
         )
     return (
         ranks.select(F.col("node").alias("p_partkey"), F.col("r").alias("rank_nanos"))

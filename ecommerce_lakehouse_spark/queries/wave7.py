@@ -1801,9 +1801,13 @@ def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFram
     wedges capped by the orientation trick); the profile groupBy runs
     over the degree domain."""
     e, adj = _support_graph(spark, sf_dir)
+    from ecommerce_lakehouse_spark.operators.scale import narrow_barrier
+
+    # deg feeds THREE consumers (both orientation sides + the wedge
+    # profile); barrier it once, narrow — node-domain-bounded frame
     deg = adj.groupBy(F.col("z").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("dg")
-    )
+    ).transform(narrow_barrier)
     ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("dgs"))
     dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("dgd"))
     o = (
@@ -1822,7 +1826,9 @@ def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("hi"),
         )
     )
-    o = o.localCheckpoint(eager=False)  # three-way self-join reuses it
+    # three-way self-join reuses it; support-bounded -> narrow width
+    # (task-count hygiene under the AQE floor, operators/scale.py)
+    o = o.coalesce(4).localCheckpoint(eager=False)
     o2 = o.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
     o3 = o.select(F.col("lo").alias("lo3"), F.col("hi").alias("hi3"))
     tri = (
@@ -1830,7 +1836,8 @@ def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFram
         .join(o3, (F.col("lo3") == F.col("hi")) & (F.col("hi3") == F.col("hi2")))
         .select(F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hi2").alias("c"))
     )
-    tri = tri.localCheckpoint(eager=False)  # per-node roles + global count
+    # per-node roles + global count; triangle set is support-bounded
+    tri = tri.coalesce(4).localCheckpoint(eager=False)
     pernode = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))

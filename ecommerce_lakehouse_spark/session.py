@@ -45,6 +45,20 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
         )
+        # AQE coalescing floor (r09 opt, guide §2.4): the default 1 MB
+        # minPartitionSize collapses compute-heavy-but-byte-tiny shuffle
+        # outputs (minhash/shingle/embedding HOF stages after an exact
+        # collapse: ~1 MB of text fanning into seconds of per-row array
+        # math) onto a SINGLE task. parallelismFirst (default true)
+        # already targets cluster parallelism; lowering the floor lets it
+        # act on these stages. Scale-safe: the floor only binds when a
+        # stage's total shuffle bytes are tiny — large stages coalesce by
+        # advisory size exactly as before, so cluster behavior at real
+        # data sizes is unchanged. Parameterised for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
