@@ -59,6 +59,20 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"),
         )
+        # Scan-split open cost (r09 opt, guide §6): Spark sizes file
+        # splits at min(maxPartitionBytes, max(openCostInBytes,
+        # bytes/defaultParallelism)); the 4 MB default open cost forces
+        # MB-scale tables into 1-3 splits, serializing scan-side compute
+        # (tokenization/HOF filters run before the first exchange). At
+        # production volumes bytes/defaultParallelism >> any open cost,
+        # so this only binds where it should: small inputs whose
+        # scan-side work deserves the cluster. Parameterised for
+        # clusters with genuinely expensive file opens (cold object
+        # stores).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "64k"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
