@@ -287,14 +287,14 @@ def band_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count aggregation over it — strictly cheaper than the pair join it
     audits."""
     d = load(spark, sf_dir, "documents")
-    canon_ids = (
-        d.select("doc_id", F.md5("text").alias("__h"))
-        .groupBy("__h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .drop("__h")
-    )
-    canon = canon_ids.join(d.select("doc_id", "text"), "doc_id")
-    bands = minhash_bands_df(minhash_signatures_df(canon))
+    # collapse-first by VALUE, exactly like minhash_lsh_pairs above: one
+    # text-keyed groupBy (map-side partials collapse copies before the
+    # wire) instead of the md5-groupBy + doc_id join-back this query
+    # used to run — the join-back still shuffled the text by doc_id, so
+    # grouping by value is one exchange (and one scan) fewer for the
+    # same canonical set (guide §2.4).
+    canon = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    bands = minhash_bands_df(minhash_signatures_df(canon.select("doc_id", "text")))
     bsz = bands.groupBy("band_key").agg(F.count("*").alias("n"))
     kept_pairs = F.expr(f"CASE WHEN n BETWEEN 2 AND {_BUCKET_CAP} THEN n * (n - 1) div 2 ELSE 0 END")
     dropped_pairs = F.expr(f"CASE WHEN n > {_BUCKET_CAP} THEN n * (n - 1) div 2 ELSE 0 END")

@@ -191,31 +191,45 @@ def profile_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFram
     assembly is row-free conditional projection from that 1-row
     profile."""
     o = load(spark, sf_dir, "orders")
-    p = o.agg(
+    # Two aggregation passes instead of one mixed aggregate (guide §2.3,
+    # "aggregate before you shuffle"): mixing 5 countDistincts with
+    # collect_set forced RewriteDistinctAggregates to Expand every row
+    # 6x AND fall off hash aggregation (ObjectHashAggregate partials
+    # into a final SortAggregate keyed on all five expanded columns —
+    # a full sort of 6x the table). Splitting them keeps each pass in
+    # its fast shape: the distinct pass is Expand 5x into pure
+    # HashAggregate (map-side partial dedup, fixed-width rows), the
+    # plain pass scans once with map-side combine and carries the two
+    # low-cardinality collect_sets without an Expand under it. The two
+    # 1-row results recombine with the broadcast-scalar crossJoin idiom.
+    base_aggs = o.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.count("o_orderkey").cast("long").alias("nn_key"),
-        F.countDistinct("o_orderkey").cast("long").alias("nd_key"),
         F.min("o_orderkey").alias("mn_key"),
         F.max("o_orderkey").alias("mx_key"),
         F.count("o_orderstatus").cast("long").alias("nn_status"),
-        F.countDistinct("o_orderstatus").cast("long").alias("nd_status"),
         F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ", ").alias(
             "vals_status"
         ),
         F.count("o_orderpriority").cast("long").alias("nn_pri"),
-        F.countDistinct("o_orderpriority").cast("long").alias("nd_pri"),
         F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ", ").alias(
             "vals_pri"
         ),
         F.count("o_totalprice").cast("long").alias("nn_price"),
-        F.countDistinct("o_totalprice").cast("long").alias("nd_price"),
         F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_price"),
         F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_price"),
         F.count("o_orderdate").cast("long").alias("nn_date"),
-        F.countDistinct("o_orderdate").cast("long").alias("nd_date"),
         F.min("o_orderdate").cast("date").cast("string").alias("mn_date"),
         F.max("o_orderdate").cast("date").cast("string").alias("mx_date"),
     )
+    nd_aggs = o.agg(
+        F.countDistinct("o_orderkey").cast("long").alias("nd_key"),
+        F.countDistinct("o_orderstatus").cast("long").alias("nd_status"),
+        F.countDistinct("o_orderpriority").cast("long").alias("nd_pri"),
+        F.countDistinct("o_totalprice").cast("long").alias("nd_price"),
+        F.countDistinct("o_orderdate").cast("long").alias("nd_date"),
+    )
+    p = base_aggs.crossJoin(F.broadcast(nd_aggs))
 
     def nf(nn):
         return (F.col("n") - F.col(nn)).cast("double") / F.col("n")
