@@ -64,9 +64,12 @@ _FIRST = [
     # held 51 and silently dropped its last anchor —
     # tests/test_oracle_parity.py now pins the cap and bans
     # cross-list duplicates).
-    # r09-OPTIMIZATION changes first: the Lloyd-loop queries rebuilt on
-    # the driver-literal kmeans operator (results bit-identical; plan
-    # reshaped, so they re-gate first)
+    # r09-OPTIMIZATION changes first: the split-aggregate constraint
+    # profiler and the by-value band-profile collapse (results
+    # bit-identical; plans reshaped, so they re-gate first), then the
+    # Lloyd-loop queries rebuilt on the driver-literal kmeans operator
+    "profile_constraint_suggestions",
+    "band_skew_profile",
     "semantic_cluster_dups",
     "pq_trained_codebook_eval",
     "pagerank_copurchase",
@@ -102,11 +105,9 @@ _FIRST = [
     "quantile_treatment_effects",
     "haar_wavelet_energy",
     "event_path_trigrams",
-    "vocab_chao1_estimate",
     "hurst_rs_exponent",
     "mmr_diversified_topk",
     "embedding_pca_power",
-    "revenue_periodogram",
     "pacf_durbin_levinson",
     "page_hinkley_drift",
     "propensity_strata_ate",
