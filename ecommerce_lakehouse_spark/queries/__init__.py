@@ -8,6 +8,8 @@ this package populates REGISTRY / ORACLES.
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,18 +19,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Managed session confs (r10 opt, guide §1.2-3: config LAST, and scoped
+# to where it is measured to win). The r09 session-global values
+# (minPartitionSize=16k, openCostInBytes=64k) were A/B'd registry-wide
+# this round — full registry, fresh JVM per run, 3 runs per arm,
+# interleaved (r10/ab_confs/): they win 13.9 s on the 15-query
+# dedup/LSH/text-similarity family but cost 21.6 s across 45 other
+# queries (and a long tail of smaller losses) by inflating task counts
+# for every tiny stage at local core counts. A third/fourth arm isolated
+# the confs: minPartitionSize alone reproduces ALL the family wins;
+# openCostInBytes=64k adds nothing even there. So the session baseline
+# is Spark defaults (session.py) and the winning conf is pinned
+# PER-QUERY via ``@query(..., confs=TINY_STAGE_CONFS)``.
+#
+# The wrapper sets EVERY managed conf on each registry build — the
+# query's declared value if it opts in, the session baseline otherwise —
+# so one query's tuning never leaks into the next query timed in the
+# same session (bench.py runs the whole registry through one session).
+# Both confs are runtime-settable SQL confs, and they shape plans only
+# at execution time, so build-time assignment covers the materialize
+# that follows.
+_MANAGED_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "1m"
+    ),
+    "spark.sql.files.openCostInBytes": os.environ.get(
+        "SPARK_GRAFT_OPEN_COST", "4m"
+    ),
+}
 
-def query(name: str, oracle: str | None = None):
+#: The dedup/LSH-family override: post-exact-collapse stages there are
+#: byte-tiny (a few hundred KB of text/signatures) but compute-heavy
+#: (per-row array/HOF math — minhash signatures, cosine folds, shingle
+#: intersections), so AQE's default 1 MB floor collapses them to ONE
+#: task and serializes seconds of per-row work; a 16k floor lets
+#: parallelismFirst spread them. Scale-safe by construction: the floor
+#: only binds when a stage's TOTAL shuffle bytes are tiny — big-data
+#: stages coalesce by advisory size exactly as before, so cluster
+#: behavior at real volumes is unchanged (same argument as r09, now
+#: scoped to the queries where the cold registry-wide A/B shows it
+#: winning instead of session-global).
+TINY_STAGE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
+}
+
+
+def query(name: str, oracle: str | None = None, confs: dict[str, str] | None = None):
     """Register a query. ``oracle`` is ANSI SQL DuckDB runs over the same
     parquet tables (views pre-registered by the driver); omit it only for
     genuinely non-SQL-expressible operators (driver then does a weaker
-    rows-only check)."""
+    rows-only check). ``confs`` pins managed session confs (a subset of
+    ``_MANAGED_CONFS`` keys) for this query's execution — performance
+    scoping only, results are conf-independent."""
+    if confs:
+        unknown = set(confs) - set(_MANAGED_CONFS)
+        if unknown:
+            raise ValueError(f"query {name}: unmanaged confs {sorted(unknown)}")
 
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            for k, base in _MANAGED_CONFS.items():
+                spark.conf.set(k, (confs or {}).get(k, base))
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

@@ -92,7 +92,8 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
        sum(w) over distinct baskets containing both, exactly count(*)
        over per-order rows. This is the duplicated-corpus win (the
        100x replica smoke re-issues the same baskets 100x; measured
-       pagerank 127.4 -> ~13 s at 100x) and costs one extra map-side-
+       pagerank 127.4 -> 35.5 s at 100x, BENCH_SCALE100_r09.json) and
+       costs one extra map-side-
        combinable shuffle of one slim row per order when every basket
        is unique.
 

@@ -41,7 +41,7 @@ from ecommerce_lakehouse_spark.operators.sketch import (
     kll_level_sketch,
     md5_hash60,
 )
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -761,6 +761,7 @@ _CT_TAU_NUM, _CT_TAU_DEN = 8, 10  # containment threshold 0.8, exact integers
 
 @query(
     "shingle_containment_pairs",
+    confs=TINY_STAGE_CONFS,
     oracle=rf"""
 WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
 t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM canon),

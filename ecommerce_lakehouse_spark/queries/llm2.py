@@ -22,7 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ecommerce_lakehouse_spark.operators.multimodal import featurize_binary, with_binary_payload
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -110,6 +110,7 @@ def minhash_est_jaccard(sa, sb):
 
 @query(
     "minhash_lsh_pairs",
+    confs=TINY_STAGE_CONFS,
     oracle=f"""
 WITH canon AS (
   SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text
@@ -237,6 +238,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "band_skew_profile",
+    confs=TINY_STAGE_CONFS,
     oracle=f"""
 WITH canon AS (
   SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -15,7 +15,7 @@ import hashlib
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.tables import load
 
 _DIM = 64
@@ -69,6 +69,7 @@ _CD_BANDS_SQL = " UNION ALL ".join(
 
 @query(
     "embedding_cosine_dups_expanded",
+    confs=TINY_STAGE_CONFS,
     oracle=f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -278,6 +279,7 @@ def _cosine_pair_search(
 
 @query(
     "embedding_cosine_dups",
+    confs=TINY_STAGE_CONFS,
     oracle=f"""
 WITH canon AS (
   SELECT min(vec_id) AS vec_id, embedding, count(*) AS n_copies
@@ -518,6 +520,7 @@ from ecommerce_lakehouse_spark.queries.llm2 import minhash_lsh_pairs as _mh_pair
 
 @query(
     "neardup_clusters",
+    confs=TINY_STAGE_CONFS,
     oracle=f"""
 WITH RECURSIVE mp AS (
   SELECT doc_a, doc_b FROM ({{pairs_sql}}) q

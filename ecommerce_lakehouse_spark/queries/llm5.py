@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.tables import load
 
 # Span width in words. Lee et al. use 50-token spans on web text; the
@@ -89,6 +89,7 @@ s AS (
 
 @query(
     "span_dedup_spans",
+    confs=TINY_STAGE_CONFS,
     oracle=_SPAN_ORACLE_BASE
     + """
 SELECT h AS span_hash,
@@ -377,6 +378,7 @@ _MAX_DUP_SPAN_RATE = 0.6
 
 @query(
     "span_dedup_clean",
+    confs=TINY_STAGE_CONFS,
     oracle=_SPAN_ORACLE_BASE
     + f"""
 , c AS (SELECT h, count(*) AS n FROM s GROUP BY h),

@@ -19,7 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ecommerce_lakehouse_spark.operators.scale import iter_barrier, narrow_barrier
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -326,7 +326,7 @@ FROM v WHERE CAST(c AS DOUBLE) / (nn - c) >= {_SIM_TAU}
 """
 
 
-@query("shingle_similarity_join", oracle=_SIM_ORACLE)
+@query("shingle_similarity_join", oracle=_SIM_ORACLE, confs=TINY_STAGE_CONFS)
 def shingle_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join at Jaccard >= 0.5 over word-3-gram
     shingle sets (collapse-first canonical docs) via AllPairs/PPJoin
@@ -431,6 +431,7 @@ def shingle_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lsh_recall_eval",
+    confs=TINY_STAGE_CONFS,
     oracle=f"""
 WITH truth AS (SELECT doc_a, doc_b FROM ({_SIM_ORACLE})),
 cand AS (SELECT doc_a, doc_b FROM ({_ORACLES["minhash_lsh_pairs"]})),

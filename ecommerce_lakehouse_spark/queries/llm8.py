@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ecommerce_lakehouse_spark.operators.scale import iter_barrier, narrow_barrier
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -1794,7 +1794,7 @@ FROM ranked WHERE neg_rank <= {_NEG_K}
 """
 
 
-@query("contrastive_negatives", oracle=_neg_oracle())
+@query("contrastive_negatives", oracle=_neg_oracle(), confs=TINY_STAGE_CONFS)
 def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-pair construction: for each of the 20 BM25
     anchors, mine 4 deterministic random negatives from the pool

@@ -48,7 +48,7 @@ from ecommerce_lakehouse_spark.operators.kmeans import (
     lloyd_rounds,
 )
 from ecommerce_lakehouse_spark.operators.scale import iter_barrier
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.tables import load
 
 _DIM = 64
@@ -156,7 +156,7 @@ FROM ex JOIN sz s ON ex.cid = s.cid
 """
 
 
-@query("semantic_cluster_dups", oracle=_SD_ORACLE)
+@query("semantic_cluster_dups", oracle=_SD_ORACLE, confs=TINY_STAGE_CONFS)
 def semantic_cluster_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup disposition, one row per vector: final
     k-means cluster, integer centroid distance, expanded cluster size,

@@ -56,7 +56,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ecommerce_lakehouse_spark.operators.scale import iter_barrier
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.queries.llm6 import _TOKENIZE_SQL
 from ecommerce_lakehouse_spark.tables import load
 
@@ -298,6 +298,7 @@ sig AS (
 
 @query(
     "simhash_hamming_pairs",
+    confs=TINY_STAGE_CONFS,
     oracle=f"""
 WITH {_SH_SIG_D},
 bands AS (

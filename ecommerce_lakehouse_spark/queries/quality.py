@@ -186,10 +186,13 @@ def profile_constraint_suggestions(spark: SparkSession, sf_dir: str) -> DataFram
     DECIMAL(18,2) (double->string formatting differs between engines
     and is never used); null fractions are exact-input divisions.
 
-    Scale: one aggregate pass over the table (the distinct counts are
-    the only expand), producing a single profile row; suggestion
-    assembly is row-free conditional projection from that 1-row
-    profile."""
+    Scale: two aggregate passes over the table — a plain hash-aggregate
+    pass (counts/min/max/collect_set, no Expand) and a distinct-only
+    pass (Expand 5x into pure HashAggregate with map-side partial
+    dedup) — recombined via a broadcast-scalar crossJoin into a single
+    profile row (see the inline comment below for why the mixed
+    single-pass form was slower); suggestion assembly is row-free
+    conditional projection from that 1-row profile."""
     o = load(spark, sf_dir, "orders")
     # Two aggregation passes instead of one mixed aggregate (guide §2.3,
     # "aggregate before you shuffle"): mixing 5 countDistincts with

@@ -25,7 +25,7 @@ from ecommerce_lakehouse_spark.operators.scale import (
     fixed_width_bucket,
     ntile_from_rank,
 )
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.queries.graph_ml import (
     _COPURCHASE_EDGES as _COPURCHASE_EDGES_CTE,
     _support_graph,
@@ -554,6 +554,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "part_cooccurrence",
+    confs=TINY_STAGE_CONFS,
     oracle="""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders

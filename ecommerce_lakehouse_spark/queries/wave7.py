@@ -48,7 +48,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ecommerce_lakehouse_spark.queries import query
+from ecommerce_lakehouse_spark.queries import TINY_STAGE_CONFS, query
 from ecommerce_lakehouse_spark.queries.graph_ml import (
     _COPURCHASE_EDGES,
     _support_graph,
@@ -1490,6 +1490,7 @@ _HL_POINTS = 10
 
 @query(
     "heaps_law_fit",
+    confs=TINY_STAGE_CONFS,
     oracle=f"""
 WITH dw AS (
   SELECT doc_id, u.w AS word, u.i AS pos

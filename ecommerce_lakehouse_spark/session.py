@@ -45,33 +45,24 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32")),
         )
-        # AQE coalescing floor (r09 opt, guide §2.4): the default 1 MB
-        # minPartitionSize collapses compute-heavy-but-byte-tiny shuffle
-        # outputs (minhash/shingle/embedding HOF stages after an exact
-        # collapse: ~1 MB of text fanning into seconds of per-row array
-        # math) onto a SINGLE task. parallelismFirst (default true)
-        # already targets cluster parallelism; lowering the floor lets it
-        # act on these stages. Scale-safe: the floor only binds when a
-        # stage's total shuffle bytes are tiny — large stages coalesce by
-        # advisory size exactly as before, so cluster behavior at real
-        # data sizes is unchanged. Parameterised for cluster tuning.
+        # AQE coalescing floor / scan open cost (r10 opt, guide §1.2-3):
+        # r09 set these session-global to 16k / 64k; the r10 registry-wide
+        # interleaved cold A/B (r10/ab_confs/, OPTIMIZATION_r10.md) showed
+        # that outside the dedup/LSH family the raised task counts COST
+        # more than they win (21.6 s of losses vs 13.9 s of wins at
+        # sf0.1, the r09 driver-bench regression). The session baseline is
+        # therefore the Spark DEFAULT for both (still env-parameterised
+        # for cluster tuning), and the dedup/LSH-family queries pin the
+        # one conf that drives their win (minPartitionSize=16k — the
+        # openCost change added nothing even for them, per the isolated
+        # arm-C/D runs) per-query via queries.TINY_STAGE_CONFS.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "16k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"),
         )
-        # Scan-split open cost (r09 opt, guide §6): Spark sizes file
-        # splits at min(maxPartitionBytes, max(openCostInBytes,
-        # bytes/defaultParallelism)); the 4 MB default open cost forces
-        # MB-scale tables into 1-3 splits, serializing scan-side compute
-        # (tokenization/HOF filters run before the first exchange). At
-        # production volumes bytes/defaultParallelism >> any open cost,
-        # so this only binds where it should: small inputs whose
-        # scan-side work deserves the cluster. Parameterised for
-        # clusters with genuinely expensive file opens (cold object
-        # stores).
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", "64k"),
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "4m"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
