@@ -304,7 +304,9 @@ def iter_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
 NARROW_ITER_WIDTH = 4
 
 
-def narrow_barrier(df: DataFrame, width: int = NARROW_ITER_WIDTH) -> DataFrame:
+def narrow_barrier(
+    df: DataFrame, width: int = NARROW_ITER_WIDTH, eager: bool = True
+) -> DataFrame:
     """iter_barrier for iteration frames whose size is bounded by a
     DOMAIN, not the corpus (rank/label/frontier/distance tables over the
     support-thresholded co-purchase graph: rows <= the part catalog, MBs
@@ -318,5 +320,14 @@ def narrow_barrier(df: DataFrame, width: int = NARROW_ITER_WIDTH) -> DataFrame:
     multiplied by rounds (measured: pagerank 7.0 -> 8.5 s at sf0.1 from
     ~31 extra tasks x 2 jobs x 5 rounds). coalesce(width) bounds that
     without a shuffle; corpus-sized frames must NOT use this (their
-    barriers stay at iter_barrier)."""
-    return iter_barrier(df.coalesce(width))
+    barriers stay at iter_barrier).
+
+    ``eager=False`` (r10): a LAZY barrier still shares ONE RDD across
+    every downstream plan branch (each branch embeds the same
+    checkpointed RDD, so a single action computes it once and later
+    references read the cached blocks — the rfm_segments precedent) but
+    skips the separate materialization JOB and its driver sync. Use it
+    when every consumer of the frame lives inside a single action (the
+    fold-based graph queries); loops that re-plan per round keep the
+    eager default."""
+    return iter_barrier(df.coalesce(width), eager=eager)

@@ -121,10 +121,17 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
     per_order = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
+    # r10: every _support_graph consumer is now a SINGLE action (the
+    # iterative ones fold their rounds in-row), so the barriers are
+    # LAZY — the shared RDD still computes exactly once inside that one
+    # action (all branches embed the same checkpointed RDD), but the
+    # 6-9 separate eager build jobs and their driver syncs are gone
+    # (measured: pagerank build phase was ~3.9 s of job wall + driver
+    # gaps at sf0.1 before this change; see OPTIMIZATION_r10.md).
     baskets0 = (
         per_order.groupBy("parts")
         .agg(F.count(F.lit(1)).alias("bw"))
-        .transform(iter_barrier)  # the ONE corpus materialization
+        .transform(lambda d: iter_barrier(d, eager=False))
     )
     thr = baskets0.agg(
         F.greatest(
@@ -133,7 +140,7 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
                 F.sum("bw") * _SUPPORT_REL_NUM / _SUPPORT_REL_DEN
             ).cast("long"),
         ).alias("t")
-    ).transform(iter_barrier)
+    ).transform(lambda d: iter_barrier(d, eager=False))
     # barrier the 1-row threshold: it feeds TWO broadcast consumers (the
     # Apriori freq filter and the edge support filter); un-barriered,
     # each consumer re-runs the checkpoint-scan agg — one full-width
@@ -179,13 +186,78 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
         .filter(F.col("w") >= F.col("t"))
         .select("s", "d")
         # support-bounded edge list: narrow width (task-count hygiene
-        # for the many control-plane consumers), see narrow_barrier
-        .transform(narrow_barrier)
+        # for the many control-plane consumers), lazy because every
+        # consumer is single-action (see the baskets0 comment above)
+        .transform(lambda d: narrow_barrier(d, eager=False))
     )
     adj = e.select(F.col("s").alias("z"), F.col("d").alias("nbr")).union(
         e.select(F.col("d").alias("z"), F.col("s").alias("nbr"))
     )
     return e, adj
+
+
+def dense_graph_frame(adj: DataFrame) -> DataFrame:
+    """ONE-ROW dense adjacency over the support-bounded symmetric
+    adjacency ``(z, nbr)``: column ``nodes`` (array<bigint>, ascending —
+    index order is node-id order) and ``adjx`` (array<array<int>>,
+    1-based neighbor indexes, ascending per node).
+
+    r10 opt (guide §1.2-1, the kcore_profile_frame idiom generalized):
+    the relative-support cut bounds the surviving graph independent of
+    corpus size (E <= C(avg_width, 2) * 150000/2 — the per-basket
+    edge-weight budget over the threshold, which scales with n_baskets),
+    so the graph is control-plane-sized BY CONSTRUCTION and
+    bounded-round iteration over it (label propagation, PageRank) is a
+    fixed-cost problem: round-per-job execution pays ~2 jobs of
+    scheduler overhead per round against a few-thousand-row frame. The
+    index is built DISTRIBUTEDLY (bounded row_number + two broadcast
+    hash joins + one groupBy, O(E)) and only the final collect_list is
+    single-task — sized by the support-bounded graph itself, the same
+    argument that lets every graph consumer broadcast its node table
+    per round. NOT valid for the unthresholded co-purchase graph
+    (bfs/sssp), whose edge set densifies with the corpus."""
+    from pyspark.sql import Window
+
+    from ecommerce_lakehouse_spark.operators.scale import narrow_barrier
+
+    # idx feeds THREE consumers (both eidx sides + the final join);
+    # lazy narrow barrier computes the bounded window once per action
+    idx = (
+        adj.select("z")
+        .distinct()
+        .select(
+            "z",
+            F.row_number().over(Window.orderBy("z")).cast("int").alias("i"),
+        )
+        .transform(lambda d: narrow_barrier(d, eager=False))
+    )
+    eidx = (
+        adj.join(F.broadcast(idx), "z")
+        .join(
+            F.broadcast(
+                idx.select(F.col("z").alias("nbr"), F.col("i").alias("j"))
+            ),
+            "nbr",
+        )
+        .select("i", "j")
+    )
+    adjp = eidx.groupBy("i").agg(F.sort_array(F.collect_list("j")).alias("nbrs"))
+    return (
+        # broadcast the right side explicitly: both inputs scan barrier
+        # RDDs (no size stats), so the planner would otherwise pick a
+        # SortMergeJoin with two exchanges for two node-domain frames
+        idx.join(F.broadcast(adjp), "i", "left")
+        .select(
+            "i",
+            "z",
+            F.coalesce("nbrs", F.array().cast("array<int>")).alias("nbrs"),
+        )
+        .agg(F.expr("array_sort(collect_list(struct(i, z, nbrs)))").alias("nd"))
+        .select(
+            F.expr("transform(nd, x -> x.z)").alias("nodes"),
+            F.expr("transform(nd, x -> x.nbrs)").alias("adjx"),
+        )
+    )
 
 
 @query(
@@ -241,16 +313,17 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wz"),
     )
-    wedge = wt.select(
+    # chained Generate expansion (posexplode + tail-slice explode, r10):
+    # generators pipeline row-by-row while the flatten(transform(...))
+    # lambda tree materialized each node's full C(deg, 2) struct array
+    # before the explode (the frequent_triple/graph-build rewrite,
+    # measured 8x there)
+    p1 = wt.select("wz", "nbrs", F.posexplode("nbrs").alias("i", "u"))
+    wedge = p1.select(
         "wz",
-        F.explode(
-            F.expr(
-                "flatten(transform(nbrs, (x, i) -> "
-                "transform(slice(nbrs, i + 2, size(nbrs)), "
-                "y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p"),
-    ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "wz")
+        "u",
+        F.explode(F.expr("slice(nbrs, i + 2, size(nbrs))")).alias("v"),
+    )
     aa = wedge.groupBy("u", "v").agg(
         F.sum("wz").cast("long").alias("aa_nanos"),
         F.count(F.lit(1)).cast("long").alias("n_common"),
@@ -317,35 +390,52 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     Synchronous updates with a deterministic tiebreak make every round a
     pure function of the last, so engines agree exactly.
 
-    Scale: one vote round = adj JOIN labels (labels broadcast — bounded
-    by the parts catalog, same argument as pagerank's rank table) +
-    groupBy(node, label) count + argmax; per-round localCheckpoint
-    truncates lineage so round k's broadcast does not re-execute rounds
-    1..k-1 (the measured pagerank trap). Output is the bounded
+    Scale (r10 opt, guide §1.2-1): the 4 synchronous rounds run as ONE
+    in-row fold over the dense adjacency index (dense_graph_frame —
+    valid because the support cut bounds the graph independent of the
+    corpus, the kcore argument). Each round maps every node to the
+    argmax-by-(count, -label) of its neighbors' labels, computed by a
+    run-length scan over the SORTED neighbor-label array — ascending
+    order means the FIRST maximal run wins, which is exactly the
+    smallest-label tiebreak. The round-per-job form this replaces
+    (per round: broadcast label join + groupBy votes + argmax +
+    localCheckpoint) spent ~2 jobs/round of fixed cost against a
+    few-thousand-row frame; the vote multiset and argmax are unchanged,
+    so the per-round label tables are identical. Output is the bounded
     per-community rollup, not per-node rows."""
     _, adj = _support_graph(spark, sf_dir)
-    labels = (
-        adj.select(F.col("z").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .transform(narrow_barrier)
+    dense = dense_graph_frame(adj)
+    # state = index-aligned label array; per round, node i adopts the
+    # most frequent label among adjx[i]'s entries (ties -> smallest),
+    # via a single pass over the sorted label multiset: close each equal
+    # run, keep it iff strictly more frequent than the best so far
+    # (sorted ascending => on ties the earlier = smaller label stays).
+    folded = dense.select(
+        "nodes",
+        F.expr(
+            """
+aggregate(sequence(1, 4),
+  transform(nodes, n -> nullif(n, CAST(-1 AS BIGINT))),
+  (lab, r) -> transform(adjx, ns ->
+    aggregate(
+      array_sort(transform(ns, j -> element_at(lab, j))),
+      named_struct('cur', CAST(NULL AS BIGINT), 'cnt', 0,
+                   'bl', CAST(NULL AS BIGINT), 'bc', 0),
+      (st, x) -> IF(st.cur IS NOT NULL AND x = st.cur,
+        named_struct('cur', st.cur, 'cnt', st.cnt + 1,
+                     'bl', st.bl, 'bc', st.bc),
+        named_struct('cur', x, 'cnt', 1,
+          'bl', IF(st.cur IS NOT NULL AND st.cnt > st.bc, st.cur, st.bl),
+          'bc', IF(st.cur IS NOT NULL AND st.cnt > st.bc, st.cnt, st.bc))),
+      st -> IF(st.cnt > st.bc, st.cur, st.bl))))
+""".strip()
+        ).alias("lab"),
     )
-    for _ in range(4):
-        votes = (
-            adj.join(F.broadcast(labels), adj["nbr"] == labels["node"])
-            .groupBy(F.col("z"), F.col("lbl"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            votes.groupBy(F.col("z").alias("node"))
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt").alias("c"), (-F.col("lbl")).alias("nl"))
-                ).alias("best")
-            )
-            .select("node", (-F.col("best.nl")).alias("lbl"))
-            .transform(narrow_barrier)
-        )
+    labels = folded.select(
+        F.explode(F.arrays_zip("nodes", "lab")).alias("p")
+    ).select(
+        F.col("p.nodes").alias("node"), F.col("p.lab").alias("lbl")
+    )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(

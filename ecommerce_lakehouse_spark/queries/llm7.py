@@ -562,12 +562,20 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = p1.select(
         "s", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("d")
     )
-    pairs = p2.distinct().transform(iter_barrier)
+    # r10: the whole bounded-round traversal runs as ONE action — every
+    # barrier is LAZY, so each round's frontier/reached RDD still
+    # computes exactly once (shared via the checkpoint cache across the
+    # final action's plan branches) but the 2 eager jobs per round and
+    # their driver syncs are gone; the round count is a fixed budget,
+    # so the final plan stays bounded.
+    pairs = p2.distinct().transform(lambda d: iter_barrier(d, eager=False))
     edges = pairs.union(
         pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
     )
     seed = edges.agg(F.min("s").alias("node"))
-    frontier = seed.withColumn("hop", F.lit(0)).transform(narrow_barrier)
+    frontier = seed.withColumn("hop", F.lit(0)).transform(
+        lambda d: narrow_barrier(d, eager=False)
+    )
     reached = frontier
     for k in range(1, _BFS_ROUNDS + 1):
         nxt = (
@@ -580,9 +588,11 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = (
             nxt.join(reached.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(k))
-            .transform(narrow_barrier)
+            .transform(lambda d: narrow_barrier(d, eager=False))
         )
-        reached = reached.union(new).transform(narrow_barrier)
+        reached = reached.union(new).transform(
+            lambda d: narrow_barrier(d, eager=False)
+        )
         frontier = new
     hist = reached.groupBy("hop").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

@@ -568,18 +568,22 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = p1.select(
         "s", F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("d")
     )
+    # r10: one action for the whole bounded-round relaxation — all
+    # barriers LAZY (each round's distance RDD still computes once,
+    # shared via the checkpoint cache), removing the per-round eager
+    # jobs and driver syncs; the fixed round budget bounds the plan.
     pr = (
         p2.groupBy("s", "d")
         .agg(
             F.expr("CAST((100 + count(1) - 1) DIV count(1) AS BIGINT)").alias("w")
         )
-        .transform(iter_barrier)
+        .transform(lambda d: iter_barrier(d, eager=False))
     )
     edges = pr.union(pr.select(F.col("d").alias("s"), F.col("s").alias("d"), "w"))
     dist = (
         edges.agg(F.min("s").alias("node"))
         .withColumn("dist", F.lit(0).cast("long"))
-        .transform(narrow_barrier)
+        .transform(lambda d: narrow_barrier(d, eager=False))
     )
     for _ in range(_SSSP_ROUNDS):
         relaxed = (
@@ -592,7 +596,7 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.union(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .transform(narrow_barrier)
+            .transform(lambda d: narrow_barrier(d, eager=False))
         )
     nr = dist.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
     return (

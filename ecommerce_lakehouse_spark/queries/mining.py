@@ -505,46 +505,20 @@ def kcore_profile_frame(
     (an edge (z, w) is subtracted exactly when w is removed; removed
     slots go NULL), and each round's stats are taken BEFORE its
     removal, exactly like the round-per-job form."""
-    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    from pyspark.sql import Window
+    from ecommerce_lakehouse_spark.queries.graph_ml import dense_graph_frame
 
-    idx = deg.select(
-        "z",
-        "c",
-        F.row_number().over(Window.orderBy("z")).cast("int").alias("i"),
-    )
-    eidx = (
-        adj.join(F.broadcast(idx.select("z", "i")), "z")
-        .join(
-            F.broadcast(
-                idx.select(F.col("z").alias("nbr"), F.col("i").alias("j"))
-            ),
-            "nbr",
-        )
-        .select("i", "j")
-    )
-    adjp = eidx.groupBy("i").agg(F.collect_list("j").alias("nbrs"))
-    one = (
-        idx.join(adjp, "i", "left")
-        .select(
-            "i",
-            "c",
-            F.coalesce("nbrs", F.array().cast("array<int>")).alias("nbrs"),
-        )
-        .agg(
-            F.expr(
-                "array_sort(collect_list(struct(i, c, nbrs)))"
-            ).alias("nd")
-        )
-        .select(
-            # nullif forces containsNull=true on d0's element type: the
-            # fold marks removed nodes by writing NULL slots, and with a
-            # non-nullable zero the analyzer constant-folds the fold's
-            # IS (NOT) NULL guards away (c is a count, never -1, so the
-            # values are unchanged)
-            F.expr("transform(nd, x -> nullif(x.c, CAST(-1 AS BIGINT)))").alias("d0"),
-            F.expr("transform(nd, x -> x.nbrs)").alias("adj_idx"),
-        )
+    # shared dense index (r10): degree = size of each neighbor list, so
+    # the generic (nodes, adjx) frame carries everything the peel needs.
+    # nullif forces containsNull=true on d0's element type: the fold
+    # marks removed nodes by writing NULL slots, and with a non-nullable
+    # count the analyzer constant-folds the fold's IS (NOT) NULL guards
+    # away (a degree is never -1, so the values are unchanged)
+    one = dense_graph_frame(adj).select(
+        F.expr(
+            "transform(adjx, ns -> nullif(CAST(size(ns) AS BIGINT),"
+            " CAST(-1 AS BIGINT)))"
+        ).alias("d0"),
+        F.col("adjx").alias("adj_idx"),
     )
     folded = one.select(
         F.expr(

@@ -1209,52 +1209,54 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the last digit after any number of iterations. The oracle unrolls
     the same 5 steps as CTEs.
 
-    Scale: edge construction is graph_ml._support_graph — one shuffle of
-    the slim projection, Apriori-pruned weighted expansion inside the
-    row, never a self-join, edges barriered once (the symmetric doubling
-    is a narrow union recomputed per round — projection, not work); each
-    iteration is one join of edges to the per-node (rank DIV deg) table
-    plus one groupBy(dst) sum — the standard distributed SpMV shape,
-    O(iterations) shuffles. The rank table is broadcast per round (nodes
-    = thresholded parts — MBs even at warehouse scale; swap for a
-    co-partitioned shuffle join if the node table ever outgrows
-    broadcast). Per-round localCheckpoint truncates lineage AND is
-    load-bearing for cost: without it, round k's broadcast re-executes
-    rounds 1..k-1 (measured 8.9 s vs 7.4 s at sf0.1 on the old graph).
-    Like corpus_curation_pipeline, wall time here is
-    fixed-JOB-count-bound (graph build + 5 rounds), not volume-bound.
-    Top-25 is TakeOrdered.
+    Scale (r10 opt, guide §1.2-1): edge construction is
+    graph_ml._support_graph — one shuffle of the slim projection,
+    Apriori-pruned weighted expansion inside the row, never a self-join,
+    edges barriered once. The 5 SpMV rounds then run as ONE in-row fold
+    over the dense adjacency index (graph_ml.dense_graph_frame — valid
+    because the support cut bounds the graph independent of the corpus,
+    the kcore/label-propagation argument): with symmetric edges,
+    in-neighbors(i) = adjx[i], so round r computes
+    rank'[i] = 150000000 + (85 * Σ_j∈adjx[i] rank[j] DIV deg[j]) DIV 100
+    — the exact integer arithmetic of the former round-per-job form
+    (divide-per-edge FIRST, sum in BIGINT, then damp), per-round tables
+    identical. The round-per-job SpMV (per round: rank-DIV-deg join +
+    broadcast edge join + groupBy(dst) + localCheckpoint) paid ~2 jobs
+    of fixed cost per round against a control-plane-sized frame; at a
+    scale where the support-bounded graph outgrew a single task the
+    distributed SpMV would return, but the threshold scales it away by
+    construction. Top-25 is TakeOrdered.
 
     Damping note: with symmetric edges and no dangling nodes the
     iteration is a contraction; 5 rounds is the fixed, documented budget
     (rank deltas at round 5 are <1%% of SCALE on this graph), matching
     the oracle exactly rather than iterating to convergence."""
+    from ecommerce_lakehouse_spark.queries.graph_ml import dense_graph_frame
+
     _, adj = _support_graph(spark, sf_dir)
-    edges = adj.select(F.col("z").alias("s"), F.col("nbr").alias("d"))
-    deg = (
-        edges.groupBy("s")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .withColumnRenamed("s", "node")
-        .transform(narrow_barrier)
+    dense = dense_graph_frame(adj)
+    # state = index-aligned rank array (integer nanos); deg[j] =
+    # size(adjx[j]) is constant across rounds. nullif keeps the state
+    # element type nullable so it matches the fold step's output type
+    # (ranks are always positive; values unchanged — the kcore trick).
+    folded = dense.select(
+        "nodes",
+        F.expr(
+            """
+aggregate(sequence(1, 5),
+  transform(nodes, n -> nullif(CAST(1000000000 AS BIGINT),
+                               CAST(-1 AS BIGINT))),
+  (rk, it) -> transform(adjx, ns ->
+    CAST(150000000 AS BIGINT)
+    + 85 * aggregate(ns, CAST(0 AS BIGINT),
+        (a, j) -> a + element_at(rk, j) DIV size(element_at(adjx, j)))
+      DIV 100))
+""".strip()
+        ).alias("rk"),
     )
-    ranks = deg.select("node", F.lit(1000000000).cast("long").alias("r"))
-    for _ in range(5):
-        out = ranks.join(deg, on="node").select(
-            "node", F.expr("r DIV deg").alias("out")
-        )
-        ranks = (
-            edges.join(F.broadcast(out), edges["s"] == out["node"])
-            .groupBy(edges["d"].alias("node"))
-            .agg(
-                (
-                    F.lit(150000000).cast("long")
-                    + F.expr("85 * sum(out) DIV 100")
-                )
-                .cast("long")
-                .alias("r")
-            )
-            .transform(narrow_barrier)
-        )
+    ranks = folded.select(
+        F.explode(F.arrays_zip("nodes", "rk")).alias("p")
+    ).select(F.col("p.nodes").alias("node"), F.col("p.rk").alias("r"))
     return (
         ranks.select(F.col("node").alias("p_partkey"), F.col("r").alias("rank_nanos"))
         .orderBy(F.desc("rank_nanos"), "p_partkey")
@@ -1301,6 +1303,16 @@ def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oriented edge list, both on join keys, no broadcast needed at
     any scale). Counting is exact integer work; ties in the orientation
     cannot exist ((degree, id) is a total order on distinct ids).
+
+    r10 note (attempted optimization, REVERTED): counting per-edge
+    common neighbors over the adjacency lists (|N(s) ∩ N(d)| summed per
+    incident node DIV 2) is cheaper but computes the TRUE triangle
+    count, which differs from this query's DECLARED enumeration — the
+    oracle's wedge pair uses raw id order (o1.hi < o2.hi) while the
+    closing edge is oriented by (degree, id), so triangles whose two
+    non-apex vertices order differently under the two comparisons are
+    not counted. The declared result is the enumeration's output (locked
+    by the oracle hash at three SFs), so the enumeration stays.
 
     Edge derivation reuses part_cooccurrence's one-shuffle in-row pair
     expansion; the support filter is a HAVING on that same aggregate."""

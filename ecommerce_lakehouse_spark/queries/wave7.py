@@ -95,18 +95,23 @@ def common_neighbors_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); ordering ties break on the part ids.
 
     Scale: the wedge fan-out is bounded by the relative-support cut exactly
-    as adamic_adar_links (same materialized-graph barrier, same
-    degree-capped hub behavior); candidates collapse by (u, v) before
-    the top-k TakeOrdered.""".format(k=_CJ_TOP)
+    as adamic_adar_links — and (r10 opt, guide §2.4) the wedges are
+    generated IN-ROW from each node's sorted neighbor list (posexplode +
+    tail-slice explode, the chained-Generate form measured 8x faster
+    than the lambda tree on frequent_triple_itemsets) instead of the
+    adjacency self-join, removing the join's two shuffles; candidates
+    collapse by (u, v) before the top-k TakeOrdered.""".format(k=_CJ_TOP)
     e, adj = _support_graph(spark, sf_dir)
-    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("dg"))
-    a1 = adj.select(F.col("z").alias("w"), F.col("nbr").alias("u"))
-    a2 = adj.select(F.col("z").alias("w"), F.col("nbr").alias("v"))
-    cn = (
-        a1.join(a2, "w")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    nb = adj.groupBy("z").agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+    deg = nb.select("z", F.size("nbrs").cast("long").alias("dg"))
+    p1 = nb.filter(F.size("nbrs") >= 2).select(
+        "nbrs", F.posexplode("nbrs").alias("i", "u")
+    )
+    p2 = p1.select(
+        "u", F.explode(F.expr("slice(nbrs, i + 2, size(nbrs))")).alias("v")
+    )
+    cn = p2.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
     )
     cand = cn.join(
         e, (cn["u"] == e["s"]) & (cn["v"] == e["d"]), "left_anti"
@@ -1800,15 +1805,26 @@ def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the degree-ordered rank-join triangle enumeration
     (triangle_copurchase's plan — each triangle materializes once, hub
     wedges capped by the orientation trick); the profile groupBy runs
-    over the degree domain."""
+    over the degree domain.
+
+    r10 note (attempted optimization, REVERTED): per-edge common
+    neighbor counting (|N(s) ∩ N(d)| via array_intersect, summed per
+    incident node DIV 2) would be cheaper but computes the TRUE
+    triangle count, which differs from this query's DECLARED
+    enumeration — the oracle's wedge pair compares raw ids
+    (o1.hi < o2.hi) while the closing edge is oriented by (degree, id),
+    so triangles whose two non-apex vertices order differently under
+    the two comparisons are not counted. The declared result (locked by
+    the oracle hash at three SFs) keeps the enumeration."""
     e, adj = _support_graph(spark, sf_dir)
     from ecommerce_lakehouse_spark.operators.scale import narrow_barrier
 
     # deg feeds THREE consumers (both orientation sides + the wedge
-    # profile); barrier it once, narrow — node-domain-bounded frame
+    # profile); barrier it once, narrow + LAZY — node-domain-bounded
+    # frame, all consumers inside this query's single action
     deg = adj.groupBy(F.col("z").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("dg")
-    ).transform(narrow_barrier)
+    ).transform(lambda d: narrow_barrier(d, eager=False))
     ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("dgs"))
     dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("dgd"))
     o = (
