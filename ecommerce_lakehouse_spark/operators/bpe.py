@@ -37,6 +37,7 @@ from ecommerce_lakehouse_spark.operators.scale import iter_barrier
 from ecommerce_lakehouse_spark.tables import load
 
 _BPE_VOCAB_PARTS = 4  # loop-table width: tasks per merge round
+_BPE_STACK_CAP = 8  # max stacked literal replaces before a loop-session checkpoint
 
 
 def bpe_top_merge(wf: DataFrame) -> DataFrame:
@@ -148,6 +149,18 @@ def bpe_train(
     loop = spark.newSession()
     loop.conf.set("spark.sql.shuffle.partitions", str(_BPE_VOCAB_PARTS))
     loop.conf.set("spark.sql.adaptive.enabled", "false")
+    # r10 (VERDICT r09 #6): no whole-stage codegen inside the loop. Each
+    # round's plan embeds fresh literals (the replace stack), so a cold
+    # JVM compiles a new generated class per round — 32 rounds of janino
+    # compile dominated the driver-cold wall (10.1 s driver-cold vs
+    # 0.66 s warm at sf0.1). Interpreted execution over the
+    # vocabulary-bounded 4-partition frame costs microseconds per round;
+    # the corpus-sized word-count stage already ran (with codegen) on
+    # the caller's session before the loop, and the final vocabulary
+    # barrier also materializes on the caller's session. Scoped to the
+    # private clone, so nothing else in the app is affected.
+    loop.conf.set("spark.sql.codegen.wholeStage", "false")
+    loop.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     # per-INVOCATION unique view names: global_temp is app-scoped and
     # shared, so a deterministic (sf_dir, steps) name would let two
     # concurrent first calls (the unsynchronized cache check-then-act)
@@ -186,6 +199,7 @@ def _merge_loop(
     subtree, so in-action re-execution grows 2^group (c=2 ~9.2 s,
     c=4 ~14 s vs c=1's 6.8-7.8 s at sf0.1)."""
     merges: list[tuple] = []
+    depth = 0
     for step in range(1, steps + 1):
         row = (
             bpe_top_merge(wf)
@@ -199,7 +213,7 @@ def _merge_loop(
             break
         merges.append((row["step"], row["pair"], row["token"], int(row["wc"])))
         # re-enter the plan as a LITERAL replace: flat lineage, no
-        # checkpoint, no broadcast-subtree re-execution
+        # broadcast-subtree re-execution
         wf = wf.select(
             "word",
             "freq",
@@ -209,4 +223,17 @@ def _merge_loop(
                 F.lit(f" {row['token']} "),
             ).alias("seq"),
         )
+        # r10 (VERDICT r09 #6): cap the replace-stack depth. Round k's
+        # aggregate re-applies all k stacked replaces per row, so an
+        # uncapped stack makes the loop O(steps^2 * vocab) string work
+        # (and, with codegen, compiles a fresh per-round class whose
+        # size grows with k — the driver-cold wall). A cheap eager
+        # localCheckpoint of the 4-partition vocab frame every
+        # _BPE_STACK_CAP rounds bounds per-round eval at O(cap * vocab)
+        # for one tiny extra job per cap-window (measured: cold loop
+        # 11.7 s -> see OPTIMIZATION_r10.md).
+        depth += 1
+        if depth >= _BPE_STACK_CAP and step < steps:
+            wf = iter_barrier(wf)
+            depth = 0
     return merges, wf
