@@ -356,6 +356,16 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self._manifest_dir = os.path.join(root, "_manifest")
+        # analyzed-DataFrame reuse keyed by (version, rowid flag) — PLAN
+        # reuse only, never result caching: the cached object is a lazy
+        # DataFrame whose every action still reads the version's parquet.
+        # A version's file set is immutable once committed (the manifest
+        # link is the commit point), so reuse is always sound; repeated
+        # read() calls otherwise re-pay schema inference (a Spark job
+        # per call under mergeSchema) and Catalyst re-analysis — the
+        # multi-stage pipelines re-read the same version up to 4x per
+        # run (guide §7.3: planning time is driver-side wall).
+        self._read_cache: dict[tuple[int, bool], DataFrame] = {}
 
     # ---------------- manifest plumbing ----------------
 
@@ -2208,6 +2218,9 @@ class LakeTable:
         if as_of_timestamp is not None:
             version = self.version_as_of(as_of_timestamp)
         v = version if version is not None else self.current_version()
+        cached = self._read_cache.get((v, _with_rowids))
+        if cached is not None:
+            return cached
         m = self._manifest(v)
         check_table_features(m, for_write=False, where=self.root)
         entries = m["data_dirs"]
@@ -2271,6 +2284,7 @@ class LakeTable:
             out = out.join(dv, on=["__file_path", "__row_index"], how="left_anti")
             if not _with_rowids:
                 out = out.drop("__file_path", "__row_index")
+        self._read_cache[(v, _with_rowids)] = out
         return out
 
     def changes(

@@ -68,11 +68,14 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     (repetition_profile's signal), zero PII emails (pii_scan's signal).
     Materialization barrier before the bigram HOFs — Catalyst inlines
     split() into every element_at reference otherwise (the
-    repetition_profile lesson, queries/llm4.py)."""
+    repetition_profile lesson, queries/llm4.py). LAZY (r10): the barrier
+    RDD computes inside the first stage's write action and the cached
+    blocks serve every later stage — the separate eager job and its
+    driver sync were pure fixed cost."""
     base = docs.select(
         "doc_id", "lang", "source", "text",
         F.expr(r"split(trim(text), '\\s+')").alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     bg = F.expr(
         "transform(sequence(1, size(w) - 1), "
         "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
