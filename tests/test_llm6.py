@@ -2,6 +2,7 @@
 through the right tier, with scores matching an independent hand
 computation under the same nano-bit rounding."""
 
+import pytest
 import hashlib
 import math
 import os
@@ -22,6 +23,7 @@ def _mini_corpus(spark, tmp_path, rows):
     return d
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_trigram_backoff_all_tiers(spark, tmp_path):
     """One held-out doc whose four trigrams hit tiers 1-4 exactly once
     each; score checked against an independent Python recomputation."""
@@ -119,6 +121,7 @@ def test_cms_heavy_hitters_never_underestimates(spark, sf_dir):
     assert all(0 <= b < 1024 for b in buckets)
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_gopher_quality_flags_each_rule(spark, tmp_path):
     """A crafted corpus where each document fails exactly the intended
     rule(s); the one well-formed English doc passes everything."""
@@ -330,6 +333,7 @@ def test_sax_series_profile_matches_python(spark, sf_dir):
     assert got == expect
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_bpe_32_merges_fertility_improves(spark):
     """The 32-merge vocabulary must compress strictly better than the
     3-merge one (corpus-weighted chars-per-token), and the merge table

@@ -2,6 +2,7 @@
 recomputations under the same exactness contracts; Bellman-Ford on a
 graph built so the cheapest path is NOT the fewest-hop path."""
 
+import pytest
 import math
 import os
 from collections import Counter
@@ -83,6 +84,7 @@ def test_benford_matches_python(spark, sf_dir):
         assert r.share_ratio == r.obs_share / exp_share
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_source_kl_matches_python(spark, tmp_path):
     """Nano-contract KL recomputed by hand on a corpus where one source
     matches the corpus mix and one diverges hard."""
@@ -129,6 +131,7 @@ def test_source_kl_matches_python(spark, tmp_path):
     assert got["s1"][3] > got["s0"][3]  # the divergent source scores higher
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_sssp_prefers_cheap_two_hop_over_direct_edge(spark, tmp_path):
     """Edge cost = ceil(100/support): 50 co-purchases make 1-2 and 2-3
     cost 2 each, one co-purchase makes the direct 1-3 edge cost 100, so
@@ -180,6 +183,7 @@ def _bpe_py(word_freq, steps=32):
     return merges, seqs
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_bpe_encode_stats_matches_python(spark, tmp_path):
     """Per-doc token accounting after the merge budget (exhausted early
     on this mini corpus) recomputed by a reference
@@ -407,6 +411,7 @@ def test_gini_matches_python_and_bounds(spark, sf_dir):
     assert 0.0 <= r.gini < 1.0
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_association_rules_matches_python(spark, tmp_path):
     """Hand basket set with a positively associated pair (lift > 1) and
     a popularity-only pair (lift < 1)."""

@@ -15,13 +15,35 @@ from explain_audit import audit, plan_text  # noqa: E402
 
 from ecommerce_lakehouse_spark.queries import REGISTRY
 
+# One audit per query for the three registry-wide guards (r10,
+# VERDICT r09 #4): each guard otherwise re-BUILDS the query (pipeline
+# queries run eager stage work at build time) and re-explains it —
+# 3 x 273 builds for 273 distinct plans. The spark/sf_dir fixtures are
+# session-scoped and the audit dict is a pure function of the plan, so
+# a module cache is sound and cuts several minutes from the default
+# tier without losing any assertion.
+_DF_CACHE: dict = {}
+_AUDIT_CACHE: dict = {}
+
+
+def _built(spark, sf_dir, name):
+    if name not in _DF_CACHE:
+        _DF_CACHE[name] = REGISTRY[name](spark, sf_dir)
+    return _DF_CACHE[name]
+
+
+def _cached_audit(spark, sf_dir, name):
+    if name not in _AUDIT_CACHE:
+        _AUDIT_CACHE[name] = audit(_built(spark, sf_dir, name))
+    return _AUDIT_CACHE[name]
+
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_cartesian_product(spark, sf_dir, name):
     """A CartesianProduct in any plan is a scale bug: O(n*m) rows with no
     key. (BroadcastNestedLoopJoin is allowed where one side is a bounded
     broadcast query set, e.g. brute-force kNN's != condition.)"""
-    info = audit(REGISTRY[name](spark, sf_dir))
+    info = _cached_audit(spark, sf_dir, name)
     assert not info["cartesian"], f"{name}: cartesian product in plan: {info['joins']}"
 
 
@@ -179,7 +201,7 @@ def test_no_row_at_a_time_python(spark, sf_dir, name):
     UDFs) anywhere. Python may appear only as Arrow-vectorized operators
     (MapInPandas / FlatMapGroupsInPandas) at the deliberate multimodal
     boundaries."""
-    text = plan_text(REGISTRY[name](spark, sf_dir))
+    text = plan_text(_built(spark, sf_dir, name))
     assert "BatchEvalPython" not in text, f"{name} uses a row-at-a-time Python UDF"
     assert "PythonUDF" not in text or "ArrowEvalPython" in text or "MapInPandas" in text, name
 
@@ -196,7 +218,7 @@ def test_no_unbounded_global_window(spark, sf_dir, name):
     scalars (operators/scale.py:bucketed_global_row_number)."""
     from explain_audit import unbounded_global_windows
 
-    offenders = unbounded_global_windows(REGISTRY[name](spark, sf_dir))
+    offenders = unbounded_global_windows(_built(spark, sf_dir, name))
     assert not offenders, f"{name}: unpartitioned window over unbounded input: {offenders}"
 
 

@@ -2,6 +2,7 @@
 joins on skewed data; bucketed tables must join with zero exchanges (the
 shuffle paid once at write time)."""
 
+import pytest
 import sys
 from pathlib import Path
 
@@ -35,6 +36,7 @@ def test_salted_join_left_outer(spark):
     assert sorted(map(tuple, got.collect())) == [(1, "x", "r1"), (2, "y", None), (3, "z", None)]
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_salted_join_equivalence_every_allowed_how(spark):
     """Property: for every allowed join type, salted == plain on data with
     unmatched rows on BOTH sides (the case that exposes replication bugs)."""
@@ -169,6 +171,7 @@ def test_cosine_dups_expanded_cap_matches_raw_oracle_at_high_multiplicity(
     assert ids == {1000, 1001}  # dup-600 group dropped whole, real pair kept
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_min_label_propagation_long_chain_converges(spark):
     # a 30-node path graph has diameter 29 > the old 15-iteration cap;
     # every node must still reach cluster 0 (or the run must raise — but
@@ -189,6 +192,7 @@ def test_min_label_propagation_long_chain_converges(spark):
         min_label_propagation(ids, pairs, max_iters=3)
 
 
+@pytest.mark.slow  # demoted r10 (VERDICT r09 #4): oracle/property coverage kept in the release gate
 def test_pointer_jump_converges_in_log_rounds(spark):
     """pointer_jump=True (Shiloach-Vishkin doubling per round) must merge
     a deep chain in O(log diameter) rounds: a 60-node path (diameter 59)
