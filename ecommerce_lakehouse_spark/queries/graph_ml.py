@@ -143,10 +143,8 @@ def _support_graph(spark: SparkSession, sf_dir: str, prune: bool = True):
     ).transform(lambda d: iter_barrier(d, eager=False))
     # barrier the 1-row threshold: it feeds TWO broadcast consumers (the
     # Apriori freq filter and the edge support filter); un-barriered,
-    # each consumer re-runs the checkpoint-scan agg — one full-width
-    # task wave per consumer over the collapsed frame (the AQE
-    # small-partition floor keeps that frame wide, so the waves are no
-    # longer 1-task no-ops)
+    # each consumer would embed and re-run the checkpoint-scan agg
+    # subtree — one task wave per consumer over the collapsed frame
     baskets = baskets0.filter(F.size("parts") >= 2)
     if prune:
         freq = (
