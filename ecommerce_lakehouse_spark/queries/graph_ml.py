@@ -326,8 +326,11 @@ def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wz").cast("long").alias("aa_nanos"),
         F.count(F.lit(1)).cast("long").alias("n_common"),
     )
+    # broadcast the support-bounded edge list (r10): the anti-join's
+    # RDD-scan side has no stats, so the planner picked a
+    # SortMergeJoin-shaped anti-join otherwise (guide §3.1)
     cand = aa.join(
-        e,
+        F.broadcast(e),
         (aa["u"] == e["s"]) & (aa["v"] == e["d"]),
         "left_anti",
     )

@@ -1318,30 +1318,45 @@ def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion; the support filter is a HAVING on that same aggregate."""
     # shared relative-support graph builder (graph_ml._support_graph):
     # one definition of the edge set for every wedge-enumerating query
+    from ecommerce_lakehouse_spark.operators.scale import narrow_barrier
+
     e, _ = _support_graph(spark, sf_dir)
+    # r10 plan hygiene (mirrors clustering_coefficient_profile): deg
+    # feeds both orientation sides, o feeds three self-join arms, tri
+    # feeds the three role unions — lazy narrow barriers keep each
+    # computed once per action AND keep the final plan linear (the
+    # unbarriered tree re-embedded the whole chain 3x per role: 286
+    # plan nodes, 48 SortMergeJoin copies for Catalyst to analyze).
+    # Both sides of the orientation join are node-domain bounded, so
+    # they broadcast explicitly (RDD-scan inputs carry no stats — the
+    # planner picked SortMergeJoin otherwise, guide §3.1).
     deg = (
         e.select(F.col("s").alias("node"))
         .union(e.select("d"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("dg"))
+        .transform(lambda d: narrow_barrier(d, eager=False))
     )
     ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("dg_s"))
     dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("dg_d"))
     s_first = F.struct(F.col("dg_s"), F.col("s")) < F.struct(F.col("dg_d"), F.col("d"))
     o = (
-        e.join(ds, on="s")
-        .join(dd, on="d")
+        e.join(F.broadcast(ds), on="s")
+        .join(F.broadcast(dd), on="d")
         .select(
             F.when(s_first, F.col("s")).otherwise(F.col("d")).alias("lo"),
             F.when(s_first, F.col("d")).otherwise(F.col("s")).alias("hi"),
         )
+        .transform(lambda d: narrow_barrier(d, eager=False))
     )
     o1 = o.select(F.col("lo").alias("lo"), F.col("hi").alias("b"))
     o2 = o.select(F.col("lo").alias("lo"), F.col("hi").alias("c"))
     wedges = o1.join(o2, on="lo").filter(F.col("b") < F.col("c"))
     closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    tri = wedges.join(closing, on=["b", "c"]).select(
-        F.col("lo").alias("a"), "b", "c"
+    tri = (
+        wedges.join(closing, on=["b", "c"])
+        .select(F.col("lo").alias("a"), "b", "c")
+        .transform(lambda d: narrow_barrier(d, eager=False))
     )
     nodes = (
         tri.select(F.col("a").alias("node"))

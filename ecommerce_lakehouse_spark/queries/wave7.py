@@ -101,8 +101,18 @@ def common_neighbors_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the lambda tree on frequent_triple_itemsets) instead of the
     adjacency self-join, removing the join's two shuffles; candidates
     collapse by (u, v) before the top-k TakeOrdered.""".format(k=_CJ_TOP)
+    from ecommerce_lakehouse_spark.operators.scale import narrow_barrier
+
     e, adj = _support_graph(spark, sf_dir)
-    nb = adj.groupBy("z").agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+    # nb feeds the wedge expansion AND both degree sides: lazy barrier
+    # computes it once per action; the e anti-join and the two degree
+    # joins broadcast (support-/node-domain-bounded; RDD-scan inputs
+    # carry no stats, so the planner picked SortMergeJoins otherwise)
+    nb = (
+        adj.groupBy("z")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("nbrs"))
+        .transform(lambda d: narrow_barrier(d, eager=False))
+    )
     deg = nb.select("z", F.size("nbrs").cast("long").alias("dg"))
     p1 = nb.filter(F.size("nbrs") >= 2).select(
         "nbrs", F.posexplode("nbrs").alias("i", "u")
@@ -114,13 +124,13 @@ def common_neighbors_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_common")
     )
     cand = cn.join(
-        e, (cn["u"] == e["s"]) & (cn["v"] == e["d"]), "left_anti"
+        F.broadcast(e), (cn["u"] == e["s"]) & (cn["v"] == e["d"]), "left_anti"
     )
     du = deg.select(F.col("z").alias("u"), F.col("dg").alias("du"))
     dv = deg.select(F.col("z").alias("v"), F.col("dg").alias("dv"))
     return (
-        cand.join(du, "u")
-        .join(dv, "v")
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
         .select(
             F.col("u").alias("part_a"),
             F.col("v").alias("part_b"),
@@ -1827,9 +1837,11 @@ def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFram
     ).transform(lambda d: narrow_barrier(d, eager=False))
     ds = deg.select(F.col("node").alias("s"), F.col("dg").alias("dgs"))
     dd = deg.select(F.col("node").alias("d"), F.col("dg").alias("dgd"))
+    # node-domain-bounded sides broadcast explicitly (RDD-scan inputs
+    # carry no stats — the planner picked SortMergeJoins otherwise)
     o = (
-        e.join(ds, "s")
-        .join(dd, "d")
+        e.join(F.broadcast(ds), "s")
+        .join(F.broadcast(dd), "d")
         .select(
             F.when(
                 F.struct("dgs", "s") < F.struct("dgd", "d"), F.col("s")
@@ -1863,7 +1875,7 @@ def clustering_coefficient_profile(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
     joined = (
-        deg.join(pernode, "node", "left")
+        deg.join(F.broadcast(pernode), "node", "left")
         .select("node", "dg", F.coalesce("t", F.lit(0)).alias("t"))
         .filter(F.col("dg") >= 2)
     )
